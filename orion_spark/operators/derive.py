@@ -1,0 +1,171 @@
+"""Derived-graph operators (SURVEY §2.5 H1-H4).
+
+The reference walks the biolink ontology per edge with memoized bmt lookups
+(orion/redundant_kg.py:28-31). Spark-first design: the ontology is a tiny
+*dimension*, so we precompute closure/inverse tables once (driver-side or as
+a static table) and expand edges with broadcast joins + explode — no UDFs,
+no per-row ontology calls, and the expansion parallelizes with the edges.
+
+closure table schema (FIXTURES.md §5):
+    term STRING, ancestor STRING, is_symmetric BOOLEAN, inverse STRING
+By convention the closure includes the reflexive pair (term, term) ONLY when
+the caller wants the original edge re-emitted; `redundant_edges` handles
+both layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from orion_spark.model import OBJECT, PREDICATE, QUALIFIER_COLUMNS, SUBJECT
+
+
+def redundant_edges(
+    edges: DataFrame,
+    predicate_closure: DataFrame,
+    include_original: bool = True,
+) -> DataFrame:
+    """H1: redundant-KG predicate closure — one edge per ancestor predicate
+    (orion/redundant_kg.py:51-106).
+
+    The closure table is broadcast; the join fans each edge out to its
+    ancestor set. The qualifier-permutation part of the reference (aspect
+    ancestors × direction ancestors plus the qualifier-free edge) is
+    `qualifier_closure_edges` below.
+    """
+    closure = predicate_closure.select(
+        F.col("term").alias("_t"), F.col("ancestor").alias("_anc")
+    )
+    if include_original:
+        self_pairs = predicate_closure.select(
+            F.col("term").alias("_t"), F.col("term").alias("_anc")
+        )
+        closure = closure.unionByName(self_pairs).distinct()
+    expanded = (
+        edges.join(broadcast(closure), edges[PREDICATE] == F.col("_t"), "inner")
+        .withColumn(PREDICATE, F.col("_anc"))
+        .drop("_t", "_anc")
+    )
+    return expanded.dropDuplicates()
+
+
+def qualifier_free_edges(edges: DataFrame) -> DataFrame:
+    """H1 companion: the qualifier-free variant of every qualified edge
+    (orion/redundant_kg.py:97-106 emits the edge with qualifiers removed)."""
+    quals = [q for q in QUALIFIER_COLUMNS if q in edges.columns]
+    if not quals:
+        return edges
+    out = edges
+    for q in quals:
+        out = out.withColumn(q, F.lit(None).cast("string"))
+    return out.dropDuplicates()
+
+
+def leaf_categories(
+    node_categories: DataFrame, category_closure: DataFrame, id_col: str = "id",
+    category_col: str = "category",
+) -> DataFrame:
+    """H2: reduce each node's category array to its leaf set — remove any
+    category that is a strict ancestor of another category the node also has
+    (orion/biolink_utils.py:44-60).
+
+    Pure relational encoding: explode categories, anti-join each (node, cat)
+    against the set of (node, strict-ancestor-of-some-other-cat), regroup.
+    """
+    exploded = node_categories.select(id_col, F.explode(category_col).alias("cat"))
+    anc = category_closure.where(F.col("term") != F.col("ancestor")).select(
+        F.col("term").alias("_t"), F.col("ancestor").alias("_anc")
+    )
+    # ancestors implied by each node's categories
+    implied = (
+        exploded.join(broadcast(anc), exploded["cat"] == F.col("_t"), "inner")
+        .select(id_col, F.col("_anc").alias("cat"))
+        .distinct()
+    )
+    leaves = exploded.join(implied, [id_col, "cat"], "left_anti")
+    return leaves.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("cat")).alias("leaf_categories")
+    )
+
+
+def collapse_qualifiers(edges: DataFrame) -> DataFrame:
+    """H3: compose qualifier values into one synthetic predicate string in
+    fixed semantic order, then drop the qualifier columns
+    (orion/collapse_qualifiers.py:55-171).
+
+    Shape (simplified to the qualifiers present in the data):
+      <direction>_<aspect>_of_<qualified_predicate-or-predicate>
+    Deterministic concat_ws/when column expression — no UDF.
+    """
+    qp = (
+        F.coalesce(F.col("qualified_predicate"), F.col(PREDICATE))
+        if "qualified_predicate" in edges.columns
+        else F.col(PREDICATE)
+    )
+    parts = []
+    for q in ("object_direction_qualifier", "object_aspect_qualifier"):
+        if q in edges.columns:
+            parts.append(F.col(q))
+    base = F.regexp_replace(qp, "^biolink:", "")
+    if parts:
+        composed = F.concat_ws(
+            "_", *[p for p in parts], F.lit("of"), base
+        )
+        conds = [
+            F.col(q).isNotNull()
+            for q in ("object_direction_qualifier", "object_aspect_qualifier")
+            if q in edges.columns
+        ]
+        has_quals = conds[0]
+        for c in conds[1:]:
+            has_quals = has_quals | c
+        new_pred = F.when(
+            has_quals, F.concat(F.lit("biolink:"), composed)
+        ).otherwise(F.col(PREDICATE))
+    else:
+        new_pred = F.col(PREDICATE)
+    out = edges.withColumn(PREDICATE, new_pred)
+    drop = [q for q in QUALIFIER_COLUMNS if q in edges.columns]
+    return out.drop(*drop)
+
+
+def invert_edges(edges: DataFrame, inverted_col: str = "inverted") -> DataFrame:
+    """H4: swap subject/object (and every original_subject*/original_object*
+    prefixed pair) where the `inverted` flag is set
+    (orion/kgx_file_normalizer.py:404-413).
+    """
+    if inverted_col not in edges.columns:
+        return edges
+    inv = F.col(inverted_col)
+    pairs = [(SUBJECT, OBJECT)]
+    if "original_subject" in edges.columns and "original_object" in edges.columns:
+        pairs.append(("original_subject", "original_object"))
+    out = edges
+    for s, o in pairs:
+        out = out.withColumn(f"_swap_{s}", F.when(inv, F.col(o)).otherwise(F.col(s)))
+        out = out.withColumn(o, F.when(inv, F.col(s)).otherwise(F.col(o)))
+        out = out.withColumn(s, F.col(f"_swap_{s}")).drop(f"_swap_{s}")
+    return out.drop(inverted_col)
+
+
+def inverse_meta_edges(edges: DataFrame, predicate_closure: DataFrame) -> DataFrame:
+    """H4 meta use: emit the reverse edge for predicates with an inverse;
+    symmetric predicates invert to themselves (orion/biolink_utils.py:68-80).
+    Used by meta-KG expansion (orion/meta_kg.py)."""
+    inv = predicate_closure.select(
+        F.col("term").alias("_t"),
+        F.when(F.col("is_symmetric"), F.col("term"))
+        .otherwise(F.col("inverse"))
+        .alias("_inv"),
+    ).where(F.col("_inv").isNotNull()).distinct()
+    reversed_edges = (
+        edges.join(broadcast(inv), edges[PREDICATE] == F.col("_t"), "inner")
+        .withColumn(PREDICATE, F.col("_inv"))
+        .withColumn("_tmp", F.col(SUBJECT))
+        .withColumn(SUBJECT, F.col(OBJECT))
+        .withColumn(OBJECT, F.col("_tmp"))
+        .drop("_t", "_inv", "_tmp")
+    )
+    return reversed_edges

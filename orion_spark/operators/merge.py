@@ -1,0 +1,267 @@
+"""Entity merge engine (SURVEY §2.3 A2-A6, §2.4 J4-J5).
+
+Reference semantics (orion/merging.py:103-183, re-expressed declaratively):
+
+- group nodes by ``id``, edges by a deterministic hash of
+  (subject, predicate, object, primary_knowledge_source, sorted qualifier
+  key=value pairs, custom edge_merging_attributes)  [orion/merging.py:71-100]
+- within a group, fold properties:
+    * list properties     -> concat + dedup + sort      [orion/merging.py:160-179]
+    * scalar properties   -> keep FIRST TRUTHY value    [orion/merging.py:137-158]
+      ("first" = source/file order; we make that explicit with an ``ordinal``
+      column so the result is deterministic under any partitioning — the
+      subtlest correctness trap, SURVEY §7.4.1)
+    * list-of-structs     -> dedup (``sources`` by resource_id+role)
+                                                        [orion/merging.py:49-59]
+- the reference's DiskGraphMerger (10M-row spill chunks + k-way heap merge,
+  orion/merging.py:238-487) is replaced wholesale by Spark's shuffle +
+  sort-based hash aggregation, which spills adaptively; RESOURCE_HOGS
+  special-casing (orion/data_sources.py:68) disappears.
+
+Scale notes: the groupBy shuffles once on the merge key. Hub nodes (millions
+of duplicate ids) are handled by AQE skew splitting; the per-property
+aggregates are all partial-aggregatable (map-side combine) because
+collect_list/min_by combine associatively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orion_spark.model import (
+    EDGE_CORE_COLUMNS,
+    LIST_PROPERTIES,
+    NODE_ID,
+    OBJECT,
+    QUALIFIER_COLUMNS,
+    SUBJECT,
+)
+
+SOURCE_ORDINAL = "_source_ordinal"
+PREDICATE_COL = "predicate"
+PKS_COL = "primary_knowledge_source"
+
+
+# ---------------------------------------------------------------------------
+# A2: merge keys
+# ---------------------------------------------------------------------------
+
+def edge_merge_key(
+    df: DataFrame,
+    edge_merging_attributes: list[str] | None = None,
+    qualifier_columns: tuple[str, ...] = QUALIFIER_COLUMNS,
+) -> Column:
+    """Deterministic edge merge key (orion/merging.py:71-100).
+
+    The reference hashes xxh64 over subject+predicate+object+pks+sorted
+    qualifier key/values (+ custom attributes, list values stringified
+    sorted). We keep the same canonicalization but use md5 hex — a stable
+    engine-native key (SURVEY §7.4.2) that every SQL engine can reproduce.
+    """
+    parts: list[Column] = [
+        F.coalesce(F.col(SUBJECT), F.lit("")),
+        F.coalesce(F.col(PREDICATE_COL), F.lit("")),
+        F.coalesce(F.col(OBJECT), F.lit("")),
+        F.coalesce(F.col(PKS_COL), F.lit("")),
+    ]
+    # Qualifiers enter the key as sorted `name=value` pairs; absent/null
+    # qualifiers are omitted (orion/merging.py:72).
+    quals = [q for q in qualifier_columns if q in df.columns]
+    if quals:
+        pairs = F.array(
+            *[
+                F.when(
+                    F.col(q).isNotNull(), F.concat(F.lit(q + "="), F.col(q).cast("string"))
+                )
+                for q in quals
+            ]
+        )
+        parts.append(F.array_join(F.array_sort(F.filter(pairs, lambda x: x.isNotNull())), "&"))
+    for attr in edge_merging_attributes or []:
+        if attr in df.columns:
+            dt = dict(df.dtypes)[attr]
+            if dt.startswith("array"):
+                # list values stringified sorted (orion/merging.py:89)
+                parts.append(
+                    F.coalesce(
+                        F.array_join(F.array_sort(F.col(attr).cast("array<string>")), ","),
+                        F.lit(""),
+                    )
+                )
+            else:
+                parts.append(F.coalesce(F.col(attr).cast("string"), F.lit("")))
+        else:
+            parts.append(F.lit(""))
+    return F.md5(F.concat_ws("|", *parts))
+
+
+# ---------------------------------------------------------------------------
+# A3: property-merge aggregate
+# ---------------------------------------------------------------------------
+
+def _truthy(col: Column, dtype: T.DataType) -> Column:
+    """Python-truthiness predicate per Spark type (orion/merging.py keeps the
+    first *truthy* scalar on conflict; '' / 0 / false are falsy)."""
+    if isinstance(dtype, T.StringType):
+        return col.isNotNull() & (col != F.lit(""))
+    if isinstance(dtype, T.BooleanType):
+        return col.isNotNull() & col
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+        return col.isNotNull()
+    # numeric
+    return col.isNotNull() & (col != F.lit(0))
+
+
+def _merge_expr(name: str, dtype: T.DataType, ordinal: Column) -> Column:
+    """Aggregate expression merging one property column within a group."""
+    col = F.col(name)
+    if isinstance(dtype, T.ArrayType):
+        merged = F.array_distinct(F.flatten(F.collect_list(col)))
+        if not isinstance(dtype.elementType, (T.StructType, T.MapType, T.ArrayType)):
+            # deterministic output order (orion/merging.py:179 sorts merged
+            # list props); struct arrays keep insertion order after dedup.
+            merged = F.array_sort(merged)
+        # all-null group -> null, not [] (absent property stays absent)
+        return F.when(F.size(merged) > 0, merged).alias(name)
+    # scalar: first truthy by explicit source order; if none truthy, first
+    # non-null (so a group of all-zero values still yields a value).
+    first_truthy = F.min_by(col, F.when(_truthy(col, dtype), ordinal))
+    first_nonnull = F.min_by(col, F.when(col.isNotNull(), ordinal))
+    return F.coalesce(first_truthy, first_nonnull).alias(name)
+
+
+def merge_properties_agg(
+    df: DataFrame, group_cols: list[str], ordinal_col: str = SOURCE_ORDINAL
+) -> DataFrame:
+    """Group *df* by *group_cols* and fold every other column with the
+    reference's property-merge semantics. *ordinal_col* (int) defines
+    "first" — callers stamp it with the source/file position so the result
+    is independent of partitioning (SURVEY §7.4.1).
+    """
+    if ordinal_col not in df.columns:
+        df = df.withColumn(ordinal_col, F.lit(0))
+    ordinal = F.col(ordinal_col)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [
+        _merge_expr(c, schema[c], ordinal)
+        for c in df.columns
+        if c not in group_cols and c != ordinal_col
+    ]
+    if not aggs:
+        return df.select(*group_cols).dropDuplicates(group_cols)
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_nodes(df: DataFrame, ordinal_col: str = SOURCE_ORDINAL) -> DataFrame:
+    """A3/A4: node merge — group by id, fold properties."""
+    return merge_properties_agg(df, [NODE_ID], ordinal_col)
+
+
+def merge_edges(
+    df: DataFrame,
+    edge_merging_attributes: list[str] | None = None,
+    assign_id: bool = True,
+    ordinal_col: str = SOURCE_ORDINAL,
+) -> DataFrame:
+    """A3/A5/A6: edge merge — key by the canonical hash, group, fold
+    properties, optionally assign ``id`` = merge key (orion/merging.py:280-296).
+
+    The grouping carries the human-readable key fields alongside the hash so
+    the output keeps subject/predicate/object/pks without re-joining.
+    """
+    key = edge_merge_key(df, edge_merging_attributes)
+    keyed = df.withColumn("_merge_key", key)
+    group_cols = ["_merge_key"] + [c for c in EDGE_CORE_COLUMNS if c in df.columns]
+    group_cols += [q for q in QUALIFIER_COLUMNS if q in df.columns]
+    group_cols += [a for a in (edge_merging_attributes or []) if a in df.columns]
+    # dedupe group cols, preserve order
+    seen: set[str] = set()
+    group_cols = [c for c in group_cols if not (c in seen or seen.add(c))]
+    merged = merge_properties_agg(keyed, group_cols, ordinal_col)
+    if assign_id:
+        merged = merged.withColumn("id", F.col("_merge_key"))
+    return merged.drop("_merge_key")
+
+
+def pre_merge_id_mapping(
+    df: DataFrame, original_id_col: str = "id", edge_merging_attributes: list[str] | None = None
+) -> DataFrame:
+    """A6: map merge-key -> original edge ids for groups that actually merged
+    (>1 member), mirroring the pre/post-merge id mapping file
+    (orion/merging.py:534-558)."""
+    key = edge_merge_key(df, edge_merging_attributes)
+    return (
+        df.withColumn("_merge_key", key)
+        .groupBy("_merge_key")
+        .agg(F.array_sort(F.collect_list(F.col(original_id_col))).alias("original_ids"))
+        .where(F.size("original_ids") > 1)
+        .select(F.col("_merge_key").alias("merged_id"), "original_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3: dont_merge union
+# ---------------------------------------------------------------------------
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """Union heterogeneous-schema frames by name (orion/kgx_file_merger.py:102-114,
+    164-213 `dont_merge` append)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J4: connected_edge_subset merge strategy
+# ---------------------------------------------------------------------------
+
+def connected_edge_subset(
+    primary_nodes: DataFrame, secondary_nodes: DataFrame, secondary_edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Keep secondary edges touching the primary node-id set, then the
+    secondary nodes newly referenced by those kept edges
+    (orion/kgx_file_merger.py:127-162).
+
+    Spark shape: two left-semi joins unioned (subject-hit OR object-hit); the
+    primary id set is usually small enough to broadcast — Catalyst decides,
+    AQE corrects at runtime.
+    """
+    ids = primary_nodes.select(F.col(NODE_ID).alias("_pid")).distinct()
+    hit_s = secondary_edges.join(
+        ids, secondary_edges[SUBJECT] == ids["_pid"], "left_semi"
+    )
+    hit_o = secondary_edges.join(
+        ids, secondary_edges[OBJECT] == ids["_pid"], "left_semi"
+    )
+    kept_edges = hit_s.unionByName(hit_o).dropDuplicates()
+    endpoints = (
+        kept_edges.select(F.col(SUBJECT).alias("_eid"))
+        .unionByName(kept_edges.select(F.col(OBJECT).alias("_eid")))
+        .distinct()
+    )
+    kept_nodes = secondary_nodes.join(
+        endpoints, secondary_nodes[NODE_ID] == endpoints["_eid"], "left_semi"
+    )
+    return kept_nodes, kept_edges
+
+
+# ---------------------------------------------------------------------------
+# J5: unconnected-node prune
+# ---------------------------------------------------------------------------
+
+def edge_endpoints(edges: DataFrame) -> DataFrame:
+    """Distinct node ids referenced by any edge endpoint."""
+    return (
+        edges.select(F.col(SUBJECT).alias(NODE_ID))
+        .unionByName(edges.select(F.col(OBJECT).alias(NODE_ID)))
+        .distinct()
+    )
+
+
+def prune_unconnected_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Drop nodes referenced by no edge (orion/kgx_file_normalizer.py:419-439;
+    toggled by preserve_unconnected_nodes, orion/loader_interface.py:15-16)."""
+    return nodes.join(edge_endpoints(edges), NODE_ID, "left_semi")

@@ -1,0 +1,130 @@
+"""Merge-engine unit tests, mirroring the reference's merge suite
+(reference: tests/test_merging.py — list concat+dedup, keep-first scalar,
+edge_merging_attributes same/different values, id mapping)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from orion_spark.operators import merge as M
+
+
+def _nodes(spark):
+    rows = [
+        Row(id="HGNC:1", name="alpha", category=["biolink:Gene"],
+            publications=["PMID:1", "PMID:2"], score=1.5, _source_ordinal=0),
+        Row(id="HGNC:1", name="", category=["biolink:Gene", "biolink:NamedThing"],
+            publications=["PMID:2", "PMID:3"], score=0.0, _source_ordinal=1),
+        Row(id="HGNC:2", name=None, category=["biolink:Gene"],
+            publications=None, score=0.0, _source_ordinal=0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_merge_nodes_list_concat_dedup_sort(spark):
+    out = M.merge_nodes(_nodes(spark)).orderBy("id").collect()
+    assert len(out) == 2
+    r = out[0]
+    assert r.id == "HGNC:1"
+    assert r.publications == ["PMID:1", "PMID:2", "PMID:3"]
+    assert r.category == ["biolink:Gene", "biolink:NamedThing"]
+
+
+def test_merge_nodes_keep_first_truthy_scalar(spark):
+    out = {r.id: r for r in M.merge_nodes(_nodes(spark)).collect()}
+    # '' in ordinal 1 is falsy -> keep 'alpha'; 0.0 falsy -> keep 1.5
+    assert out["HGNC:1"].name == "alpha"
+    assert out["HGNC:1"].score == 1.5
+    # all falsy -> falls back to first non-null (0.0), name stays None
+    assert out["HGNC:2"].score == 0.0
+    assert out["HGNC:2"].name is None
+
+
+def _edges(spark):
+    rows = [
+        Row(subject="A", predicate="biolink:affects", object="B",
+            primary_knowledge_source="infores:x",
+            object_aspect_qualifier="activity", publications=["PMID:1"],
+            _source_ordinal=0),
+        Row(subject="A", predicate="biolink:affects", object="B",
+            primary_knowledge_source="infores:x",
+            object_aspect_qualifier="activity", publications=["PMID:2"],
+            _source_ordinal=1),
+        # different qualifier value -> different merge group
+        Row(subject="A", predicate="biolink:affects", object="B",
+            primary_knowledge_source="infores:x",
+            object_aspect_qualifier="abundance", publications=["PMID:3"],
+            _source_ordinal=2),
+        # different pks -> different group
+        Row(subject="A", predicate="biolink:affects", object="B",
+            primary_knowledge_source="infores:y",
+            object_aspect_qualifier=None, publications=None, _source_ordinal=3),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_merge_edges_groups_by_key_and_qualifiers(spark):
+    out = M.merge_edges(_edges(spark))
+    assert out.count() == 3
+    merged = out.where(F.col("object_aspect_qualifier") == "activity").collect()[0]
+    assert merged.publications == ["PMID:1", "PMID:2"]
+    assert len(merged.id) == 32  # md5 hex
+
+
+def test_edge_merging_attributes_split_groups(spark):
+    rows = [
+        Row(subject="A", predicate="p", object="B",
+            primary_knowledge_source="infores:x", abstract_id="abs1", _source_ordinal=0),
+        Row(subject="A", predicate="p", object="B",
+            primary_knowledge_source="infores:x", abstract_id="abs2", _source_ordinal=1),
+        Row(subject="A", predicate="p", object="B",
+            primary_knowledge_source="infores:x", abstract_id="abs1", _source_ordinal=2),
+    ]
+    df = spark.createDataFrame(rows)
+    assert M.merge_edges(df).count() == 1  # attribute not in key by default
+    assert M.merge_edges(df, edge_merging_attributes=["abstract_id"]).count() == 2
+
+
+def test_merge_key_deterministic(spark):
+    df = _edges(spark)
+    k1 = [r[0] for r in df.select(M.edge_merge_key(df)).collect()]
+    k2 = [r[0] for r in df.select(M.edge_merge_key(df)).collect()]
+    assert k1 == k2
+
+
+def test_connected_edge_subset(spark):
+    primary = spark.createDataFrame([Row(id="A"), Row(id="B")])
+    sec_nodes = spark.createDataFrame(
+        [Row(id="A"), Row(id="C"), Row(id="D"), Row(id="Z")]
+    )
+    sec_edges = spark.createDataFrame(
+        [
+            Row(subject="A", predicate="p", object="C"),   # hits primary A
+            Row(subject="C", predicate="p", object="B"),   # hits primary B
+            Row(subject="C", predicate="p", object="D"),   # no hit
+        ]
+    )
+    nodes, edges = M.connected_edge_subset(primary, sec_nodes, sec_edges)
+    assert edges.count() == 2
+    assert sorted(r.id for r in nodes.collect()) == ["A", "C"]
+
+
+def test_prune_unconnected_nodes(spark):
+    nodes = spark.createDataFrame([Row(id="A"), Row(id="B"), Row(id="Z")])
+    edges = spark.createDataFrame([Row(subject="A", predicate="p", object="B")])
+    out = M.prune_unconnected_nodes(nodes, edges)
+    assert sorted(r.id for r in out.collect()) == ["A", "B"]
+
+
+def test_pre_merge_id_mapping(spark):
+    rows = [
+        Row(subject="A", predicate="p", object="B",
+            primary_knowledge_source="x", id="e1"),
+        Row(subject="A", predicate="p", object="B",
+            primary_knowledge_source="x", id="e2"),
+        Row(subject="A", predicate="q", object="B",
+            primary_knowledge_source="x", id="e3"),
+    ]
+    df = spark.createDataFrame(rows)
+    mapping = M.pre_merge_id_mapping(df).collect()
+    assert len(mapping) == 1
+    assert mapping[0].original_ids == ["e1", "e2"]
