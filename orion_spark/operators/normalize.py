@@ -66,6 +66,16 @@ def normalize_nodes(
         for c in nodes.columns
         if c not in (NODE_ID, "name", "category", "equivalent_identifiers")
     ]
+    # map-provided node attributes propagate onto the normalized node
+    # (orion/normalization.py:266-301: name, categories, synonyms,
+    # description, taxa, information_content)
+    extra = [
+        F.col(c).alias(c)
+        for c in ("information_content", "description")
+        if c in norm_map.columns and c not in nodes.columns
+    ]
+    if "taxa" in norm_map.columns and "taxa" not in nodes.columns:
+        extra.append(F.col("taxa"))
     out = exploded.select(
         F.col("_nid").alias(NODE_ID),
         F.col(NODE_ID).alias("original_id"),
@@ -74,6 +84,7 @@ def normalize_nodes(
         F.coalesce(norm_map["equivalent_identifiers"], F.array(F.col(NODE_ID))).alias(
             "equivalent_identifiers"
         ),
+        *extra,
         *prop_cols,
     )
     return out
@@ -126,6 +137,14 @@ def normalize_edges(
             ~((F.col(PREDICATE) == SUBCLASS_OF) & (F.col(SUBJECT) == F.col(OBJECT)))
         )
     return out
+
+
+def remove_subclass_self_loops(edges: DataFrame) -> DataFrame:
+    """H5 standalone: drop `biolink:subclass_of` edges whose endpoints are
+    equal (orion/kgx_file_normalizer.py:298-301)."""
+    return edges.where(
+        ~((F.col(PREDICATE) == SUBCLASS_OF) & (F.col(SUBJECT) == F.col(OBJECT)))
+    )
 
 
 def normalize_predicates(edges: DataFrame, predicate_map: DataFrame) -> DataFrame:

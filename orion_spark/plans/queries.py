@@ -1,0 +1,819 @@
+"""Query registry: every implemented operator exposed as a (Spark, oracle-SQL)
+pair over the driver's TPC-H-ish parquet tables.
+
+Contract (driver harness): for each name, `QUERIES[name](spark, sf_dir)`
+returns a DataFrame and `ORACLES[name]` is ANSI SQL DuckDB runs on the same
+tables (views pre-registered: region nation customer supplier part orders
+lineitem events documents embeddings). Row counts, schemas, and
+order-insensitive value hashes must match.
+
+Determinism rules used throughout (so hashes match bit-for-bit):
+- money aggregates go through DECIMAL casts (exact) and only then to DOUBLE;
+- array outputs are sorted then joined to strings (list-representation
+  differences between engines never reach the hash);
+- every "first" is an explicit arg-min over a total order;
+- float-heavy outputs are rounded to 6 decimals after exact-order-identical
+  arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orion_spark.operators import analyze as A
+from orion_spark.operators import derive as D
+from orion_spark.operators import merge as M
+from orion_spark.operators import normalize as N
+from orion_spark.plans import tpch_graph as G
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec(col, p=12, s=2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+# ===========================================================================
+# TPC-H-style analytics (bench headliners; exercise scan/agg/join/window)
+# ===========================================================================
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+                AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    price = _dec("l_extendedprice")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT 'ORDER:' || o_orderkey AS order_id,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, order_id
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        li, li.l_orderkey == o.o_orderkey
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - disc)).cast("double").alias("revenue")
+        )
+        .select(
+            F.concat(F.lit("ORDER:"), F.col("o_orderkey")).alias("order_id"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_nation_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_dec("l_extendedprice") * (one - disc)).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@query(
+    "window_topk_parts_by_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part) t
+    WHERE rk <= 3
+    """,
+)
+def window_topk(spark, sf_dir):
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ===========================================================================
+# KGX merge engine (A2-A6)
+# ===========================================================================
+
+@query(
+    "kgx_merge_nodes",
+    f"""
+    WITH {G.PART_NODES_TWO_SOURCES_SQL},
+    merged AS (
+        SELECT id,
+               COALESCE(
+                   arg_min(name, CASE WHEN name IS NOT NULL AND name <> ''
+                                      THEN _source_ordinal END),
+                   arg_min(name, CASE WHEN name IS NOT NULL
+                                      THEN _source_ordinal END)) AS name,
+               list_sort(list_distinct(flatten(list(category)))) AS category,
+               list_sort(list_distinct(flatten(list(publications)))) AS publications
+        FROM part_nodes_src GROUP BY id)
+    SELECT id, name,
+           array_to_string(category, ',') AS category,
+           array_to_string(publications, ',') AS publications
+    FROM merged
+    """,
+)
+def kgx_merge_nodes(spark, sf_dir):
+    src = G.part_nodes_two_sources(spark, sf_dir)
+    merged = M.merge_nodes(src)
+    return merged.select(
+        "id",
+        "name",
+        F.array_join("category", ",").alias("category"),
+        F.array_join("publications", ",").alias("publications"),
+    )
+
+
+_EDGE_KEY_SQL = (
+    "md5(concat_ws('|', subject, predicate, object, primary_knowledge_source, "
+    "'object_aspect_qualifier=' || object_aspect_qualifier || "
+    "'&object_direction_qualifier=' || object_direction_qualifier))"
+)
+
+
+@query(
+    "kgx_merge_edges",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    merged AS (
+        SELECT {_EDGE_KEY_SQL} AS id,
+               subject, predicate, object, primary_knowledge_source,
+               object_aspect_qualifier, object_direction_qualifier,
+               list_sort(list_distinct(flatten(list(publications)))) AS publications,
+               COALESCE(
+                   arg_min(quantity, CASE WHEN quantity IS NOT NULL AND quantity <> 0
+                                          THEN _source_ordinal END),
+                   arg_min(quantity, CASE WHEN quantity IS NOT NULL
+                                          THEN _source_ordinal END)) AS quantity
+        FROM lineitem_edges
+        GROUP BY subject, predicate, object, primary_knowledge_source,
+                 object_aspect_qualifier, object_direction_qualifier)
+    SELECT id, subject, predicate, object, primary_knowledge_source,
+           object_aspect_qualifier, object_direction_qualifier,
+           array_to_string(publications, ',') AS publications, quantity
+    FROM merged
+    """,
+)
+def kgx_merge_edges(spark, sf_dir):
+    edges = G.lineitem_edges(spark, sf_dir)
+    merged = M.merge_edges(edges)
+    return merged.select(
+        "id",
+        "subject",
+        "predicate",
+        "object",
+        "primary_knowledge_source",
+        "object_aspect_qualifier",
+        "object_direction_qualifier",
+        F.array_join("publications", ",").alias("publications"),
+        "quantity",
+    )
+
+
+@query(
+    "kgx_pre_merge_id_mapping",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    keyed AS (
+        SELECT {_EDGE_KEY_SQL} AS merged_id,
+               'LINEREF:' || subject || ':' || _source_ordinal AS orig_id
+        FROM lineitem_edges)
+    SELECT merged_id,
+           array_to_string(list_sort(list(orig_id)), ',') AS original_ids
+    FROM keyed GROUP BY merged_id HAVING COUNT(*) > 1
+    """,
+)
+def kgx_pre_merge_id_mapping(spark, sf_dir):
+    edges = G.lineitem_edges(spark, sf_dir).withColumn(
+        "orig_id",
+        F.concat(F.lit("LINEREF:"), F.col("subject"), F.lit(":"), F.col("_source_ordinal")),
+    )
+    mapping = M.pre_merge_id_mapping(edges, original_id_col="orig_id")
+    return mapping.select(
+        "merged_id", F.array_join("original_ids", ",").alias("original_ids")
+    )
+
+
+@query(
+    "connected_edge_subset",
+    f"""
+    WITH primary_ids AS (
+        SELECT 'CUST:' || c_custkey AS id FROM customer WHERE c_acctbal > 5000),
+    sec_edges AS (
+        SELECT 'CUST:' || c_custkey AS subject, 'biolink:located_in' AS predicate,
+               'NATION:' || c_nationkey AS object FROM customer)
+    SELECT subject, predicate, object FROM sec_edges e
+    WHERE EXISTS (SELECT 1 FROM primary_ids p WHERE p.id = e.subject)
+       OR EXISTS (SELECT 1 FROM primary_ids p WHERE p.id = e.object)
+    """,
+)
+def connected_edge_subset_q(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    primary = cust.where(F.col("c_acctbal") > 5000).select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("id")
+    )
+    sec_nodes = cust.select(F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("id"))
+    sec_edges = cust.select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("subject"),
+        F.lit("biolink:located_in").alias("predicate"),
+        F.concat(F.lit("NATION:"), F.col("c_nationkey")).alias("object"),
+    )
+    _, edges = M.connected_edge_subset(primary, sec_nodes, sec_edges)
+    return edges.select("subject", "predicate", "object")
+
+
+@query(
+    "prune_unconnected_nodes",
+    f"""
+    WITH {G.NODES_SQL},
+    edges AS (
+        SELECT 'ORDER:' || o_orderkey AS subject, 'CUST:' || o_custkey AS object
+        FROM orders)
+    SELECT id, name FROM nodes n
+    WHERE EXISTS (SELECT 1 FROM edges e WHERE e.subject = n.id OR e.object = n.id)
+    """,
+)
+def prune_unconnected_q(spark, sf_dir):
+    nodes = G.nodes_df(spark, sf_dir)
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("ORDER:"), F.col("o_orderkey")).alias("subject"),
+        F.lit("biolink:placed_by").alias("predicate"),
+        F.concat(F.lit("CUST:"), F.col("o_custkey")).alias("object"),
+    )
+    return M.prune_unconnected_nodes(nodes, edges).select("id", "name")
+
+
+# ===========================================================================
+# Normalization stage (N1/J1-J3, J2 splits, H5)
+# ===========================================================================
+
+@query(
+    "normalize_nodes_strict",
+    f"""
+    WITH {G.NORM_MAP_SQL},
+    cust_nodes AS (
+        SELECT 'CUST:' || c_custkey AS id, c_name AS name,
+               ['biolink:NamedThing'] AS category FROM customer)
+    SELECT unnest(m.normalized_ids) AS id, n.id AS original_id,
+           COALESCE(m.normalized_name, n.name) AS name,
+           array_to_string(m.normalized_categories, ',') AS category,
+           array_to_string(m.equivalent_identifiers, ',') AS equivalent_identifiers,
+           m.information_content
+    FROM cust_nodes n
+    JOIN norm_map m ON n.id = m.original_id
+    WHERE len(m.normalized_ids) > 0
+    """,
+)
+def normalize_nodes_strict_q(spark, sf_dir):
+    cust_nodes = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("id"),
+        F.col("c_name").alias("name"),
+        F.array(F.lit("biolink:NamedThing")).alias("category"),
+    )
+    out = N.normalize_nodes(cust_nodes, G.norm_map_df(spark, sf_dir), strict=True)
+    return out.select(
+        "id",
+        "original_id",
+        "name",
+        F.array_join("category", ",").alias("category"),
+        F.array_join("equivalent_identifiers", ",").alias("equivalent_identifiers"),
+        "information_content",
+    )
+
+
+@query(
+    "normalization_failures",
+    f"""
+    WITH {G.NORM_MAP_SQL},
+    cust_nodes AS (SELECT 'CUST:' || c_custkey AS id FROM customer)
+    SELECT id FROM cust_nodes n
+    WHERE NOT EXISTS (SELECT 1 FROM norm_map m
+                      WHERE m.original_id = n.id AND len(m.normalized_ids) > 0)
+    """,
+)
+def normalization_failures_q(spark, sf_dir):
+    cust_nodes = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("id")
+    )
+    return N.normalization_failures(cust_nodes, G.norm_map_df(spark, sf_dir))
+
+
+@query(
+    "normalize_edges_split",
+    f"""
+    WITH {G.NORM_MAP_SQL},
+    full_map AS (
+        SELECT original_id, normalized_ids FROM norm_map
+        UNION ALL
+        SELECT 'ORDER:' || o_orderkey, ['ORDER:' || o_orderkey] FROM orders),
+    e AS (
+        SELECT 'ORDER:' || o_orderkey AS subject, 'biolink:placed_by' AS predicate,
+               'CUST:' || o_custkey AS object,
+               'infores:tpch-orders' AS primary_knowledge_source
+        FROM orders),
+    smap AS (SELECT original_id, unnest(normalized_ids) AS nid FROM full_map
+             WHERE len(normalized_ids) > 0),
+    omap AS (SELECT original_id, unnest(normalized_ids) AS nid FROM full_map
+             WHERE len(normalized_ids) > 0)
+    SELECT s.nid AS subject, e.predicate, o.nid AS object,
+           e.primary_knowledge_source,
+           e.subject AS original_subject, e.object AS original_object
+    FROM e JOIN smap s ON e.subject = s.original_id
+           JOIN omap o ON e.object = o.original_id
+    """,
+)
+def normalize_edges_split_q(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    order_identity = orders.select(
+        F.concat(F.lit("ORDER:"), F.col("o_orderkey")).alias("original_id"),
+        F.array(F.concat(F.lit("ORDER:"), F.col("o_orderkey"))).alias("normalized_ids"),
+    )
+    full_map = (
+        G.norm_map_df(spark, sf_dir)
+        .select("original_id", "normalized_ids")
+        .unionByName(order_identity)
+    )
+    edges = orders.select(
+        F.concat(F.lit("ORDER:"), F.col("o_orderkey")).alias("subject"),
+        F.lit("biolink:placed_by").alias("predicate"),
+        F.concat(F.lit("CUST:"), F.col("o_custkey")).alias("object"),
+        F.lit("infores:tpch-orders").alias("primary_knowledge_source"),
+    )
+    out = N.normalize_edges(edges, full_map)
+    return out.select(
+        "subject",
+        "predicate",
+        "object",
+        "primary_knowledge_source",
+        "original_subject",
+        "original_object",
+    )
+
+
+@query(
+    "normalize_predicates_fallback",
+    f"""
+    WITH {G.PREDICATE_MAP_SQL},
+    e AS (
+        SELECT 'ORDER:' || o_orderkey AS subject,
+               CASE o_orderpriority
+                    WHEN '1-URGENT' THEN 'placed_by'
+                    WHEN '2-HIGH' THEN 'contains'
+                    WHEN '3-MEDIUM' THEN 'located_in'
+                    WHEN '4-NOT SPECIFIED' THEN 'owned_by'
+                    ELSE 'mystery_relation' END AS predicate,
+               'CUST:' || o_custkey AS object
+        FROM orders)
+    SELECT e.subject,
+           COALESCE(m.normalized_predicate, 'biolink:related_to') AS predicate,
+           e.object, e.predicate AS original_predicate,
+           COALESCE(m.inverted, FALSE) AS inverted
+    FROM e LEFT JOIN predicate_map m ON e.predicate = m.original_predicate
+    """,
+)
+def normalize_predicates_q(spark, sf_dir):
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("ORDER:"), F.col("o_orderkey")).alias("subject"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "placed_by")
+        .when(F.col("o_orderpriority") == "2-HIGH", "contains")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "located_in")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "owned_by")
+        .otherwise("mystery_relation")
+        .alias("predicate"),
+        F.concat(F.lit("CUST:"), F.col("o_custkey")).alias("object"),
+    )
+    out = N.normalize_predicates(edges, G.predicate_map_df(spark))
+    return out.select("subject", "predicate", "object", "original_predicate", "inverted")
+
+
+@query(
+    "invert_edges",
+    f"""
+    WITH {G.PREDICATE_MAP_SQL},
+    e AS (
+        SELECT 'ORDER:' || o_orderkey AS subject,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'owned_by' ELSE 'placed_by' END
+                   AS predicate,
+               'CUST:' || o_custkey AS object
+        FROM orders),
+    norm AS (
+        SELECT e.subject,
+               COALESCE(m.normalized_predicate, 'biolink:related_to') AS predicate,
+               e.object, COALESCE(m.inverted, FALSE) AS inverted
+        FROM e LEFT JOIN predicate_map m ON e.predicate = m.original_predicate)
+    SELECT CASE WHEN inverted THEN object ELSE subject END AS subject,
+           predicate,
+           CASE WHEN inverted THEN subject ELSE object END AS object
+    FROM norm
+    """,
+)
+def invert_edges_q(spark, sf_dir):
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("ORDER:"), F.col("o_orderkey")).alias("subject"),
+        F.when(F.col("o_orderkey") % 2 == 0, "owned_by")
+        .otherwise("placed_by")
+        .alias("predicate"),
+        F.concat(F.lit("CUST:"), F.col("o_custkey")).alias("object"),
+    )
+    normed = N.normalize_predicates(edges, G.predicate_map_df(spark))
+    out = D.invert_edges(normed.drop("original_predicate"))
+    return out.select("subject", "predicate", "object")
+
+
+@query(
+    "self_loop_removal",
+    """
+    WITH e AS (
+        SELECT 'NATION:' || n_nationkey AS subject,
+               'biolink:subclass_of' AS predicate,
+               'NATION:' || (n_nationkey - (n_nationkey % 5)) AS object
+        FROM nation)
+    SELECT subject, predicate, object FROM e
+    WHERE NOT (predicate = 'biolink:subclass_of' AND subject = object)
+    """,
+)
+def self_loop_removal_q(spark, sf_dir):
+    edges = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("NATION:"), F.col("n_nationkey")).alias("subject"),
+        F.lit("biolink:subclass_of").alias("predicate"),
+        F.concat(
+            F.lit("NATION:"), F.col("n_nationkey") - (F.col("n_nationkey") % 5)
+        ).alias("object"),
+    )
+    return N.remove_subclass_self_loops(edges)
+
+
+@query(
+    "normalization_prefix_stats",
+    f"""
+    WITH {G.NORM_MAP_SQL},
+    all_nodes AS (
+        SELECT 'CUST:' || c_custkey AS id FROM customer
+        UNION ALL
+        SELECT 'SUPP:' || s_suppkey FROM supplier),
+    joined AS (
+        SELECT split_part(n.id, ':', 1) AS prefix,
+               CASE WHEN m.original_id IS NOT NULL AND len(m.normalized_ids) > 0
+                    THEN 1 ELSE 0 END AS ok,
+               CASE WHEN m.original_id IS NOT NULL AND len(m.normalized_ids) > 0
+                    THEN split_part(m.normalized_ids[1], ':', 1) END AS target_prefix
+        FROM all_nodes n LEFT JOIN norm_map m ON n.id = m.original_id)
+    SELECT prefix, CAST(SUM(ok) AS BIGINT) AS normalized,
+           CAST(COUNT(*) - SUM(ok) AS BIGINT) AS failed,
+           COALESCE(array_to_string(
+               list_sort(list_distinct(list(target_prefix))), ','), '')
+               AS target_prefixes
+    FROM joined GROUP BY prefix
+    """,
+)
+def prefix_stats_q(spark, sf_dir):
+    nodes = (
+        _t(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("id"))
+        .unionByName(
+            _t(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("SUPP:"), F.col("s_suppkey")).alias("id")
+            )
+        )
+    )
+    out = N.prefix_stats(nodes, G.norm_map_df(spark, sf_dir))
+    return out.select(
+        "prefix",
+        "normalized",
+        "failed",
+        F.array_join("target_prefixes", ",").alias("target_prefixes"),
+    )
+
+
+# ===========================================================================
+# Derived graphs (H1-H4)
+# ===========================================================================
+
+@query(
+    "redundant_closure_counts",
+    f"""
+    WITH {G.ALL_EDGES_SQL}, {G.CLOSURE_SQL},
+    closure_full AS (
+        SELECT term, ancestor FROM closure
+        UNION SELECT term, term FROM closure),
+    expanded AS (
+        SELECT DISTINCT e.subject, c.ancestor AS predicate, e.object,
+               e.primary_knowledge_source
+        FROM edges e JOIN closure_full c ON e.predicate = c.term)
+    SELECT predicate, COUNT(*) AS n FROM expanded GROUP BY predicate
+    """,
+)
+def redundant_closure_q(spark, sf_dir):
+    edges = G.all_edges(spark, sf_dir)
+    expanded = D.redundant_edges(edges, G.closure_df(spark))
+    return expanded.groupBy("predicate").agg(F.count("*").alias("n"))
+
+
+@query(
+    "collapse_qualifiers",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    collapsed AS (
+        SELECT subject,
+               'biolink:' || object_direction_qualifier || '_' ||
+               object_aspect_qualifier || '_of_contains' AS predicate,
+               object
+        FROM lineitem_edges)
+    SELECT predicate, COUNT(*) AS n FROM collapsed GROUP BY predicate
+    """,
+)
+def collapse_qualifiers_q(spark, sf_dir):
+    edges = G.lineitem_edges(spark, sf_dir).drop(
+        "publications", "quantity", "_source_ordinal"
+    )
+    out = D.collapse_qualifiers(edges)
+    return out.groupBy("predicate").agg(F.count("*").alias("n"))
+
+
+@query(
+    "inverse_meta_edges",
+    f"""
+    WITH {G.ALL_EDGES_SQL}, {G.CLOSURE_SQL},
+    inv AS (
+        SELECT DISTINCT term,
+               CASE WHEN is_symmetric THEN term ELSE inverse END AS inv_pred
+        FROM closure
+        WHERE (CASE WHEN is_symmetric THEN term ELSE inverse END) IS NOT NULL)
+    SELECT e.object AS subject, i.inv_pred AS predicate, e.subject AS object
+    FROM edges e JOIN inv i ON e.predicate = i.term
+    """,
+)
+def inverse_meta_edges_q(spark, sf_dir):
+    edges = G.all_edges(spark, sf_dir)
+    out = D.inverse_meta_edges(edges, G.closure_df(spark))
+    return out.select("subject", "predicate", "object")
+
+
+# ===========================================================================
+# QC / meta-KG analytics (A7-A11, J6)
+# ===========================================================================
+
+@query(
+    "qc_curie_prefix_counts",
+    f"""
+    WITH {G.NODES_SQL}
+    SELECT split_part(id, ':', 1) AS prefix, COUNT(*) AS n
+    FROM nodes GROUP BY prefix
+    """,
+)
+def qc_prefix_counts_q(spark, sf_dir):
+    return A.curie_prefix_counts(G.nodes_df(spark, sf_dir))
+
+
+@query(
+    "qc_predicate_counts",
+    f"""
+    WITH {G.ALL_EDGES_SQL}
+    SELECT predicate, COUNT(*) AS n FROM edges GROUP BY predicate
+    """,
+)
+def qc_predicate_counts_q(spark, sf_dir):
+    return A.predicate_counts(G.all_edges(spark, sf_dir))
+
+
+@query(
+    "qc_spo_type_counts",
+    f"""
+    WITH {G.NODES_SQL}, {G.ALL_EDGES_SQL},
+    cat AS (SELECT id, category[1] AS cat FROM nodes)
+    SELECT s.cat AS subject_category, e.predicate, o.cat AS object_category,
+           COUNT(*) AS n
+    FROM edges e JOIN cat s ON e.subject = s.id JOIN cat o ON e.object = o.id
+    GROUP BY s.cat, e.predicate, o.cat
+    """,
+)
+def qc_spo_type_counts_q(spark, sf_dir):
+    return A.spo_type_counts(G.all_edges(spark, sf_dir), G.nodes_df(spark, sf_dir))
+
+
+@query(
+    "qc_node_category_counts",
+    f"""
+    WITH {G.NODES_SQL},
+    exploded AS (SELECT unnest(category) AS category FROM nodes)
+    SELECT category, COUNT(*) AS n FROM exploded GROUP BY category
+    """,
+)
+def qc_node_category_counts_q(spark, sf_dir):
+    return A.node_category_counts(G.nodes_df(spark, sf_dir))
+
+
+@query(
+    "meta_kg_summary",
+    f"""
+    WITH {G.NODES_SQL}, {G.ALL_EDGES_SQL},
+    cat AS (SELECT id, category[1] AS cat FROM nodes),
+    typed AS (
+        SELECT s.cat AS subject_type, e.predicate, o.cat AS object_type,
+               e.subject, e.object
+        FROM edges e JOIN cat s ON e.subject = s.id JOIN cat o ON e.object = o.id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY subject_type, predicate, object_type
+            ORDER BY subject, object) AS rn
+        FROM typed),
+    counts AS (
+        SELECT subject_type, predicate, object_type, COUNT(*) AS n_edges
+        FROM typed GROUP BY subject_type, predicate, object_type)
+    SELECT c.subject_type, c.predicate, c.object_type, c.n_edges,
+           r.subject AS example_subject, r.object AS example_object
+    FROM counts c JOIN ranked r
+      ON c.subject_type = r.subject_type AND c.predicate = r.predicate
+     AND c.object_type = r.object_type AND r.rn = 1
+    """,
+)
+def meta_kg_summary_q(spark, sf_dir):
+    out = A.meta_kg_edges(G.all_edges(spark, sf_dir), G.nodes_df(spark, sf_dir))
+    return out.select(
+        "subject_type",
+        "predicate",
+        "object_type",
+        "n_edges",
+        F.col("example.subject").alias("example_subject"),
+        F.col("example.object").alias("example_object"),
+    )
+
+
+@query(
+    "meta_kg_nodes",
+    f"""
+    WITH {G.NODES_SQL}
+    SELECT category[1] AS category,
+           array_to_string(
+               list_sort(list_distinct(list(split_part(id, ':', 1)))), ',')
+               AS id_prefixes,
+           COUNT(*) AS n_nodes
+    FROM nodes GROUP BY category[1]
+    """,
+)
+def meta_kg_nodes_q(spark, sf_dir):
+    out = A.meta_kg_nodes(G.nodes_df(spark, sf_dir))
+    return out.select(
+        "category", F.array_join("id_prefixes", ",").alias("id_prefixes"), "n_nodes"
+    )
+
+
+@query(
+    "ac_adjacency",
+    f"""
+    WITH {G.ALL_EDGES_SQL},
+    links AS (
+        SELECT subject AS node, object AS neighbor, predicate,
+               TRUE AS is_subject FROM edges
+        UNION ALL
+        SELECT object, subject, predicate, FALSE FROM edges)
+    SELECT node,
+           string_agg(neighbor || '|' || predicate || '|' ||
+                      CASE WHEN is_subject THEN 'out' ELSE 'in' END,
+                      ';' ORDER BY neighbor, predicate, is_subject) AS links
+    FROM links GROUP BY node
+    """,
+)
+def ac_adjacency_q(spark, sf_dir):
+    adj = A.adjacency(G.all_edges(spark, sf_dir))
+    link_str = F.transform(
+        "links",
+        lambda x: F.concat_ws(
+            "|",
+            x["neighbor"],
+            x["predicate"],
+            F.when(x["is_subject"], "out").otherwise("in"),
+        ),
+    )
+    return adj.select("node", F.array_join(link_str, ";").alias("links"))
+
+
+@query(
+    "ac_backlinks",
+    f"""
+    WITH {G.NODES_SQL}, {G.ALL_EDGES_SQL},
+    cat AS (SELECT id, category[1] AS cat FROM nodes),
+    directed AS (
+        SELECT subject AS node, predicate, 'out' AS direction, object AS nbr
+        FROM edges
+        UNION ALL
+        SELECT object, predicate, 'in', subject FROM edges)
+    SELECT d.node, d.predicate, d.direction, c.cat AS neighbor_category,
+           COUNT(*) AS n
+    FROM directed d JOIN cat c ON d.nbr = c.id
+    GROUP BY d.node, d.predicate, d.direction, c.cat
+    """,
+)
+def ac_backlinks_q(spark, sf_dir):
+    return A.backlinks(G.all_edges(spark, sf_dir), G.nodes_df(spark, sf_dir))

@@ -1,0 +1,118 @@
+"""Derived-graph operator tests (SURVEY §2.5 H1-H4)."""
+
+from pyspark.sql import Row
+
+from orion_spark.operators import derive as D
+
+
+def _closure(spark):
+    return spark.createDataFrame(
+        [
+            Row(term="biolink:causes", ancestor="biolink:affects",
+                is_symmetric=False, inverse="biolink:caused_by"),
+            Row(term="biolink:affects", ancestor="biolink:related_to",
+                is_symmetric=False, inverse=None),
+            Row(term="biolink:causes", ancestor="biolink:related_to",
+                is_symmetric=False, inverse="biolink:caused_by"),
+            Row(term="biolink:interacts_with", ancestor="biolink:related_to",
+                is_symmetric=True, inverse=None),
+        ]
+    )
+
+
+def test_redundant_edges_closure(spark):
+    edges = spark.createDataFrame(
+        [Row(subject="A", predicate="biolink:causes", object="B",
+             primary_knowledge_source="infores:x")]
+    )
+    out = D.redundant_edges(edges, _closure(spark))
+    preds = sorted(r.predicate for r in out.collect())
+    assert preds == ["biolink:affects", "biolink:causes", "biolink:related_to"]
+    no_orig = D.redundant_edges(edges, _closure(spark), include_original=False)
+    assert sorted(r.predicate for r in no_orig.collect()) == [
+        "biolink:affects", "biolink:related_to"]
+
+
+def test_leaf_categories(spark):
+    nodes = spark.createDataFrame(
+        [
+            Row(id="N1", category=["biolink:Gene", "biolink:NamedThing"]),
+            Row(id="N2", category=["biolink:NamedThing"]),
+        ]
+    )
+    closure = spark.createDataFrame(
+        [Row(term="biolink:Gene", ancestor="biolink:NamedThing",
+             is_symmetric=False, inverse=None)],
+        schema="term string, ancestor string, is_symmetric boolean, inverse string",
+    )
+    out = {r.id: r.leaf_categories for r in D.leaf_categories(nodes, closure).collect()}
+    assert out["N1"] == ["biolink:Gene"]
+    assert out["N2"] == ["biolink:NamedThing"]
+
+
+def test_collapse_qualifiers(spark):
+    edges = spark.createDataFrame(
+        [
+            Row(subject="A", predicate="biolink:affects", object="B",
+                qualified_predicate="biolink:causes",
+                object_aspect_qualifier="abundance",
+                object_direction_qualifier="increased"),
+            Row(subject="C", predicate="biolink:affects", object="D",
+                qualified_predicate=None,
+                object_aspect_qualifier=None, object_direction_qualifier=None),
+        ]
+    )
+    out = {r.subject: r for r in D.collapse_qualifiers(edges).collect()}
+    assert out["A"].predicate == "biolink:increased_abundance_of_causes"
+    assert out["C"].predicate == "biolink:affects"
+    assert "object_aspect_qualifier" not in D.collapse_qualifiers(edges).columns
+
+
+def test_invert_edges(spark):
+    edges = spark.createDataFrame(
+        [
+            Row(subject="A", predicate="biolink:causes", object="B",
+                original_subject="a0", original_object="b0", inverted=True),
+            Row(subject="C", predicate="biolink:causes", object="D",
+                original_subject="c0", original_object="d0", inverted=False),
+        ]
+    )
+    out = {r.predicate + r.subject: r for r in D.invert_edges(edges).collect()}
+    swapped = [r for r in D.invert_edges(edges).collect() if r.subject == "B"][0]
+    assert swapped.object == "A"
+    assert swapped.original_subject == "b0" and swapped.original_object == "a0"
+    kept = [r for r in D.invert_edges(edges).collect() if r.subject == "C"][0]
+    assert kept.object == "D"
+    assert "inverted" not in D.invert_edges(edges).columns
+
+
+def test_inverse_meta_edges(spark):
+    edges = spark.createDataFrame(
+        [
+            Row(subject="A", predicate="biolink:causes", object="B"),
+            Row(subject="X", predicate="biolink:interacts_with", object="Y"),
+            Row(subject="P", predicate="biolink:no_inverse", object="Q"),
+        ]
+    )
+    out = D.inverse_meta_edges(edges, _closure(spark)).collect()
+    by_pred = {r.predicate: r for r in out}
+    assert by_pred["biolink:caused_by"].subject == "B"
+    assert by_pred["biolink:interacts_with"].subject == "Y"  # symmetric self-inverse
+    assert len(out) == 2  # no_inverse dropped
+
+
+def test_qualifier_free_edges(spark):
+    edges = spark.createDataFrame(
+        [
+            Row(subject="A", predicate="p", object="B",
+                object_aspect_qualifier="abundance", qualified_predicate="qp",
+                object_direction_qualifier="up"),
+            Row(subject="A", predicate="p", object="B",
+                object_aspect_qualifier="activity", qualified_predicate="qp",
+                object_direction_qualifier="up"),
+        ]
+    )
+    out = D.qualifier_free_edges(edges)
+    assert out.count() == 1  # both collapse to the same qualifier-free edge
+    r = out.collect()[0]
+    assert r.object_aspect_qualifier is None
