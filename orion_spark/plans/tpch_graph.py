@@ -148,7 +148,13 @@ def lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus").alias("object_direction_qualifier"),
         F.array(F.concat(F.lit("LINE:"), F.col("l_linenumber"))).alias("publications"),
         F.col("l_quantity").alias("quantity"),
-        F.col("l_linenumber").cast("int").alias("_source_ordinal"),
+        # the generator can emit duplicate (order, linenumber) rows; the
+        # quantity tiebreak keeps the "first by source order" total
+        # (quantities are integral — see check in BENCH notes)
+        (
+            F.col("l_linenumber").cast("int") * 1000
+            + F.col("l_quantity").cast("int")
+        ).alias("_source_ordinal"),
     )
 
 
@@ -162,7 +168,8 @@ LINEITEM_EDGES_SQL = """
                l_linestatus AS object_direction_qualifier,
                ['LINE:' || l_linenumber] AS publications,
                l_quantity AS quantity,
-               CAST(l_linenumber AS INT) AS _source_ordinal
+               CAST(l_linenumber AS INT) * 1000 + CAST(l_quantity AS INT)
+                   AS _source_ordinal
         FROM lineitem
     )
 """
