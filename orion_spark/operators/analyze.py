@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from orion_spark.model import NODE_ID, OBJECT, PREDICATE, SUBJECT
 
@@ -174,16 +173,12 @@ def meta_kg_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .join(o, edges[OBJECT] == F.col("_oid"), "inner")
         .drop("_sid", "_oid")
     )
-    w = Window.partitionBy("subject_type", PREDICATE, "object_type").orderBy(
-        SUBJECT, OBJECT
-    )
-    return (
-        typed.withColumn("_rn", F.row_number().over(w))
-        .groupBy("subject_type", PREDICATE, "object_type")
-        .agg(
-            F.count("*").alias("n_edges"),
-            F.min_by(F.struct(SUBJECT, OBJECT), F.col("_rn")).alias("example"),
-        )
+    # 'first example' = lexicographic min of (subject, object): a plain
+    # min(struct) aggregate — partial-aggregatable, ONE shuffle. (A window +
+    # row_number would shuffle twice and materialize ranks for every row.)
+    return typed.groupBy("subject_type", PREDICATE, "object_type").agg(
+        F.count("*").alias("n_edges"),
+        F.min(F.struct(SUBJECT, OBJECT)).alias("example"),
     )
 
 

@@ -26,6 +26,7 @@ def redundant_edges(
     edges: DataFrame,
     predicate_closure: DataFrame,
     include_original: bool = True,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """H1: redundant-KG predicate closure — one edge per ancestor predicate
     (orion/redundant_kg.py:51-106).
@@ -48,6 +49,11 @@ def redundant_edges(
         .withColumn(PREDICATE, F.col("_anc"))
         .drop("_t", "_anc")
     )
+    if edges_distinct:
+        # closure pairs are distinct, so distinct input edges can't produce
+        # duplicate expansions — skip the (full-width) dedup shuffle. At
+        # 100 TB that dedup would shuffle the entire expanded edge set.
+        return expanded
     return expanded.dropDuplicates()
 
 

@@ -615,8 +615,10 @@ def prefix_stats_q(spark, sf_dir):
     """,
 )
 def redundant_closure_q(spark, sf_dir):
+    # all_edges is distinct by construction (unique source rows, distinct
+    # predicates per source) -> skip the post-expansion dedup shuffle
     edges = G.all_edges(spark, sf_dir)
-    expanded = D.redundant_edges(edges, G.closure_df(spark))
+    expanded = D.redundant_edges(edges, G.closure_df(spark), edges_distinct=True)
     return expanded.groupBy("predicate").agg(F.count("*").alias("n"))
 
 
