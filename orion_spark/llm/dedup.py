@@ -1,0 +1,241 @@
+"""Deduplication operators for LLM training-data pipelines: exact
+(hash-groupBy), MinHash + LSH banding (near-dup at scale), SimHash, and
+n-gram Jaccard verification.
+
+Scale design: exact dedup is one hash aggregate. Near-dup avoids the O(n²)
+pair space with LSH — signature column → band buckets → bucket self-join →
+exact Jaccard verify on the (tiny) candidate set. Everything is built from
+md5/integer arithmetic column expressions (portable, deterministic,
+JVM-side); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# universal-hash family h_i(x) = (a_i*x + b_i) mod P over x < 2^32.
+# P = 2^31-1 (Mersenne prime); a_i ~20-bit keeps a*x < 2^52 (no overflow
+# under ANSI mode). Constants derive from a fixed LCG so any engine (or the
+# DuckDB oracle) can regenerate them.
+MINHASH_P = 2_147_483_647
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (((1103515245 * i + 12345) % (1 << 20)) | 1, (69069 * i + 1) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def content_hash(*cols: str) -> Column:
+    """md5 over the concatenated content columns."""
+    return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Group rows by content hash: (content_key, n_docs, keeper_id) — keeper
+    is the minimum id, the deterministic survivor."""
+    return (
+        df.select(content_hash(*content_cols).alias("content_key"), F.col(id_col))
+        .groupBy("content_key")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep one row (min id) per distinct content."""
+    key = content_hash(*content_cols).alias("_ckey")
+    keyed = df.withColumn("_ckey", key)
+    keepers = keyed.groupBy("_ckey").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keepers, ["_ckey", id_col], "left_semi").drop("_ckey")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-word shingles of a document (lowercased, whitespace
+    tokenized)."""
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(w)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
+    )
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """32-bit base hash per shingle (md5 prefix), reduced mod P."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
+    """Array of num_hashes minima of the universal-hash family over the
+    shingle hash set."""
+    def _h(a, b):
+        return lambda x: (a * x + b) % MINHASH_P
+
+    sigs = [
+        F.array_min(F.transform(hashes, _h(a, b)))
+        for a, b in _hash_params(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH (1-row bands: a candidate is any
+    pair sharing ANY of the num_hashes minima; P(miss) = (1-j)^num_hashes,
+    ~4e-7 at j=0.6) followed by exact Jaccard verification on candidates.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sig = base.withColumn("_sig", minhash_signature(shingle_hashes(F.col("_sh")), num_hashes))
+    # band explode: (band_index, band_value) bucket keys
+    bands = sig.select(
+        "_id",
+        F.posexplode("_sig").alias("_band", "_bv"),
+    )
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bv") == F.col("r._bv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+            / F.size(F.array_union("_sh_a", "_sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def minhash_lsh_oracle_sql(
+    k: int = 5, threshold: float = 0.5, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """Brute-force DuckDB ground truth for minhash_lsh_pairs: exact Jaccard
+    over ALL pairs (the LSH result must equal it on the test data)."""
+    return f"""
+    WITH docs AS (
+        SELECT {id_col} AS id,
+               list_distinct([array_to_string(w[i:i+{k - 1}], ' ')
+                              for i in range(1, len(w) - {k} + 2)]) AS sh
+        FROM (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+              FROM {table})
+        WHERE len(w) >= {k})
+    SELECT a.id AS doc_a, b.id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM docs a JOIN docs b ON a.id < b.id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          len(list_distinct(a.sh || b.sh)) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
+    word's xxhash64 bit, then take the sign. Hamming-close simhashes =>
+    similar token multisets. Pure column expressions (sequence/transform/
+    aggregate)."""
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    hashes = F.transform(w, lambda x: F.xxhash64(x))
+
+    def _bitsum(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("bigint")
+    for j in range(64):  # bit positions are Python ints (shift amounts must be)
+        bitsum = F.aggregate(hashes, F.lit(0), _bitsum(j))
+        bitval = -(1 << 63) if j == 63 else (1 << j)  # bit 63 = sign bit
+        out = out + F.when(bitsum > 0, F.lit(bitval).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, LSH-bucketed on 16-bit
+    chunks (a pair within hamming<=8 of 64 bits shares at least one exact
+    16-bit chunk when differing bits spread; chunking is the standard
+    simhash blocking scheme)."""
+    base = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    chunks = base.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sh"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("_chunk", "_cv"),
+    )
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l._chunk") == F.col("r._chunk"))
+            & (F.col("l._cv") == F.col("r._cv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("doc_a"),
+            F.col("r._id").alias("doc_b"),
+            F.col("l._sh").alias("_sha"),
+            F.col("r._sh").alias("_shb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
+    return cand.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the candidate table, dot products as JVM higher-order
+expressions (zip_with + left-to-right aggregate fold, which both Spark and
+the DuckDB oracle evaluate in identical order → bit-identical doubles).
+
+Scale path: LSH bucketing by random-hyperplane signs (deterministic
+md5-derived hyperplanes) so the candidate set per query is a bucket, not
+the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (deterministic
+    summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query side is broadcast (queries ≪ candidates); candidates stream
+    through one narrow stage — at 100 TB of embeddings this is a single scan,
+    no shuffle except the final per-query top-k aggregation. Ranking is on
+    the 6-decimal-rounded cosine with id tie-break, so results are stable
+    across engines and summation orders.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    # per-query top-k as a single aggregate: collect the (cosine, id) pairs
+    # into a max-k sorted slice — avoids a full window sort of all pairs
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def brute_force_topk_oracle_sql(
+    k: int = 10,
+    query_filter: str = "vec_id % 100 = 0",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB equivalent (list comprehension dot product, identical fold
+    order, identical rounding + tie-break)."""
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM {table} WHERE {query_filter}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM {table}),
+    pairs AS (
+        SELECT query_id, neighbor_id,
+               round(
+                   list_sum([qv[i] * cv[i] for i in range(1, len(qv) + 1)]) /
+                   (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) *
+                    sqrt(list_sum([cv[i] * cv[i] for i in range(1, len(cv) + 1)]))),
+                   6) AS cosine
+        FROM q JOIN c ON query_id <> neighbor_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) bucketing — the scale path
+# ---------------------------------------------------------------------------
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Sign bits against n_planes deterministic pseudo-random hyperplanes.
+    Plane coefficients come from md5(plane,coord) — reproducible anywhere,
+    no stored model. Returns a bigint bucket id."""
+    bits = []
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.lit(f"plane:{p}:{i}")), 1, 8), 16, 10)
+                    .cast("double")
+                    / F.lit(float(1 << 32))
+                    - 0.5
+                )
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare each query only against candidates in the
+    same hyperplane bucket. Recall is tunable via n_planes (fewer planes =
+    bigger buckets = higher recall, more compute)."""
+    sig = lambda df, alias: df.select(  # noqa: E731
+        F.col(id_col).alias(alias),
+        F.col(vec_col).cast("array<double>").alias(f"_{alias}_v"),
+        hyperplane_signature(F.col(vec_col).cast("array<double>"), dim, n_planes).alias(
+            f"_{alias}_sig"
+        ),
+    )
+    q = sig(queries, "query_id")
+    c = sig(candidates, "neighbor_id")
+    pairs = F.broadcast(q).join(
+        c,
+        (F.col("_query_id_sig") == F.col("_neighbor_id_sig"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators for LLM training-data pipelines (BASELINE.json
+north star: language-ID, quality scoring, token counting, fingerprinting).
+
+All operators are pure column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs anywhere, so they run at scan speed on 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deliberately tiny, deterministic marker sets (the container has no langid
+# model; an n-gram marker heuristic is the classic fallback)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column, stopwords: list[str] = STOPWORDS) -> Column:
+    w = words(F.lower(text))
+    sw = F.size(F.filter(w, lambda x: x.isin(*stopwords)))
+    return sw.cast("double") / F.size(w)
+
+
+def mean_word_length(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return total.cast("double") / F.size(w)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic composite quality score in [0, ~1]: favors mid-length
+    documents with a sane stopword ratio and word lengths (the
+    length/punct/stopword-ratio family of heuristic filters)."""
+    toks = token_count(text).cast("double")
+    length_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.08)) * F.lit(4.0)
+    mwl = mean_word_length(text)
+    mwl_score = F.lit(1.0) - F.abs(mwl - F.lit(4.5)) / F.lit(10.0)
+    return F.round(
+        F.greatest(
+            (length_score + F.greatest(sw_score, F.lit(0.0)) + mwl_score) / F.lit(3.0),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language heuristic: count hits per language's marker set,
+    argmax with a fixed preference order on ties; 'und' when nothing hits."""
+    w = words(F.lower(text))
+
+    def _marker_filter(markers):
+        # factory, not default-arg lambda: Spark maps a 2-arg lambda to the
+        # (element, index) form and the marker set would bind to the index
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(w, _marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # fixed evaluation order = deterministic tie-break
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # alphabetical preference on ties
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive 60-bit document fingerprint: sum of per-word md5
+    prefixes. Deterministic, engine-portable (md5 + integer sum), and cheap;
+    collisions need identical multisets of words."""
+    w = words(F.lower(text))
+    hashes = F.transform(
+        w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+    )
+    return F.aggregate(hashes, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document stat panel."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

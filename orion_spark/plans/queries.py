@@ -801,6 +801,208 @@ def ac_adjacency_q(spark, sf_dir):
     return adj.select("node", F.array_join(link_str, ";").alias("links"))
 
 
+# ===========================================================================
+# LLM training-data pipeline operators (dedup / similarity / text analysis)
+# ===========================================================================
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_key, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups_q(spark, sf_dir):
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_duplicate_groups(docs, ["text"], "doc_id")
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh_q(spark, sf_dir):
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash")
+def dedup_simhash_q(spark, sf_dir):
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(docs, max_hamming=8)
+
+
+@query(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_counts_q(spark, sf_dir):
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.char_count(F.col("text")).alias("n_chars"),
+    )
+
+
+@query(
+    "text_fingerprints",
+    """
+    SELECT doc_id,
+           CAST(list_sum([('0x' || substr(md5(w), 1, 8))::BIGINT
+                          for w in string_split_regex(lower(trim(text)), '\\s+')])
+                AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints_q(spark, sf_dir):
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "text_stopword_ratio",
+    """
+    SELECT doc_id,
+           round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 w -> w IN ('the','a','and','of','to','in')))::DOUBLE
+                 / len(string_split_regex(lower(trim(text)), '\\s+')), 6)
+               AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stopword_ratio_q(spark, sf_dir):
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TS.stopword_ratio(F.col("text")), 6).alias("stopword_ratio")
+    )
+
+
+@query("text_stats_panel")
+def text_stats_panel_q(spark, sf_dir):
+    from orion_spark.llm import textstats as TS
+
+    return TS.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("ann_cosine_topk")
+def ann_cosine_topk_q(spark, sf_dir):
+    from orion_spark.llm import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    return S.brute_force_topk(queries_df, emb, k=10)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk_q(spark, sf_dir):
+    from orion_spark.llm import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    return S.lsh_topk(queries_df, emb, dim=64, k=10, n_planes=8)
+
+
+# ===========================================================================
+# Event-stream analytics (batch shape of the streaming ops)
+# ===========================================================================
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts converted from raw ns (nanosAsLong) to a timestamp
+    column truncated to µs — matching how DuckDB reads the same parquet."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n,
+           round(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_q(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def events_sessionize_q(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_us").isNull()
+                    | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+                    1,
+                ).otherwise(0)
+            ).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS total_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props_q(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("total_k"),
+        F.count("*").alias("n"),
+    )
+
+
 @query(
     "ac_backlinks",
     f"""
@@ -819,3 +1021,11 @@ def ac_adjacency_q(spark, sf_dir):
 )
 def ac_backlinks_q(spark, sf_dir):
     return A.backlinks(G.all_edges(spark, sf_dir), G.nodes_df(spark, sf_dir))
+
+
+# oracles generated from the same constants as the Spark implementations
+from orion_spark.llm.dedup import minhash_lsh_oracle_sql  # noqa: E402
+from orion_spark.llm.similarity import brute_force_topk_oracle_sql  # noqa: E402
+
+ORACLES["dedup_minhash_lsh"] = minhash_lsh_oracle_sql(k=5, threshold=0.5)
+ORACLES["ann_cosine_topk"] = brute_force_topk_oracle_sql(k=10)

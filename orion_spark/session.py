@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Don't let tiny local runs produce thousands of output files.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # the events table stores TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long (ns) and convert explicitly where needed
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("ORION_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
