@@ -1,0 +1,112 @@
+"""LLM-pipeline operator tests: dedup, similarity, text stats."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from orion_spark.llm import dedup as DD
+from orion_spark.llm import similarity as S
+from orion_spark.llm import textstats as TS
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog today"),  # exact dup
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy cat today"),  # near dup
+        Row(doc_id=4, text="completely different words about spark and data"),
+        Row(doc_id=5, text="short"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicate_groups(spark):
+    groups = DD.exact_duplicate_groups(_docs(spark), ["text"], "doc_id")
+    dups = groups.where(F.col("n_docs") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0].n_docs == 2 and dups[0].keeper_id == 1
+
+
+def test_drop_exact_duplicates(spark):
+    out = DD.drop_exact_duplicates(_docs(spark), ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = DD.minhash_lsh_pairs(_docs(spark), k=3, threshold=0.3).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got  # exact dup -> jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    exact = [r for r in pairs if (r.doc_a, r.doc_b) == (1, 2)][0]
+    assert exact.jaccard == 1.0
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    df = _docs(spark).select(
+        "doc_id", DD.simhash64(F.col("text")).alias("sh")
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in df}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+    pairs = DD.simhash_near_pairs(_docs(spark), max_hamming=10).collect()
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in pairs}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    out = df.select(DD.word_shingles(F.col("t"), 2).alias("s")).collect()[0].s
+    assert out == ["a b", "b c", "c d"]
+    short = df.select(DD.word_shingles(F.col("t"), 9).alias("s")).collect()[0].s
+    assert short == []
+
+
+def _embs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # orthogonal
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # opposite
+        Row(vec_id=4, embedding=[0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = _embs(spark)
+    q = emb.where(F.col("vec_id") == 0)
+    out = S.brute_force_topk(q, emb, k=4).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rk)]
+    assert order == [1, 4, 2, 3]
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_lsh_topk_self_consistent(spark):
+    emb = _embs(spark)
+    q = emb.where(F.col("vec_id") == 0)
+    out = S.lsh_topk(q, emb, dim=3, k=4, n_planes=2).collect()
+    # LSH returns a subset of the exact result, correctly ordered
+    exact_order = [1, 4, 2, 3]
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rk)]
+    assert got == [n for n in exact_order if n in set(got)]
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="The cat and the dog"), Row(doc_id=2, text="word")]
+    )
+    out = {r.doc_id: r for r in TS.text_stats(df).collect()}
+    assert out[1].n_tokens == 5
+    assert out[1].n_chars == 19
+    # 'the' twice + 'and' of 5 tokens
+    assert abs(out[1].stopword_ratio - 0.6) < 1e-9
+    assert out[2].n_tokens == 1
+    assert out[1].lang_pred == "en"
+    assert isinstance(out[1].fingerprint, int)
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="gamma alpha beta")]
+    )
+    out = {r.doc_id: r for r in TS.text_stats(df).collect()}
+    assert out[1].fingerprint == out[2].fingerprint
