@@ -1,0 +1,82 @@
+"""Graph metadata / QC / schema sinks (SURVEY §2.1 K7, §2.3 A9/A12).
+
+The reference writes graph-metadata.json, qc-results.json and schema.json by
+scanning the jsonl files (orion/kgx_metadata.py:150-290,375-460,
+orion/kgx_validation.py:25-204). Here: the aggregates run as one Spark job
+each, results are collected (they are tiny) and dumped as JSON driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from orion_spark.operators.analyze import (
+    curie_prefix_counts,
+    infer_property_schema,
+    knowledge_source_breakdown,
+    predicate_counts,
+    spo_type_counts,
+)
+from orion_spark.model import EDGE_CORE_COLUMNS, NODE_CORE_COLUMNS
+
+
+def qc_results(nodes: DataFrame, edges: DataFrame) -> dict:
+    """A9 QC aggregate panel (orion/kgx_validation.py:44-204)."""
+    return {
+        "node_curie_prefixes": {
+            r["prefix"]: r["n"] for r in curie_prefix_counts(nodes).collect()
+        },
+        "edge_properties": sorted(edges.columns),
+        "predicate_totals": {
+            r["predicate"]: r["n"] for r in predicate_counts(edges).collect()
+        },
+        "edges_per_knowledge_source": [
+            row.asDict() for row in knowledge_source_breakdown(edges).collect()
+        ]
+        if "aggregator_knowledge_source" in edges.columns
+        else [],
+    }
+
+
+def graph_metadata(
+    graph_id: str, graph_version: str, nodes: DataFrame, edges: DataFrame
+) -> dict:
+    """graph-metadata.json content (orion/kgx_metadata.py:150-290): counts +
+    spo-type census."""
+    return {
+        "graph_id": graph_id,
+        "graph_version": graph_version,
+        "node_count": nodes.count(),
+        "edge_count": edges.count(),
+        "spo_type_counts": [
+            row.asDict() for row in spo_type_counts(edges, nodes).collect()
+        ],
+    }
+
+
+def kgx_schema(nodes: DataFrame, edges: DataFrame) -> dict:
+    """schema.json content (orion/kgx_metadata.py:375-443): property->type
+    from the (already known) DataFrame schema instead of a rescan."""
+    return {
+        "nodes": dict(infer_property_schema(nodes, NODE_CORE_COLUMNS)),
+        "edges": dict(infer_property_schema(edges, EDGE_CORE_COLUMNS)),
+    }
+
+
+def write_metadata_sidecars(
+    graph_id: str,
+    graph_version: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    out_dir: str,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "graph-metadata.json"), "w") as fh:
+        json.dump(graph_metadata(graph_id, graph_version, nodes, edges), fh, indent=2)
+    with open(os.path.join(out_dir, "qc-results.json"), "w") as fh:
+        json.dump(qc_results(nodes, edges), fh, indent=2)
+    with open(os.path.join(out_dir, "schema.json"), "w") as fh:
+        json.dump(kgx_schema(nodes, edges), fh, indent=2)

@@ -1,0 +1,90 @@
+"""KGX JSON-lines bundle I/O (SURVEY §2.1 S1/S2/K1/K2).
+
+The reference streams jsonl dicts row-at-a-time (orion/utils.py:468-475) and
+writes with manual null pruning (orion/kgx_file_writer.py:99-160). Spark
+replaces both with the columnar json reader/writer:
+
+- read: `spark.read.json` — gzip transparent, schema inference == the
+  reference's full-scan type widening (orion/kgx_file_converter.py:224-305);
+  a 1M-row "chunk" (orion/kgx_file_normalizer.py:15-16) is just a partition.
+- write: `df.write.json` with `ignoreNullFields` (K1's drop-None behavior);
+  empty-string/empty-array pruning (orion/kgx_file_writer.py:131-135) is a
+  projection before the write.
+
+Bundles persist as a directory pair (`nodes/`, `edges/`) — on a cluster each
+is a multi-file dataset; `.gz` codec gives K2's gzip finalize for free.
+Parquet is the engine-native format (`write_bundle_parquet`); jsonl is the
+KGX-compatibility boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orion_spark.model import ensure_edge_core, ensure_node_core
+
+
+def read_kgx_nodes(spark: SparkSession, path: str) -> DataFrame:
+    """Read a KGX nodes jsonl[.gz] file/dir; enforce core columns."""
+    return ensure_node_core(spark.read.json(path))
+
+
+def read_kgx_edges(spark: SparkSession, path: str) -> DataFrame:
+    return ensure_edge_core(spark.read.json(path))
+
+
+def prune_empty_properties(df: DataFrame) -> DataFrame:
+    """P6: None / '' / [] all become JSON-absent (null + ignoreNullFields)
+    (orion/kgx_file_writer.py:131-135)."""
+    out = df
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.StringType):
+            out = out.withColumn(f.name, F.when(c != "", c))
+        elif isinstance(f.dataType, T.ArrayType):
+            out = out.withColumn(f.name, F.when(F.size(c) > 0, c))
+        elif isinstance(f.dataType, T.MapType):
+            out = out.withColumn(f.name, F.when(F.size(F.map_keys(c)) > 0, c))
+    return out
+
+
+def write_kgx(df: DataFrame, path: str, gzip: bool = False) -> None:
+    """K1/K2: write node/edge DataFrame as KGX jsonl, optionally gzipped."""
+    writer = prune_empty_properties(df).write.mode("overwrite")
+    if gzip:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+
+
+# ---------------------------------------------------------------------------
+# Bundle = the engine's unit of persistence (orion/kgx_bundle.py:16-20)
+# ---------------------------------------------------------------------------
+
+def write_bundle(
+    nodes: DataFrame, edges: DataFrame, path: str, fmt: str = "parquet",
+    gzip: bool = False,
+) -> None:
+    if fmt == "parquet":
+        nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+        edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    else:
+        write_kgx(nodes, os.path.join(path, "nodes"), gzip=gzip)
+        write_kgx(edges, os.path.join(path, "edges"), gzip=gzip)
+
+
+def read_bundle(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> tuple[DataFrame, DataFrame]:
+    if fmt == "parquet":
+        return (
+            spark.read.parquet(os.path.join(path, "nodes")),
+            spark.read.parquet(os.path.join(path, "edges")),
+        )
+    return (
+        read_kgx_nodes(spark, os.path.join(path, "nodes")),
+        read_kgx_edges(spark, os.path.join(path, "edges")),
+    )

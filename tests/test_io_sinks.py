@@ -1,0 +1,112 @@
+"""KGX I/O + sink tests (SURVEY §2.1), mirroring the reference's writer and
+converter tests (tests/test_file_writer.py)."""
+
+import glob
+import gzip
+import json
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from orion_spark.sinks import graph_csv as GC
+from orion_spark.sinks import metadata as MD
+from orion_spark.sources import kgx as K
+
+
+def _nodes(spark):
+    return spark.createDataFrame(
+        [
+            Row(id="HGNC:1", name="alpha", category=["biolink:Gene"],
+                equivalent_identifiers=["HGNC:1", "NCBIGene:10"], score=1.5,
+                flag=True, empty_str="", empty_arr=[]),
+            Row(id="HGNC:2", name="beta", category=["biolink:Gene"],
+                equivalent_identifiers=None, score=None, flag=False,
+                empty_str="x", empty_arr=["y"]),
+        ],
+        schema="id string, name string, category array<string>, "
+        "equivalent_identifiers array<string>, score double, flag boolean, "
+        "empty_str string, empty_arr array<string>",
+    )
+
+
+def _edges(spark):
+    return spark.createDataFrame(
+        [
+            Row(subject="HGNC:1", predicate="biolink:related_to", object="HGNC:2",
+                primary_knowledge_source="infores:x",
+                publications=["PMID:1"], p_value=0.05),
+        ]
+    )
+
+
+def test_kgx_roundtrip_with_gzip(spark, tmp_path):
+    path = str(tmp_path / "nodes_jsonl")
+    K.write_kgx(_nodes(spark), path, gzip=True)
+    assert glob.glob(os.path.join(path, "*.json.gz"))
+    back = K.read_kgx_nodes(spark, path)
+    rows = {r.id: r for r in back.collect()}
+    assert rows["HGNC:1"].name == "alpha"
+    assert rows["HGNC:1"].category == ["biolink:Gene"]
+    # P6: empty string/array pruned to null on write
+    lines = []
+    for fp in glob.glob(os.path.join(path, "*.json.gz")):
+        lines += [ln for ln in gzip.open(fp).read().splitlines() if ln.strip()]
+    raw = json.loads([ln for ln in lines if b"HGNC:1" in ln][0])
+    assert "empty_str" not in raw and "empty_arr" not in raw
+
+
+def test_bundle_roundtrip_parquet(spark, tmp_path):
+    path = str(tmp_path / "bundle")
+    K.write_bundle(_nodes(spark), _edges(spark), path)
+    nodes, edges = K.read_bundle(spark, path)
+    assert nodes.count() == 2 and edges.count() == 1
+
+
+def test_neo4j_csv_sink(spark, tmp_path):
+    out = str(tmp_path / "neo4j")
+    manifest = GC.write_neo4j_csv(_nodes(spark), _edges(spark), out)
+    assert "id:ID" in manifest["nodes_header"]
+    assert "category:LABEL" in manifest["nodes_header"]
+    assert "score:float" in manifest["nodes_header"]
+    assert "flag:boolean" in manifest["nodes_header"]
+    assert "subject:START_ID" in manifest["edges_header"]
+    assert "predicate:TYPE" in manifest["edges_header"]
+    data = []
+    for fp in glob.glob(os.path.join(out, "nodes", "part-*")):
+        data += open(fp).read().splitlines()
+    assert len(data) == 2
+    row = [r for r in data if r.startswith("HGNC:1")][0]
+    fields = row.split("\t")
+    # array joined with unit separator chr(31)
+    assert "HGNC:1" + chr(31) + "NCBIGene:10" in fields
+    assert "true" in fields
+
+
+def test_memgraph_partitioned_by_predicate(spark, tmp_path):
+    out = str(tmp_path / "memgraph")
+    edges = _edges(spark).unionByName(
+        spark.createDataFrame(
+            [Row(subject="HGNC:2", predicate="biolink:affects", object="HGNC:1",
+                 primary_knowledge_source="infores:y",
+                 publications=None, p_value=None)],
+            schema=_edges(spark).schema,
+        )
+    )
+    manifest = GC.write_memgraph_csv(_nodes(spark), edges, out)
+    assert manifest["predicates"] == ["biolink:affects", "biolink:related_to"]
+    parts = glob.glob(os.path.join(out, "edges", "predicate=*"))
+    assert len(parts) == 2
+
+
+def test_metadata_sidecars(spark, tmp_path):
+    out = str(tmp_path / "meta")
+    MD.write_metadata_sidecars("g1", "v1", _nodes(spark), _edges(spark), out)
+    meta = json.load(open(os.path.join(out, "graph-metadata.json")))
+    assert meta["node_count"] == 2 and meta["edge_count"] == 1
+    qc = json.load(open(os.path.join(out, "qc-results.json")))
+    assert qc["predicate_totals"] == {"biolink:related_to": 1}
+    assert qc["node_curie_prefixes"] == {"HGNC": 2}
+    schema = json.load(open(os.path.join(out, "schema.json")))
+    assert schema["nodes"]["score"] == "double"
+    assert schema["nodes"]["equivalent_identifiers"] == "string[]"
