@@ -1,0 +1,71 @@
+"""Structured Streaming extension tests (file source, availableNow trigger,
+memory sink — deterministic)."""
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from orion_spark.streaming import events as SE
+
+
+def _write_events(spark, path):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=1, ts=base, user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, ts=base + datetime.timedelta(minutes=10), user_id=1,
+            event_type="click", value=2.0, props="{}"),
+        Row(event_id=3, ts=base + datetime.timedelta(hours=1, minutes=5), user_id=2,
+            event_type="view", value=3.0, props="{}"),
+        # duplicate event_id within watermark
+        Row(event_id=1, ts=base, user_id=1, event_type="click", value=1.0, props="{}"),
+    ]
+    spark.createDataFrame(rows, SE.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    _write_events(spark, src)
+    SE.run_windowed_counts_to_memory(spark, src, table_name="wc_test")
+    out = spark.sql("select * from wc_test").collect()
+    got = {(r.window_start.hour, r.event_type): r.n for r in out}
+    assert got[(0, "click")] == 3  # dup not removed in pure window count
+    assert got[(1, "view")] == 1
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "events_src2")
+    _write_events(spark, src)
+    stream = SE.read_event_stream(spark, src)
+    q = (
+        SE.deduped_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from dedup_test").collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3]
+
+
+def test_merge_upsert_sink(spark, tmp_path):
+    src = str(tmp_path / "events_src3")
+    bundle = str(tmp_path / "bundle_edges")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src)
+    stream = SE.event_edges(SE.read_event_stream(spark, src))
+    q = (
+        stream.writeStream.foreachBatch(SE.merge_upsert_sink(bundle, ckpt))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(bundle)
+    # 4 raw edge rows, the duplicated event_id=1 rows merge to one edge
+    assert merged.count() == 3
+    assert "id" in merged.columns  # assigned merge key
