@@ -1,0 +1,124 @@
+"""Source-reader tests (SURVEY §2.1 S3/S6/S7/S8) against inline fixtures in
+the reference's real formats."""
+
+from pyspark.sql import functions as F
+
+from orion_spark.sources import readers as R
+
+
+def test_read_tabular_with_comments(spark, tmp_path):
+    p = tmp_path / "src.tsv"
+    p.write_text("# a comment line\ncol_a\tcol_b\nx\t1\ny\t2\n")
+    df = R.read_tabular(spark, str(p))
+    assert df.columns == ["col_a", "col_b"]
+    assert df.count() == 2
+    assert df.schema["col_b"].dataType.simpleString() == "int"
+
+
+NT = """\
+# comment
+<http://purl.obolibrary.org/obo/GO_0001> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://purl.obolibrary.org/obo/GO_0002> .
+<http://purl.obolibrary.org/obo/GO_0001> <http://www.w3.org/2000/01/rdf-schema#label> "mitotic cell cycle" .
+<http://purl.obolibrary.org/obo/CHEBI_99> <http://www.w3.org/2000/01/rdf-schema#label> "a \\"quoted\\" name"@en .
+"""
+
+
+def test_read_ntriples(spark, tmp_path):
+    p = tmp_path / "onto.nt"
+    p.write_text(NT)
+    df = R.read_ntriples(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    iri = [r for r in rows if not r.is_literal][0]
+    assert iri.subject == "http://purl.obolibrary.org/obo/GO_0001"
+    assert iri.object == "http://purl.obolibrary.org/obo/GO_0002"
+    lit = [r for r in rows if r.is_literal and "mitotic" in r.object][0]
+    assert lit.object == "mitotic cell cycle"
+
+
+def test_curie_contract(spark, tmp_path):
+    p = tmp_path / "onto2.nt"
+    p.write_text(NT)
+    df = R.read_ntriples(spark, str(p))
+    out = df.select(
+        R.curie_contract(
+            F.col("subject"),
+            {"http://purl.obolibrary.org/obo/GO_": "GO",
+             "http://purl.obolibrary.org/obo/CHEBI_": "CHEBI"},
+        ).alias("curie")
+    )
+    got = sorted({r.curie for r in out.collect()})
+    assert got == ["CHEBI:99", "GO:0001"]
+
+
+XML = """<?xml version="1.0"?>
+<entries>
+  <entry id="UniRef90_A1">
+    <name>Cluster A</name>
+    <property type="member count" value="5"/>
+  </entry>
+  <entry id="UniRef90_B2">
+    <name>Cluster B</name>
+    <property type="member count" value="9"/>
+  </entry>
+</entries>
+"""
+
+
+def test_read_xml_records(spark, tmp_path):
+    p = tmp_path / "uniref.xml"
+    p.write_text(XML)
+    df = R.read_xml_records(
+        spark, str(p), "entry", {"entry_id": "@id", "name": "name", "prop": "property"}
+    )
+    rows = {r.entry_id: r for r in df.collect()}
+    assert rows["UniRef90_A1"].name == "Cluster A"
+    assert rows["UniRef90_B2"].prop == "9"  # element 'value' attr fallback
+
+
+VCF = """\
+##fileformat=VCFv4.2
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+1\t100\trs1\tA\tG\t.\tPASS\tDP=10
+2\t200\trs2\tC\tT\t.\tPASS\tDP=20
+"""
+
+
+def test_vcf_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.vcf"
+    p.write_text(VCF)
+    df = R.read_vcf(spark, str(p))
+    assert df.count() == 2
+    assert {r.chrom for r in df.collect()} == {"1", "2"}
+    assert df.schema["pos"].dataType.simpleString() == "bigint"
+    out = str(tmp_path / "out_vcf")
+    R.write_vcf(df, out)
+    back = R.read_vcf(spark, out)
+    assert back.count() == 2
+
+
+def test_multimodal_stub_decode(spark):
+    from orion_spark.llm import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x10\x20fakebytes")),
+         (2, "image", bytearray(b"\x40\x50other"))],
+        "media_id bigint, media_type string, payload binary",
+    )
+    with_meta = MM.attach_media_metadata(df)
+    assert with_meta.where(F.col("n_bytes") > 0).count() == 2
+    feats = MM.decode_features(with_meta).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].width == 1 + 0x10 % 64
+    assert by_id[2].height == 1 + 0x50 % 64
+
+
+def test_frame_sample_plan(spark):
+    from orion_spark.llm import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, 2500), (2, 500)], "media_id bigint, duration_ms int"
+    )
+    out = MM.frame_sample_plan(df, every_ms=1000)
+    got = sorted((r.media_id, r.frame_ts_ms) for r in out.collect())
+    assert got == [(1, 0), (1, 1000), (1, 2000), (2, 0)]
