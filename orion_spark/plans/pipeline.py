@@ -1,0 +1,236 @@
+"""Build orchestration (SURVEY §3): GraphSpec parsing, content-addressed
+versioning, stage gating, merge-strategy execution.
+
+This layer is deliberately driver-side Python — the reference's most
+valuable "optimization" is its content-addressed rebuild skip
+(orion/graph_pipeline.py:84-123), which is orchestration, not dataflow.
+Steps 1-3 of the build lifecycle (parse/plan, version resolution, dependency
+resolution) stay here; steps 4-5 (merge + artifacts) are DataFrame jobs.
+
+Versioning: build_version = stable hash over
+(source_id, source_version, parsing_version, normalization_version,
+supplementation_version), composed per-graph from the sorted source
+build_versions + merge strategies — the same canonicalization as
+orion/metadata.py:229-239 and orion/graph_pipeline.py:319-346, using md5
+hex (the engine's stable key family; the reference uses xxh64 — SURVEY
+§7.4.2 declares the engine-native key acceptable as long as it is
+deterministic end-to-end).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+from orion_spark.operators.merge import (
+    connected_edge_subset,
+    merge_edges,
+    merge_nodes,
+    union_all,
+)
+from orion_spark.sinks.metadata import write_metadata_sidecars
+from orion_spark.sources.kgx import read_bundle, write_bundle
+
+STAGES = ("fetch", "parse", "normalize", "supplement", "qc")
+STATUS = ("not_started", "in_progress", "stable", "broken", "failed")
+
+
+def stable_hash(*parts: str) -> str:
+    """Deterministic 16-hex-char content key (stands in for the reference's
+    xxh64 hex digests, orion/metadata.py:229-239)."""
+    return hashlib.md5("_".join(parts).encode()).hexdigest()[:16]
+
+
+@dataclass
+class GraphSource:
+    """One source in a graph recipe (orion/kgxmodel.py:90-127)."""
+
+    source_id: str
+    source_version: str = "latest"
+    parsing_version: str = "1.0"
+    normalization_version: str = "1.0"
+    supplementation_version: str = "1.0"
+    merge_strategy: str = "default"  # default | connected_edge_subset | dont_merge
+
+    @property
+    def build_version(self) -> str:
+        return stable_hash(
+            self.source_id,
+            self.source_version,
+            self.parsing_version,
+            self.normalization_version,
+            self.supplementation_version,
+        )
+
+
+@dataclass
+class GraphSpec:
+    """Declarative build recipe (orion/kgxmodel.py:41-77), YAML-compatible
+    with the reference's graph_specs/*.yaml shape."""
+
+    graph_id: str
+    sources: list[GraphSource]
+    graph_name: str = ""
+    output_format: str = "parquet"
+    add_edge_id: bool = True
+    edge_merging_attributes: list[str] = field(default_factory=list)
+
+    @property
+    def build_version(self) -> str:
+        parts = [s.build_version for s in self.sources] + [
+            s.merge_strategy for s in self.sources
+        ]
+        return stable_hash(self.graph_id, *parts)
+
+
+def parse_graph_spec(yaml_text: str) -> list[GraphSpec]:
+    """Parse the reference's graph-spec YAML layout
+    (orion/graph_pipeline.py:663-763)."""
+    doc = yaml.safe_load(yaml_text)
+    specs = []
+    for g in doc.get("graphs", []):
+        sources = [
+            GraphSource(
+                source_id=s["source_id"],
+                source_version=str(s.get("source_version", "latest")),
+                parsing_version=str(s.get("parsing_version", "1.0")),
+                normalization_version=str(s.get("normalization_version", "1.0")),
+                supplementation_version=str(s.get("supplementation_version", "1.0")),
+                merge_strategy=s.get("merge_strategy", "default"),
+            )
+            for s in g.get("sources", [])
+        ]
+        if not sources:
+            raise ValueError(f"graph {g.get('graph_id')} has no sources")
+        specs.append(
+            GraphSpec(
+                graph_id=g["graph_id"],
+                graph_name=g.get("graph_name", ""),
+                sources=sources,
+                output_format=g.get("output_format", "parquet"),
+                add_edge_id=bool(g.get("add_edge_id", True)),
+                edge_merging_attributes=list(g.get("edge_merging_attributes", [])),
+            )
+        )
+    ids = [s.graph_id for s in specs]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"duplicate graph ids in spec: {ids}")
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# Stage-status metadata (orion/metadata.py:10-14, orion/ingest_pipeline.py:107-122)
+# ---------------------------------------------------------------------------
+
+class SourceMetadata:
+    """Persisted per-source stage gates; a stage marked stable for the
+    current composite version is skipped on rebuild."""
+
+    def __init__(self, storage: str, source_id: str):
+        self.path = os.path.join(storage, source_id, "metadata.json")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self._data = {}
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                self._data = json.load(fh)
+
+    def status(self, stage: str, version: str) -> str:
+        return self._data.get(version, {}).get(stage, "not_started")
+
+    def set_status(self, stage: str, version: str, status: str) -> None:
+        assert stage in STAGES and status in STATUS
+        self._data.setdefault(version, {})[stage] = status
+        with open(self.path, "w") as fh:
+            json.dump(self._data, fh, indent=2)
+
+    def is_stable(self, stage: str, version: str) -> bool:
+        return self.status(stage, version) == "stable"
+
+
+# ---------------------------------------------------------------------------
+# Graph build (step 4-5 of §3.1): merge strategies + artifacts
+# ---------------------------------------------------------------------------
+
+def build_graph(
+    spark: SparkSession,
+    spec: GraphSpec,
+    source_bundles: dict[str, str],
+    storage: str,
+    force: bool = False,
+) -> str:
+    """Merge the spec's sources into one bundle under
+    {storage}/graphs/{graph_id}/{build_version}/ with metadata sidecars.
+    Returns the bundle path; skips the whole build if it already exists for
+    this content hash (the reference's rebuild-avoidance,
+    orion/graph_pipeline.py:84-91).
+
+    Merge strategy semantics (orion/kgx_file_merger.py:37-100):
+    - `default` sources merge fully (A3 groupBy-agg)
+    - `connected_edge_subset` keeps only rows touching the primary set (J4)
+    - `dont_merge` appends verbatim after the merge
+    """
+    out_dir = os.path.join(storage, "graphs", spec.graph_id, spec.build_version)
+    done_marker = os.path.join(out_dir, "_BUILD_COMPLETE")
+    if os.path.exists(done_marker) and not force:
+        return out_dir
+
+    primary_nodes, primary_edges = [], []
+    subset_sources, verbatim = [], []
+    for src in spec.sources:
+        nodes, edges = read_bundle(spark, source_bundles[src.source_id])
+        if src.merge_strategy == "default":
+            primary_nodes.append(nodes)
+            primary_edges.append(edges)
+        elif src.merge_strategy == "connected_edge_subset":
+            subset_sources.append((nodes, edges))
+        elif src.merge_strategy == "dont_merge":
+            verbatim.append((nodes, edges))
+        else:
+            raise ValueError(f"unknown merge strategy {src.merge_strategy}")
+
+    # source ordinal = spec order: "first wins" is file order in the
+    # reference (SURVEY §7.4.1) — stamped per source before the union
+    from pyspark.sql import functions as F
+
+    def stamp(dfs):
+        return [
+            df.withColumn("_source_ordinal", F.lit(i)) for i, df in enumerate(dfs)
+        ]
+
+    merged_nodes = merge_nodes(union_all(stamp(primary_nodes)))
+    merged_edges = merge_edges(
+        union_all(stamp(primary_edges)),
+        edge_merging_attributes=spec.edge_merging_attributes or None,
+        assign_id=spec.add_edge_id,
+    )
+
+    for sec_nodes, sec_edges in subset_sources:
+        keep_nodes, keep_edges = connected_edge_subset(
+            merged_nodes, sec_nodes, sec_edges
+        )
+        merged_nodes = merge_nodes(
+            union_all(stamp([merged_nodes, keep_nodes]))
+        )
+        merged_edges = merge_edges(
+            union_all(stamp([merged_edges, keep_edges])),
+            edge_merging_attributes=spec.edge_merging_attributes or None,
+            assign_id=spec.add_edge_id,
+        )
+
+    for v_nodes, v_edges in verbatim:
+        merged_nodes = union_all([merged_nodes, v_nodes]).dropDuplicates(["id"])
+        merged_edges = union_all([merged_edges, v_edges])
+
+    write_bundle(merged_nodes, merged_edges, out_dir, fmt=spec.output_format)
+    nodes_back, edges_back = read_bundle(spark, out_dir, fmt=spec.output_format)
+    write_metadata_sidecars(
+        spec.graph_id, spec.build_version, nodes_back, edges_back, out_dir
+    )
+    with open(done_marker, "w") as fh:
+        fh.write(spec.build_version)
+    return out_dir

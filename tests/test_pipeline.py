@@ -1,0 +1,133 @@
+"""End-to-end build orchestration tests, mirroring the reference's
+tests/test_build_graph_end_to_end.py (two overlapping sources -> merged
+bundle, content-addressed rebuild skip, merge strategies)."""
+
+import json
+import os
+
+from pyspark.sql import Row
+
+from orion_spark.plans import pipeline as P
+from orion_spark.sources.kgx import read_bundle, write_bundle
+
+SPEC_YAML = """
+graphs:
+  - graph_id: test_graph
+    graph_name: Test Graph
+    output_format: parquet
+    sources:
+      - source_id: hgnc_like
+      - source_id: ctd_like
+      - source_id: extras
+        merge_strategy: connected_edge_subset
+"""
+
+
+def _mk_source(spark, path, node_rows, edge_rows):
+    nodes = spark.createDataFrame(
+        node_rows,
+        "id string, name string, category array<string>, publications array<string>",
+    )
+    edges = spark.createDataFrame(
+        edge_rows,
+        "subject string, predicate string, object string, "
+        "primary_knowledge_source string, publications array<string>",
+    )
+    write_bundle(nodes, edges, path)
+
+
+def _sources(spark, tmp_path):
+    # HGNC:2 overlaps between the two primary sources (the reference's
+    # 4-unique-nodes fixture shape, tests/test_build_graph_end_to_end.py:40-55)
+    _mk_source(
+        spark, str(tmp_path / "hgnc_like"),
+        [Row(id="HGNC:1", name="one", category=["biolink:Gene"], publications=["PMID:1"]),
+         Row(id="HGNC:2", name="two", category=["biolink:Gene"], publications=["PMID:2"])],
+        [Row(subject="HGNC:1", predicate="biolink:related_to", object="HGNC:2",
+             primary_knowledge_source="infores:hgnc", publications=["PMID:10"])],
+    )
+    _mk_source(
+        spark, str(tmp_path / "ctd_like"),
+        [Row(id="HGNC:2", name=None, category=["biolink:Gene", "biolink:NamedThing"],
+             publications=["PMID:3"]),
+         Row(id="MESH:D1", name="disease", category=["biolink:Disease"], publications=None)],
+        [Row(subject="HGNC:2", predicate="biolink:treats", object="MESH:D1",
+             primary_knowledge_source="infores:ctd", publications=None),
+         # duplicate of the hgnc edge with extra publication -> must merge
+         Row(subject="HGNC:1", predicate="biolink:related_to", object="HGNC:2",
+             primary_knowledge_source="infores:hgnc", publications=["PMID:11"])],
+    )
+    _mk_source(
+        spark, str(tmp_path / "extras"),
+        [Row(id="EXTRA:1", name="ex1", category=["biolink:NamedThing"], publications=None),
+         Row(id="EXTRA:unlinked", name="ex2", category=["biolink:NamedThing"],
+             publications=None)],
+        [Row(subject="EXTRA:1", predicate="biolink:related_to", object="HGNC:1",
+             primary_knowledge_source="infores:extra", publications=None),
+         Row(subject="EXTRA:unlinked", predicate="biolink:related_to",
+             object="NOPE:0", primary_knowledge_source="infores:extra",
+             publications=None)],
+    )
+    return {
+        "hgnc_like": str(tmp_path / "hgnc_like"),
+        "ctd_like": str(tmp_path / "ctd_like"),
+        "extras": str(tmp_path / "extras"),
+    }
+
+
+def test_spec_parsing_and_versioning():
+    specs = P.parse_graph_spec(SPEC_YAML)
+    assert len(specs) == 1
+    spec = specs[0]
+    assert spec.graph_id == "test_graph"
+    assert [s.merge_strategy for s in spec.sources] == [
+        "default", "default", "connected_edge_subset"]
+    v1 = spec.build_version
+    spec.sources[0].parsing_version = "2.0"
+    assert spec.build_version != v1  # content-addressed
+
+
+def test_build_graph_end_to_end(spark, tmp_path):
+    spec = P.parse_graph_spec(SPEC_YAML)[0]
+    bundles = _sources(spark, tmp_path)
+    out = P.build_graph(spark, spec, bundles, str(tmp_path / "storage"))
+    nodes, edges = read_bundle(spark, out)
+    node_rows = {r.id: r for r in nodes.collect()}
+    # 3 primary uniques + EXTRA:1 (connected); EXTRA:unlinked excluded
+    assert sorted(node_rows) == ["EXTRA:1", "HGNC:1", "HGNC:2", "MESH:D1"]
+    # merged node properties: keep-first name, union publications
+    assert node_rows["HGNC:2"].name == "two"
+    assert node_rows["HGNC:2"].publications == ["PMID:2", "PMID:3"]
+    assert node_rows["HGNC:2"].category == ["biolink:Gene", "biolink:NamedThing"]
+    edge_rows = edges.collect()
+    assert len(edge_rows) == 3  # dup hgnc edge merged, treats, extra->HGNC:1
+    dup = [r for r in edge_rows if r.predicate == "biolink:related_to"
+           and r.subject == "HGNC:1"][0]
+    assert dup.publications == ["PMID:10", "PMID:11"]
+    # metadata sidecars written
+    meta = json.load(open(os.path.join(out, "graph-metadata.json")))
+    assert meta["node_count"] == 4 and meta["edge_count"] == 3
+
+
+def test_rebuild_skip(spark, tmp_path):
+    spec = P.parse_graph_spec(SPEC_YAML)[0]
+    bundles = _sources(spark, tmp_path)
+    storage = str(tmp_path / "storage")
+    out1 = P.build_graph(spark, spec, bundles, storage)
+    marker = os.path.join(out1, "_BUILD_COMPLETE")
+    mtime = os.path.getmtime(marker)
+    out2 = P.build_graph(spark, spec, bundles, storage)  # skipped
+    assert out1 == out2
+    assert os.path.getmtime(marker) == mtime
+
+
+def test_stage_status_gating(tmp_path):
+    md = P.SourceMetadata(str(tmp_path), "src1")
+    assert md.status("parse", "v1") == "not_started"
+    md.set_status("parse", "v1", "stable")
+    assert md.is_stable("parse", "v1")
+    # a new composite version is independently gated
+    assert not md.is_stable("parse", "v2")
+    # reload from disk
+    md2 = P.SourceMetadata(str(tmp_path), "src1")
+    assert md2.is_stable("parse", "v1")
