@@ -112,9 +112,16 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh")
+        )
+        .where(F.size("_sh") > 0)
+        # the shingle arrays feed three downstream branches (signature, both
+        # verify sides); materialize once instead of recomputing the
+        # md5-per-shingle projection three times
+        .persist()
+    )
     sig = base.withColumn("_sig", minhash_signature(shingle_hashes(F.col("_sh")), num_hashes))
     # band explode: (band_index, band_value) bucket keys
     bands = sig.select(

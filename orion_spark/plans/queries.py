@@ -339,9 +339,10 @@ def connected_edge_subset_q(spark, sf_dir):
     WITH {G.NODES_SQL},
     edges AS (
         SELECT 'ORDER:' || o_orderkey AS subject, 'CUST:' || o_custkey AS object
-        FROM orders)
-    SELECT id, name FROM nodes n
-    WHERE EXISTS (SELECT 1 FROM edges e WHERE e.subject = n.id OR e.object = n.id)
+        FROM orders),
+    endpoints AS (SELECT subject AS id FROM edges UNION SELECT object FROM edges)
+    SELECT n.id, n.name FROM nodes n
+    WHERE n.id IN (SELECT id FROM endpoints)
     """,
 )
 def prune_unconnected_q(spark, sf_dir):
