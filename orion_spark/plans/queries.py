@@ -802,6 +802,173 @@ def ac_adjacency_q(spark, sf_dir):
     return adj.select("node", F.array_join(link_str, ";").alias("links"))
 
 
+@query(
+    "leaf_categories",
+    f"""
+    WITH {G.NODES_SQL}, {G.CATEGORY_CLOSURE_SQL},
+    exploded AS (SELECT id, unnest(category) AS cat FROM nodes),
+    implied AS (
+        SELECT DISTINCT e.id, c.ancestor AS cat
+        FROM exploded e JOIN cat_closure c ON e.cat = c.term),
+    leaves AS (
+        SELECT e.id, e.cat FROM exploded e
+        ANTI JOIN implied i ON e.id = i.id AND e.cat = i.cat)
+    SELECT id, array_to_string(list_sort(list_distinct(list(cat))), ',')
+               AS leaf_categories
+    FROM leaves GROUP BY id
+    """,
+)
+def leaf_categories_q(spark, sf_dir):
+    out = D.leaf_categories(G.nodes_df(spark, sf_dir), G.category_closure_df(spark))
+    return out.select("id", F.array_join("leaf_categories", ",").alias("leaf_categories"))
+
+
+@query(
+    "qc_knowledge_source_breakdown",
+    """
+    WITH e AS (
+        SELECT 'ORDER:' || o_orderkey AS subject, 'CUST:' || o_custkey AS object,
+               CASE o_orderkey % 2 WHEN 0 THEN 'infores:src-even'
+                                   ELSE 'infores:src-odd' END
+                   AS primary_knowledge_source,
+               CASE o_orderkey % 3
+                    WHEN 0 THEN ['infores:aggB','infores:aggA']
+                    WHEN 1 THEN ['infores:aggA']
+                    ELSE NULL END AS aggregator_knowledge_source
+        FROM orders)
+    SELECT COALESCE(array_to_string(list_sort(aggregator_knowledge_source), ','), '')
+               AS aggregator_sources,
+           primary_knowledge_source,
+           COUNT(*) AS n_edges,
+           CAST(len(list_distinct(flatten(list([subject, object])))) AS INT)
+               AS n_distinct_nodes
+    FROM e GROUP BY 1, 2
+    """,
+)
+def qc_ks_breakdown_q(spark, sf_dir):
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("ORDER:"), F.col("o_orderkey")).alias("subject"),
+        F.concat(F.lit("CUST:"), F.col("o_custkey")).alias("object"),
+        F.when(F.col("o_orderkey") % 2 == 0, "infores:src-even")
+        .otherwise("infores:src-odd")
+        .alias("primary_knowledge_source"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.array(F.lit("infores:aggB"), F.lit("infores:aggA")),
+        )
+        .when(F.col("o_orderkey") % 3 == 1, F.array(F.lit("infores:aggA")))
+        .alias("aggregator_knowledge_source"),
+    )
+    return A.knowledge_source_breakdown(edges)
+
+
+@query(
+    "qualifier_free_edges",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL}
+    SELECT DISTINCT subject, predicate, object, primary_knowledge_source
+    FROM lineitem_edges
+    """,
+)
+def qualifier_free_edges_q(spark, sf_dir):
+    edges = G.lineitem_edges(spark, sf_dir).drop(
+        "publications", "quantity", "_source_ordinal"
+    )
+    out = D.qualifier_free_edges(edges)
+    return out.select("subject", "predicate", "object", "primary_knowledge_source")
+
+
+PART_TYPE_PREDICATES = {
+    "ECONOMY": "biolink:cheap_variant_of",
+    "STANDARD": "biolink:standard_variant_of",
+    "PROMO": "biolink:promoted_variant_of",
+    "SMALL": "biolink:small_variant_of",
+    # LARGE / MEDIUM deliberately unmapped -> unconnected rows dropped (P5)
+}
+
+
+@query(
+    "extract_declarative",
+    """
+    SELECT 'PART:' || p_partkey AS subject,
+           CASE split_part(p_type, ' ', 1)
+                WHEN 'ECONOMY' THEN 'biolink:cheap_variant_of'
+                WHEN 'STANDARD' THEN 'biolink:standard_variant_of'
+                WHEN 'PROMO' THEN 'biolink:promoted_variant_of'
+                WHEN 'SMALL' THEN 'biolink:small_variant_of' END AS predicate,
+           'BRAND:' || p_brand AS object,
+           'infores:tpch-part' AS primary_knowledge_source,
+           p_retailprice AS retail_price
+    FROM part
+    WHERE split_part(p_type, ' ', 1)
+          IN ('ECONOMY','STANDARD','PROMO','SMALL')
+    """,
+)
+def extract_declarative_q(spark, sf_dir):
+    from orion_spark.operators import extract as E
+
+    spec = E.ExtractSpec(
+        subject_id=F.concat(F.lit("PART:"), F.col("p_partkey")),
+        object_id=F.concat(F.lit("BRAND:"), F.col("p_brand")),
+        predicates=[
+            E.predicate_remap(
+                F.split(F.col("p_type"), " ").getItem(0), PART_TYPE_PREDICATES
+            )
+        ],
+        edge_properties={"retail_price": F.col("p_retailprice")},
+        primary_knowledge_source="infores:tpch-part",
+    )
+    _, _, edges = E.extract(_t(spark, sf_dir, "part"), spec)
+    return edges
+
+
+@query(
+    "hgvs_expressions",
+    """
+    WITH v AS (
+        SELECT p_partkey,
+               p_size % 22 + 1 AS chrom, p_partkey + 100 AS pos,
+               CASE p_partkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'AGG'
+                                  WHEN 2 THEN 'C' ELSE 'CT' END AS ref,
+               CASE p_partkey % 4 WHEN 0 THEN 'G' WHEN 1 THEN 'A'
+                                  WHEN 2 THEN 'CTT' ELSE 'GA' END AS alt
+        FROM part)
+    SELECT p_partkey,
+           'NC_0000' || lpad(CAST(chrom AS VARCHAR), 2, '0') || ':g.' ||
+           CASE p_partkey % 4
+                WHEN 0 THEN pos || ref || '>' || alt
+                WHEN 1 THEN (pos + 1) || '_' || (pos + 2) || 'del'
+                WHEN 2 THEN pos || '_' || (pos + 1) || 'ins' || substr(alt, 2)
+                ELSE pos || '_' || (pos + 1) || 'delins' || alt END AS hgvs
+    FROM v
+    """,
+)
+def hgvs_expressions_q(spark, sf_dir):
+    from orion_spark.operators.extract import hgvs_from_coords
+
+    v = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_size") % 22 + 1).alias("chrom"),
+        (F.col("p_partkey") + 100).alias("pos"),
+        F.when(F.col("p_partkey") % 4 == 0, "A")
+        .when(F.col("p_partkey") % 4 == 1, "AGG")
+        .when(F.col("p_partkey") % 4 == 2, "C")
+        .otherwise("CT")
+        .alias("ref"),
+        F.when(F.col("p_partkey") % 4 == 0, "G")
+        .when(F.col("p_partkey") % 4 == 1, "A")
+        .when(F.col("p_partkey") % 4 == 2, "CTT")
+        .otherwise("GA")
+        .alias("alt"),
+    )
+    return v.select(
+        "p_partkey",
+        hgvs_from_coords(
+            F.col("chrom"), F.col("pos"), F.col("ref"), F.col("alt")
+        ).alias("hgvs"),
+    )
+
+
 # ===========================================================================
 # LLM training-data pipeline operators (dedup / similarity / text analysis)
 # ===========================================================================
@@ -894,7 +1061,48 @@ def text_stopword_ratio_q(spark, sf_dir):
     )
 
 
-@query("text_stats_panel")
+@query(
+    "text_stats_panel",
+    """
+    WITH w AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               string_split_regex(lower(trim(text)), '\\s+') AS ltoks
+        FROM documents),
+    stats AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               length(text) AS n_chars,
+               len(list_filter(ltoks,
+                   t -> t IN ('the','a','and','of','to','in')))::DOUBLE
+                   / len(ltoks) AS swr,
+               list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                   / len(toks) AS mwl,
+               len(list_filter(ltoks, t -> t IN ('der','und','das'))) AS c_de,
+               len(list_filter(ltoks, t -> t IN ('the','and','of'))) AS c_en,
+               len(list_filter(ltoks, t -> t IN ('el','y','de'))) AS c_es,
+               len(list_filter(ltoks, t -> t IN ('le','et','la'))) AS c_fr,
+               CAST(list_sum(list_transform(ltoks,
+                   t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)) AS BIGINT)
+                   AS fingerprint
+        FROM w)
+    SELECT doc_id, n_tokens, n_chars,
+           round(swr, 6) AS stopword_ratio,
+           round(mwl, 6) AS mean_word_len,
+           round(greatest(
+               (least(n_tokens / 100.0, 1.0)
+                + greatest(1.0 - abs(swr - 0.08) * 4.0, 0.0)
+                + (1.0 - abs(mwl - 4.5) / 10.0)) / 3.0,
+               0.0), 6) AS quality,
+           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           fingerprint
+    FROM stats
+    """,
+)
 def text_stats_panel_q(spark, sf_dir):
     from orion_spark.llm import textstats as TS
 

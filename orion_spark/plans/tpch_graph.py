@@ -345,6 +345,34 @@ def closure_df(spark: SparkSession) -> DataFrame:
     )
 
 
+CATEGORY_CLOSURE_ROWS = [
+    ("biolink:GeographicLocation", "biolink:NamedThing"),
+    ("biolink:ChemicalEntity", "biolink:NamedThing"),
+    ("biolink:Case", "biolink:NamedThing"),
+    ("biolink:Agent", "biolink:NamedThing"),
+    ("biolink:Activity", "biolink:NamedThing"),
+]
+
+
+def category_closure_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(t, a, False, None) for t, a in CATEGORY_CLOSURE_ROWS],
+        "term string, ancestor string, is_symmetric boolean, inverse string",
+    )
+
+
+CATEGORY_CLOSURE_SQL = """
+    cat_closure AS (
+        SELECT * FROM (VALUES
+            ('biolink:GeographicLocation','biolink:NamedThing'),
+            ('biolink:ChemicalEntity','biolink:NamedThing'),
+            ('biolink:Case','biolink:NamedThing'),
+            ('biolink:Agent','biolink:NamedThing'),
+            ('biolink:Activity','biolink:NamedThing')
+        ) AS t(term, ancestor)
+    )
+"""
+
 CLOSURE_SQL = """
     closure AS (
         SELECT * FROM (VALUES
