@@ -30,6 +30,12 @@ HEADLINE = [
     "meta_kg_summary",
     "ac_backlinks",
     "prune_unconnected_nodes",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "text_stats_panel",
+    "ann_cosine_topk",
+    "events_hourly_rollup",
+    "events_sessionize",
 ]
 
 

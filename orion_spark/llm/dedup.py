@@ -112,8 +112,13 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
+    # small-file inputs arrive in one partition; the shingle/minhash
+    # projection is compute-bound (md5 per shingle), so spread it across the
+    # cluster before doing the work
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     base = (
-        df.select(
+        df.repartition(parallelism)
+        .select(
             F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh")
         )
         .where(F.size("_sh") > 0)
@@ -189,20 +194,37 @@ def simhash64(text: Column) -> Column:
     aggregate)."""
     w = F.split(F.lower(F.trim(text)), r"\s+")
     hashes = F.transform(w, lambda x: F.xxhash64(x))
-
-    def _bitsum(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("bigint")
-    for j in range(64):  # bit positions are Python ints (shift amounts must be)
-        bitsum = F.aggregate(hashes, F.lit(0), _bitsum(j))
-        bitval = -(1 << 63) if j == 63 else (1 << j)  # bit 63 = sign bit
-        out = out + F.when(bitsum > 0, F.lit(bitval).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return out
+    idx = F.sequence(F.lit(0), F.lit(63))
+    zeros = F.array_repeat(F.lit(0), 64)
+    # ONE pass over the words: fold each word's 64 sign contributions into a
+    # 64-wide accumulator via nested zip_with (the Python shiftright wrapper
+    # only takes int shift amounts; call_function reaches the SQL form that
+    # shifts by a column)
+    bitsums = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, j: a
+            + F.when(
+                F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    # sign -> bit: shiftleft(1L, 63) wraps to Long.MIN_VALUE, which is the
+    # correct two's-complement value for the sign bit
+    return F.aggregate(
+        F.zip_with(
+            bitsums,
+            idx,
+            lambda s, j: F.when(
+                s > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_near_pairs(
@@ -213,7 +235,10 @@ def simhash_near_pairs(
     chunks (a pair within hamming<=8 of 64 bits shares at least one exact
     16-bit chunk when differing bits spread; chunking is the standard
     simhash blocking scheme)."""
-    base = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(parallelism).select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
+    ).persist()
     chunks = base.select(
         "_id",
         "_sh",
