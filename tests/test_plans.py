@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the scale posture (pushdown, broadcast
+dimension joins, single-shuffle merges, partial aggregation) is asserted,
+not just hoped for. If a refactor degrades a plan, these fail."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    from orion_spark.plans.queries import QUERIES
+
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_pushdown_and_hash_agg(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "HashAggregate" in plan
+    # column pruning: the scan must not read unused columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_q5_small_dims_broadcast(spark):
+    plan = _plan(spark, "tpch_q5_nation_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit the broadcast threshold
+
+
+def test_merge_edges_single_shuffle_partial_agg(spark):
+    plan = _plan(spark, "kgx_merge_edges")
+    # property merge = ObjectHashAggregate (collect_list) with map-side
+    # partial aggregation; exactly one shuffle for the whole merge
+    assert "ObjectHashAggregate" in plan
+    assert plan.count("Exchange") == 1
+    assert "SortAggregate" not in plan
+
+
+def test_normalization_map_joins_broadcast(spark):
+    plan = _plan(spark, "normalize_edges_split")
+    assert plan.count("BroadcastHashJoin") == 2  # subject map + object map
+    assert "SortMergeJoin" not in plan
+
+
+def test_closure_expansion_broadcasts_dimension(spark):
+    plan = _plan(spark, "redundant_closure_counts")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_subset_uses_semi(spark):
+    plan = _plan(spark, "connected_edge_subset")
+    assert "LeftSemi" in plan
+
+
+def test_prune_unconnected_semi_join(spark):
+    plan = _plan(spark, "prune_unconnected_nodes")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", ["text_stats_panel", "text_fingerprints"])
+def test_text_ops_no_python_udf(spark, name):
+    """Text analysis must stay JVM-side — no BatchEvalPython/ArrowEvalPython
+    stages (row-at-a-time Python would be the 100x slow path)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
