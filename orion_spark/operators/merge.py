@@ -201,6 +201,47 @@ def pre_merge_id_mapping(
     )
 
 
+def merge_retrieval_sources(col: Column) -> Column:
+    """A3 tail: dedup a merged `sources` array (retrieval-source structs) by
+    (resource_id, resource_role), unioning upstream_resource_ids within each
+    key group (orion/merging.py:49-59 custom key fn + 117-133 recursive
+    dict merge, specialized to the depth the data actually has).
+
+    Pure nested higher-order functions — per-row n is tiny (a handful of
+    retrieval sources per edge), so the quadratic inner filter is free and
+    nothing leaves the JVM.
+    """
+    keys = F.array_distinct(
+        F.transform(
+            col, lambda s: F.struct(s["resource_id"], s["resource_role"])
+        )
+    )
+    return F.transform(
+        keys,
+        lambda k: F.struct(
+            k["resource_id"].alias("resource_id"),
+            k["resource_role"].alias("resource_role"),
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.filter(
+                                col,
+                                lambda s: (s["resource_id"] == k["resource_id"])
+                                & (s["resource_role"] == k["resource_role"]),
+                            ),
+                            lambda s: F.coalesce(
+                                s["upstream_resource_ids"],
+                                F.array().cast("array<string>"),
+                            ),
+                        )
+                    )
+                )
+            ).alias("upstream_resource_ids"),
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # R3: dont_merge union
 # ---------------------------------------------------------------------------

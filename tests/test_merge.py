@@ -128,3 +128,34 @@ def test_pre_merge_id_mapping(spark):
     mapping = M.pre_merge_id_mapping(df).collect()
     assert len(mapping) == 1
     assert mapping[0].original_ids == ["e1", "e2"]
+
+
+def test_merge_retrieval_sources(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(
+            id="e1",
+            sources=[
+                {"resource_id": "infores:a", "resource_role": "primary",
+                 "upstream_resource_ids": ["infores:x"]},
+                {"resource_id": "infores:b", "resource_role": "aggregator",
+                 "upstream_resource_ids": None},
+                # duplicate key with extra upstream -> must merge
+                {"resource_id": "infores:a", "resource_role": "primary",
+                 "upstream_resource_ids": ["infores:y", "infores:x"]},
+            ],
+        )
+    ]
+    schema = (
+        "id string, sources array<struct<resource_id:string,"
+        "resource_role:string,upstream_resource_ids:array<string>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = df.select(M.merge_retrieval_sources(F.col("sources")).alias("s")).collect()[0].s
+    assert len(out) == 2
+    primary = [s for s in out if s.resource_role == "primary"][0]
+    assert primary.resource_id == "infores:a"
+    assert primary.upstream_resource_ids == ["infores:x", "infores:y"]
+    agg = [s for s in out if s.resource_role == "aggregator"][0]
+    assert agg.upstream_resource_ids == []
