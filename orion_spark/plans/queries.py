@@ -969,6 +969,71 @@ def hgvs_expressions_q(spark, sf_dir):
     )
 
 
+@query(
+    "qc_publications_per_predicate",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    collapsed AS (
+        SELECT 'biolink:' || object_direction_qualifier AS predicate, publications
+        FROM lineitem_edges)
+    SELECT predicate,
+           CAST(SUM(CASE WHEN publications IS NOT NULL
+                         THEN len(publications) ELSE 0 END) AS BIGINT)
+               AS n_publications
+    FROM collapsed GROUP BY predicate
+    """,
+)
+def qc_publications_per_predicate_q(spark, sf_dir):
+    edges = G.lineitem_edges(spark, sf_dir).select(
+        F.concat(F.lit("biolink:"), F.col("object_direction_qualifier")).alias(
+            "predicate"
+        ),
+        "publications",
+    )
+    return A.publications_per_predicate(edges)
+
+
+@query(
+    "dont_merge_union",
+    f"""
+    WITH {G.PART_NODES_TWO_SOURCES_SQL}
+    SELECT id, COUNT(*) AS n_rows
+    FROM part_nodes_src GROUP BY id
+    """,
+)
+def dont_merge_union_q(spark, sf_dir):
+    # R3: verbatim append (dont_merge) keeps duplicate ids — the count per
+    # id proves no dedup happened in the union itself
+    src = G.part_nodes_two_sources(spark, sf_dir)
+    return src.groupBy("id").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_sum([e[i] * e[i] for i in range(1, len(e) + 1)])) AS nrm
+        FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings))
+    SELECT label, COUNT(*) AS n,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats_q(spark, sf_dir):
+    from orion_spark.llm.similarity import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", l2_norm(F.col("embedding").cast("array<double>")).alias("nrm")
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
 # ===========================================================================
 # LLM training-data pipeline operators (dedup / similarity / text analysis)
 # ===========================================================================
