@@ -1198,7 +1198,11 @@ def ann_lsh_topk_q(spark, sf_dir):
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts converted from raw ns (nanosAsLong) to a timestamp
-    column truncated to µs — matching how DuckDB reads the same parquet."""
+    column truncated to µs — matching how DuckDB reads the same parquet.
+
+    The conf is set here (runtime SQLConf), not only in the session factory,
+    because the driver harness supplies its own vanilla SparkSession."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return ev.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
