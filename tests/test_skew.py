@@ -1,0 +1,53 @@
+"""Salted-aggregation equivalence tests: the skewed two-phase merge must be
+bit-identical to the direct merge under any bucketing."""
+
+import random
+
+from pyspark.sql import Row
+
+from orion_spark.operators.merge import merge_properties_agg
+from orion_spark.operators.skew import merge_properties_salted, salted_counts
+
+
+def _hub(spark):
+    """One hub key with many rows (falsy-then-truthy ordering traps) plus
+    normal keys."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        rows.append(
+            Row(
+                id="HUB:1",
+                name="" if i < 150 else f"name{i}",  # first truthy at ord 150
+                score=0.0 if i != 137 else 3.25,     # only truthy at ord 137
+                publications=[f"PMID:{rng.randint(1, 50)}"],
+                _source_ordinal=i,
+            )
+        )
+    rows += [
+        Row(id=f"K:{k}", name=f"n{k}", score=float(k),
+            publications=[f"PMID:{k}"], _source_ordinal=0)
+        for k in range(20)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_salted_merge_equals_direct(spark):
+    df = _hub(spark)
+    direct = {r.id: r for r in merge_properties_agg(df, ["id"]).collect()}
+    salted = {r.id: r for r in merge_properties_salted(df, ["id"], salt_buckets=8).collect()}
+    assert set(direct) == set(salted)
+    for k in direct:
+        assert direct[k].name == salted[k].name, k
+        assert direct[k].score == salted[k].score, k
+        assert direct[k].publications == salted[k].publications, k
+    # the traps specifically: globally-first truthy survives bucketing
+    assert salted["HUB:1"].name == "name150"
+    assert salted["HUB:1"].score == 3.25
+
+
+def test_salted_counts(spark):
+    df = _hub(spark)
+    out = {r.id: r.n for r in salted_counts(df, ["id"]).collect()}
+    assert out["HUB:1"] == 200
+    assert out["K:5"] == 1

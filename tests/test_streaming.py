@@ -69,3 +69,41 @@ def test_merge_upsert_sink(spark, tmp_path):
     # 4 raw edge rows, the duplicated event_id=1 rows merge to one edge
     assert merged.count() == 3
     assert "id" in merged.columns  # assigned merge key
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: two bursts > gap apart close
+    one session mid-stream."""
+    import datetime
+
+    from orion_spark.streaming.sessionize import sessionize_stream
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # burst 1: two events 5 min apart
+        Row(event_id=1, ts=base, user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, ts=base + datetime.timedelta(minutes=5), user_id=1,
+            event_type="click", value=2.0, props="{}"),
+        # burst 2: 2 hours later -> closes session 1 within the same batch
+        Row(event_id=3, ts=base + datetime.timedelta(hours=2), user_id=1,
+            event_type="view", value=4.0, props="{}"),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, SE.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = SE.read_event_stream(spark, src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from sess_test").collect()
+    assert len(out) == 1  # first session closed; second still open in state
+    s = out[0]
+    assert s.user_id == 1 and s.n_events == 2 and s.total_value == 3.0
+    assert s.session_start.minute == 0 and s.session_end.minute == 5
