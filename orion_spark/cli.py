@@ -1,0 +1,183 @@
+"""Thin CLIs (SURVEY §3.3): each wraps one engine operation over a bundle,
+mirroring the reference's console scripts (orion-build / orion-merge /
+generate_meta_kg / generate_redundant_kg / generate_ac_files / dumps).
+
+Usage:
+    python -m orion_spark.cli build --spec graphs.yaml --storage /data \
+        --source-bundle src1=/data/src1 --source-bundle src2=/data/src2
+    python -m orion_spark.cli merge --nodes a/nodes b/nodes --edges a/edges b/edges --out merged/
+    python -m orion_spark.cli meta-kg --bundle merged/ --out meta.json
+    python -m orion_spark.cli redundant-kg --bundle merged/ --closure closure.parquet --out red/
+    python -m orion_spark.cli neo4j-csv --bundle merged/ --out csvs/
+    python -m orion_spark.cli ac-files --bundle merged/ --out ac/
+    python -m orion_spark.cli qc --bundle merged/ --out qc.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from orion_spark.session import get_spark
+
+    return get_spark(app_name="orion-spark-cli")
+
+
+def cmd_build(args) -> int:
+    from orion_spark.plans.pipeline import build_graph, parse_graph_spec
+
+    spark = _spark()
+    with open(args.spec) as fh:
+        specs = parse_graph_spec(fh.read())
+    bundles = dict(kv.split("=", 1) for kv in args.source_bundle)
+    for spec in specs:
+        if args.graph_id and spec.graph_id != args.graph_id:
+            continue
+        out = build_graph(spark, spec, bundles, args.storage, force=args.force)
+        print(json.dumps({"graph_id": spec.graph_id,
+                          "build_version": spec.build_version, "path": out}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from orion_spark.operators.merge import merge_edges, merge_nodes, union_all
+    from orion_spark.sources.kgx import read_kgx_edges, read_kgx_nodes, write_bundle
+
+    spark = _spark()
+    nodes = union_all(
+        [read_kgx_nodes(spark, p).withColumn("_source_ordinal", F.lit(i))
+         for i, p in enumerate(args.nodes)]
+    )
+    edges = union_all(
+        [read_kgx_edges(spark, p).withColumn("_source_ordinal", F.lit(i))
+         for i, p in enumerate(args.edges)]
+    )
+    write_bundle(merge_nodes(nodes), merge_edges(edges), args.out, fmt=args.format)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_meta_kg(args) -> int:
+    from orion_spark.operators.analyze import meta_kg_edges, meta_kg_nodes
+    from orion_spark.sources.kgx import read_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle)
+    out = {
+        "nodes": [r.asDict(recursive=True) for r in meta_kg_nodes(nodes).collect()],
+        "edges": [r.asDict(recursive=True) for r in meta_kg_edges(edges, nodes).collect()],
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps({"out": args.out, "meta_edges": len(out["edges"])}))
+    return 0
+
+
+def cmd_redundant_kg(args) -> int:
+    from orion_spark.operators.derive import redundant_edges
+    from orion_spark.sources.kgx import read_bundle, write_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle)
+    closure = spark.read.parquet(args.closure)
+    expanded = redundant_edges(edges, closure)
+    write_bundle(nodes, expanded, args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_neo4j_csv(args) -> int:
+    from orion_spark.sinks.graph_csv import write_memgraph_csv, write_neo4j_csv
+    from orion_spark.sources.kgx import read_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle)
+    writer = write_memgraph_csv if args.memgraph else write_neo4j_csv
+    manifest = writer(nodes, edges, args.out)
+    print(json.dumps({"out": args.out, "nodes_header": manifest["nodes_header"]}))
+    return 0
+
+
+def cmd_ac_files(args) -> int:
+    from orion_spark.sinks.answercoalesce import write_ac_files
+    from orion_spark.sources.kgx import read_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle)
+    write_ac_files(nodes, edges, args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_qc(args) -> int:
+    from orion_spark.sinks.metadata import qc_results
+    from orion_spark.sources.kgx import read_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle)
+    res = qc_results(nodes, edges)
+    with open(args.out, "w") as fh:
+        json.dump(res, fh, indent=2)
+    print(json.dumps({"out": args.out,
+                      "predicates": len(res["predicate_totals"])}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="orion-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--spec", required=True)
+    b.add_argument("--storage", required=True)
+    b.add_argument("--source-bundle", action="append", default=[],
+                   help="source_id=path, repeatable")
+    b.add_argument("--graph-id")
+    b.add_argument("--force", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--nodes", nargs="+", required=True)
+    m.add_argument("--edges", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--format", default="parquet")
+    m.set_defaults(fn=cmd_merge)
+
+    mk = sub.add_parser("meta-kg")
+    mk.add_argument("--bundle", required=True)
+    mk.add_argument("--out", required=True)
+    mk.set_defaults(fn=cmd_meta_kg)
+
+    rk = sub.add_parser("redundant-kg")
+    rk.add_argument("--bundle", required=True)
+    rk.add_argument("--closure", required=True)
+    rk.add_argument("--out", required=True)
+    rk.set_defaults(fn=cmd_redundant_kg)
+
+    nc = sub.add_parser("neo4j-csv")
+    nc.add_argument("--bundle", required=True)
+    nc.add_argument("--out", required=True)
+    nc.add_argument("--memgraph", action="store_true")
+    nc.set_defaults(fn=cmd_neo4j_csv)
+
+    ac = sub.add_parser("ac-files")
+    ac.add_argument("--bundle", required=True)
+    ac.add_argument("--out", required=True)
+    ac.set_defaults(fn=cmd_ac_files)
+
+    qc = sub.add_parser("qc")
+    qc.add_argument("--bundle", required=True)
+    qc.add_argument("--out", required=True)
+    qc.set_defaults(fn=cmd_qc)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
