@@ -109,6 +109,80 @@ def brute_force_topk_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the other scale path
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: k-means over the
+    candidate vectors assigns each to a centroid list; each query scores
+    only the `n_probe` nearest lists instead of the full table.
+
+    Built on Spark MLlib KMeans (distributed training) + a broadcast
+    centroid table for assignment. Recall/n_probe trade off exactly as in a
+    FAISS-style IVF; with n_probe == n_clusters this degrades gracefully to
+    brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_features", array_to_vector("_cv"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_list")
+    model = km.fit(cand)
+    assigned = model.transform(cand).select("neighbor_id", "_cv", "_list")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = candidates.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, "_list int, _centroid array<double>"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    # rank centroids per query (tiny cross product: |q| x n_clusters)
+    q_cent = F.broadcast(q).crossJoin(F.broadcast(cent_df))
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("_qv"), F.col("_centroid"))), F.asc("_list")
+    )
+    probes = (
+        q_cent.withColumn("_crk", F.row_number().over(wq))
+        .where(F.col("_crk") <= n_probe)
+        .select("query_id", "_qv", "_list")
+    )
+    pairs = F.broadcast(probes).join(assigned, "_list").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH (random hyperplane) bucketing — the scale path
 # ---------------------------------------------------------------------------
 

@@ -1183,6 +1183,15 @@ def ann_cosine_topk_q(spark, sf_dir):
     return S.brute_force_topk(queries_df, emb, k=10)
 
 
+@query("ann_ivf_topk")
+def ann_ivf_topk_q(spark, sf_dir):
+    from orion_spark.llm import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    return S.ivf_topk(queries_df, emb, k=10, n_clusters=8, n_probe=3)
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk_q(spark, sf_dir):
     from orion_spark.llm import similarity as S

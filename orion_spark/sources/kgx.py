@@ -67,10 +67,18 @@ def write_kgx(df: DataFrame, path: str, gzip: bool = False) -> None:
 def write_bundle(
     nodes: DataFrame, edges: DataFrame, path: str, fmt: str = "parquet",
     gzip: bool = False,
+    edge_partition_by: list[str] | None = None,
 ) -> None:
+    """Persist a bundle. `edge_partition_by` (e.g. ["predicate"]) writes
+    hive-partitioned edges — at 100 TB this is what makes per-predicate
+    derived jobs (closure expansion, Memgraph export, meta-KG) partition-
+    prunable instead of full scans."""
     if fmt == "parquet":
         nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
-        edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+        ew = edges.write.mode("overwrite")
+        if edge_partition_by:
+            ew = ew.partitionBy(*edge_partition_by)
+        ew.parquet(os.path.join(path, "edges"))
     else:
         write_kgx(nodes, os.path.join(path, "nodes"), gzip=gzip)
         write_kgx(edges, os.path.join(path, "edges"), gzip=gzip)

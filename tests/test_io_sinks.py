@@ -110,3 +110,28 @@ def test_metadata_sidecars(spark, tmp_path):
     schema = json.load(open(os.path.join(out, "schema.json")))
     assert schema["nodes"]["score"] == "double"
     assert schema["nodes"]["equivalent_identifiers"] == "string[]"
+
+
+def test_partitioned_bundle_prunes(spark, tmp_path):
+    """Hive-partitioned edge bundle: a predicate filter must prune to one
+    partition directory (PartitionFilters in the scan)."""
+    path = str(tmp_path / "pbundle")
+    edges = _edges(spark).unionByName(
+        spark.createDataFrame(
+            [Row(subject="HGNC:2", predicate="biolink:affects", object="HGNC:1",
+                 primary_knowledge_source="infores:y",
+                 publications=None, p_value=None)],
+            schema=_edges(spark).schema,
+        )
+    )
+    K.write_bundle(_nodes(spark), edges, path, edge_partition_by=["predicate"])
+    import os as _os
+
+    assert _os.path.isdir(
+        _os.path.join(path, "edges", "predicate=biolink%3Aaffects")
+    ) or any("predicate=" in d for d in _os.listdir(_os.path.join(path, "edges")))
+    back = spark.read.parquet(_os.path.join(path, "edges"))
+    filtered = back.where(F.col("predicate") == "biolink:affects")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(predicate" in plan
+    assert filtered.count() == 1

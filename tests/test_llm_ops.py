@@ -110,3 +110,26 @@ def test_fingerprint_order_insensitive(spark):
     )
     out = {r.doc_id: r for r in TS.text_stats(df).collect()}
     assert out[1].fingerprint == out[2].fingerprint
+
+
+def test_ivf_topk_recall_on_real_embeddings(spark):
+    """IVF with full probe == brute force; partial probe returns a correctly
+    ordered subset with decent recall on the real embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = S.brute_force_topk(q, emb, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    ivf_full = S.ivf_topk(q, emb, k=5, n_clusters=4, n_probe=4).collect()
+    full_sets = {}
+    for r in ivf_full:
+        full_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert full_sets == exact_sets  # probing every list == brute force
+
+    ivf_partial = S.ivf_topk(q, emb, k=5, n_clusters=8, n_probe=3).collect()
+    hits = sum(
+        1 for r in ivf_partial if r.neighbor_id in exact_sets.get(r.query_id, set())
+    )
+    assert hits / max(len(exact), 1) > 0.5  # reasonable recall at 3/8 probes
