@@ -57,6 +57,50 @@ def redundant_edges(
     return expanded.dropDuplicates()
 
 
+def qualifier_closure_edges(
+    edges: DataFrame,
+    aspect_closure: DataFrame,
+    direction_closure: DataFrame | None = None,
+) -> DataFrame:
+    """H1 qualifier permutations: one edge per (aspect-ancestor ×
+    ({∅} ∪ direction-ancestor)) combination (orion/redundant_kg.py:74-96).
+
+    Closure tables are (term, ancestor) pairs over qualifier VALUES and are
+    expected to include the reflexive (v, v) pair; the direction dimension
+    additionally pairs with NULL (the direction-free variant). Broadcast
+    joins — the qualifier vocabularies are tiny.
+    """
+    a = aspect_closure.select(
+        F.col("term").alias("_at"), F.col("ancestor").alias("_aa")
+    )
+    out = (
+        edges.join(
+            broadcast(a), edges["object_aspect_qualifier"] == F.col("_at"), "inner"
+        )
+        .withColumn("object_aspect_qualifier", F.col("_aa"))
+        .drop("_at", "_aa")
+    )
+    if direction_closure is not None and "object_direction_qualifier" in edges.columns:
+        d = direction_closure.select(
+            F.col("term").alias("_dt"), F.col("ancestor").alias("_da")
+        )
+        with_dir = (
+            out.join(
+                broadcast(d),
+                out["object_direction_qualifier"] == F.col("_dt"),
+                "inner",
+            )
+            .withColumn("object_direction_qualifier", F.col("_da"))
+            .drop("_dt", "_da")
+        )
+        # the ∅ member: every aspect-expanded edge also emits direction-free
+        no_dir = out.withColumn(
+            "object_direction_qualifier", F.lit(None).cast("string")
+        )
+        out = with_dir.unionByName(no_dir)
+    return out.dropDuplicates()
+
+
 def qualifier_free_edges(edges: DataFrame) -> DataFrame:
     """H1 companion: the qualifier-free variant of every qualified edge
     (orion/redundant_kg.py:97-106 emits the edge with qualifiers removed)."""

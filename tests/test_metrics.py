@@ -1,0 +1,80 @@
+"""Self-reported metrics + qualifier-closure tests."""
+
+from pyspark.sql import Row
+
+from orion_spark.operators import derive as D
+from orion_spark.operators import metrics as MX
+from orion_spark.operators.merge import merge_edges, merge_nodes
+
+
+def test_merge_report(spark):
+    raw_nodes = spark.createDataFrame(
+        [Row(id="A", name="x", _source_ordinal=0),
+         Row(id="A", name="y", _source_ordinal=1),
+         Row(id="B", name="z", _source_ordinal=0)]
+    )
+    raw_edges = spark.createDataFrame(
+        [Row(subject="A", predicate="p", object="B",
+             primary_knowledge_source="i", _source_ordinal=0),
+         Row(subject="A", predicate="p", object="B",
+             primary_knowledge_source="i", _source_ordinal=1)]
+    )
+    rep = MX.merge_report(
+        raw_nodes, merge_nodes(raw_nodes), raw_edges, merge_edges(raw_edges)
+    )
+    assert rep["source_nodes"] == 3 and rep["merged_nodes"] == 2
+    assert rep["nodes_merged_away"] == 1
+    assert rep["source_edges"] == 2 and rep["merged_edges"] == 1
+
+
+def test_normalization_report(spark):
+    nodes = spark.createDataFrame(
+        [Row(id="X:1"), Row(id="X:2"), Row(id="X:3"), Row(id="Y:9")]
+    )
+    norm_map = spark.createDataFrame(
+        [
+            Row(original_id="X:1", normalized_ids=["N:1"]),
+            Row(original_id="X:2", normalized_ids=["N:2", "N:2b"]),  # split
+            Row(original_id="X:3", normalized_ids=[]),               # failure
+        ],
+        "original_id string, normalized_ids array<string>",
+    )
+    edges = spark.createDataFrame(
+        [Row(subject="X:1", object="X:2"),   # 1 x 2 -> 2 output edges
+         Row(subject="X:1", object="X:3"),   # dropped (X:3 failed)
+         Row(subject="Y:9", object="X:1")]   # dropped (Y:9 unmapped)
+    )
+    rep = MX.normalization_report(nodes, edges, norm_map)
+    assert rep["nodes_total"] == 4
+    assert rep["nodes_normalized"] == 2 and rep["nodes_failed"] == 2
+    assert rep["node_splits"] == 1
+    assert rep["edges_total"] == 3
+    assert rep["edges_dropped_missing_endpoint"] == 2
+    assert rep["edges_after_split_fanout"] == 2
+    prefixes = {p["prefix"]: p for p in rep["prefix_stats"]}
+    assert prefixes["X"]["normalized"] == 2 and prefixes["X"]["failed"] == 1
+
+
+def test_qualifier_closure_edges(spark):
+    edges = spark.createDataFrame(
+        [Row(subject="A", predicate="biolink:affects", object="B",
+             object_aspect_qualifier="expression",
+             object_direction_qualifier="increased")]
+    )
+    aspect = spark.createDataFrame(
+        [Row(term="expression", ancestor="expression"),
+         Row(term="expression", ancestor="activity_or_abundance")]
+    )
+    direction = spark.createDataFrame(
+        [Row(term="increased", ancestor="increased"),
+         Row(term="increased", ancestor="changed")]
+    )
+    out = D.qualifier_closure_edges(edges, aspect, direction).collect()
+    combos = {(r.object_aspect_qualifier, r.object_direction_qualifier) for r in out}
+    # 2 aspects x (2 directions + direction-free) = 6 permutations
+    assert combos == {
+        ("expression", "increased"), ("expression", "changed"), ("expression", None),
+        ("activity_or_abundance", "increased"),
+        ("activity_or_abundance", "changed"),
+        ("activity_or_abundance", None),
+    }
