@@ -124,6 +124,43 @@ def parse_graph_spec(yaml_text: str) -> list[GraphSpec]:
 
 
 # ---------------------------------------------------------------------------
+# Release versioning (orion/graph_versioning.py:50-72, release selection
+# orion/graph_pipeline.py:384-397)
+# ---------------------------------------------------------------------------
+
+def bump_semver(version: str, part: str = "patch") -> str:
+    """Semver arithmetic: bump major/minor/patch, zeroing lower parts."""
+    major, minor, patch = (int(x) for x in version.split("."))
+    if part == "major":
+        return f"{major + 1}.0.0"
+    if part == "minor":
+        return f"{major}.{minor + 1}.0"
+    if part == "patch":
+        return f"{major}.{minor}.{patch + 1}"
+    raise ValueError(f"unknown semver part {part}")
+
+
+def select_release_version(
+    build_version: str,
+    existing_releases: dict[str, str],
+    bump: str = "minor",
+    base: str = "1.0.0",
+) -> str:
+    """Pick the release semver for a build: reuse the release already mapped
+    to this content hash (rebuilds are no-ops), else bump the highest
+    existing release (first release gets `base`)."""
+    for release, bv in existing_releases.items():
+        if bv == build_version:
+            return release
+    if not existing_releases:
+        return base
+    latest = max(
+        existing_releases, key=lambda v: tuple(int(x) for x in v.split("."))
+    )
+    return bump_semver(latest, bump)
+
+
+# ---------------------------------------------------------------------------
 # Stage-status metadata (orion/metadata.py:10-14, orion/ingest_pipeline.py:107-122)
 # ---------------------------------------------------------------------------
 

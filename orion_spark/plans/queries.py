@@ -978,6 +978,64 @@ def hgvs_expressions_q(spark, sf_dir):
 
 
 @query(
+    "qualifier_closure_permutations",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    base AS (
+        SELECT DISTINCT subject, predicate, object, primary_knowledge_source,
+               object_aspect_qualifier, object_direction_qualifier
+        FROM lineitem_edges),
+    aspect AS (
+        SELECT * FROM (VALUES ('A','A'), ('A','ANY'), ('N','N'), ('N','ANY'),
+                              ('R','R'), ('R','ANY')) AS t(term, ancestor)),
+    direction AS (
+        SELECT * FROM (VALUES ('F','F'), ('O','O')) AS t(term, ancestor)),
+    a_exp AS (
+        SELECT b.subject, b.predicate, b.object, b.primary_knowledge_source,
+               a.ancestor AS object_aspect_qualifier,
+               b.object_direction_qualifier
+        FROM base b JOIN aspect a ON b.object_aspect_qualifier = a.term),
+    with_dir AS (
+        SELECT e.subject, e.predicate, e.object, e.primary_knowledge_source,
+               e.object_aspect_qualifier, d.ancestor AS object_direction_qualifier
+        FROM a_exp e JOIN direction d ON e.object_direction_qualifier = d.term
+        UNION
+        SELECT subject, predicate, object, primary_knowledge_source,
+               object_aspect_qualifier, NULL
+        FROM a_exp)
+    SELECT object_aspect_qualifier,
+           COALESCE(object_direction_qualifier, '') AS object_direction_qualifier,
+           COUNT(*) AS n
+    FROM with_dir
+    GROUP BY 1, 2
+    """,
+)
+def qualifier_closure_permutations_q(spark, sf_dir):
+    base = (
+        G.lineitem_edges(spark, sf_dir)
+        .select(
+            "subject", "predicate", "object", "primary_knowledge_source",
+            "object_aspect_qualifier", "object_direction_qualifier",
+        )
+        .dropDuplicates()
+    )
+    aspect = spark.createDataFrame(
+        [("A", "A"), ("A", "ANY"), ("N", "N"), ("N", "ANY"), ("R", "R"), ("R", "ANY")],
+        "term string, ancestor string",
+    )
+    direction = spark.createDataFrame(
+        [("F", "F"), ("O", "O")], "term string, ancestor string"
+    )
+    out = D.qualifier_closure_edges(base, aspect, direction)
+    return out.groupBy(
+        "object_aspect_qualifier",
+        F.coalesce("object_direction_qualifier", F.lit("")).alias(
+            "object_direction_qualifier"
+        ),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
     "qc_publications_per_predicate",
     f"""
     WITH {G.LINEITEM_EDGES_SQL},

@@ -131,3 +131,24 @@ def test_stage_status_gating(tmp_path):
     # reload from disk
     md2 = P.SourceMetadata(str(tmp_path), "src1")
     assert md2.is_stable("parse", "v1")
+
+
+def test_release_version_selection():
+    # first release
+    assert P.select_release_version("abc", {}) == "1.0.0"
+    # same content hash -> same release (rebuild no-op)
+    rel = {"1.0.0": "abc", "1.1.0": "def"}
+    assert P.select_release_version("abc", rel) == "1.0.0"
+    # new content -> bump highest
+    assert P.select_release_version("zzz", rel) == "1.2.0"
+    assert P.select_release_version("zzz", rel, bump="major") == "2.0.0"
+    assert P.select_release_version("zzz", rel, bump="patch") == "1.1.1"
+    # 1.10.0 > 1.9.0 numerically, not lexically
+    rel2 = {"1.9.0": "a", "1.10.0": "b"}
+    assert P.select_release_version("c", rel2) == "1.11.0"
+
+
+def test_bump_semver():
+    assert P.bump_semver("1.2.3", "major") == "2.0.0"
+    assert P.bump_semver("1.2.3", "minor") == "1.3.0"
+    assert P.bump_semver("1.2.3", "patch") == "1.2.4"
