@@ -61,15 +61,24 @@ MERGE_KEY_EXCLUDED = frozenset(
     {NODE_ID, SUBJECT, OBJECT, PREDICATE, PRIMARY_KNOWLEDGE_SOURCE}
 )
 
-# Qualifier columns participate in the edge merge key (orion/merging.py:72)
-# and in redundant-graph expansion (orion/redundant_kg.py:74-96).
+# Qualifier columns participate in the edge merge key (orion/merging.py:72),
+# redundant-graph expansion (orion/redundant_kg.py:74-96), and qualifier
+# collapse (orion/collapse_qualifiers.py — full bmt.is_qualifier set).
 QUALIFIER_COLUMNS = (
     "qualified_predicate",
-    "object_aspect_qualifier",
-    "object_direction_qualifier",
-    "subject_aspect_qualifier",
     "subject_direction_qualifier",
+    "subject_aspect_qualifier",
+    "subject_form_or_variant_qualifier",
+    "subject_derivative_qualifier",
+    "subject_part_qualifier",
+    "object_direction_qualifier",
+    "object_aspect_qualifier",
+    "object_form_or_variant_qualifier",
+    "object_derivative_qualifier",
+    "object_part_qualifier",
+    "causal_mechanism_qualifier",
     "species_context_qualifier",
+    "anatomical_context_qualifier",
 )
 
 # ---------------------------------------------------------------------------

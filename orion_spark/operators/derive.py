@@ -140,45 +140,81 @@ def leaf_categories(
     )
 
 
-def collapse_qualifiers(edges: DataFrame) -> DataFrame:
-    """H3: compose qualifier values into one synthetic predicate string in
-    fixed semantic order, then drop the qualifier columns
-    (orion/collapse_qualifiers.py:55-171).
-
-    Shape (simplified to the qualifiers present in the data):
-      <direction>_<aspect>_of_<qualified_predicate-or-predicate>
-    Deterministic concat_ws/when column expression — no UDF.
-    """
-    qp = (
-        F.coalesce(F.col("qualified_predicate"), F.col(PREDICATE))
-        if "qualified_predicate" in edges.columns
-        else F.col(PREDICATE)
+def _aspect_adjust(col):
+    """'abundance' -> 'abundance_of'; '*_interaction' -> '..._with'
+    (orion/collapse_qualifiers.py:28-34)."""
+    return F.concat(
+        col,
+        F.when(F.substring_index(col, "_", -1) == "interaction", "_with").otherwise(
+            "_of"
+        ),
     )
-    parts = []
-    for q in ("object_direction_qualifier", "object_aspect_qualifier"):
-        if q in edges.columns:
-            parts.append(F.col(q))
-    base = F.regexp_replace(qp, "^biolink:", "")
-    if parts:
-        composed = F.concat_ws(
-            "_", *[p for p in parts], F.lit("of"), base
-        )
-        conds = [
-            F.col(q).isNotNull()
-            for q in ("object_direction_qualifier", "object_aspect_qualifier")
-            if q in edges.columns
-        ]
-        has_quals = conds[0]
-        for c in conds[1:]:
-            has_quals = has_quals | c
-        new_pred = F.when(
-            has_quals, F.concat(F.lit("biolink:"), composed)
-        ).otherwise(F.col(PREDICATE))
-    else:
-        new_pred = F.col(PREDICATE)
-    out = edges.withColumn(PREDICATE, new_pred)
-    drop = [q for q in QUALIFIER_COLUMNS if q in edges.columns]
-    return out.drop(*drop)
+
+
+def collapse_qualifiers(edges: DataFrame) -> DataFrame:
+    """H3: compose qualifier values into a single synthetic predicate in the
+    reference's fixed semantic order (orion/collapse_qualifiers.py:55-171):
+
+      [subj_direction] [subj_aspect+_of] [subj_form+_of] <subject_node>
+      [subj_derivative] [subj_part] [qualified_predicate] [obj_direction]
+      [obj_aspect+_of] [obj_form+_of] <object_node> [obj_derivative]
+      [obj_part] [via_mechanism] [in_species] [anatomical(-in if species)]
+
+    joined with '_' (concat_ws skips absent/null parts). Edges with no
+    qualifiers keep their original predicate (the reference rewrites those
+    too — an always-true guard at collapse_qualifiers.py:166 — but the
+    intent, per its docstring, is qualifier collapse, so unqualified edges
+    pass through unchanged here). Qualifier columns are dropped after.
+    Pure column expressions — no UDF, no bmt calls at runtime.
+    """
+    cols = set(edges.columns)
+
+    def q(name):
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    species_present = (
+        q("species_context_qualifier").isNotNull()
+        if "species_context_qualifier" in cols
+        else F.lit(False)
+    )
+    anatomical = F.when(
+        q("anatomical_context_qualifier").isNotNull() & ~species_present,
+        F.concat(F.lit("in_"), q("anatomical_context_qualifier")),
+    ).otherwise(q("anatomical_context_qualifier"))
+
+    def adj(name, fn):
+        return F.when(q(name).isNotNull(), fn(q(name)))
+
+    parts = [
+        q("subject_direction_qualifier"),
+        adj("subject_aspect_qualifier", _aspect_adjust),
+        adj("subject_form_or_variant_qualifier", lambda c: F.concat(c, F.lit("_of"))),
+        F.lit("<subject_node>"),
+        q("subject_derivative_qualifier"),
+        q("subject_part_qualifier"),
+        adj("qualified_predicate", lambda c: F.regexp_replace(c, "^biolink:", "")),
+        q("object_direction_qualifier"),
+        adj("object_aspect_qualifier", _aspect_adjust),
+        adj("object_form_or_variant_qualifier", lambda c: F.concat(c, F.lit("_of"))),
+        F.lit("<object_node>"),
+        q("object_derivative_qualifier"),
+        q("object_part_qualifier"),
+        adj("causal_mechanism_qualifier", lambda c: F.concat(F.lit("via_"), c)),
+        adj("species_context_qualifier", lambda c: F.concat(F.lit("in_"), c)),
+        anatomical,
+    ]
+    statement = F.concat_ws("_", *parts)
+
+    present = [F.col(c).isNotNull() for c in QUALIFIER_COLUMNS if c in cols]
+    if not present:
+        return edges
+    has_quals = present[0]
+    for c in present[1:]:
+        has_quals = has_quals | c
+    out = edges.withColumn(
+        PREDICATE, F.when(has_quals, statement).otherwise(F.col(PREDICATE))
+    )
+    return out.drop(*[c for c in QUALIFIER_COLUMNS if c in cols])
 
 
 def invert_edges(edges: DataFrame, inverted_col: str = "inverted") -> DataFrame:

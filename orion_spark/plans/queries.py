@@ -637,8 +637,8 @@ def redundant_closure_q(spark, sf_dir):
     WITH {G.LINEITEM_EDGES_SQL},
     collapsed AS (
         SELECT subject,
-               'biolink:' || object_direction_qualifier || '_' ||
-               object_aspect_qualifier || '_of_contains' AS predicate,
+               '<subject_node>_' || object_direction_qualifier || '_' ||
+               object_aspect_qualifier || '_of_<object_node>' AS predicate,
                object
         FROM lineitem_edges)
     SELECT predicate, COUNT(*) AS n FROM collapsed GROUP BY predicate

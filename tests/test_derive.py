@@ -63,9 +63,50 @@ def test_collapse_qualifiers(spark):
         ]
     )
     out = {r.subject: r for r in D.collapse_qualifiers(edges).collect()}
-    assert out["A"].predicate == "biolink:increased_abundance_of_causes"
+    # reference order (orion/collapse_qualifiers.py): <subject_node>,
+    # qualified predicate, obj direction, obj aspect(_of), <object_node>
+    assert out["A"].predicate == (
+        "<subject_node>_causes_increased_abundance_of_<object_node>"
+    )
     assert out["C"].predicate == "biolink:affects"
     assert "object_aspect_qualifier" not in D.collapse_qualifiers(edges).columns
+
+
+def test_collapse_qualifiers_full_statement(spark):
+    """The reference's worked example (collapse_qualifiers.py:73 comment)."""
+    edges = spark.createDataFrame(
+        [
+            Row(subject="UNII:7", predicate="biolink:affects", object="NCBIGene:6531",
+                subject_direction_qualifier="increased",
+                subject_aspect_qualifier="abundance",
+                subject_form_or_variant_qualifier="mutant_form",
+                subject_derivative_qualifier="transcript",
+                subject_part_qualifier="polyA_tail",
+                object_aspect_qualifier="activity",
+                object_direction_qualifier="upregulated",
+                object_form_or_variant_qualifier="wildtype_form",
+                object_derivative_qualifier="protein",
+                object_part_qualifier="catalytic_site",
+                causal_mechanism_qualifier="phosphorylation",
+                species_context_qualifier="human",
+                anatomical_context_qualifier="liver",
+                qualified_predicate="biolink:causes"),
+        ]
+    )
+    out = D.collapse_qualifiers(edges).collect()[0]
+    assert out.predicate == (
+        "increased_abundance_of_mutant_form_of_<subject_node>_transcript_"
+        "polyA_tail_causes_upregulated_activity_of_wildtype_form_of_"
+        "<object_node>_protein_catalytic_site_via_phosphorylation_in_human_liver"
+    )
+    # interaction-suffixed aspects compose with _with, not _of
+    edges2 = spark.createDataFrame(
+        [Row(subject="A", predicate="p", object="B",
+             object_aspect_qualifier="molecular_interaction")]
+    )
+    assert D.collapse_qualifiers(edges2).collect()[0].predicate == (
+        "<subject_node>_molecular_interaction_with_<object_node>"
+    )
 
 
 def test_invert_edges(spark):
