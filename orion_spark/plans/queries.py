@@ -1036,6 +1036,29 @@ def qualifier_closure_permutations_q(spark, sf_dir):
 
 
 @query(
+    "schema_inference",
+    """
+    SELECT * FROM (VALUES
+        ('object_aspect_qualifier', 'string'),
+        ('object_direction_qualifier', 'string'),
+        ('publications', 'string[]'),
+        ('quantity', 'double')
+    ) AS t(property, prop_type)
+    """,
+)
+def schema_inference_q(spark, sf_dir):
+    # A12: the engine derives the property->type schema from the (typed)
+    # DataFrame instead of the reference's full rescan; the oracle pins the
+    # expected widened types for the lineitem edge property tail
+    from orion_spark.model import EDGE_CORE_COLUMNS
+    from orion_spark.operators.analyze import infer_property_schema
+
+    edges = G.lineitem_edges(spark, sf_dir).drop("_source_ordinal")
+    pairs = infer_property_schema(edges, EDGE_CORE_COLUMNS)
+    return spark.createDataFrame(pairs, "property string, prop_type string")
+
+
+@query(
     "qc_publications_per_predicate",
     f"""
     WITH {G.LINEITEM_EDGES_SQL},

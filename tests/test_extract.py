@@ -94,3 +94,21 @@ def test_hgvs_construction(spark):
     assert got[2] == "NC_000002:g.201_202del"
     assert got[3] == "NC_000003:g.300_301insTT"
     assert got[4] == "NC_000004:g.400_401delinsGA"
+
+
+def test_extract_skip_counts_via_observe(spark):
+    """P9: row-validation skip counts through the Observation API — the
+    declarative analogue of the reference's load_metadata counters
+    (orion/extractor.py:21,56,66)."""
+    from pyspark.sql import Observation
+
+    src = _source(spark)
+    obs_in = Observation("rows_in")
+    obs_kept = Observation("rows_kept")
+    observed = src.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    kept = observed.where(F.col("taxon_id") == "9606").observe(
+        obs_kept, F.count(F.lit(1)).alias("n")
+    )
+    assert kept.count() == 3
+    assert obs_in.get["n"] == 4
+    assert obs_kept.get["n"] == 3
