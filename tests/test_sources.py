@@ -122,3 +122,35 @@ def test_frame_sample_plan(spark):
     out = MM.frame_sample_plan(df, every_ms=1000)
     got = sorted((r.media_id, r.frame_ts_ms) for r in out.collect())
     assert got == [(1, 0), (1, 1000), (1, 2000), (2, 0)]
+
+
+def test_json_array_extract(spark, tmp_path):
+    """S5: Hetio-style JSON with nested arrays -> spark.read.json + explode
+    (reference: parsers/hetio/src/loadHetio.py:104-121)."""
+    import json as _json
+
+    doc = {
+        "nodes": [
+            {"ident": "G1", "kind": "Gene", "name": "gene one"},
+            {"ident": "D1", "kind": "Disease", "name": "disease one"},
+        ],
+        "edges": [
+            {"source_id": ["Gene", "G1"], "target_id": ["Disease", "D1"],
+             "kind": "associates"},
+        ],
+    }
+    p = tmp_path / "hetio.json"
+    p.write_text(_json.dumps(doc))
+    raw = spark.read.option("multiLine", True).json(str(p))
+    nodes = raw.select(F.explode("nodes").alias("n")).select(
+        F.col("n.ident").alias("id"), F.col("n.kind").alias("kind"),
+        F.col("n.name").alias("name"),
+    )
+    edges = raw.select(F.explode("edges").alias("e")).select(
+        F.col("e.source_id").getItem(1).alias("subject"),
+        F.col("e.kind").alias("predicate"),
+        F.col("e.target_id").getItem(1).alias("object"),
+    )
+    assert {r.id for r in nodes.collect()} == {"G1", "D1"}
+    e = edges.collect()[0]
+    assert (e.subject, e.predicate, e.object) == ("G1", "associates", "D1")
