@@ -114,7 +114,10 @@ def minhash_lsh_pairs(
     """
     # small-file inputs arrive in one partition; the shingle/minhash
     # projection is compute-bound (md5 per shingle), so spread it across the
-    # cluster before doing the work
+    # cluster before doing the work. Shingles AND signatures are cached in
+    # one frame: they feed four branches (both sides of the band self-join,
+    # both sides of the verify join) that would otherwise each recompute the
+    # md5-per-shingle + 16-hash-family projection.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.repartition(parallelism)
@@ -122,12 +125,11 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh")
         )
         .where(F.size("_sh") > 0)
-        # the shingle arrays feed three downstream branches (signature, both
-        # verify sides); materialize once instead of recomputing the
-        # md5-per-shingle projection three times
-        .persist()
     )
-    sig = base.withColumn("_sig", minhash_signature(shingle_hashes(F.col("_sh")), num_hashes))
+    sig = base.withColumn(
+        "_sig", minhash_signature(shingle_hashes(F.col("_sh")), num_hashes)
+    ).persist()
+    base = sig  # downstream shingle consumers read the cached frame
     # band explode: (band_index, band_value) bucket keys
     bands = sig.select(
         "_id",
