@@ -189,19 +189,24 @@ def minhash_lsh_oracle_sql(
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> engine-portable signed-bigint-safe
+
+
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
-    word's xxhash64 bit, then take the sign. Hamming-close simhashes =>
-    similar token multisets. Pure column expressions (sequence/transform/
-    aggregate)."""
+    """60-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
+    word-hash bit, then take the sign. Hamming-close simhashes => similar
+    token multisets. Word hash = 15-hex-char md5 prefix — portable (the
+    DuckDB oracle reproduces signatures exactly) and bigint-safe.
+    Pure column expressions in ONE pass over the words."""
     w = F.split(F.lower(F.trim(text)), r"\s+")
-    hashes = F.transform(w, lambda x: F.xxhash64(x))
-    idx = F.sequence(F.lit(0), F.lit(63))
-    zeros = F.array_repeat(F.lit(0), 64)
-    # ONE pass over the words: fold each word's 64 sign contributions into a
-    # 64-wide accumulator via nested zip_with (the Python shiftright wrapper
-    # only takes int shift amounts; call_function reaches the SQL form that
-    # shifts by a column)
+    hashes = F.transform(
+        w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+    )
+    idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    # fold each word's sign contributions into a 60-wide accumulator via
+    # nested zip_with (the Python shiftright wrapper only takes int shift
+    # amounts; call_function reaches the SQL form that shifts by a column)
     bitsums = F.aggregate(
         hashes,
         zeros,
@@ -214,8 +219,6 @@ def simhash64(text: Column) -> Column:
             ).otherwise(-1),
         ),
     )
-    # sign -> bit: shiftleft(1L, 63) wraps to Long.MIN_VALUE, which is the
-    # correct two's-complement value for the sign bit
     return F.aggregate(
         F.zip_with(
             bitsums,
@@ -233,10 +236,9 @@ def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, LSH-bucketed on 16-bit
-    chunks (a pair within hamming<=8 of 64 bits shares at least one exact
-    16-bit chunk when differing bits spread; chunking is the standard
-    simhash blocking scheme)."""
+    """Near-dup pairs by SimHash hamming distance, LSH-bucketed on 15-bit
+    chunks (a pair within hamming<=8 of 60 bits usually shares at least one
+    exact chunk; chunking is the standard simhash blocking scheme)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(parallelism).select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
@@ -247,7 +249,7 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("_sh"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("_sh"), 15 * c).bitwiseAND(F.lit(0x7FFF))
                     for c in range(4)
                 ]
             )

@@ -1150,6 +1150,36 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     return DD.minhash_lsh_pairs(docs, threshold=0.5)
 
 
+@query(
+    "text_simhash",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(x), 1, 15))::BIGINT
+                for x in string_split_regex(lower(trim(text)), '\s+')] AS hs
+        FROM documents),
+    b AS (
+        SELECT doc_id,
+               [list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                          for h in hs])
+                for j in range(0, 60)] AS bits
+        FROM w)
+    SELECT doc_id,
+           CAST(list_sum([CASE WHEN bits[j + 1] > 0 THEN (1::BIGINT << j)
+                               ELSE 0::BIGINT END
+                          for j in range(0, 60)]) AS BIGINT) AS simhash
+    FROM b
+    """,
+)
+def text_simhash_q(spark, sf_dir):
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", DD.simhash64(F.col("text")).alias("simhash")
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash_q(spark, sf_dir):
     from orion_spark.llm import dedup as DD
