@@ -162,6 +162,35 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_signature_oracle_sql(
+    k: int = 5, num_hashes: int = 16, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB SQL reproducing the minhash signatures bit-for-bit (same
+    shingling, same md5-prefix base hash, same (a,b) family constants)."""
+    sig_exprs = ",\n               ".join(
+        f"list_min([({a} * h + {b}) % {MINHASH_P} for h in hs])"
+        for a, b in _hash_params(num_hashes)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT {id_col} AS doc_id,
+               list_distinct([array_to_string(w[i:i+{k - 1}], ' ')
+                              for i in range(1, len(w) - {k} + 2)]) AS sh
+        FROM (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+              FROM {table})
+        WHERE len(w) >= {k}),
+    hashed AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P}
+                for s in sh] AS hs
+        FROM docs)
+    SELECT doc_id,
+           array_to_string([{sig_exprs}], ',') AS signature
+    FROM hashed
+    """
+
+
 def minhash_lsh_oracle_sql(
     k: int = 5, threshold: float = 0.5, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text",

@@ -100,6 +100,35 @@ def tpch_q1(spark, sf_dir):
 
 
 @query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     """
     SELECT 'ORDER:' || o_orderkey AS order_id,
@@ -1142,6 +1171,20 @@ def dedup_exact_groups_q(spark, sf_dir):
     return DD.exact_duplicate_groups(docs, ["text"], "doc_id")
 
 
+@query("text_minhash_signatures")
+def text_minhash_signatures_q(spark, sf_dir):
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", DD.word_shingles(F.col("text"), 5).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sig = DD.minhash_signature(DD.shingle_hashes(F.col("_sh")), 16)
+    return base.select(
+        "doc_id", F.array_join(sig.cast("array<string>"), ",").alias("signature")
+    )
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh_q(spark, sf_dir):
     from orion_spark.llm import dedup as DD
@@ -1430,8 +1473,12 @@ def ac_backlinks_q(spark, sf_dir):
 
 
 # oracles generated from the same constants as the Spark implementations
-from orion_spark.llm.dedup import minhash_lsh_oracle_sql  # noqa: E402
+from orion_spark.llm.dedup import (  # noqa: E402
+    minhash_lsh_oracle_sql,
+    minhash_signature_oracle_sql,
+)
 from orion_spark.llm.similarity import brute_force_topk_oracle_sql  # noqa: E402
 
 ORACLES["dedup_minhash_lsh"] = minhash_lsh_oracle_sql(k=5, threshold=0.5)
+ORACLES["text_minhash_signatures"] = minhash_signature_oracle_sql(k=5, num_hashes=16)
 ORACLES["ann_cosine_topk"] = brute_force_topk_oracle_sql(k=10)
