@@ -1,0 +1,189 @@
+"""Representative parser specs (SURVEY §7.2 step 5): ORION's per-source
+Python parsers re-expressed as declarative ExtractSpecs + reader calls.
+Each function returns (subject_nodes, object_nodes, edges) from a raw
+source path — the same contract as the reference's loader interface
+(orion/loader_interface.py:65-115), but the "parser" is data, not code:
+Catalyst sees the whole plan from scan to KGX projection.
+
+Five reference-shaped families:
+- CTD-like chemical-gene TSV      (parsers/CTD/src/loadCTD.py)
+- Hetio-like nested JSON          (parsers/hetio/src/loadHetio.py)
+- GWASCatalog-like variant TSV    (parsers/GWASCatalog — HGVS construction)
+- UberGraph-like ontology triples (parsers/UberGraph/src/loadUG.py)
+- template TSV                    (parsers/_parser_template/src/parser.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orion_spark.operators.extract import (
+    ExtractSpec,
+    extract,
+    hgvs_from_coords,
+    predicate_remap,
+)
+from orion_spark.sources.readers import curie_contract, read_ntriples, read_tabular
+
+# ---------------------------------------------------------------------------
+# CTD-like: chemical-gene interactions TSV with evidence thresholds
+# (loadCTD.py:32-36 predicate map, 186-197 row validation)
+# ---------------------------------------------------------------------------
+
+CTD_PREDICATES = {
+    "increases^expression": "biolink:increases_expression_of",
+    "decreases^expression": "biolink:decreases_expression_of",
+    "increases^activity": "biolink:increases_activity_of",
+    "decreases^activity": "biolink:decreases_activity_of",
+    "affects^binding": "biolink:binds",
+}
+
+
+def ctd_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    raw = read_tabular(spark, path)
+    interaction = F.concat_ws(
+        "^", F.col("direction"), F.col("interaction_type")
+    )
+    spec = ExtractSpec(
+        subject_id=F.concat(F.lit("MESH:"), F.col("chemical_id")),
+        object_id=F.concat(F.lit("NCBIGene:"), F.col("gene_id")),
+        predicates=[predicate_remap(interaction, CTD_PREDICATES)],
+        subject_name=F.col("chemical_name"),
+        object_name=F.col("gene_symbol"),
+        subject_categories=["biolink:ChemicalEntity"],
+        object_categories=["biolink:Gene"],
+        edge_properties={
+            "publications": F.when(
+                F.col("pubmed_ids").isNotNull(),
+                F.transform(
+                    F.split(F.col("pubmed_ids"), r"\|"),
+                    lambda x: F.concat(F.lit("PMID:"), x),
+                ),
+            ),
+        },
+        primary_knowledge_source="infores:ctd",
+        # evidence threshold row validation (loadCTD.py:186-197)
+        row_filter=F.col("evidence_count") >= 2,
+    )
+    return extract(raw, spec)
+
+
+# ---------------------------------------------------------------------------
+# Hetio-like: one nested JSON document with node/edge arrays
+# (loadHetio.py:104-121 iterate arrays; 160-201 predicate map)
+# ---------------------------------------------------------------------------
+
+HETIO_PREDICATES = {
+    "associates": "biolink:associated_with",
+    "upregulates": "biolink:increases_expression_of",
+    "downregulates": "biolink:decreases_expression_of",
+    "treats": "biolink:treats",
+}
+
+HETIO_PREFIXES = {"Gene": "NCBIGene", "Disease": "DOID", "Compound": "DB"}
+
+
+def hetio_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges): the doc carries its own node list."""
+    raw = spark.read.option("multiLine", True).json(path)
+    prefix_map = F.create_map(
+        *[F.lit(x) for kv in HETIO_PREFIXES.items() for x in kv]
+    )
+    nodes = raw.select(F.explode("nodes").alias("n")).select(
+        F.concat(
+            F.element_at(prefix_map, F.col("n.kind")), F.lit(":"), F.col("n.ident")
+        ).alias("id"),
+        F.col("n.name").alias("name"),
+        F.array(F.concat(F.lit("biolink:"), F.col("n.kind"))).alias("category"),
+    )
+    edges = (
+        raw.select(F.explode("edges").alias("e"))
+        .select(
+            F.concat(
+                F.element_at(prefix_map, F.col("e.source_id").getItem(0)),
+                F.lit(":"),
+                F.col("e.source_id").getItem(1),
+            ).alias("subject"),
+            predicate_remap(F.col("e.kind"), HETIO_PREDICATES).alias("predicate"),
+            F.concat(
+                F.element_at(prefix_map, F.col("e.target_id").getItem(0)),
+                F.lit(":"),
+                F.col("e.target_id").getItem(1),
+            ).alias("object"),
+            F.lit("infores:hetionet").alias("primary_knowledge_source"),
+        )
+        .where(F.col("predicate").isNotNull())
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# GWASCatalog-like: variant-trait TSV with chrom/pos/ref/alt -> HGVS (P11)
+# and p-value floor (§2.8)
+# ---------------------------------------------------------------------------
+
+def gwas_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    raw = read_tabular(spark, path)
+    from orion_spark.functions.scalars import neg_log10, p_value_floor
+
+    hgvs = hgvs_from_coords(
+        F.col("chrom"), F.col("pos"), F.col("ref"), F.col("alt")
+    )
+    spec = ExtractSpec(
+        subject_id=F.concat(F.lit("HGVS:"), hgvs),
+        object_id=F.col("trait_id"),
+        predicates=[F.lit("biolink:associated_with")],
+        subject_categories=["biolink:SequenceVariant"],
+        object_categories=["biolink:DiseaseOrPhenotypicFeature"],
+        object_name=F.col("trait_name"),
+        edge_properties={
+            "p_value": p_value_floor(F.col("p_value")),
+            "neg_log_p": F.round(neg_log10(p_value_floor(F.col("p_value"))), 6),
+        },
+        primary_knowledge_source="infores:gwas-catalog",
+        row_filter=F.col("p_value") < 5e-8,  # genome-wide significance
+    )
+    return extract(raw, spec)
+
+
+# ---------------------------------------------------------------------------
+# UberGraph-like: ontology N-Triples -> subclass edges + label nodes (S6)
+# ---------------------------------------------------------------------------
+
+UG_PREFIXES = {
+    "http://purl.obolibrary.org/obo/GO_": "GO",
+    "http://purl.obolibrary.org/obo/CHEBI_": "CHEBI",
+    "http://purl.obolibrary.org/obo/HP_": "HP",
+}
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def ubergraph_like(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    triples = read_ntriples(spark, path)
+    subj = curie_contract(F.col("subject"), UG_PREFIXES)
+    obj = curie_contract(F.col("object"), UG_PREFIXES)
+    labels = triples.where(
+        (F.col("predicate") == RDFS_LABEL) & F.col("is_literal")
+    ).select(subj.alias("id"), F.col("object").alias("name"))
+    subclass = triples.where(
+        (F.col("predicate") == RDFS_SUBCLASS) & ~F.col("is_literal")
+    ).select(
+        subj.alias("subject"),
+        F.lit("biolink:subclass_of").alias("predicate"),
+        obj.alias("object"),
+        F.lit("infores:ubergraph").alias("primary_knowledge_source"),
+    )
+    nodes = (
+        subclass.select(F.col("subject").alias("id"))
+        .unionByName(subclass.select(F.col("object").alias("id")))
+        .distinct()
+        .join(labels, "id", "left")
+        .select(
+            "id", "name", F.array(F.lit("biolink:NamedThing")).alias("category")
+        )
+    )
+    return nodes, subclass

@@ -1,0 +1,105 @@
+"""Golden-file parser tests (reference: tests/test_loaders.py pattern —
+small real-format fixtures, assert node/edge counts and spot contents)."""
+
+import json
+
+from orion_spark.plans import parsers as PP
+
+CTD_TSV = """\
+# CTD chemical-gene interactions (fixture)
+chemical_id\tchemical_name\tgene_id\tgene_symbol\tdirection\tinteraction_type\tpubmed_ids\tevidence_count
+D000082\tAcetaminophen\t1544\tCYP1A2\tincreases\texpression\t111|222\t3
+D000082\tAcetaminophen\t1571\tCYP2E1\tdecreases\tactivity\t333\t2
+D000535\tAspirin\t5743\tPTGS2\taffects\tbinding\t\t5
+D000535\tAspirin\t9999\tFAKE1\tincreases\texpression\t444\t1
+D000999\tMystery\t1111\tGENE1\tweird\tthing\t555\t9
+"""
+
+
+def test_ctd_like_parser(spark, tmp_path):
+    p = tmp_path / "ctd.tsv"
+    p.write_text(CTD_TSV)
+    subj, obj, edges = PP.ctd_like(spark, str(p))
+    e = {(r.subject, r.object): r for r in edges.collect()}
+    # row 4 fails evidence threshold (P9); row 5 has unmapped predicate (P5)
+    assert len(e) == 3
+    ace = e[("MESH:D000082", "NCBIGene:1544")]
+    assert ace.predicate == "biolink:increases_expression_of"
+    assert ace.publications == ["PMID:111", "PMID:222"]
+    asp = e[("MESH:D000535", "NCBIGene:5743")]
+    assert asp.predicate == "biolink:binds"
+    assert asp.publications is None
+    assert {r.id: r.name for r in subj.collect()}["MESH:D000082"] == "Acetaminophen"
+
+
+HETIO_JSON = {
+    "nodes": [
+        {"ident": "7157", "kind": "Gene", "name": "TP53"},
+        {"ident": "1612", "kind": "Disease", "name": "some disease"},
+        {"ident": "00945", "kind": "Compound", "name": "aspirin"},
+    ],
+    "edges": [
+        {"source_id": ["Compound", "00945"], "target_id": ["Disease", "1612"],
+         "kind": "treats"},
+        {"source_id": ["Gene", "7157"], "target_id": ["Disease", "1612"],
+         "kind": "associates"},
+        {"source_id": ["Gene", "7157"], "target_id": ["Disease", "1612"],
+         "kind": "unmapped_kind"},
+    ],
+}
+
+
+def test_hetio_like_parser(spark, tmp_path):
+    p = tmp_path / "hetio.json"
+    p.write_text(json.dumps(HETIO_JSON))
+    nodes, edges = PP.hetio_like(spark, str(p))
+    n = {r.id: r for r in nodes.collect()}
+    assert n["NCBIGene:7157"].name == "TP53"
+    assert n["DB:00945"].category == ["biolink:Compound"]
+    e = sorted((r.subject, r.predicate, r.object) for r in edges.collect())
+    assert e == [
+        ("DB:00945", "biolink:treats", "DOID:1612"),
+        ("NCBIGene:7157", "biolink:associated_with", "DOID:1612"),
+    ]
+
+
+GWAS_TSV = """\
+chrom\tpos\tref\talt\ttrait_id\ttrait_name\tp_value
+1\t1000\tA\tG\tEFO:0001\theight\t1e-12
+2\t2000\tC\tT\tEFO:0002\tweight\t3e-6
+3\t3000\tG\tGAA\tEFO:0003\tbmi\t0.0
+"""
+
+
+def test_gwas_like_parser(spark, tmp_path):
+    p = tmp_path / "gwas.tsv"
+    p.write_text(GWAS_TSV)
+    subj, obj, edges = PP.gwas_like(spark, str(p))
+    e = {r.object: r for r in edges.collect()}
+    # row 2 fails genome-wide significance
+    assert sorted(e) == ["EFO:0001", "EFO:0003"]
+    assert e["EFO:0001"].subject == "HGVS:NC_000001:g.1000A>G"
+    assert e["EFO:0003"].subject == "HGVS:NC_000003:g.3000_3001insAA"
+    # p-value floor keeps -log10 finite for p=0
+    assert e["EFO:0003"].p_value > 0
+    assert e["EFO:0003"].neg_log_p < 321
+
+
+UG_NT = """\
+<http://purl.obolibrary.org/obo/GO_0001> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://purl.obolibrary.org/obo/GO_0002> .
+<http://purl.obolibrary.org/obo/GO_0001> <http://www.w3.org/2000/01/rdf-schema#label> "mitotic cell cycle" .
+<http://purl.obolibrary.org/obo/GO_0002> <http://www.w3.org/2000/01/rdf-schema#label> "cell cycle" .
+<http://purl.obolibrary.org/obo/CHEBI_99> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://purl.obolibrary.org/obo/CHEBI_100> .
+"""
+
+
+def test_ubergraph_like_parser(spark, tmp_path):
+    p = tmp_path / "ug.nt"
+    p.write_text(UG_NT)
+    nodes, edges = PP.ubergraph_like(spark, str(p))
+    e = {(r.subject, r.object) for r in edges.collect()}
+    assert e == {("GO:0001", "GO:0002"), ("CHEBI:99", "CHEBI:100")}
+    n = {r.id: r.name for r in nodes.collect()}
+    assert n["GO:0001"] == "mitotic cell cycle"
+    assert n["CHEBI:99"] is None  # no label triple
+    assert len(n) == 4
