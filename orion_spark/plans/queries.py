@@ -700,6 +700,82 @@ def inverse_meta_edges_q(spark, sf_dir):
     return out.select("subject", "predicate", "object")
 
 
+@query(
+    "full_pipeline_counts",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL}, {G.CLOSURE_SQL},
+    merged AS (
+        SELECT DISTINCT subject, predicate, object, primary_knowledge_source,
+               object_aspect_qualifier, object_direction_qualifier
+        FROM lineitem_edges),
+    pmap AS (
+        SELECT 'PART:' || p_partkey AS orig,
+               'NPART:' || p_brand || ':' || p_partkey AS nid
+        FROM part),
+    omap AS (SELECT DISTINCT subject AS orig, subject AS nid FROM merged),
+    normalized AS (
+        SELECT DISTINCT o.nid AS subject, m.predicate, p.nid AS object
+        FROM merged m JOIN omap o ON m.subject = o.orig
+                      JOIN pmap p ON m.object = p.orig),
+    closure_full AS (
+        SELECT term, ancestor FROM closure
+        UNION SELECT term, term FROM closure),
+    expanded AS (
+        SELECT DISTINCT n.subject, c.ancestor AS predicate, n.object
+        FROM normalized n JOIN closure_full c ON n.predicate = c.term)
+    SELECT predicate, COUNT(*) AS n FROM expanded GROUP BY predicate
+    """,
+)
+def full_pipeline_counts_q(spark, sf_dir):
+    """Flagship chain: KGX extract -> A3 merge -> J1 normalization ->
+    H1 closure -> A9 counts, each stage the real operator."""
+    merged = M.merge_edges(G.lineitem_edges(spark, sf_dir))
+    part = _t(spark, sf_dir, "part")
+    part_map = part.select(
+        F.concat(F.lit("PART:"), F.col("p_partkey")).alias("original_id"),
+        F.array(
+            F.concat(
+                F.lit("NPART:"), F.col("p_brand"), F.lit(":"), F.col("p_partkey")
+            )
+        ).alias("normalized_ids"),
+    )
+    order_identity = (
+        merged.select(F.col("subject").alias("original_id"))
+        .distinct()
+        .withColumn("normalized_ids", F.array(F.col("original_id")))
+    )
+    full_map = part_map.unionByName(order_identity)
+    normalized = N.normalize_edges(
+        merged.select("subject", "predicate", "object"), full_map
+    )
+    core = normalized.select("subject", "predicate", "object").dropDuplicates()
+    expanded = D.redundant_edges(core, G.closure_df(spark), edges_distinct=True)
+    return expanded.groupBy("predicate").agg(F.count("*").alias("n"))
+
+
+@query(
+    "graph_top_degree_nodes",
+    f"""
+    WITH {G.ALL_EDGES_SQL},
+    deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT subject AS id FROM edges
+            UNION ALL SELECT object FROM edges) GROUP BY id)
+    SELECT id, degree FROM deg
+    ORDER BY degree DESC, id LIMIT 20
+    """,
+)
+def graph_top_degree_nodes_q(spark, sf_dir):
+    edges = G.all_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("subject").alias("id"))
+        .unionByName(edges.select(F.col("object").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.orderBy(F.desc("degree"), F.asc("id")).limit(20)
+
+
 # ===========================================================================
 # QC / meta-KG analytics (A7-A11, J6)
 # ===========================================================================
