@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority",
     "tpch_q5_nation_volume",
     "window_topk_parts_by_brand",
@@ -36,6 +37,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_hourly_rollup",
     "events_sessionize",
+    "full_pipeline_counts",
 ]
 
 
