@@ -216,6 +216,92 @@ def tpch_q5(spark, sf_dir):
 
 
 @query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_name, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.sum(qty).alias("_tq"))
+        .where(F.col("_tq") > 150)
+        .select("c_name", "o_orderkey", F.col("_tq").cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "qc_rollup_counts",
+    f"""
+    WITH {G.NODES_SQL}, {G.ALL_EDGES_SQL},
+    cat AS (SELECT id, category[1] AS cat FROM nodes),
+    typed AS (
+        SELECT s.cat AS subject_category, e.predicate
+        FROM edges e JOIN cat s ON e.subject = s.id)
+    SELECT COALESCE(subject_category, '<all>') AS subject_category,
+           COALESCE(predicate, '<all>') AS predicate,
+           COUNT(*) AS n
+    FROM typed GROUP BY ROLLUP (subject_category, predicate)
+    """,
+)
+def qc_rollup_counts_q(spark, sf_dir):
+    nodes = G.nodes_df(spark, sf_dir)
+    edges = G.all_edges(spark, sf_dir)
+    cat = nodes.select(
+        F.col("id").alias("_cid"), F.col("category").getItem(0).alias("subject_category")
+    )
+    typed = edges.join(cat, edges["subject"] == F.col("_cid"), "inner")
+    return (
+        typed.rollup("subject_category", "predicate")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("subject_category", F.lit("<all>")).alias("subject_category"),
+            F.coalesce("predicate", F.lit("<all>")).alias("predicate"),
+            "n",
+        )
+    )
+
+
+@query(
+    "events_rolling_avg",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+    SELECT user_id, event_id,
+           round(AVG(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS rolling_avg
+    FROM e
+    """,
+)
+def events_rolling_avg_q(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
+    )
+
+
+@query(
     "window_topk_parts_by_brand",
     """
     SELECT p_brand, p_partkey, p_retailprice, rk FROM (

@@ -135,3 +135,19 @@ def test_partitioned_bundle_prunes(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(predicate" in plan
     assert filtered.count() == 1
+
+
+def test_fold_property_tail(spark):
+    """Open-schema policy: non-core properties fold into a MAP tail
+    (SURVEY §7.4.4 — keeps 40-source unions narrow at scale)."""
+    from orion_spark.model import fold_property_tail
+
+    df = _nodes(spark)
+    folded = fold_property_tail(df, keep=["id", "name", "category"])
+    assert folded.columns == ["id", "name", "category", "properties"]
+    rows = {r.id: r for r in folded.collect()}
+    assert rows["HGNC:2"].properties["empty_str"] == "x"
+    assert rows["HGNC:2"].properties["flag"] == "false"
+    # null-valued properties are dropped from the map
+    assert "score" not in rows["HGNC:2"].properties
+    assert float(rows["HGNC:1"].properties["score"]) == 1.5
