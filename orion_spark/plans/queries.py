@@ -867,6 +867,40 @@ def graph_top_degree_nodes_q(spark, sf_dir):
 # ===========================================================================
 
 @query(
+    "ac_blocklist_filter",
+    """
+    WITH cust_nodes AS (
+        SELECT CASE WHEN c_custkey % 25 = 0 THEN 'CAID:' || c_custkey
+                    ELSE 'CUST:' || c_custkey END AS id,
+               c_name AS name
+        FROM customer),
+    blocklist AS (
+        SELECT 'CUST:' || c_custkey AS id FROM customer WHERE c_custkey % 50 = 3)
+    SELECT n.id, n.name FROM cust_nodes n
+    WHERE n.id NOT LIKE 'CAID:%'
+      AND NOT EXISTS (SELECT 1 FROM blocklist b WHERE b.id = n.id)
+    """,
+)
+def ac_blocklist_filter_q(spark, sf_dir):
+    from orion_spark.sinks.answercoalesce import apply_blocklist
+
+    cust = _t(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.when(
+            F.col("c_custkey") % 25 == 0,
+            F.concat(F.lit("CAID:"), F.col("c_custkey")),
+        )
+        .otherwise(F.concat(F.lit("CUST:"), F.col("c_custkey")))
+        .alias("id"),
+        F.col("c_name").alias("name"),
+    )
+    blocklist = cust.where(F.col("c_custkey") % 50 == 3).select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("id")
+    )
+    return apply_blocklist(nodes, blocklist)
+
+
+@query(
     "qc_curie_prefix_counts",
     f"""
     WITH {G.NODES_SQL}

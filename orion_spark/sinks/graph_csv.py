@@ -125,6 +125,15 @@ def write_neo4j_csv(
         "edges_header": edge_header,
         "array_delimiter": ARRAY_DELIMITER,
         "sep": sep,
+        # K5 parity: the admin-import invocation the driver-side dump step
+        # runs (orion/neo4j_tools.py:255-338); Spark part-files glob in
+        "import_command": (
+            "neo4j-admin database import full "
+            f"--delimiter='\\t' --array-delimiter='\\x1f' "
+            f"--nodes={out_dir}/nodes-header.csv,{out_dir}/nodes/part-.* "
+            f"--relationships={out_dir}/edges-header.csv,{out_dir}/edges/part-.* "
+            "neo4j"
+        ),
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
