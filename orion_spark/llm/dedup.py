@@ -162,6 +162,78 @@ def minhash_lsh_pairs(
     return verified
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs: every document in a
+    transitively-connected cluster maps to the cluster's minimum doc id
+    (the canonical keeper). Iterative min-label propagation — each round is
+    two joins + a groupBy; converges in O(diameter) rounds (label values
+    jump via the min, so effectively O(log n) for typical dup clusters).
+
+    This is the step that turns pairwise near-dup output into an actionable
+    keep/drop decision at corpus scale.
+    """
+    # iterative algorithms MUST truncate lineage each round or every
+    # iteration re-executes the whole upstream pipeline (here: the LSH
+    # dedup); localCheckpoint materializes and cuts the plan.
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"], "inner")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB recursive-CTE ground truth: min reachable id per node over the
+    undirected pair graph."""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, target) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.target FROM edges e JOIN reach r ON e.b = r.node)
+    SELECT node AS doc_id, MIN(target) AS cluster_id FROM reach GROUP BY node
+    """
+
+
 def minhash_signature_oracle_sql(
     k: int = 5, num_hashes: int = 16, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text",

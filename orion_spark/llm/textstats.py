@@ -32,6 +32,19 @@ def token_count(text: Column) -> Column:
     return F.size(words(text))
 
 
+# GPT2-style pretokenizer, simplified to the RE2-compatible subset (no
+# lookahead) so any engine — including the DuckDB oracle — reproduces it.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-pretokenizer-shaped token count: runs of letters, runs of digits,
+    and runs of punctuation each count separately (with their leading
+    space), approximating how a GPT-2-family tokenizer splits before BPE
+    merges. A much better LLM-cost proxy than whitespace tokens."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

@@ -1419,6 +1419,17 @@ def text_simhash_q(spark, sf_dir):
     )
 
 
+@query("dedup_clusters")
+def dedup_clusters_q(spark, sf_dir):
+    """Connected-components cluster assignment over the verified near-dup
+    pairs — turns pairwise output into keep/drop decisions."""
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
+    return DD.dedup_clusters(pairs)
+
+
 @query("dedup_simhash")
 def dedup_simhash_q(spark, sf_dir):
     from orion_spark.llm import dedup as DD
@@ -1444,6 +1455,24 @@ def text_token_counts_q(spark, sf_dir):
         "doc_id",
         TS.token_count(F.col("text")).alias("n_tokens"),
         TS.char_count(F.col("text")).alias("n_chars"),
+    )
+
+
+@query(
+    "text_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_counts_q(spark, sf_dir):
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TS.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
     )
 
 
@@ -1676,5 +1705,10 @@ from orion_spark.llm.dedup import (  # noqa: E402
 from orion_spark.llm.similarity import brute_force_topk_oracle_sql  # noqa: E402
 
 ORACLES["dedup_minhash_lsh"] = minhash_lsh_oracle_sql(k=5, threshold=0.5)
+from orion_spark.llm.dedup import dedup_clusters_oracle_sql  # noqa: E402
+
+ORACLES["dedup_clusters"] = dedup_clusters_oracle_sql(
+    minhash_lsh_oracle_sql(k=5, threshold=0.5)
+)
 ORACLES["text_minhash_signatures"] = minhash_signature_oracle_sql(k=5, num_hashes=16)
 ORACLES["ann_cosine_topk"] = brute_force_topk_oracle_sql(k=10)

@@ -133,3 +133,22 @@ def test_ivf_topk_recall_on_real_embeddings(spark):
         1 for r in ivf_partial if r.neighbor_id in exact_sets.get(r.query_id, set())
     )
     assert hits / max(len(exact), 1) > 0.5  # reasonable recall at 3/8 probes
+
+
+def test_dedup_clusters_transitive(spark):
+    """A-B and B-C pairs must land in one cluster keyed by min id, even
+    though A-C never appears as a pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world, it's 42 degrees!")]
+    )
+    out = df.select(TS.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0]
+    # hello | world | , | it | ' | s | 42 | degrees | !
+    assert out.n == 9
