@@ -586,6 +586,67 @@ def normalize_edges_split_q(spark, sf_dir):
 
 
 @query(
+    "normalize_then_merge_nodes",
+    """
+    WITH collide_map AS (
+        SELECT 'CUST:' || c_custkey AS original_id,
+               CASE WHEN c_custkey % 7 = 0 THEN 'NCLUST:' || c_nationkey
+                    ELSE 'NORM:CUST:' || c_custkey END AS nid,
+               c_name AS normalized_name
+        FROM customer),
+    normalized AS (
+        SELECT m.nid AS id, m.normalized_name AS name,
+               ['CUST:' || c.c_custkey, m.nid] AS equivalent_identifiers,
+               c.c_custkey AS ordinal
+        FROM customer c JOIN collide_map m ON 'CUST:' || c.c_custkey = m.original_id)
+    SELECT id,
+           COALESCE(
+               arg_min(name, CASE WHEN name IS NOT NULL AND name <> ''
+                                  THEN ordinal END),
+               arg_min(name, CASE WHEN name IS NOT NULL THEN ordinal END)) AS name,
+           array_to_string(
+               list_sort(list_distinct(flatten(list(equivalent_identifiers)))),
+               ',') AS equivalent_identifiers,
+           COUNT(*) AS n_merged
+    FROM normalized GROUP BY id
+    """,
+)
+def normalize_then_merge_nodes_q(spark, sf_dir):
+    """J1 + post-normalization dedup (orion/kgx_file_normalizer.py:171-174):
+    many original ids collapse onto one normalized id; the A3 merge unions
+    their equivalent-identifier sets."""
+    cust = _t(spark, sf_dir, "customer")
+    nid = F.when(
+        F.col("c_custkey") % 7 == 0,
+        F.concat(F.lit("NCLUST:"), F.col("c_nationkey")),
+    ).otherwise(F.concat(F.lit("NORM:CUST:"), F.col("c_custkey")))
+    norm_map = cust.select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("original_id"),
+        F.array(nid).alias("normalized_ids"),
+        F.col("c_name").alias("normalized_name"),
+        F.lit(None).cast("array<string>").alias("normalized_categories"),
+        F.array(F.concat(F.lit("CUST:"), F.col("c_custkey")), nid).alias(
+            "equivalent_identifiers"
+        ),
+    )
+    nodes = cust.select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("id"),
+        F.lit(None).cast("string").alias("name"),
+        F.array(F.lit("biolink:Case")).alias("category"),
+        F.col("c_custkey").alias("_source_ordinal"),
+    )
+    normalized = N.normalize_nodes(nodes, norm_map, strict=True)
+    merged = M.merge_nodes(normalized.drop("original_id", "category"))
+    counts = normalized.groupBy("id").agg(F.count("*").alias("n_merged"))
+    return merged.join(counts, "id").select(
+        "id",
+        "name",
+        F.array_join("equivalent_identifiers", ",").alias("equivalent_identifiers"),
+        "n_merged",
+    )
+
+
+@query(
     "normalize_predicates_fallback",
     f"""
     WITH {G.PREDICATE_MAP_SQL},
