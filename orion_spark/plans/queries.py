@@ -962,6 +962,47 @@ def ac_blocklist_filter_q(spark, sf_dir):
 
 
 @query(
+    "scalar_function_surface",
+    """
+    SELECT n_nationkey,
+           lower(regexp_replace(trim(n_name), '[ \\-]+', '_', 'g')) AS snake_name,
+           CASE n_nationkey + 1
+                WHEN 1 THEN 'I' WHEN 2 THEN 'II' WHEN 3 THEN 'III'
+                WHEN 4 THEN 'IV' WHEN 5 THEN 'V' WHEN 6 THEN 'VI'
+                WHEN 7 THEN 'VII' WHEN 8 THEN 'VIII' WHEN 9 THEN 'IX'
+                WHEN 10 THEN 'X' WHEN 11 THEN 'XI' WHEN 12 THEN 'XII'
+                WHEN 13 THEN 'XIII' WHEN 14 THEN 'XIV' WHEN 15 THEN 'XV'
+                WHEN 16 THEN 'XVI' WHEN 17 THEN 'XVII' WHEN 18 THEN 'XVIII'
+                WHEN 19 THEN 'XIX' WHEN 20 THEN 'XX' WHEN 21 THEN 'XXI'
+                WHEN 22 THEN 'XXII' WHEN 23 THEN 'XXIII' WHEN 24 THEN 'XXIV'
+                WHEN 25 THEN 'XXV' END AS roman,
+           split_part('NATION:' || n_nationkey, ':', 1) AS prefix,
+           round(-log10(greatest(1.0 / (n_nationkey + 2), 1e-320)), 6)
+               AS neg_log_p
+    FROM nation
+    """,
+)
+def scalar_function_surface_q(spark, sf_dir):
+    """§2.8 scalar surface: snakify, roman numerals, curie prefix, p-value
+    floor + -log10 — all as JVM column expressions."""
+    from orion_spark.functions import scalars as SC
+
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        SC.snakify(F.col("n_name")).alias("snake_name"),
+        SC.int_to_roman(F.col("n_nationkey") + 1, max_value=25).alias("roman"),
+        SC.curie_prefix(
+            F.concat(F.lit("NATION:"), F.col("n_nationkey"))
+        ).alias("prefix"),
+        F.round(
+            SC.neg_log10(SC.p_value_floor(F.lit(1.0) / (F.col("n_nationkey") + 2))),
+            6,
+        ).alias("neg_log_p"),
+    )
+
+
+@query(
     "qc_curie_prefix_counts",
     f"""
     WITH {G.NODES_SQL}
