@@ -32,7 +32,6 @@ from pyspark.sql import types as T
 
 from orion_spark.model import (
     EDGE_CORE_COLUMNS,
-    LIST_PROPERTIES,
     NODE_ID,
     OBJECT,
     QUALIFIER_COLUMNS,

@@ -25,7 +25,7 @@ import os
 from dataclasses import dataclass, field
 
 import yaml
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from orion_spark.operators.merge import (
     connected_edge_subset,
