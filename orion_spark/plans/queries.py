@@ -647,6 +647,45 @@ def normalize_then_merge_nodes_q(spark, sf_dir):
 
 
 @query(
+    "variant_gene_range_join",
+    """
+    WITH points AS (
+        SELECT 'VAR:' || o_orderkey AS variant_id,
+               CAST(o_orderkey % 5 AS INT) AS chrom,
+               CAST((o_custkey * 13) % 20000 AS BIGINT) AS pos
+        FROM orders),
+    intervals AS (
+        SELECT 'GENE:' || p_partkey AS gene_id,
+               CAST(p_partkey % 5 AS INT) AS chrom,
+               CAST((p_partkey * 97) % 20000 AS BIGINT) AS start,
+               CAST((p_partkey * 97) % 20000 + 100 AS BIGINT) AS "end"
+        FROM part)
+    SELECT p.variant_id, i.gene_id, p.chrom, p.pos
+    FROM points p JOIN intervals i
+      ON p.chrom = i.chrom AND p.pos >= i.start - 50 AND p.pos <= i."end" + 50
+    """,
+)
+def variant_gene_range_join_q(spark, sf_dir):
+    """J8 as a native operator: bin-bucketed point-in-interval join with a
+    ±50bp window (the SNPEFF ud-distance pattern)."""
+    from orion_spark.operators.range_join import point_interval_join
+
+    points = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("VAR:"), F.col("o_orderkey")).alias("variant_id"),
+        (F.col("o_orderkey") % 5).cast("int").alias("chrom"),
+        ((F.col("o_custkey") * 13) % 20000).cast("bigint").alias("pos"),
+    )
+    intervals = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("GENE:"), F.col("p_partkey")).alias("gene_id"),
+        (F.col("p_partkey") % 5).cast("int").alias("chrom"),
+        ((F.col("p_partkey") * 97) % 20000).cast("bigint").alias("start"),
+        ((F.col("p_partkey") * 97) % 20000 + 100).cast("bigint").alias("end"),
+    )
+    out = point_interval_join(points, intervals, bin_size=1000, window=50)
+    return out.select("variant_id", "gene_id", "chrom", "pos")
+
+
+@query(
     "normalize_predicates_fallback",
     f"""
     WITH {G.PREDICATE_MAP_SQL},

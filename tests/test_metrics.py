@@ -78,3 +78,29 @@ def test_qualifier_closure_edges(spark):
         ("activity_or_abundance", "changed"),
         ("activity_or_abundance", None),
     }
+
+
+def test_point_interval_join_bin_edges(spark):
+    """Range join correctness at bin boundaries: intervals spanning bins,
+    points exactly on start/end, window widening."""
+    from orion_spark.operators.range_join import point_interval_join
+
+    points = spark.createDataFrame(
+        [("p1", 1, 999), ("p2", 1, 1000), ("p3", 1, 2500), ("p4", 2, 1500)],
+        "pid string, chrom int, pos bigint",
+    )
+    intervals = spark.createDataFrame(
+        [("iv_span", 1, 900, 1100),   # spans the 1000 bin edge
+         ("iv_far", 1, 2000, 2400),   # p3 outside unless window>=100
+         ("iv_otherchrom", 2, 1400, 1600)],
+        "gid string, chrom int, start bigint, end bigint",
+    )
+    out = point_interval_join(points, intervals, bin_size=1000)
+    got = {(r.pid, r.gid) for r in out.collect()}
+    assert got == {("p1", "iv_span"), ("p2", "iv_span"), ("p4", "iv_otherchrom")}
+    widened = point_interval_join(points, intervals, bin_size=1000, window=100)
+    got_w = {(r.pid, r.gid) for r in widened.collect()}
+    assert ("p3", "iv_far") in got_w
+    # plan: must be an equi hash join on (chrom, bin), not a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
