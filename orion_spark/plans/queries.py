@@ -1801,6 +1801,43 @@ def events_sessionize_q(spark, sf_dir):
 
 
 @query(
+    "events_asof_join",
+    """
+    WITH base AS (SELECT event_id, user_id, event_type, value,
+                         epoch_us(ts) AS us FROM events),
+    views AS (SELECT event_id, user_id, us FROM base WHERE event_type = 'view'),
+    purchases AS (
+        SELECT user_id, us, arg_max(value, event_id) AS purchase_value
+        FROM base WHERE event_type = 'purchase' GROUP BY user_id, us)
+    SELECT v.event_id, v.user_id, v.us,
+           p.purchase_value AS value_asof
+    FROM views v ASOF JOIN purchases p
+      ON v.user_id = p.user_id AND v.us >= p.us
+    """,
+)
+def events_asof_join_q(spark, sf_dir):
+    """As-of join: each 'view' event gets the value of the user's most
+    recent 'purchase' at-or-before it (point-in-time state lookup)."""
+    from orion_spark.operators.asof import as_of_join
+
+    base = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    views = base.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "us"
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return as_of_join(
+        views, purchases, partition_cols=["user_id"], time_col="us",
+        value_cols=["value"],
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT event_type,

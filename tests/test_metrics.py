@@ -104,3 +104,26 @@ def test_point_interval_join_bin_edges(spark):
     # plan: must be an equi hash join on (chrom, bin), not a nested loop
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_as_of_join_semantics(spark):
+    """Most-recent-at-or-before semantics: equal timestamps match, unmatched
+    left rows drop (inner) or null (outer)."""
+    from orion_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [("L1", 1, 100), ("L2", 1, 205), ("L3", 1, 50), ("L4", 2, 100)],
+        "lid string, k int, t bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 300, 30.0)],
+        "k int, t bigint, v double",
+    )
+    out = as_of_join(left, right, ["k"], "t", ["v"])
+    got = {r.lid: r.v_asof for r in out.collect()}
+    # L1 at t=100 matches the t=100 right row (<=); L2 gets t=200's value;
+    # L3 precedes all rights -> dropped; L4's key-2 right is later -> dropped
+    assert got == {"L1": 10.0, "L2": 20.0}
+    outer = as_of_join(left, right, ["k"], "t", ["v"], inner=False)
+    got_outer = {r.lid: r.v_asof for r in outer.collect()}
+    assert got_outer["L3"] is None and got_outer["L4"] is None
