@@ -1801,6 +1801,52 @@ def events_sessionize_q(spark, sf_dir):
 
 
 @query(
+    "events_hypertable_rollup",
+    """
+    WITH base AS (SELECT event_type, value, ts FROM events),
+    rollups AS (
+        SELECT '1 minute' AS granularity,
+               strftime(time_bucket(INTERVAL '1 minute', ts),
+                        '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type, COUNT(*) AS n FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT '1 hour',
+               strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S'), event_type, COUNT(*)
+        FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT '1 day',
+               strftime(time_bucket(INTERVAL '1 day', ts),
+                        '%Y-%m-%d %H:%M:%S'), event_type, COUNT(*)
+        FROM base GROUP BY 2, 3)
+    SELECT granularity, bucket, event_type, n FROM rollups
+    """,
+)
+def events_hypertable_rollup_q(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape: the same event stream
+    rolled up at minute/hour/day granularities in one plan. Each tier is a
+    partial-aggregatable groupBy; a production continuous aggregate would
+    incrementally maintain the finest tier and re-roll coarser tiers from
+    it (exactly how the streaming foreachBatch sink composes with this)."""
+    ev = _events(spark, sf_dir)
+    tiers = []
+    for label, trunc in (("1 minute", "minute"), ("1 hour", "hour"), ("1 day", "day")):
+        tiers.append(
+            ev.groupBy(
+                F.lit(label).alias("granularity"),
+                F.date_format(F.date_trunc(trunc, "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "bucket"
+                ),
+                "event_type",
+            ).agg(F.count("*").alias("n"))
+        )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+@query(
     "events_asof_join",
     """
     WITH base AS (SELECT event_id, user_id, event_type, value,
