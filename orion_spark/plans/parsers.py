@@ -148,6 +148,84 @@ def gwas_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, Dat
 
 
 # ---------------------------------------------------------------------------
+# GOA-like: GAF 2.2 annotation file (parsers/GOA — '!' comment lines,
+# 17 fixed columns, qualifier->predicate mapping, NOT-negation drop)
+# ---------------------------------------------------------------------------
+
+GAF_COLUMNS = [
+    "db", "db_object_id", "db_object_symbol", "qualifier", "go_id",
+    "db_reference", "evidence_code", "with_from", "aspect", "db_object_name",
+    "db_object_synonym", "db_object_type", "taxon", "date", "assigned_by",
+    "annotation_extension", "gene_product_form_id",
+]
+
+GAF_QUALIFIER_PREDICATES = {
+    "enables": "biolink:enables",
+    "involved_in": "biolink:actively_involved_in",
+    "located_in": "biolink:located_in",
+    "part_of": "biolink:part_of",
+    "contributes_to": "biolink:contributes_to",
+}
+
+
+def goa_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("header", False)
+        .option("comment", "!")
+        .csv(path)
+    )
+    named = raw.select(
+        *[F.col(c).alias(GAF_COLUMNS[i]) for i, c in enumerate(raw.columns)]
+    )
+    spec = ExtractSpec(
+        subject_id=F.concat_ws(":", F.col("db"), F.col("db_object_id")),
+        object_id=F.col("go_id"),
+        predicates=[
+            predicate_remap(F.col("qualifier"), GAF_QUALIFIER_PREDICATES)
+        ],
+        subject_name=F.col("db_object_symbol"),
+        subject_categories=["biolink:Protein"],
+        object_categories=["biolink:BiologicalProcessOrActivity"],
+        edge_properties={
+            "publications": F.when(
+                F.col("db_reference").startswith("PMID:"),
+                F.array(F.col("db_reference")),
+            ),
+            "evidence_code": F.col("evidence_code"),
+        },
+        primary_knowledge_source="infores:goa",
+        # NOT-qualified annotations are negations -> dropped
+        row_filter=~F.col("qualifier").startswith("NOT"),
+    )
+    return extract(named, spec)
+
+
+# ---------------------------------------------------------------------------
+# STRING-DB-like: space-separated protein links with combined-score
+# threshold (parsers/STRING-DB — one of the RESOURCE_HOGS the reference
+# forces to disk-merge; here it's just another distributed scan)
+# ---------------------------------------------------------------------------
+
+def string_db_like(
+    spark: SparkSession, path: str, min_combined_score: int = 700
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    raw = read_tabular(spark, path, sep=" ")
+    strip_taxon = lambda c: F.substring_index(c, ".", -1)  # noqa: E731
+    spec = ExtractSpec(
+        subject_id=F.concat(F.lit("ENSEMBL:"), strip_taxon(F.col("protein1"))),
+        object_id=F.concat(F.lit("ENSEMBL:"), strip_taxon(F.col("protein2"))),
+        predicates=[F.lit("biolink:interacts_with")],
+        subject_categories=["biolink:Protein"],
+        object_categories=["biolink:Protein"],
+        edge_properties={"combined_score": F.col("combined_score")},
+        primary_knowledge_source="infores:string",
+        row_filter=F.col("combined_score") >= min_combined_score,
+    )
+    return extract(raw, spec)
+
+
+# ---------------------------------------------------------------------------
 # UberGraph-like: ontology N-Triples -> subclass edges + label nodes (S6)
 # ---------------------------------------------------------------------------
 

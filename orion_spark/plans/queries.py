@@ -1147,6 +1147,38 @@ def meta_kg_nodes_q(spark, sf_dir):
 
 
 @query(
+    "graph_two_hop_traversal",
+    f"""
+    WITH {G.ALL_EDGES_SQL}
+    SELECT n.object AS region, COUNT(*) AS n_paths,
+           CAST(COUNT(DISTINCT c.subject) AS BIGINT) AS n_customers
+    FROM edges c JOIN edges n ON c.object = n.subject
+    WHERE c.predicate = 'biolink:located_in'
+      AND n.predicate = 'biolink:part_of'
+    GROUP BY n.object
+    """,
+)
+def graph_two_hop_traversal_q(spark, sf_dir):
+    """Multi-hop traversal: customer/supplier -[located_in]-> nation
+    -[part_of]-> region; path counts + distinct origin counts per region.
+    Graph traversal = repeated self-equi-joins of the edge table; each hop
+    shuffles on the join key only (or broadcasts when the hop's frontier is
+    small, as here)."""
+    edges = G.all_edges(spark, sf_dir)
+    hop1 = edges.where(F.col("predicate") == "biolink:located_in").select(
+        F.col("subject").alias("origin"), F.col("object").alias("nation")
+    )
+    hop2 = edges.where(F.col("predicate") == "biolink:part_of").select(
+        F.col("subject").alias("nation"), F.col("object").alias("region")
+    )
+    paths = hop1.join(hop2, "nation")
+    return paths.groupBy("region").agg(
+        F.count("*").alias("n_paths"),
+        F.countDistinct("origin").alias("n_customers"),
+    )
+
+
+@query(
     "ac_adjacency",
     f"""
     WITH {G.ALL_EDGES_SQL},

@@ -103,3 +103,47 @@ def test_ubergraph_like_parser(spark, tmp_path):
     assert n["GO:0001"] == "mitotic cell cycle"
     assert n["CHEBI:99"] is None  # no label triple
     assert len(n) == 4
+
+
+GAF = """\
+!gaf-version: 2.2
+!generated-by: fixture
+UniProtKB\tP04637\tTP53\tenables\tGO:0003677\tPMID:1234\tIDA\t\tF\tCellular tumor antigen p53\t\tprotein\ttaxon:9606\t20240101\tUniProt\t\t
+UniProtKB\tP04637\tTP53\tNOT|enables\tGO:0005515\tPMID:5678\tIEA\t\tF\t\t\tprotein\ttaxon:9606\t20240101\tUniProt\t\t
+UniProtKB\tQ00987\tMDM2\tinvolved_in\tGO:0006355\tGO_REF:0000001\tIEA\t\tP\t\t\tprotein\ttaxon:9606\t20240101\tUniProt\t\t
+"""
+
+
+def test_goa_like_parser(spark, tmp_path):
+    p = tmp_path / "goa.gaf"
+    p.write_text(GAF)
+    subj, obj, edges = PP.goa_like(spark, str(p))
+    e = {r.object: r for r in edges.collect()}
+    # NOT-qualified row dropped
+    assert sorted(e) == ["GO:0003677", "GO:0006355"]
+    tp53 = e["GO:0003677"]
+    assert tp53.subject == "UniProtKB:P04637"
+    assert tp53.predicate == "biolink:enables"
+    assert tp53.publications == ["PMID:1234"]
+    mdm2 = e["GO:0006355"]
+    assert mdm2.predicate == "biolink:actively_involved_in"
+    assert mdm2.publications is None  # GO_REF is not a PMID
+
+
+STRING = """\
+protein1 protein2 combined_score
+9606.ENSP00000269305 9606.ENSP00000258149 900
+9606.ENSP00000269305 9606.ENSP00000000001 400
+"""
+
+
+def test_string_db_like_parser(spark, tmp_path):
+    p = tmp_path / "string.txt"
+    p.write_text(STRING)
+    _, _, edges = PP.string_db_like(spark, str(p), min_combined_score=700)
+    rows = edges.collect()
+    assert len(rows) == 1  # score threshold drops the 400 row
+    assert rows[0].subject == "ENSEMBL:ENSP00000269305"
+    assert rows[0].object == "ENSEMBL:ENSP00000258149"
+    assert rows[0].predicate == "biolink:interacts_with"
+    assert rows[0].combined_score == 900
