@@ -36,7 +36,8 @@ from orion_spark.model import (
 
 
 def normalize_nodes(
-    nodes: DataFrame, norm_map: DataFrame, strict: bool = True
+    nodes: DataFrame, norm_map: DataFrame, strict: bool = True,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """N1/J1 node side: replace node ids via the normalization map.
 
@@ -48,8 +49,9 @@ def normalize_nodes(
     - many->one collisions are NOT deduped here; run merge_nodes after
       (orion/kgx_file_normalizer.py:171-174).
     """
+    m = broadcast(norm_map) if broadcast_map else norm_map
     joined = nodes.join(
-        broadcast(norm_map), nodes[NODE_ID] == norm_map["original_id"], "left"
+        m, nodes[NODE_ID] == norm_map["original_id"], "left"
     )
     hit = joined["original_id"].isNotNull() & (F.size("normalized_ids") > 0)
     if strict:
@@ -105,6 +107,7 @@ def normalize_edges(
     edges: DataFrame,
     norm_map: DataFrame,
     drop_self_subclass: bool = True,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """J1+J2: re-key edges through the node-normalization map on subject and
     object; preserve originals; drop edges whose endpoint fails to normalize
@@ -117,10 +120,13 @@ def normalize_edges(
     ok_map = norm_map.where(F.size("normalized_ids") > 0).select(
         "original_id", "normalized_ids"
     )
-    smap = broadcast(ok_map.select(
+    # at 100 TB a curie map can exceed the broadcast budget; callers flip
+    # broadcast_map=False and Catalyst falls back to a shuffle hash join
+    hint = broadcast if broadcast_map else (lambda df: df)
+    smap = hint(ok_map.select(
         F.col("original_id").alias("_s_orig"), F.col("normalized_ids").alias("_s_ids")
     ))
-    omap = broadcast(ok_map.select(
+    omap = hint(ok_map.select(
         F.col("original_id").alias("_o_orig"), F.col("normalized_ids").alias("_o_ids")
     ))
     out = (

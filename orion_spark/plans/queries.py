@@ -1761,6 +1761,64 @@ def ann_lsh_topk_q(spark, sf_dir):
     return S.lsh_topk(queries_df, emb, dim=64, k=10, n_planes=8)
 
 
+_FUNNEL_STATS_SQL = """
+    stats AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   t -> t IN ('the','a','and','of','to','in')))::DOUBLE
+                   / len(string_split_regex(lower(trim(text)), '\\s+')) AS swr,
+               list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                   t -> length(t)))::DOUBLE
+                   / len(string_split_regex(trim(text), '\\s+')) AS mwl,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   t -> t IN ('the','and','of'))) AS c_en
+        FROM documents),
+    scored AS (
+        SELECT doc_id,
+               round(greatest(
+                   (least(n_tokens / 100.0, 1.0)
+                    + greatest(1.0 - abs(swr - 0.08) * 4.0, 0.0)
+                    + (1.0 - abs(mwl - 4.5) / 10.0)) / 3.0,
+                   0.0), 6) AS quality,
+               c_en > 0 AS is_en
+        FROM stats)
+"""
+
+
+@query("llm_curation_funnel")
+def llm_curation_funnel_q(spark, sf_dir):
+    """The training-data curation funnel in one plan: corpus -> quality
+    filter -> language filter -> near-dup removal, with survivor counts per
+    stage. Every stage reuses a verified operator."""
+    from orion_spark.llm import dedup as DD
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    panel = TS.text_stats(docs).select("doc_id", "quality", "lang_pred")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    staged = panel.join(
+        dropped.withColumn("_is_dup", F.lit(True)), "doc_id", "left"
+    )
+    return staged.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).alias("n_quality"),
+        F.sum(
+            F.when((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"), 1)
+            .otherwise(0)
+        ).alias("n_lang"),
+        F.sum(
+            F.when(
+                (F.col("quality") >= 0.5)
+                & (F.col("lang_pred") == "en")
+                & F.col("_is_dup").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_after_dedup"),
+    )
+
+
 # ===========================================================================
 # Event-stream analytics (batch shape of the streaming ops)
 # ===========================================================================
@@ -1961,6 +2019,20 @@ from orion_spark.llm.dedup import (  # noqa: E402
 from orion_spark.llm.similarity import brute_force_topk_oracle_sql  # noqa: E402
 
 ORACLES["dedup_minhash_lsh"] = minhash_lsh_oracle_sql(k=5, threshold=0.5)
+ORACLES["llm_curation_funnel"] = f"""
+    WITH {_FUNNEL_STATS_SQL.strip()},
+    near_pairs AS ({minhash_lsh_oracle_sql(k=5, threshold=0.5)}),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs)
+    SELECT COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality,
+           CAST(SUM(CASE WHEN quality >= 0.5 AND is_en THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN quality >= 0.5 AND is_en
+                          AND doc_id NOT IN (SELECT doc_id FROM dropped)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
+    FROM scored
+"""
 from orion_spark.llm.dedup import dedup_clusters_oracle_sql  # noqa: E402
 
 ORACLES["dedup_clusters"] = dedup_clusters_oracle_sql(
