@@ -376,3 +376,80 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity:
+    (id_a, id_b, cosine) with id_a < id_b and round(cosine, 6) >= threshold.
+
+    Semantic-dedup complement to the lexical family (minhash/simhash):
+    paraphrased or re-encoded duplicates share no shingles but sit at
+    cosine ~1 in embedding space.
+
+    n_planes == 0 runs the exact all-pairs scan (the ground-truth baseline;
+    O(n^2), validation scale only). n_planes > 0 blocks candidates with the
+    same deterministic random-hyperplane signature (`dim` required) before
+    the identical exact verify — the 100 TB path: the self-join runs
+    per-bucket (shuffle on the signature key) instead of as a cross join,
+    and two vectors at cosine >= t collide with probability
+    (1 - arccos(t)/pi)^n_planes per signature. The dot product is a
+    JVM-side zip_with + sequential fold (identical summation order to the
+    DuckDB oracle -> bit-identical doubles, same trick as brute_force_topk).
+    """
+    from orion_spark.llm.similarity import cosine, hyperplane_signature
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("dim is required when n_planes > 0")
+        base = base.withColumn(
+            "_sig", hyperplane_signature(F.col("_v"), dim, n_planes)
+        )
+        left, right = base.alias("l"), base.alias("r")
+        cand = left.join(
+            right,
+            (F.col("l._sig") == F.col("r._sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+    else:
+        left, right = base.alias("l"), base.alias("r")
+        cand = left.join(right, F.col("l._id") < F.col("r._id"))
+    return (
+        cand.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_oracle_sql(
+    threshold: float, table: str = "embeddings"
+) -> str:
+    """DuckDB equivalent of the exact variant (identical fold order,
+    rounding, and tie direction)."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM {table}),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                   list_sum([a.ev[i] * b.ev[i] for i in range(1, len(a.ev) + 1)]) /
+                   (sqrt(list_sum([a.ev[i] * a.ev[i] for i in range(1, len(a.ev) + 1)])) *
+                    sqrt(list_sum([b.ev[i] * b.ev[i] for i in range(1, len(b.ev) + 1)]))),
+                   6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+    """

@@ -1611,6 +1611,19 @@ def dedup_simhash_q(spark, sf_dir):
     return DD.simhash_near_pairs(docs, max_hamming=8)
 
 
+@query("dedup_embedding_cosine")
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact variant — the
+    ground-truth baseline the LSH-blocked scale path is validated
+    against). Threshold 0.4 because the synthetic embeddings carry no
+    injected near-dups (max pairwise cosine ~0.5-0.6); real corpora run
+    this at ~0.95."""
+    from orion_spark.llm import dedup as DD
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
 @query(
     "text_token_counts",
     """
@@ -2013,12 +2026,14 @@ def ac_backlinks_q(spark, sf_dir):
 
 # oracles generated from the same constants as the Spark implementations
 from orion_spark.llm.dedup import (  # noqa: E402
+    embedding_near_dup_oracle_sql,
     minhash_lsh_oracle_sql,
     minhash_signature_oracle_sql,
 )
 from orion_spark.llm.similarity import brute_force_topk_oracle_sql  # noqa: E402
 
 ORACLES["dedup_minhash_lsh"] = minhash_lsh_oracle_sql(k=5, threshold=0.5)
+ORACLES["dedup_embedding_cosine"] = embedding_near_dup_oracle_sql(threshold=0.4)
 ORACLES["llm_curation_funnel"] = f"""
     WITH {_FUNNEL_STATS_SQL.strip()},
     near_pairs AS ({minhash_lsh_oracle_sql(k=5, threshold=0.5)}),

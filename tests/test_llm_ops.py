@@ -152,3 +152,38 @@ def test_bpe_ish_token_count(spark):
     out = df.select(TS.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0]
     # hello | world | , | it | ' | s | 42 | degrees | !
     assert out.n == 9
+
+
+def _emb(spark):
+    # two tight clusters of near-identical vectors + two isolated randoms;
+    # fixed values so the md5-derived hyperplanes give a deterministic test
+    base_a = [1.0, 0.5, -0.3, 0.8]
+    base_b = [-0.9, 0.2, 0.7, -0.1]
+    rows = [
+        Row(vec_id=1, embedding=base_a),
+        Row(vec_id=2, embedding=[x + 0.001 for x in base_a]),
+        Row(vec_id=3, embedding=[x - 0.002 for x in base_a]),
+        Row(vec_id=4, embedding=base_b),
+        Row(vec_id=5, embedding=[x + 0.001 for x in base_b]),
+        Row(vec_id=6, embedding=[0.1, -0.9, 0.4, 0.2]),
+        Row(vec_id=7, embedding=[0.6, 0.6, 0.6, -0.9]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_embedding_near_dup_exact(spark):
+    pairs = DD.embedding_near_dup_pairs(_emb(spark), threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_embedding_near_dup_lsh_blocked_matches_exact(spark):
+    # near-identical vectors land in the same hyperplane bucket, so the
+    # blocked scale path recovers exactly the exact-scan pairs here
+    exact = DD.embedding_near_dup_pairs(_emb(spark), threshold=0.999)
+    blocked = DD.embedding_near_dup_pairs(
+        _emb(spark), threshold=0.999, n_planes=8, dim=4
+    )
+    assert {(r.id_a, r.id_b, r.cosine) for r in blocked.collect()} == {
+        (r.id_a, r.id_b, r.cosine) for r in exact.collect()
+    }
