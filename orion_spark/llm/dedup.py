@@ -378,6 +378,45 @@ def simhash_near_pairs(
     ).select("doc_a", "doc_b", "hamming")
 
 
+def simhash_pairs_oracle_sql(
+    max_hamming: int = 8, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB ground truth for simhash_near_pairs: recompute the 60-bit
+    signatures (bit-exact, same md5-prefix word hashes), then emit every
+    pair that shares >=1 of the four 15-bit chunks AND is within
+    max_hamming. This is exactly the operator's candidate+verify contract,
+    so the blocked Spark output must equal it row-for-row."""
+    chunk_match = " OR ".join(
+        f"((a.sh >> {15 * c}) & 32767) = ((b.sh >> {15 * c}) & 32767)"
+        for c in range(4)
+    )
+    return rf"""
+    WITH w AS (
+        SELECT {id_col} AS doc_id,
+               [('0x' || substr(md5(x), 1, 15))::BIGINT
+                for x in string_split_regex(lower(trim({text_col})), '\s+')] AS hs
+        FROM {table}),
+    b AS (
+        SELECT doc_id,
+               [list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                          for h in hs])
+                for j in range(0, {SIMHASH_BITS})] AS bits
+        FROM w),
+    s AS (
+        SELECT doc_id,
+               CAST(list_sum([CASE WHEN bits[j + 1] > 0 THEN (1::BIGINT << j)
+                                   ELSE 0::BIGINT END
+                              for j in range(0, {SIMHASH_BITS})]) AS BIGINT) AS sh
+        FROM b)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE ({chunk_match})
+      AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -36,20 +36,6 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for a real decoder: derives pseudo
-    width/height/pixel-sum from the bytes. Replace with PIL/torchvision when
-    the libraries exist."""
-    if payload is None or len(payload) == 0:
-        raise NotImplementedError("real decode requires an image library")
-    n = len(payload)
-    return {
-        "width": 1 + payload[0] % 64,
-        "height": 1 + payload[min(1, n - 1)] % 64,
-        "pixel_sum": sum(payload[:64]),
-    }
-
-
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -65,6 +51,23 @@ def decode_features(
             "run with decode_stub=True"
         )
     out_schema = f"{id_col} bigint, width int, height int, pixel_sum bigint"
+
+    # the decoder lives INSIDE the closure: everything mapInPandas ships to
+    # executors must be pickled by value — a reference to a module-level
+    # function would require `orion_spark` to be importable on every worker,
+    # which the external driver's session does not guarantee
+    def _fake_decode(payload: bytes) -> dict:
+        """Deterministic stand-in for a real decoder: derives pseudo
+        width/height/pixel-sum from the bytes. Replace with PIL/torchvision
+        when the libraries exist."""
+        if payload is None or len(payload) == 0:
+            raise NotImplementedError("real decode requires an image library")
+        n = len(payload)
+        return {
+            "width": 1 + payload[0] % 64,
+            "height": 1 + payload[min(1, n - 1)] % 64,
+            "pixel_sum": sum(payload[:64]),
+        }
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

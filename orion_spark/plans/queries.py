@@ -1605,10 +1605,70 @@ def dedup_clusters_q(spark, sf_dir):
 
 @query("dedup_simhash")
 def dedup_simhash_q(spark, sf_dir):
+    """SimHash near-dup pairs, 15-bit-chunk blocked. Oracle (registered at
+    module bottom) recomputes signatures + the exact candidate/verify
+    contract in DuckDB, so this is fully hash-checked, not rows-only."""
     from orion_spark.llm import dedup as DD
 
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(docs, max_hamming=8)
+
+
+@query(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_key,
+           1 + unicode(substr(text, 1, 1)) % 64 AS width,
+           1 + unicode(substr(text, CASE WHEN length(text) >= 2 THEN 2 ELSE 1 END, 1))
+               % 64 AS height,
+           CAST(list_sum([unicode(substr(text, i, 1))
+                          for i in range(1, least(length(text), 64) + 1)])
+                AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_decode_features_q(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents' text re-encoded as an
+    opaque BINARY payload column (stand-in for image bytes), cheap
+    metadata (byte length + md5 content key) as pushdown-able columns, then
+    the Arrow-batched mapInPandas decode stage with the deterministic stub
+    decoder. The DuckDB oracle recomputes the stub math over the same utf-8
+    bytes, so the batching/schema plumbing is hash-verified, not rows-only
+    (reference has no multimodal surface; north-star extension)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    media = MM.attach_media_metadata(media)
+    feats = MM.decode_features(media)
+    return media.select("media_id", "n_bytes", "content_key").join(feats, "media_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id, f * 1000 AS frame_ts_ms
+    FROM documents, unnest(range(0, n_chars * 40 // 1000 + 1)) AS t(f)
+    """,
+)
+def multimodal_frame_sample_q(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled timestamp, exploded
+    from a duration column BEFORE any decoder runs (so the decode stage is
+    sized by frames, not videos). Duration synthesized deterministically
+    from n_chars (40 ms per char)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 40).cast("int").alias("duration_ms"),
+    )
+    return MM.frame_sample_plan(media, every_ms=1000)
 
 
 @query("dedup_embedding_cosine")
@@ -2055,3 +2115,7 @@ ORACLES["dedup_clusters"] = dedup_clusters_oracle_sql(
 )
 ORACLES["text_minhash_signatures"] = minhash_signature_oracle_sql(k=5, num_hashes=16)
 ORACLES["ann_cosine_topk"] = brute_force_topk_oracle_sql(k=10)
+
+from orion_spark.llm.dedup import simhash_pairs_oracle_sql  # noqa: E402
+
+ORACLES["dedup_simhash"] = simhash_pairs_oracle_sql(max_hamming=8)
