@@ -125,10 +125,14 @@ def _merge_expr(name: str, dtype: T.DataType, ordinal: Column) -> Column:
         # all-null group -> null, not [] (absent property stays absent)
         return F.when(F.size(merged) > 0, merged).alias(name)
     # scalar: first truthy by explicit source order; if none truthy, first
-    # non-null (so a group of all-zero values still yields a value).
-    first_truthy = F.min_by(col, F.when(_truthy(col, dtype), ordinal))
-    first_nonnull = F.min_by(col, F.when(col.isNotNull(), ordinal))
-    return F.coalesce(first_truthy, first_nonnull).alias(name)
+    # non-null (so a group of all-zero values still yields a value). ONE
+    # aggregate: lexicographic arg-min over (not_truthy, ordinal) — null
+    # values are excluded entirely because min_by skips null orderings.
+    not_truthy = F.when(_truthy(col, dtype), F.lit(0)).otherwise(F.lit(1))
+    order = F.when(
+        col.isNotNull(), F.struct(not_truthy.alias("t"), ordinal.alias("o"))
+    )
+    return F.min_by(col, order).alias(name)
 
 
 def merge_properties_agg(
@@ -158,30 +162,40 @@ def merge_nodes(df: DataFrame, ordinal_col: str = SOURCE_ORDINAL) -> DataFrame:
     return merge_properties_agg(df, [NODE_ID], ordinal_col)
 
 
+def _edge_group_cols(
+    df: DataFrame, edge_merging_attributes: list[str] | None
+) -> list[str]:
+    """The natural grouping columns the merge key is a pure function of."""
+    group_cols = [c for c in EDGE_CORE_COLUMNS if c in df.columns]
+    group_cols += [q for q in QUALIFIER_COLUMNS if q in df.columns]
+    group_cols += [a for a in (edge_merging_attributes or []) if a in df.columns]
+    seen: set[str] = set()
+    return [c for c in group_cols if not (c in seen or seen.add(c))]
+
+
 def merge_edges(
     df: DataFrame,
     edge_merging_attributes: list[str] | None = None,
     assign_id: bool = True,
     ordinal_col: str = SOURCE_ORDINAL,
 ) -> DataFrame:
-    """A3/A5/A6: edge merge — key by the canonical hash, group, fold
-    properties, optionally assign ``id`` = merge key (orion/merging.py:280-296).
+    """A3/A5/A6: edge merge — group by the natural key columns, fold
+    properties, optionally assign ``id`` = the canonical merge-key hash
+    (orion/merging.py:280-296).
 
-    The grouping carries the human-readable key fields alongside the hash so
-    the output keeps subject/predicate/object/pks without re-joining.
+    The hash is a pure function of the grouping columns, so it is computed
+    AFTER the aggregate: one md5 per merged group instead of one per input
+    row, and the shuffle carries no redundant 32-char key column. Grouping
+    by the raw columns instead of the hash also removes any (vanishing)
+    md5-collision merge risk.
     """
-    key = edge_merge_key(df, edge_merging_attributes)
-    keyed = df.withColumn("_merge_key", key)
-    group_cols = ["_merge_key"] + [c for c in EDGE_CORE_COLUMNS if c in df.columns]
-    group_cols += [q for q in QUALIFIER_COLUMNS if q in df.columns]
-    group_cols += [a for a in (edge_merging_attributes or []) if a in df.columns]
-    # dedupe group cols, preserve order
-    seen: set[str] = set()
-    group_cols = [c for c in group_cols if not (c in seen or seen.add(c))]
-    merged = merge_properties_agg(keyed, group_cols, ordinal_col)
+    group_cols = _edge_group_cols(df, edge_merging_attributes)
+    merged = merge_properties_agg(df, group_cols, ordinal_col)
     if assign_id:
-        merged = merged.withColumn("id", F.col("_merge_key"))
-    return merged.drop("_merge_key")
+        merged = merged.withColumn(
+            "id", edge_merge_key(merged, edge_merging_attributes)
+        )
+    return merged
 
 
 def pre_merge_id_mapping(
@@ -189,14 +203,17 @@ def pre_merge_id_mapping(
 ) -> DataFrame:
     """A6: map merge-key -> original edge ids for groups that actually merged
     (>1 member), mirroring the pre/post-merge id mapping file
-    (orion/merging.py:534-558)."""
-    key = edge_merge_key(df, edge_merging_attributes)
-    return (
-        df.withColumn("_merge_key", key)
-        .groupBy("_merge_key")
+    (orion/merging.py:534-558). Same post-aggregate key computation as
+    merge_edges."""
+    group_cols = _edge_group_cols(df, edge_merging_attributes)
+    grouped = (
+        df.groupBy(*group_cols)
         .agg(F.array_sort(F.collect_list(F.col(original_id_col))).alias("original_ids"))
         .where(F.size("original_ids") > 1)
-        .select(F.col("_merge_key").alias("merged_id"), "original_ids")
+    )
+    return grouped.select(
+        edge_merge_key(grouped, edge_merging_attributes).alias("merged_id"),
+        "original_ids",
     )
 
 
