@@ -70,3 +70,30 @@ def test_text_ops_no_python_udf(spark, name):
 def test_ann_brute_force_broadcasts_queries(spark):
     plan = _plan(spark, "ann_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q7_star_join_all_broadcast(spark):
+    """The 5-way nation-volume star join must broadcast every dimension —
+    the lineitem fact reaches the aggregate without a join shuffle."""
+    plan = _plan(spark, "tpch_q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    # the date filter must reach the orders parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q22_not_exists_becomes_anti_join(spark):
+    plan = _plan(spark, "tpch_q22_sales_opportunity")
+    assert "LeftAnti" in plan
+
+
+def test_q10_topk_is_takeordered(spark):
+    """Deterministic top-20 must compile to TakeOrderedAndProject (per
+    partition top-k + merge), not a global sort."""
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
