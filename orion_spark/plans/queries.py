@@ -1362,6 +1362,27 @@ def graph_top_degree_nodes_q(spark, sf_dir):
     return deg.orderBy(F.desc("degree"), F.asc("id")).limit(20)
 
 
+from orion_spark.operators.graphalgo import pagerank_oracle_sql  # noqa: E402
+
+
+@query(
+    "graph_pagerank",
+    pagerank_oracle_sql(G.ALL_EDGES_SQL, iterations=3),
+)
+def graph_pagerank_q(spark, sf_dir):
+    """Fixed-iteration PageRank over the full heterogeneous edge table —
+    the iterative-algorithm surface (per-round join + aggregate with
+    lineage truncation). Oracle: the identical recurrence unrolled as
+    chained DuckDB CTEs; values rounded to 9 digits (magnitudes ~1/N)."""
+    from orion_spark.operators.graphalgo import pagerank
+
+    edges = G.all_edges(spark, sf_dir).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.select("id", F.round("pr", 9).alias("pagerank"))
+
+
 # ===========================================================================
 # QC / meta-KG analytics (A7-A11, J6)
 # ===========================================================================

@@ -1,0 +1,30 @@
+"""Iterative graph-algorithm tests (operators/graphalgo.py)."""
+
+import pytest
+from pyspark.sql import Row
+
+from orion_spark.operators.graphalgo import pagerank
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    """A 2-cycle is symmetric: pr stays exactly 1/2 per node at every
+    iteration ((1-d)/2 + d*(1/2) = 1/2)."""
+    edges = spark.createDataFrame([Row(src="A", dst="B"), Row(src="B", dst="A")])
+    out = {r.id: r.pr for r in pagerank(edges, iterations=4).collect()}
+    assert out["A"] == pytest.approx(0.5, abs=1e-12)
+    assert out["B"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_star_sink_accumulates(spark):
+    """Star A,B,C -> D: after one iteration the sink holds
+    (1-d)/4 + d * 3/4; the leaves hold (1-d)/4 (no in-edges)."""
+    edges = spark.createDataFrame(
+        [Row(src="A", dst="D"), Row(src="B", dst="D"), Row(src="C", dst="D")]
+    )
+    out = {r.id: r.pr for r in pagerank(edges, iterations=1, damping=0.85).collect()}
+    leaf = 0.15 / 4
+    assert out["A"] == pytest.approx(leaf, abs=1e-12)
+    assert out["D"] == pytest.approx(leaf + 0.85 * 0.75, abs=1e-12)
+    # total mass shrinks only by the dangling-sink leak (documented
+    # simplification) — every node still gets the base term
+    assert all(v >= leaf - 1e-12 for v in out.values())
