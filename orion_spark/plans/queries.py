@@ -2505,6 +2505,112 @@ def ac_backlinks_q(spark, sf_dir):
     return A.backlinks(G.all_edges(spark, sf_dir), G.nodes_df(spark, sf_dir))
 
 
+@query(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles_q(spark, sf_dir):
+    """Exact linear-interpolation percentiles (R6 family): Spark
+    `percentile` and DuckDB `quantile_cont` share the (n-1)*p
+    interpolation, so values hash-match bit-for-bit with no rounding.
+    At 100 TB swap in approx_percentile (t-digest) — same call shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@query(
+    "events_type_pivot",
+    """
+    SELECT user_id % 50 AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id % 50
+    """,
+)
+def events_type_pivot_q(spark, sf_dir):
+    """PIVOT surface: long->wide with an explicit value list (the listed
+    types keep the pivot a single pass — an unlisted-values pivot needs a
+    distinct-scan first, which at 100 TB should be a dictionary lookup)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select((F.col("user_id") % 50).alias("user_bucket"), "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@query(
+    "qc_cube_counts",
+    f"""
+    WITH {G.NODES_SQL}, {G.ALL_EDGES_SQL},
+    cat AS (SELECT id, category[1] AS cat FROM nodes),
+    typed AS (
+        SELECT s.cat AS subject_category, e.predicate
+        FROM edges e JOIN cat s ON e.subject = s.id)
+    SELECT COALESCE(subject_category, '<all>') AS subject_category,
+           COALESCE(predicate, '<all>') AS predicate,
+           COUNT(*) AS n
+    FROM typed GROUP BY CUBE (subject_category, predicate)
+    """,
+)
+def qc_cube_counts_q(spark, sf_dir):
+    """Full CUBE grouping sets (all four margins) over the typed edge set —
+    one pass, partial-aggregatable, instead of four separate groupBys."""
+    nodes = G.nodes_df(spark, sf_dir)
+    edges = G.all_edges(spark, sf_dir)
+    cat = nodes.select(
+        F.col("id").alias("_cid"), F.col("category").getItem(0).alias("subject_category")
+    )
+    typed = edges.join(cat, edges["subject"] == F.col("_cid"), "inner")
+    return (
+        typed.cube("subject_category", "predicate")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("subject_category", F.lit("<all>")).alias("subject_category"),
+            F.coalesce("predicate", F.lit("<all>")).alias("predicate"),
+            "n",
+        )
+    )
+
+
+@query(
+    "lineitem_deterministic_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 4))::INT
+          % 20 = 0
+    """,
+)
+def lineitem_deterministic_sample_q(spark, sf_dir):
+    """R5 sampling as a first-class reproducible operator: hash-mod row
+    selection (~5%) is stable across engines, runs, and partitionings —
+    unlike TABLESAMPLE, whose selection is engine-private. This is how a
+    100 TB pipeline cuts QC/validation subsets that two systems can agree
+    on."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 20
+    return li.where(bucket == 0).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 # oracles generated from the same constants as the Spark implementations
 from orion_spark.llm.dedup import (  # noqa: E402
     embedding_near_dup_oracle_sql,
