@@ -23,6 +23,8 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q3_shipping_priority",
     "tpch_q5_nation_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
     "window_topk_parts_by_brand",
     "kgx_merge_nodes",
     "kgx_merge_edges",
@@ -37,6 +39,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_value_percentiles",
     "full_pipeline_counts",
 ]
 
@@ -73,6 +76,10 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass
+        # drop anything the warmup persisted: measured runs must not reuse
+        # warm-scale cached data (they couldn't anyway — different paths —
+        # but keep the measurement surface unambiguous)
+        spark.catalog.clearCache()
     for name in names:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
