@@ -128,6 +128,16 @@ def cmd_qc(args) -> int:
     return 0
 
 
+def cmd_publish(args) -> int:
+    from orion_spark.plans.pipeline import publish_graph
+
+    release, release_dir = publish_graph(
+        args.storage, args.graph_id, args.build_version, bump=args.bump
+    )
+    print(json.dumps({"release": release, "dir": release_dir}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -174,6 +184,13 @@ def main(argv: list[str] | None = None) -> int:
     qc.add_argument("--bundle", required=True)
     qc.add_argument("--out", required=True)
     qc.set_defaults(fn=cmd_qc)
+
+    pub = sub.add_parser("publish")
+    pub.add_argument("--storage", required=True)
+    pub.add_argument("--graph-id", required=True)
+    pub.add_argument("--build-version", required=True)
+    pub.add_argument("--bump", default="minor")
+    pub.set_defaults(fn=cmd_publish)
 
     args = p.parse_args(argv)
     return args.fn(args)

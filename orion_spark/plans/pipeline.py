@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 from dataclasses import dataclass, field
 
 import yaml
@@ -271,3 +272,49 @@ def build_graph(
     with open(done_marker, "w") as fh:
         fh.write(spec.build_version)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Publish (§3.3: orion/cli/publish_graphs.py:117-143; staged atomic copy
+# 55-95) — promote a completed build dir to a release-semver dir
+# ---------------------------------------------------------------------------
+
+def publish_graph(
+    storage: str, graph_id: str, build_version: str, bump: str = "minor"
+) -> tuple[str, str]:
+    """Promote `{storage}/graphs/{graph_id}/{build_version}` to
+    `{storage}/releases/{graph_id}/{release}`:
+
+    - the release semver comes from `select_release_version` — a
+      build_version already published re-returns its existing release
+      (publishing is idempotent, like the reference's rebuild skip)
+    - the copy is staged into a dot-prefixed temp dir and promoted with an
+      atomic rename, so readers never observe a half-copied release
+    - `releases.json` maps release -> build_version (the registry the
+      version selector consults)
+
+    Returns (release_version, release_dir).
+    """
+    build_dir = os.path.join(storage, "graphs", graph_id, build_version)
+    if not os.path.exists(os.path.join(build_dir, "_BUILD_COMPLETE")):
+        raise FileNotFoundError(f"no completed build at {build_dir}")
+    releases_dir = os.path.join(storage, "releases", graph_id)
+    os.makedirs(releases_dir, exist_ok=True)
+    index_path = os.path.join(releases_dir, "releases.json")
+    index: dict[str, str] = {}
+    if os.path.exists(index_path):
+        with open(index_path) as fh:
+            index = json.load(fh)
+    release = select_release_version(build_version, index, bump=bump)
+    release_dir = os.path.join(releases_dir, release)
+    if os.path.exists(release_dir):
+        return release, release_dir
+    staging = os.path.join(releases_dir, f".staging_{release}")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    shutil.copytree(build_dir, staging)
+    os.rename(staging, release_dir)
+    index[release] = build_version
+    with open(index_path, "w") as fh:
+        json.dump(index, fh, indent=2)
+    return release, release_dir

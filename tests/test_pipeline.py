@@ -152,3 +152,35 @@ def test_bump_semver():
     assert P.bump_semver("1.2.3", "major") == "2.0.0"
     assert P.bump_semver("1.2.3", "minor") == "1.3.0"
     assert P.bump_semver("1.2.3", "patch") == "1.2.4"
+
+
+def test_publish_graph(spark, tmp_path):
+    spec = P.parse_graph_spec(SPEC_YAML)[0]
+    bundles = _sources(spark, tmp_path)
+    storage = str(tmp_path / "storage")
+    P.build_graph(spark, spec, bundles, storage)
+
+    rel, rel_dir = P.publish_graph(storage, spec.graph_id, spec.build_version)
+    assert rel == "1.0.0"
+    assert os.path.exists(os.path.join(rel_dir, "_BUILD_COMPLETE"))
+    assert os.path.exists(os.path.join(rel_dir, "graph-metadata.json"))
+    # no staging leftovers
+    releases_dir = os.path.dirname(rel_dir)
+    assert not [d for d in os.listdir(releases_dir) if d.startswith(".staging")]
+    # publishing the same build again is an idempotent no-op
+    rel2, rel_dir2 = P.publish_graph(storage, spec.graph_id, spec.build_version)
+    assert (rel2, rel_dir2) == (rel, rel_dir)
+    index = json.load(open(os.path.join(releases_dir, "releases.json")))
+    assert index == {"1.0.0": spec.build_version}
+    # a different build of the same graph gets the next semver
+    spec.sources[0].parsing_version = "2.0"
+    P.build_graph(spark, spec, bundles, storage)
+    rel3, _ = P.publish_graph(storage, spec.graph_id, spec.build_version)
+    assert rel3 == "1.1.0"
+
+
+def test_publish_requires_completed_build(tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        P.publish_graph(str(tmp_path), "nope", "deadbeef")
