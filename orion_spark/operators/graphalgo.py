@@ -21,6 +21,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank (simplified: dangling mass is not
     redistributed, matching the plain SQL formulation so the DuckDB oracle
@@ -46,19 +47,21 @@ def pagerank(
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     base = F.lit((1.0 - damping) / n)
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = graph.join(pr, graph["_src"] == pr["id"]).select(
             F.col("_dst").alias("id"), (F.col("pr") / F.col("_outdeg")).alias("_c")
         )
         summed = contrib.groupBy("id").agg(F.sum("_c").alias("_s"))
-        pr = (
-            nodes.join(summed, "id", "left")
-            .select(
-                "id",
-                (base + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+        pr = nodes.join(summed, "id", "left").select(
+            "id",
+            (base + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))).alias("pr"),
         )
+        # checkpoint periodically, not per round: a short fixed-iteration run
+        # with one terminal action executes the whole DAG in a single pass,
+        # and eager per-round materialization would only add overhead. Deep
+        # loops still need truncation or the plan grows without bound.
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 
