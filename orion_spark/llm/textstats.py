@@ -131,3 +131,39 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TF-IDF top-k terms per document: (doc_id, word, tfidf, rk).
+
+    tfidf = tf * ln(N / df); ties broken lexicographically so the ranking
+    is a total order (the score itself is bit-deterministic: integer tf/df
+    through one IEEE ln + multiply).
+
+    Scale shape: one explode + two partial-aggregatable groupBys; the
+    document-frequency table (distinct vocabulary) broadcasts back onto the
+    term-frequency table, and the corpus size joins as a broadcast scalar —
+    the per-(doc,word) table never shuffles twice.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                   .alias("word"))
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    win = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("word"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(n_docs))
+        .withColumn("_score", score)
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "word", F.round("_score", 6).alias("tfidf"), "rk")
+    )

@@ -2589,6 +2589,36 @@ def qc_cube_counts_q(spark, sf_dir):
 
 
 @query(
+    "text_tfidf_top_terms",
+    r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.word,
+               round(t.tf * ln((SELECT n_docs FROM n)::DOUBLE / d.df), 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * ln((SELECT n_docs FROM n)::DOUBLE / d.df) DESC,
+                            t.word) AS rk
+        FROM tf t JOIN df d USING (word))
+    SELECT doc_id, word, tfidf, rk FROM scored WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms_q(spark, sf_dir):
+    """TF-IDF top-3 terms per document — corpus-relative term weighting on
+    top of the token pipeline (explode + two aggregates + broadcast join);
+    integer tf/df through one IEEE ln keeps scores bit-deterministic."""
+    from orion_spark.llm.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
     "lineitem_deterministic_sample",
     """
     SELECT l_orderkey, l_linenumber, l_quantity
