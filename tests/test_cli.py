@@ -68,3 +68,17 @@ def test_cli_neo4j_csv(spark, tmp_path):
     assert cli.main(["neo4j-csv", "--bundle", bundle, "--out", out]) == 0
     assert os.path.exists(os.path.join(out, "nodes-header.csv"))
     assert os.path.exists(os.path.join(out, "manifest.json"))
+
+
+def test_cli_publish(spark, tmp_path, capsys):
+    # lay a completed build where publish expects it
+    storage = str(tmp_path / "storage")
+    build_dir = os.path.join(storage, "graphs", "g1", "cafebabe")
+    _bundle(spark, build_dir)
+    with open(os.path.join(build_dir, "_BUILD_COMPLETE"), "w") as fh:
+        fh.write("cafebabe")
+    assert cli.main(["publish", "--storage", storage, "--graph-id", "g1",
+                     "--build-version", "cafebabe"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["release"] == "1.0.0"
+    assert os.path.exists(os.path.join(out["dir"], "_BUILD_COMPLETE"))
