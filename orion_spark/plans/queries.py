@@ -2589,6 +2589,63 @@ def qc_cube_counts_q(spark, sf_dir):
 
 
 @query(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct([array_to_string(w[i:i+1], ' ')
+                              for i in range(1, len(w))]) AS gr
+        FROM (SELECT doc_id, lang,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents)
+        WHERE len(w) >= 2)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.gr, b.gr))::DOUBLE /
+                 len(list_distinct(a.gr || b.gr)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.gr, b.gr))::DOUBLE /
+          len(list_distinct(a.gr || b.gr)) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Standalone n-gram Jaccard near-dup (word bigrams, exact set overlap)
+    with metadata blocking: candidate pairs are generated within `lang`
+    blocks — the cheap pre-LSH blocker when a grouping attribute exists —
+    then verified with the exact JVM-side array intersection. The same
+    verify expression is the final stage of minhash_lsh_pairs."""
+    from orion_spark.llm.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(parallelism)
+        .select(
+            F.col("doc_id").alias("_id"),
+            F.col("lang").alias("_lang"),
+            word_shingles(F.col("text"), 2).alias("_gr"),
+        )
+        .where(F.size("_gr") > 0)
+        .persist()
+    )
+    pairs = sh.alias("a").join(
+        sh.alias("b"),
+        (F.col("a._lang") == F.col("b._lang")) & (F.col("a._id") < F.col("b._id")),
+    )
+    jac = F.size(F.array_intersect("a._gr", "b._gr")).cast("double") / F.size(
+        F.array_union("a._gr", "b._gr")
+    )
+    return (
+        pairs.withColumn("_j", jac)
+        .where(F.col("_j") >= 0.3)
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.round("_j", 6).alias("jaccard"),
+        )
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     r"""
     WITH words AS (
