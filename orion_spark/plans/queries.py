@@ -2676,6 +2676,43 @@ def text_tfidf_top_terms_q(spark, sf_dir):
 
 
 @query(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort, (epoch(a.wk) - epoch(f.cohort)) / 604800
+    """,
+)
+def events_cohort_retention_q(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen week x weeks-since
+    activity — the standard warehouse triangle (two aggregates + one join
+    on user_id; the firsts side is |users| and broadcasts at any scale
+    where users << events)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    joined = activity.join(F.broadcast(firsts), "user_id")
+    offset = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+    ).cast("bigint")
+    return joined.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        offset.alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query(
     "lineitem_deterministic_sample",
     """
     SELECT l_orderkey, l_linenumber, l_quantity
