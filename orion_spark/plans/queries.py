@@ -2770,3 +2770,375 @@ ORACLES["ann_cosine_topk"] = brute_force_topk_oracle_sql(k=10)
 from orion_spark.llm.dedup import simhash_pairs_oracle_sql  # noqa: E402
 
 ORACLES["dedup_simhash"] = simhash_pairs_oracle_sql(max_hamming=8)
+
+
+# ===========================================================================
+# TPC-H shapes q2/q8/q9/q11/q20/q21 adapted to the available columns
+# (no partsupp table, no commit/receipt dates — lineitem stands in for
+# partsupp as in tpch_q16; l_returnflag='R' stands in for "late").
+# ===========================================================================
+
+@query(
+    "tpch_q2_best_supplier",
+    """
+    WITH offers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+               n.n_name,
+               ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY s.s_acctbal DESC, s.s_suppkey)
+                   AS rn
+        FROM offers o
+        JOIN part p ON o.l_partkey = p.p_partkey
+        JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_type = 'ECONOMY' AND p.p_size IN (5, 10, 15))
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           CAST(s_acctbal AS DOUBLE) AS acctbal, n_name
+    FROM ranked WHERE rn = 1
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Min-cost-supplier correlated subquery (q2 shape): argmin-per-part as
+    a rank-1 window over a deterministic total order (acctbal DESC, suppkey
+    — exact values, no float threshold). lineitem stands in for partsupp;
+    the part filter broadcasts into the distinct offer list."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "ECONOMY") & F.col("p_size").isin(5, 10, 15))
+        .select("p_partkey", "p_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cand = offers.join(
+        F.broadcast(s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("s_acctbal").cast("double").alias("acctbal"), "n_name",
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_7'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                               * (CAST(1 AS DECIMAL(3,2))
+                                  - CAST(l.l_discount AS DECIMAL(3,2)))
+                          ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l.l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """National market share (q8 shape): 7-way star join — every dimension
+    broadcasts, lineitem never shuffles until the final per-year aggregate.
+    Share = conditional decimal sum / total decimal sum, divided in double
+    and rounded to 6 so both engines hash identically."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_nationkey"), F.col("n_name").alias("ns_name")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(3,2)"))
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(
+                o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+                .join(F.broadcast(nc), c["c_nationkey"] == nc["n_nationkey"])
+                .join(F.broadcast(r), nc["n_regionkey"] == r["r_regionkey"])
+                .select("o_orderkey", "o_orderdate")
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("ns_nationkey"))
+    )
+    zero = F.lit(0).cast("decimal(12,4)")
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("ns_name") == "NATION_7", rev).otherwise(zero))
+            .cast("double")
+            .alias("_nat"),
+            F.sum(rev).cast("double").alias("_tot"),
+        )
+        .select("o_year", F.round(F.col("_nat") / F.col("_tot"), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT ns.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2))
+                       - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           - CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """Product-type profit by nation and year (q9 shape; p_retailprice
+    stands in for ps_supplycost). Revenue and cost are summed as exact
+    decimals separately, cast to double, and only then subtracted — no
+    cross-engine decimal-subtraction scale drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(3,2)"))
+    cost = F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast("bigint")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == ns["n_nationkey"])
+        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.sum(rev).cast("double") - F.sum(cost).cast("double")).alias("profit")
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    """
+    WITH value_per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+        FROM lineitem GROUP BY l_partkey),
+    total AS (SELECT SUM(part_value) AS total_value FROM value_per_part)
+    SELECT v.l_partkey AS partkey,
+           CAST(v.part_value AS DOUBLE) AS part_value
+    FROM value_per_part v, total t
+    WHERE v.part_value * 2000 > t.total_value
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Important-stock identification (q11 shape): HAVING against a scalar
+    aggregate of the same grouped result. The fraction test is an exact
+    decimal cross-multiplication (value*2000 > total, i.e. share > 1/2000)
+    — no float boundary. The per-part aggregate is computed once and
+    reused; the scalar total broadcasts back over it."""
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("part_value"))
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("part_value") * 2000 > F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS BIGINT)) AS supp_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_partkey, l.l_suppkey),
+    dominant AS (
+        SELECT DISTINCT l_suppkey FROM shipped s1
+        WHERE s1.supp_qty * 2 > (SELECT SUM(s2.supp_qty) FROM shipped s2
+                                 WHERE s2.l_partkey = s1.l_partkey))
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """Dominant-supplier selection (q20 shape): nested aggregation — per
+    (part, supplier) quantity vs per-part total — with the >50% test as an
+    exact integer cross-multiplication, then a left-semi join back to the
+    supplier dimension. One shuffle on l_partkey serves both aggregate
+    levels (the per-part total reuses the (part,supp) partitioning)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("supp_qty"))
+    )
+    part_total = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        shipped.withColumn("part_qty", part_total)
+        .where(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "tpch_q21_sole_blame_supplier",
+    """
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               COUNT(DISTINCT l.l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l.l_returnflag = 'R'
+                                   THEN l.l_suppkey END) AS n_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey)
+    SELECT s.s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+    FROM lineitem l
+    JOIN per_order po ON l.l_orderkey = po.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_returnflag = 'R' AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Suppliers solely to blame in multi-supplier orders (q21 shape;
+    l_returnflag='R' stands in for receipt-after-commit lateness). The
+    EXISTS (another supplier) / NOT EXISTS (another late supplier) pair is
+    rewritten as one per-order aggregate — n_supp > 1 AND n_late == 1 —
+    so the classic double self-join collapses into a single groupBy plus
+    a join back on the order key."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    li_f = li.join(o, li["l_orderkey"] == o["o_orderkey"]).drop("o_orderkey")
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    blamed = (
+        li_f.where(F.col("l_returnflag") == "R")
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+@query(
+    "text_repetition_stats",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words
+        WHERE w <> '' GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+               AS dup_word_fraction,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+               AS top_word_fraction
+    FROM wc GROUP BY doc_id
+    """,
+)
+def text_repetition_stats_q(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction (1 - distinct/total) and most-frequent-word mass fraction.
+    One explode + two chained aggregates on the same doc_id key — the
+    second groupBy reuses the first's hash partitioning, so the whole
+    panel costs a single shuffle of the exploded words."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.round(
+            (F.sum("c") - F.count("*")).cast("double") / F.sum("c").cast("double"), 6
+        ).alias("dup_word_fraction"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_word_fraction"
+        ),
+    )
