@@ -3124,10 +3124,12 @@ def tpch_q21(spark, sf_dir):
 def text_repetition_stats_q(spark, sf_dir):
     """Gopher-style repetition quality signals per document: duplicate-word
     fraction (1 - distinct/total) and most-frequent-word mass fraction.
-    One explode + two chained aggregates on the same doc_id key — the
-    second groupBy reuses the first's hash partitioning, so the whole
-    panel costs a single shuffle of the exploded words."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    The documents are hash-partitioned by doc_id BEFORE the explode, so the
+    one shuffle moves compact documents, not exploded words, and both
+    chained aggregates (doc_id,w then doc_id) are partition-local —
+    HashPartitioning(doc_id) satisfies both clusterings (plan-asserted:
+    exactly one Exchange)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition("doc_id")
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),

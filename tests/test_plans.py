@@ -97,3 +97,36 @@ def test_q10_topk_is_takeordered(spark):
     partition top-k + merge), not a global sort."""
     plan = _plan(spark, "tpch_q10_returned_items")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q8_star_join_all_broadcast(spark):
+    """q8's 7-way market-share star join: every dimension (incl. the
+    pre-joined orders->customer->nation->region subtree) broadcasts; the
+    lineitem fact is only shuffled once, for the per-year aggregate."""
+    plan = _plan(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q9_profit_dims_broadcast(spark):
+    plan = _plan(spark, "tpch_q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_dominant_supplier_semi_join(spark):
+    """q20: the dominant-supplier subquery reaches the supplier dimension
+    as a left-semi join, and the per-part window reuses the (partkey)
+    grouping shuffle rather than adding one per aggregate level."""
+    plan = _plan(spark, "tpch_q20_dominant_suppliers")
+    assert "LeftSemi" in plan
+
+
+def test_repetition_stats_single_shuffle_chain(spark):
+    """Both chained aggregates (doc_id,w then doc_id) must be partition-
+    local after the single pre-explode repartition by doc_id: compact
+    documents are shuffled once, exploded words never are."""
+    plan = _plan(spark, "text_repetition_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan
+    assert plan.count("Exchange") == 1
