@@ -25,6 +25,9 @@ HEADLINE = [
     "tpch_q5_nation_volume",
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
+    "tpch_q8_market_share",
+    "tpch_q21_sole_blame_supplier",
+    "text_repetition_stats",
     "window_topk_parts_by_brand",
     "kgx_merge_nodes",
     "kgx_merge_edges",

@@ -99,3 +99,73 @@ def pagerank_oracle_sql(
     SELECT id, round(pr, {round_digits}) AS pagerank
     FROM pr{iterations}
     """
+
+
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected edge list.
+
+    `pairs` must hold unique undirected edges as (a, b) with a < b.
+    Uses the standard degree-orientation trick: each edge is directed from
+    its lower-(degree, id) endpoint to the higher one, so every triangle is
+    counted exactly once AND the two path-joins fan out from low-degree
+    vertices — on power-law graphs this bounds the worst-case join
+    explosion at hub nodes (the reason plain pair-joins die at scale).
+
+    Returns one row: n_nodes, n_edges, n_triangles.
+    """
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("_na"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("_nb"), F.col("deg").alias("deg_b"))
+    with_deg = pairs.join(da, pairs["a"] == F.col("_na")).join(
+        db, pairs["b"] == F.col("_nb")
+    )
+    # orient by (deg, id): strict total order because ids are unique
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u3"), F.col("dst").alias("w3"))
+    wedges = e1.join(e2, e1["v"] == e2["v2"])
+    tris = wedges.join(e3, (wedges["u"] == e3["u3"]) & (wedges["w"] == e3["w3"]))
+    n_tri = tris.agg(F.count("*").alias("n_triangles"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def triangle_count_oracle_sql(pairs_cte: str) -> str:
+    """DuckDB oracle: identical degree-oriented count. `pairs_cte` must
+    define a CTE named `pairs` with unique undirected (a, b), a < b."""
+    return f"""
+    WITH {pairs_cte},
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+        GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                    THEN p.a ELSE p.b END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                    THEN p.b ELSE p.a END AS dst
+        FROM pairs p
+        JOIN deg da ON p.a = da.node
+        JOIN deg db ON p.b = db.node),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.dst = e2.src
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """

@@ -3144,3 +3144,40 @@ def text_repetition_stats_q(spark, sf_dir):
             "top_word_fraction"
         ),
     )
+
+
+_TRI_PAIRS_SQL = """
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p)
+"""
+
+from orion_spark.operators.graphalgo import (  # noqa: E402
+    triangle_count,
+    triangle_count_oracle_sql,
+)
+
+
+@query("graph_triangle_count", triangle_count_oracle_sql(_TRI_PAIRS_SQL.strip()))
+def graph_triangle_count_q(spark, sf_dir):
+    """Triangle counting on the part co-occurrence graph (parts sharing an
+    order). Degree-oriented join counting (operators/graphalgo.py): each
+    undirected edge directed low->high (degree, id), so triangle joins fan
+    out from low-degree endpoints — the orientation bounds hub-node join
+    explosion, which is what kills naive pair-joins on power-law graphs
+    at 100 TB. Extension surface (reference computes only degree-style
+    aggregates — orion/answercoalesce_build.py:100-165)."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = op.select(F.col("o"), F.col("p").alias("a"))
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    pairs = (
+        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count(pairs)

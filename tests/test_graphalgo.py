@@ -28,3 +28,13 @@ def test_pagerank_star_sink_accumulates(spark):
     # total mass shrinks only by the dangling-sink leak (documented
     # simplification) — every node still gets the base term
     assert all(v >= leaf - 1e-12 for v in out.values())
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant vertex: C(4,3)=4 triangles, 7 edges, 5 nodes."""
+    from orion_spark.operators.graphalgo import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs = spark.createDataFrame(k4 + [(4, 5)], "a int, b int")
+    row = triangle_count(pairs).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
