@@ -3181,3 +3181,69 @@ def graph_triangle_count_q(spark, sf_dir):
         .distinct()
     )
     return triangle_count(pairs)
+
+
+@query(
+    "documents_stratified_sample",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+          < CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 40 ELSE 20 END
+    """,
+)
+def documents_stratified_sample_q(spark, sf_dir):
+    """Stratified deterministic sampling — the training-mix rebalance
+    primitive: per-stratum keep rates (en 60%, zh 40%, rest 20%) applied
+    via an engine-independent md5-bucket of the row key. No shuffle at
+    all: the filter is a pure map over the scan, so it composes with any
+    downstream op at 100 TB for free. Unlike TABLESAMPLE/rand(), two
+    engines and two runs agree on the exact row set."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 60)
+        .when(F.col("lang") == "zh", 40)
+        .otherwise(20)
+    )
+    return d.where(bucket < rate).select("doc_id", "source", "lang")
+
+
+@query(
+    "events_interarrival_stats",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts)
+               - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts,
+                                         event_id) AS gap_us
+        FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us), 6) AS avg_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_interarrival_stats_q(spark, sf_dir):
+    """Per-user inter-event gap panel (lag window + aggregate). The window
+    partition and the groupBy share user_id, so the aggregate after the
+    window is partition-local — one shuffle total. Gap arithmetic is
+    exact integer epoch MICROseconds (timestamp-cast-to-long would
+    truncate while DuckDB's epoch() rounds — the classic cross-engine
+    off-by-one); only the final avg divides (rounded 6)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.round(F.sum("gap_us").cast("double") / F.count("gap_us"), 6).alias(
+            "avg_gap_us"
+        ),
+    )
