@@ -492,3 +492,82 @@ def embedding_near_dup_oracle_sql(
         FROM v a JOIN v b ON a.vec_id < b.vec_id)
     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-training-document benchmark contamination: how many of the
+    doc's distinct k-gram shingles appear anywhere in the eval set.
+
+    The standard pre-training decontamination step (eval-overlap n-gram
+    matching). Scale shape: the eval side collapses to DISTINCT shingles
+    — benchmark suites are tiny relative to the corpus, so the match set
+    broadcasts and the 100 TB train side streams through a map-side
+    left-semi-style join; per-doc counts then aggregate on the id. The
+    left join (not semi) keeps zero-overlap docs so the output is a
+    complete per-doc panel: (id, n_shingles, n_contaminated, flag 0/1).
+    """
+    tr = train.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    ev = (
+        eval_set.select(F.explode(word_shingles(F.col(text_col), k)).alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        tr.join(F.broadcast(ev), "_sh", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+def ngram_contamination_oracle_sql(
+    eval_pred: str,
+    k: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle: identical shingling; `eval_pred` is the SQL predicate
+    selecting the eval set (train = NOT eval_pred)."""
+    return f"""
+    WITH sh AS (
+        SELECT {id_col} AS doc_id,
+               unnest(list_distinct([array_to_string(w[i:i+{k - 1}], ' ')
+                                     for i in range(1, len(w) - {k} + 2)])) AS s
+        FROM (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+              FROM {table})
+        WHERE len(w) >= {k}),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE {eval_pred}),
+    train_sh AS (SELECT * FROM sh WHERE NOT ({eval_pred}))
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN s IN (SELECT s FROM eval_sh)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(CASE WHEN SUM(CASE WHEN s IN (SELECT s FROM eval_sh)
+                                   THEN 1 ELSE 0 END) > 0
+                     THEN 1 ELSE 0 END AS INT) AS is_contaminated
+    FROM train_sh GROUP BY doc_id
+    """

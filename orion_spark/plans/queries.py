@@ -3247,3 +3247,25 @@ def events_interarrival_stats_q(spark, sf_dir):
             "avg_gap_us"
         ),
     )
+
+
+from orion_spark.llm.dedup import (  # noqa: E402
+    ngram_contamination,
+    ngram_contamination_oracle_sql,
+)
+
+
+@query(
+    "text_decontamination",
+    ngram_contamination_oracle_sql(eval_pred="doc_id % 50 = 0", k=5),
+)
+def text_decontamination_q(spark, sf_dir):
+    """Benchmark decontamination: every 50th document plays the held-out
+    eval suite; the rest is the training corpus. Per train doc: distinct
+    5-gram shingle count, eval-overlapping shingle count, contamination
+    flag. The eval shingle set is DISTINCT'd then broadcast — the train
+    side never shuffles its text (llm/dedup.py:ngram_contamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(tr, ev, k=5)

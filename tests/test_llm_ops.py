@@ -187,3 +187,29 @@ def test_embedding_near_dup_lsh_blocked_matches_exact(spark):
     assert {(r.id_a, r.id_b, r.cosine) for r in blocked.collect()} == {
         (r.id_a, r.id_b, r.cosine) for r in exact.collect()
     }
+
+
+def test_ngram_contamination_known_overlap(spark):
+    """One train doc shares a full 3-gram window with the eval doc; the
+    other shares none. Zero-overlap docs must still appear (flag 0)."""
+    from orion_spark.llm.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox walks away")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(train, ev, k=3).collect()
+    }
+    assert out[1].n_contaminated == 1  # "quick brown fox"
+    assert out[1].is_contaminated == 1
+    assert out[2].n_contaminated == 0
+    assert out[2].is_contaminated == 0
+    assert out[2].n_shingles == 6
