@@ -124,3 +124,22 @@ def run_windowed_counts_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dimension: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension join: each micro-batch of the stream is
+    joined against the (batch) dimension table — Spark re-plans the static
+    side per batch, so a dimension refresh between triggers is picked up
+    without restarting the query. The static side is broadcast: the
+    streaming side never shuffles, which keeps the stateless join safe
+    under any event rate (no state store at all, unlike stream-stream
+    joins)."""
+    return events.join(
+        F.broadcast(dimension), events[on_left] == dimension[on_right], how
+    ).drop(dimension[on_right])

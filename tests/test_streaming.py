@@ -107,3 +107,28 @@ def test_stateful_sessionize(spark, tmp_path):
     s = out[0]
     assert s.user_id == 1 and s.n_events == 2 and s.total_value == 3.0
     assert s.session_start.minute == 0 and s.session_end.minute == 5
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Events enriched with a static user dimension; unmatched users keep
+    NULL attributes (left join) — no state store, broadcast static side."""
+    src = str(tmp_path / "events_src4")
+    _write_events(spark, src)
+    dim = spark.createDataFrame(
+        [Row(user_id=1, segment="BUILDING")], "user_id bigint, segment string"
+    )
+    stream = SE.read_event_stream(spark, src)
+    q = (
+        SE.enrich_with_dimension(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from enrich_test").collect()
+    segs = {r.event_id: r.segment for r in out}
+    assert segs[1] == "BUILDING" and segs[2] == "BUILDING"
+    assert segs[3] is None
+    assert len(out) == 4  # left join keeps every event incl. the dup id
