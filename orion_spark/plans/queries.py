@@ -3269,3 +3269,19 @@ def text_decontamination_q(spark, sf_dir):
     ev = docs.where(F.col("doc_id") % 50 == 0)
     tr = docs.where(F.col("doc_id") % 50 != 0)
     return ngram_contamination(tr, ev, k=5)
+
+
+@query("qc_approx_sketches")
+def qc_approx_sketches_q(spark, sf_dir):
+    """Sketch-based QC panel (rows-only by design — sketch internals are
+    engine-private, so there is no cross-engine oracle; the error bound vs
+    exact is unit-tested instead): per event_type, HyperLogLog++ distinct
+    users (rsd 2%) and an approximate p95 of value. At 100 TB these
+    replace exact COUNT(DISTINCT)/percentile when the 2% band is
+    acceptable: both are single-pass, fixed-memory, partial-aggregatable
+    — no expand and no full sort-shuffle."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95_value"),
+    )

@@ -127,3 +127,31 @@ def test_as_of_join_semantics(spark):
     outer = as_of_join(left, right, ["k"], "t", ["v"], inner=False)
     got_outer = {r.lid: r.v_asof for r in outer.collect()}
     assert got_outer["L3"] is None and got_outer["L4"] is None
+
+
+def test_approx_sketches_error_bounds(spark):
+    """HLL++ at rsd=2% and percentile_approx(acc=10000) must land within
+    tight bands of the exact answers on the sf0.001 events table."""
+    from orion_spark.plans.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r.event_type: r for r in QUERIES["qc_approx_sketches"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
+        # percentile_approx returns an actual data value near the quantile
+        spread = ev.agg(F.max("value") - F.min("value")).first()[0]
+        assert abs(a.approx_p95_value - e.p95) <= 0.05 * spread
