@@ -3285,3 +3285,82 @@ def qc_approx_sketches_q(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.95, 10000).alias("approx_p95_value"),
     )
+
+
+@query(
+    "events_type_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_type_transition_matrix_q(spark, sf_dir):
+    """First-order event-type transition matrix (the Markov-chain feature
+    panel): per-user lag window, then a global (prev, next) count. The
+    window shuffle is the only one that carries event rows; the count is
+    a partial-aggregatable groupBy over the tiny type-pair domain."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "graph_degree_distribution",
+    f"""
+    WITH {G.ALL_EDGES_SQL},
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT subject AS node FROM edges
+            UNION ALL SELECT object FROM edges)
+        GROUP BY node)
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution_q(spark, sf_dir):
+    """Exact degree-frequency distribution of the KGX graph (the QC
+    signal behind hub detection and salting decisions — SCALE.md skew
+    notes). Two integer aggregates, zero float: endpoint union →
+    per-node degree → per-degree node count."""
+    edges = G.all_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("subject").alias("node"))
+        .unionAll(edges.select(F.col("object").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "documents_length_histogram",
+    """
+    SELECT CAST((n_chars - n_chars % 100) / 100 AS BIGINT) * 100
+               AS bucket_start,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM documents GROUP BY bucket_start
+    """,
+)
+def documents_length_histogram_q(spark, sf_dir):
+    """Document-length histogram in 100-char buckets (the corpus-shape
+    panel behind length-based quality filters). Bucketing is integer
+    arithmetic (no float floor-vs-round drift); only the in-bucket mean
+    divides, rounded to 6."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("n_chars") - F.col("n_chars") % 100) / 100).cast("bigint") * 100
+    ).alias("bucket_start")
+    return d.groupBy(bucket).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+    )
