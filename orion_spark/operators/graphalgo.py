@@ -113,11 +113,22 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
 
     Returns one row: n_nodes, n_edges, n_triangles.
     """
+    # pairs feeds the degree table AND the orientation join; deg feeds the
+    # orientation twice plus the node/edge summary. Persist both so the
+    # multi-referenced subtrees compute once (without this, every scalar in
+    # the summary row re-executes the whole pair-construction lineage).
+    pairs = pairs.persist()
     deg = (
         pairs.select(F.col("a").alias("node"))
         .unionAll(pairs.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    # one aggregate gives both summary scalars: sum(deg) == 2|E| exactly
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.floor(F.sum("deg") / 2).cast("bigint").alias("n_edges"),
     )
     da = deg.select(F.col("node").alias("_na"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("_nb"), F.col("deg").alias("deg_b"))
@@ -131,16 +142,14 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).persist()
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     e3 = oriented.select(F.col("src").alias("u3"), F.col("dst").alias("w3"))
     wedges = e1.join(e2, e1["v"] == e2["v2"])
     tris = wedges.join(e3, (wedges["u"] == e3["u3"]) & (wedges["w"] == e3["w3"]))
     n_tri = tris.agg(F.count("*").alias("n_triangles"))
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = pairs.agg(F.count("*").alias("n_edges"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    return stats.crossJoin(n_tri)
 
 
 def triangle_count_oracle_sql(pairs_cte: str) -> str:

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Physical-plan lint over the whole query registry.
+
+For every registered query, compiles the plan at the given sf_dir and
+flags the patterns that do not survive scale:
+
+  - BatchEvalPython / ArrowEvalPython   row-at-a-time Python in the plan
+  - CartesianProduct                    unconstrained cross join
+  - BroadcastNestedLoopJoin             O(n*m) fallback join
+  - high Exchange count                 shuffle-heavy plans (reported)
+
+Intentional exceptions are whitelisted WITH the reason, so a new
+offender is a loud diff, not background noise. Exit code 1 on any
+non-whitelisted flag — usable as a CI gate.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# pattern -> {query_name: reason}
+WHITELIST: dict[str, dict[str, str]] = {
+    "BroadcastNestedLoopJoin": {
+        "ann_cosine_topk": "by design: every (candidate, query) pair is scored; the query side is broadcast",
+        "ann_lsh_topk": "bucket-limited pair scoring after LSH blocking",
+        "ann_ivf_topk": "probe-list-limited pair scoring after IVF routing",
+        "dedup_embedding_cosine": "exact variant scores all pairs (LSH-blocked variant is the scale path)",
+        "tpch_q11_important_parts": "scalar-aggregate broadcast (1 row) joined under every group",
+        "tpch_q15_top_supplier": "scalar max (1 row) compared against every supplier revenue",
+        "tpch_q22_sales_opportunity": "scalar aggregate (1 row) cross-multiplied against customers",
+        "qc_knowledge_source_breakdown": "denominator row (1 row) joined under every group",
+        "llm_curation_funnel": "funnel-total scalars (1 row each) joined per stage",
+        "text_tfidf_top_terms": "corpus-size scalar (1 row) broadcast into the score expression",
+        "graph_triangle_count": "1-row summary aggregates combined into the output row",
+        "full_pipeline_counts": "constant predicate is constant-folded out of the join key; the 'join' is a residual filter against the 14-row broadcast closure dim",
+    },
+    "ArrowEvalPython": {
+        "multimodal_decode_features": "stubbed media decode is a declared mapInPandas boundary",
+        "multimodal_frame_sample": "frame sampling over binary payloads — same boundary",
+    },
+    "BatchEvalPython": {},
+    "CartesianProduct": {},
+}
+
+EXCHANGE_REPORT_THRESHOLD = 6
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from orion_spark.plans.queries import QUERIES
+    from orion_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"plan compilation failed: {e}"))
+            continue
+        for pattern, allowed in WHITELIST.items():
+            if pattern in plan:
+                if name in allowed:
+                    print(f"ok    {name}: {pattern} (whitelisted: {allowed[name]})")
+                else:
+                    failures.append((name, pattern))
+        # count real shuffles only — BroadcastExchange moves dimension
+        # tables, not the data plane — and dedupe by plan_id (cached
+        # InMemoryTableScan subtrees re-print their lineage; the same
+        # physical exchange appears once per consumer in the text)
+        import re
+
+        n_ex = len(
+            set(
+                re.findall(
+                    r"Exchange (?:hashpartitioning|rangepartitioning|"
+                    r"SinglePartition)[^\n]*?plan_id=(\d+)",
+                    plan,
+                )
+            )
+        )
+        if n_ex >= EXCHANGE_REPORT_THRESHOLD:
+            print(f"note  {name}: {n_ex} shuffle Exchanges (review chain)")
+
+    if failures:
+        print("\n== FLAGS ==")
+        for name, what in failures:
+            print(f"FLAG  {name}: {what}")
+        return 1
+    print("\n== plan audit clean ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
