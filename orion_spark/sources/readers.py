@@ -52,19 +52,23 @@ def read_jdbc(
 ) -> DataFrame:
     """S4: SQL extract (DrugCentral-style, orion/extractor.py:68-82). The
     query runs DB-side (pushdown); partition_column splits the read across
-    executors — the scale path the reference's single cursor lacks."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
+    executors — the scale path the reference's single cursor lacks.
+
+    Spark rejects `query` + `partitionColumn` together, so the partitioned
+    path wraps the query as a dbtable subquery (the documented idiom);
+    partition_column must then reference a column of the query's output.
+    """
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column:
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) AS part_sub")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
             .option("lowerBound", lower_bound or 0)
             .option("upperBound", upper_bound or 1_000_000)
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()

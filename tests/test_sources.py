@@ -154,3 +154,33 @@ def test_json_array_extract(spark, tmp_path):
     assert {r.id for r in nodes.collect()} == {"G1", "D1"}
     e = edges.collect()[0]
     assert (e.subject, e.predicate, e.object) == ("G1", "associates", "D1")
+
+
+def test_read_jdbc_embedded_derby(spark, tmp_path):
+    """S4 SQL extract against a real JDBC endpoint: an embedded Derby DB
+    created through the driver JVM (Derby ships with Spark). Covers query
+    pushdown and the partitioned parallel read path."""
+    from orion_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE drugs (id INT, name VARCHAR(30), score DOUBLE)")
+    for i, (n, s) in enumerate([("aspirin", 0.9), ("ibuprofen", 0.7), ("x", 0.1)]):
+        st.execute(f"INSERT INTO drugs VALUES ({i}, '{n}', {s})")
+    st.close()
+    conn.close()
+
+    out = read_jdbc(
+        spark,
+        url,
+        "SELECT id, name FROM drugs WHERE score > 0.5",
+        partition_column="id",
+        num_partitions=2,
+        lower_bound=0,
+        upper_bound=3,
+    )
+    assert out.rdd.getNumPartitions() == 2  # parallel read path exercised
+    rows = {r.ID: r.NAME for r in out.collect()}
+    assert rows == {0: "aspirin", 1: "ibuprofen"}
