@@ -229,3 +229,30 @@ def infer_property_schema(df: DataFrame, core: list[str]) -> list[tuple[str, str
         else:
             out.append((f.name, dt))
     return sorted(out)
+
+
+def bundle_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...] = ("subject", "predicate", "object"),
+) -> DataFrame:
+    """Release-to-release bundle diff: per entity key, whether it was
+    added, removed, or kept between two builds (the QC companion to the
+    content-addressed versioning in plans/pipeline.py — the reference
+    records release metadata but cannot answer "what changed").
+
+    Scale shape: both sides reduce to DISTINCT keys before the full-outer
+    join, so the shuffle carries keys only — no properties; the join is
+    key-partitioned on both sides (co-partitioned if the bundles are
+    bucketed, see sources/bucketing.py).
+    """
+    keys = list(key_cols)
+    o = old.select(*keys).distinct().withColumn("_in_old", F.lit(1))
+    n = new.select(*keys).distinct().withColumn("_in_new", F.lit(1))
+    joined = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(*keys, status.alias("status"))

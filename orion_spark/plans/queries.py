@@ -3364,3 +3364,40 @@ def documents_length_histogram_q(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
     )
+
+
+@query(
+    "bundle_version_diff",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    old_keys AS (
+        SELECT DISTINCT subject, predicate, object FROM lineitem_edges
+        WHERE object_aspect_qualifier IN ('R', 'A')),
+    new_keys AS (
+        SELECT DISTINCT subject, predicate, object FROM lineitem_edges
+        WHERE object_aspect_qualifier IN ('A', 'N'))
+    SELECT CASE WHEN o.subject IS NULL THEN 'added'
+                WHEN n.subject IS NULL THEN 'removed'
+                ELSE 'kept' END AS status,
+           COUNT(*) AS n
+    FROM old_keys o
+    FULL OUTER JOIN new_keys n
+      ON o.subject = n.subject AND o.predicate = n.predicate
+         AND o.object = n.object
+    GROUP BY status
+    """,
+)
+def bundle_version_diff_q(spark, sf_dir):
+    """Version-to-version bundle diff (operators/analyze.py:bundle_diff):
+    two builds of the lineitem edge set (returnflag R/A vs A/N playing two
+    release snapshots) compared by distinct edge key — added / removed /
+    kept counts. Keys-only full-outer join: the shuffle never carries
+    properties."""
+    edges = G.lineitem_edges(spark, sf_dir)
+    old = edges.where(F.col("object_aspect_qualifier").isin("R", "A"))
+    new = edges.where(F.col("object_aspect_qualifier").isin("A", "N"))
+    return (
+        A.bundle_diff(old, new)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )

@@ -157,3 +157,17 @@ def test_qualifier_free_edges(spark):
     assert out.count() == 1  # both collapse to the same qualifier-free edge
     r = out.collect()[0]
     assert r.object_aspect_qualifier is None
+
+
+def test_bundle_diff_statuses(spark):
+    """Known diff: one removed, one added, one kept."""
+    from orion_spark.operators.analyze import bundle_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c")], "subject string, predicate string, object string"
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "c"), ("a", "p", "d")], "subject string, predicate string, object string"
+    )
+    out = {(r.subject, r.object): r.status for r in bundle_diff(old, new).collect()}
+    assert out == {("a", "b"): "removed", ("a", "c"): "kept", ("a", "d"): "added"}
