@@ -151,3 +151,32 @@ def test_fold_property_tail(spark):
     # null-valued properties are dropped from the map
     assert "score" not in rows["HGNC:2"].properties
     assert float(rows["HGNC:1"].properties["score"]) == 1.5
+
+
+def test_date_partitioned_events_prune(spark, tmp_path):
+    """Time-series layout: events written partitioned by event_date; a ts
+    range filter prunes to the matching date directories (the 100 TB
+    events table is read per-day, never full-scanned)."""
+    import datetime
+
+    path = str(tmp_path / "events_by_date")
+    rows = [
+        Row(event_id=i, ts=datetime.datetime(2024, 1, 1 + (i % 3), 12, 0, 0),
+            user_id=i, event_type="click", value=float(i), props="{}")
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("event_date", F.to_date("ts"))
+    df.write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+    back = spark.read.parquet(path).where(
+        F.col("event_date") == datetime.date(2024, 1, 2)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert back.count() == 3

@@ -132,3 +132,39 @@ def test_stream_static_dimension_join(spark, tmp_path):
     assert segs[1] == "BUILDING" and segs[2] == "BUILDING"
     assert segs[3] is None
     assert len(out) == 4  # left join keeps every event incl. the dup id
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: run with a checkpoint, add a new
+    source file, run again — the second run appends only the new rows."""
+    src = str(tmp_path / "events_src5")
+    ckpt = str(tmp_path / "ckpt5")
+    out = str(tmp_path / "out5")
+    _write_events(spark, src)
+
+    def run_once():
+        q = (
+            SE.read_event_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 4
+
+    import datetime
+    late = [Row(event_id=99, ts=datetime.datetime(2024, 1, 2), user_id=9,
+                event_type="late", value=9.0, props="{}")]
+    spark.createDataFrame(late, SE.EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    after = spark.read.parquet(out)
+    assert after.count() == 5  # 4 old NOT reprocessed, 1 new appended
+    assert after.where("event_type = 'late'").count() == 1
