@@ -178,3 +178,67 @@ def triangle_count_oracle_sql(pairs_cte: str) -> str:
            (SELECT COUNT(*) FROM pairs) AS n_edges,
            (SELECT n_triangles FROM tri) AS n_triangles
     """
+
+
+def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous min-label propagation for a fixed round count: every
+    node starts with its own id as label; each round takes the min of its
+    label and its neighbors' labels. Deterministic (min is order-free), so
+    the DuckDB oracle matches exactly — unlike classic randomized LPA.
+    After enough rounds this converges to connected components; the fixed
+    round count is the bounded-cost variant (k rounds = k shuffles).
+
+    `edges` needs src/dst columns; the graph is treated as undirected.
+    Returns (id, label) after `iterations` rounds. Per-round
+    localCheckpoint truncates lineage (same treatment as pagerank above).
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for i in range(iterations):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("_nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_cte: str, iterations: int = 3) -> str:
+    """DuckDB oracle: the identical rounds as chained CTEs. `edges_cte`
+    must define a CTE named `lp_edges` with src/dst columns."""
+    chain = [f"""
+    sym AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM lp_edges
+            UNION ALL SELECT dst AS a, src AS b FROM lp_edges)),
+    lp0 AS (SELECT DISTINCT a AS id, a AS label FROM sym)"""]
+    for i in range(1, iterations + 1):
+        chain.append(f"""
+    lp{i} AS (
+        SELECT n.id,
+               LEAST(n.label, COALESCE(m.minlab, n.label)) AS label
+        FROM lp{i - 1} n LEFT JOIN (
+            SELECT e.a AS id, MIN(l.label) AS minlab
+            FROM sym e JOIN lp{i - 1} l ON e.b = l.id GROUP BY e.a) m
+        ON n.id = m.id)""")
+    return f"""
+    WITH {edges_cte},{",".join(chain)}
+    SELECT id, label FROM lp{iterations}
+    """

@@ -3401,3 +3401,37 @@ def bundle_version_diff_q(spark, sf_dir):
         .groupBy("status")
         .agg(F.count("*").alias("n"))
     )
+
+
+from orion_spark.operators.graphalgo import (  # noqa: E402
+    label_propagation_min,
+    label_propagation_oracle_sql,
+)
+
+_LP_EDGES_SQL = f"""
+    {G.ALL_EDGES_SQL.strip()},
+    lp_edges AS (SELECT subject AS src, object AS dst FROM edges)
+"""
+
+
+@query(
+    "graph_label_propagation",
+    f"""
+    WITH lp AS ({label_propagation_oracle_sql(_LP_EDGES_SQL.strip(), iterations=3)})
+    SELECT label AS community, COUNT(*) AS n_nodes
+    FROM lp GROUP BY label
+    """,
+)
+def graph_label_propagation_q(spark, sf_dir):
+    """Community sizes after 3 rounds of deterministic min-label
+    propagation over the KGX graph (operators/graphalgo.py) — the bounded
+    iterative sibling of connected components (k rounds = k shuffles,
+    lineage truncated per round). Oracle: the same rounds unrolled as
+    chained CTEs."""
+    edges = G.all_edges(spark, sf_dir).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    labels = label_propagation_min(edges, iterations=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )

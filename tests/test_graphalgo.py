@@ -38,3 +38,15 @@ def test_triangle_count_known_graph(spark):
     pairs = spark.createDataFrame(k4 + [(4, 5)], "a int, b int")
     row = triangle_count(pairs).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_label_propagation_converges_to_components(spark):
+    """Two disjoint paths: after enough rounds every node carries its
+    component's min id."""
+    from orion_spark.operators.graphalgo import label_propagation_min
+
+    edges = spark.createDataFrame(
+        [("B", "C"), ("C", "D"), ("X", "Y")], "src string, dst string"
+    )
+    out = {r.id: r.label for r in label_propagation_min(edges, iterations=3).collect()}
+    assert out == {"B": "B", "C": "B", "D": "B", "X": "X", "Y": "X"}
