@@ -44,6 +44,10 @@ HEADLINE = [
     "events_sessionize",
     "events_value_percentiles",
     "full_pipeline_counts",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "text_decontamination",
+    "bundle_version_diff",
 ]
 
 

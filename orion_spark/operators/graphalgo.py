@@ -192,11 +192,13 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Returns (id, label) after `iterations` rounds. Per-round
     localCheckpoint truncates lineage (same treatment as pagerank above).
     """
+    # the symmetrized edge list is referenced every round: persist, don't
+    # recompute per reference
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
@@ -211,10 +213,15 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
             labels.join(nbr, "id", "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
+                ).alias("label"),
             )
+            # per-round truncation is LOAD-BEARING here, unlike pagerank's
+            # periodic schedule: labels feeds two joins per round, so the
+            # un-truncated plan grows multiplicatively and the 3-round
+            # single-DAG variant OOMs at sf0.1 (measured). Eager
+            # materialization caps both plan size and task memory.
             .localCheckpoint(eager=True)
         )
     return labels

@@ -58,7 +58,18 @@ def test_prune_unconnected_semi_join(spark):
     assert "LeftSemi" in plan
 
 
-@pytest.mark.parametrize("name", ["text_stats_panel", "text_fingerprints"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_stats_panel",
+        "text_fingerprints",
+        "text_minhash_signatures",
+        "text_simhash",
+        "text_decontamination",
+        "text_repetition_stats",
+        "text_bpe_token_counts",
+    ],
+)
 def test_text_ops_no_python_udf(spark, name):
     """Text analysis must stay JVM-side — no BatchEvalPython/ArrowEvalPython
     stages (row-at-a-time Python would be the 100x slow path)."""
