@@ -96,3 +96,43 @@ def read_bundle(
         read_kgx_nodes(spark, os.path.join(path, "nodes")),
         read_kgx_edges(spark, os.path.join(path, "edges")),
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a parquet table directory to ~target-sized files.
+
+    Incremental ingest (streaming micro-batches, per-source merges)
+    accumulates small files; at 100 TB the scan cost becomes dominated by
+    file-open overhead and tiny row groups long before data volume. This
+    rewrites the table with a file count derived from its actual byte
+    size, optionally sorting within partitions (clustered columns give
+    parquet min/max stats real skipping power).
+
+    Returns the new file count. Rewrite is staged through a sibling temp
+    dir then atomically swapped (same pattern as the publish stage).
+    """
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil div
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

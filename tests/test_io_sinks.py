@@ -180,3 +180,23 @@ def test_date_partitioned_events_prune(spark, tmp_path):
         "PartitionFilters"
     )[1][:200]
     assert back.count() == 3
+
+
+def test_compact_table_reduces_file_count(spark, tmp_path):
+    """64 tiny files -> 1 compacted file; data identical; original dir
+    replaced atomically."""
+    from orion_spark.sources.kgx import compact_table
+
+    path = str(tmp_path / "small_files")
+    spark.range(10000).repartition(64).write.parquet(path)
+    import os as _os
+
+    before = sum(f.endswith(".parquet") for f in _os.listdir(path))
+    assert before == 64
+    n = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    after = sum(f.endswith(".parquet") for f in _os.listdir(path))
+    assert after == 1
+    assert spark.read.parquet(path).count() == 10000
+    assert not _os.path.exists(path + "__compact_tmp")
+    assert not _os.path.exists(path + "__compact_old")
