@@ -138,6 +138,20 @@ def cmd_publish(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from orion_spark.sources.kgx import compact_table
+
+    spark = _spark()
+    n = compact_table(
+        spark,
+        args.path,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        sort_within_by=args.sort_by,
+    )
+    print(json.dumps({"path": args.path, "files": n}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -184,6 +198,12 @@ def main(argv: list[str] | None = None) -> int:
     qc.add_argument("--bundle", required=True)
     qc.add_argument("--out", required=True)
     qc.set_defaults(fn=cmd_qc)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--path", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--sort-by", nargs="*", default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     pub = sub.add_parser("publish")
     pub.add_argument("--storage", required=True)

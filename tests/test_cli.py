@@ -82,3 +82,15 @@ def test_cli_publish(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["release"] == "1.0.0"
     assert os.path.exists(os.path.join(out["dir"], "_BUILD_COMPLETE"))
+
+
+def test_cli_compact(spark, tmp_path):
+    from orion_spark.cli import main
+
+    path = str(tmp_path / "to_compact")
+    spark.range(1000).repartition(16).write.parquet(path)
+    rc = main(["compact", "--path", path, "--target-mb", "1024"])
+    assert rc == 0
+    import os as _os
+
+    assert sum(f.endswith(".parquet") for f in _os.listdir(path)) == 1
