@@ -3435,3 +3435,34 @@ def graph_label_propagation_q(spark, sf_dir):
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+@query(
+    "events_value_deciles",
+    """
+    WITH ranked AS (
+        SELECT value,
+               ntile(10) OVER (ORDER BY value, event_id) AS decile
+        FROM events)
+    SELECT decile, COUNT(*) AS n,
+           ROUND(CAST(MIN(value) AS DOUBLE), 6) AS lo,
+           ROUND(CAST(MAX(value) AS DOUBLE), 6) AS hi
+    FROM ranked GROUP BY decile
+    """,
+)
+def events_value_deciles_q(spark, sf_dir):
+    """NTILE decile panel over event values. The tile assignment is made
+    deterministic by a total order (value, event_id) — without the unique
+    tiebreak, equal values straddle tile boundaries engine-dependently.
+    Note the global ORDER BY window: a single-partition sort, fine for
+    ranked summaries, but at 100 TB the approximate sketch
+    (qc_approx_sketches) is the right tool — this query is the exact
+    small-side counterpart."""
+    ev = _events(spark, sf_dir)
+    w = Window.orderBy("value", "event_id")
+    ranked = ev.select("value", F.ntile(10).over(w).alias("decile"))
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value").cast("double"), 6).alias("lo"),
+        F.round(F.max("value").cast("double"), 6).alias("hi"),
+    )
