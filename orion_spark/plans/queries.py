@@ -3466,3 +3466,30 @@ def events_value_deciles_q(spark, sf_dir):
         F.round(F.min("value").cast("double"), 6).alias("lo"),
         F.round(F.max("value").cast("double"), 6).alias("hi"),
     )
+
+
+@query(
+    "documents_quality_weighted_sample",
+    f"""
+    WITH {_FUNNEL_STATS_SQL.strip()}
+    SELECT doc_id, quality
+    FROM scored
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100
+          < quality * 100.0
+    """,
+)
+def documents_quality_weighted_sample_q(spark, sf_dir):
+    """Quality-weighted mixture sampling: each document's keep probability
+    IS its quality score (the upweighting step of a curation mix, after
+    the hard filters). Deterministic: the md5 bucket of the key plays the
+    uniform draw, so two engines — and two runs over 100 TB — agree on
+    the exact survivor set. Pure map-side filter; composes with any
+    downstream stage shuffle-free."""
+    from orion_spark.llm.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return scored.where(bucket < F.col("quality") * 100.0)
