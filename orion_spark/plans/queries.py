@@ -3493,3 +3493,46 @@ def documents_quality_weighted_sample_q(spark, sf_dir):
     ).cast("int") % 100
     scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
     return scored.where(bucket < F.col("quality") * 100.0)
+
+
+@query(
+    "documents_mixture_report",
+    """
+    WITH toks AS (
+        SELECT source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents),
+    per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM toks GROUP BY source),
+    total AS (SELECT SUM(total_tokens) AS corpus_tokens FROM per_source)
+    SELECT source, n_docs, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / CAST(corpus_tokens AS DOUBLE), 6) AS token_share
+    FROM per_source, total
+    """,
+)
+def documents_mixture_report_q(spark, sf_dir):
+    """The data-mixture report: per source, document count, token count,
+    and share of the corpus token budget — what a curation run publishes
+    before training. Integer token sums; one scalar broadcast for the
+    share denominator; the division happens once per source row (round
+    6)."""
+    from orion_spark.llm.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+    total = per_source.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    return per_source.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("corpus_tokens").cast("double"),
+            6,
+        ).alias("token_share"),
+    )
