@@ -37,6 +37,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "text_tfidf_top_terms": "corpus-size scalar (1 row) broadcast into the score expression",
         "graph_triangle_count": "1-row summary aggregates combined into the output row",
         "full_pipeline_counts": "constant predicate is constant-folded out of the join key; the 'join' is a residual filter against the 14-row broadcast closure dim",
+        "documents_mixture_report": "corpus-total scalar (1 row) broadcast under every source row",
     },
     "ArrowEvalPython": {
         "multimodal_decode_features": "stubbed media decode is a declared mapInPandas boundary",
