@@ -3536,3 +3536,66 @@ def documents_mixture_report_q(spark, sf_dir):
             6,
         ).alias("token_share"),
     )
+
+
+@query(
+    "events_sequence_funnel",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    s1 AS (
+        SELECT user_id, MIN(t) AS t1 FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+        SELECT ev.user_id, MIN(ev.t) AS t2
+        FROM ev JOIN s1 ON ev.user_id = s1.user_id
+        WHERE ev.event_type = 'click' AND ev.t > s1.t1
+        GROUP BY ev.user_id),
+    s3 AS (
+        SELECT ev.user_id, MIN(ev.t) AS t3
+        FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        WHERE ev.event_type = 'purchase' AND ev.t > s2.t2
+        GROUP BY ev.user_id)
+    SELECT 'signup' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'then_click', COUNT(*) FROM s2
+    UNION ALL SELECT 'then_purchase', COUNT(*) FROM s3
+    """,
+)
+def events_sequence_funnel_q(spark, sf_dir):
+    """Ordered-sequence funnel: users who signed up, then clicked AFTER
+    the signup, then purchased AFTER that click — the event-sequence
+    match behind product funnels (strict temporal order, not mere
+    co-occurrence). Three chained per-user min-aggregates; after the
+    first user_id shuffle the later joins and groupBys are co-partitioned
+    on the same key. Exact microsecond ordering."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    def stage(df, label):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+    return (
+        stage(s1, "signup")
+        .unionAll(stage(s2, "then_click"))
+        .unionAll(stage(s3, "then_purchase"))
+    )
