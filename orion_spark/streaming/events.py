@@ -143,3 +143,36 @@ def enrich_with_dimension(
     return events.join(
         F.broadcast(dimension), events[on_left] == dimension[on_right], how
     ).drop(dimension[on_right])
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events for the same key that happened within `within` AFTER it
+    (click -> follow-up purchase attribution). Both sides carry
+    watermarks and the join condition bounds the time range in BOTH
+    directions, so Spark can size the state store finitely and evict
+    rows as watermarks advance — the unbounded-state trap is a
+    range-unconstrained stream-stream join."""
+    l = left.select(
+        F.col(key).alias("l_key"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", left_watermark)
+    r = right.select(
+        F.col(key).alias("r_key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+    ).withWatermark("r_ts", right_watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    )

@@ -168,3 +168,40 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == 5  # 4 old NOT reprocessed, 1 new appended
     assert after.where("event_type = 'late'").count() == 1
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks joined to purchases within 30 minutes after them, per user:
+    the in-window purchase matches, the out-of-window one does not."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    clicks = [
+        Row(event_id=1, ts=base, user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, ts=base, user_id=2, event_type="click", value=1.0, props="{}"),
+    ]
+    purchases = [
+        # 10 min after user 1's click -> inside the window
+        Row(event_id=10, ts=base + datetime.timedelta(minutes=10), user_id=1,
+            event_type="purchase", value=5.0, props="{}"),
+        # 2 hours after user 2's click -> outside
+        Row(event_id=20, ts=base + datetime.timedelta(hours=2), user_id=2,
+            event_type="purchase", value=5.0, props="{}"),
+    ]
+    cpath, ppath = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    spark.createDataFrame(clicks, SE.EVENTS_SCHEMA).coalesce(1).write.parquet(cpath)
+    spark.createDataFrame(purchases, SE.EVENTS_SCHEMA).coalesce(1).write.parquet(ppath)
+
+    joined = SE.interval_join_streams(
+        SE.read_event_stream(spark, cpath), SE.read_event_stream(spark, ppath)
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from ssj_test").collect()
+    assert [(r.l_event_id, r.r_event_id) for r in out] == [(1, 10)]
