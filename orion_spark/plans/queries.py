@@ -3565,11 +3565,14 @@ def events_sequence_funnel_q(spark, sf_dir):
     """Ordered-sequence funnel: users who signed up, then clicked AFTER
     the signup, then purchased AFTER that click — the event-sequence
     match behind product funnels (strict temporal order, not mere
-    co-occurrence). Three chained per-user min-aggregates; after the
-    first user_id shuffle the later joins and groupBys are co-partitioned
-    on the same key. Exact microsecond ordering."""
-    ev = _events(spark, sf_dir).select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    co-occurrence). The event table is hash-partitioned by user_id ONCE
+    up front; every later filter, join, and groupBy inherits that
+    clustering, so the whole three-stage chain costs a single data
+    shuffle. Exact microsecond ordering."""
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("t"))
+        .repartition("user_id")
     )
     s1 = (
         ev.where(F.col("event_type") == "signup")
