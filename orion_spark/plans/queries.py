@@ -3602,3 +3602,60 @@ def events_sequence_funnel_q(spark, sf_dir):
         .unionAll(stage(s2, "then_click"))
         .unionAll(stage(s3, "then_purchase"))
     )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT c.c_custkey AS custkey,
+               date_diff('day', MAX(o.o_orderdate),
+                         TIMESTAMP '2001-09-01 00:00:00') AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS monetary
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey),
+    scored AS (
+        SELECT custkey,
+               ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+        FROM rfm)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments_q(spark, sf_dir):
+    """RFM segmentation: per customer recency (days since last order, fixed
+    anchor), frequency, and exact-decimal monetary value, each quintiled
+    with a custkey tiebreak (NTILE needs the total order or equal values
+    straddle tile edges engine-dependently), then the 5x5x5 segment
+    histogram. One aggregate + three windows over the same ordering
+    column set + one final tiny groupBy."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    anchor = F.lit("2001-09-01 00:00:00").cast("timestamp")
+    rfm = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.datediff(anchor, F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        F.ntile(5).over(Window.orderBy("recency_days", "custkey")).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
