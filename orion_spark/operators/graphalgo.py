@@ -192,12 +192,16 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     Returns (id, label) after `iterations` rounds. Per-round
     localCheckpoint truncates lineage (same treatment as pagerank above).
     """
-    # the symmetrized edge list is referenced every round: persist, don't
-    # recompute per reference
+    # the symmetrized edge list is referenced every round: persist it
+    # already hash-partitioned on the join key, so each round's
+    # sym-vs-labels join reuses this partitioning and only the (small)
+    # labels side moves — the big edge table is shuffled once, not once
+    # per round
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .repartition("b")
         .persist()
     )
     labels = (
