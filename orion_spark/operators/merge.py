@@ -320,5 +320,10 @@ def edge_endpoints(edges: DataFrame) -> DataFrame:
 
 def prune_unconnected_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Drop nodes referenced by no edge (orion/kgx_file_normalizer.py:419-439;
-    toggled by preserve_unconnected_nodes, orion/loader_interface.py:15-16)."""
-    return nodes.join(edge_endpoints(edges), NODE_ID, "left_semi")
+    toggled by preserve_unconnected_nodes, orion/loader_interface.py:15-16).
+
+    The endpoint set is persisted: when `nodes` is a union of N per-source
+    frames (the normal bundle shape), Catalyst pushes the semi-join into
+    every branch — without materialization the endpoints dedup (a full
+    edge-table scan + shuffle) would execute N times, once per branch."""
+    return nodes.join(edge_endpoints(edges).persist(), NODE_ID, "left_semi")
