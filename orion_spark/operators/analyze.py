@@ -162,10 +162,14 @@ def meta_kg_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     value sets, and a deterministic first example edge
     (orion/meta_kg.py:50-187). 'First seen' is made deterministic with a
     row_number window ordered by the edge key columns (the reference's
-    file-order 'first' is not reproducible under parallelism)."""
+    file-order 'first' is not reproducible under parallelism).
+
+    The category map is persisted: it feeds TWO broadcast builds (subject
+    side and object side), and each build would otherwise re-scan the
+    full node union."""
     cat = nodes.select(
         F.col(NODE_ID).alias("_cid"), F.col("category").getItem(0).alias("_cat")
-    )
+    ).persist()
     s = cat.withColumnRenamed("_cat", "subject_type").withColumnRenamed("_cid", "_sid")
     o = cat.withColumnRenamed("_cat", "object_type").withColumnRenamed("_cid", "_oid")
     typed = (
