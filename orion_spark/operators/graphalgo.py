@@ -180,6 +180,69 @@ def triangle_count_oracle_sql(pairs_cte: str) -> str:
     """
 
 
+def kcore_prune(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected edge list.
+
+    `pairs` must hold unique undirected edges as (a, b) with a < b. Each
+    round drops every node whose current degree is < k, then drops edges
+    touching a dropped node; the fixed round count is the bounded-cost
+    variant (full k-core = iterate to fixpoint). Returns (node, degree)
+    for the surviving nodes with their degree in the surviving subgraph.
+
+    Scale design: one round = one degree aggregate plus two left-semi
+    joins, all keyed on node ids — no row ever carries more than (a, b).
+    The edge set shrinks monotonically, so per-round localCheckpoint both
+    truncates the multiplicative lineage (edges feed the degree aggregate
+    AND both semi-joins next round) and re-snapshots the smaller set.
+    Extension surface: the reference computes degree-style aggregates only
+    (orion/answercoalesce_build.py:100-165).
+    """
+    e = pairs.select("a", "b").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep, e["a"] == keep["node"], "left_semi")
+            .join(keep, F.col("b") == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+
+
+def kcore_oracle_sql(pairs_cte: str, k: int = 2, rounds: int = 3) -> str:
+    """DuckDB oracle: identical peeling rounds as chained CTEs. `pairs_cte`
+    must define a CTE named `pairs` with unique undirected (a, b), a < b."""
+    chain = ["e0 AS (SELECT a, b FROM pairs)"]
+    for r in range(1, rounds + 1):
+        chain.append(f"""
+    d{r} AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1})
+        GROUP BY node),
+    k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS (
+        SELECT e.a, e.b FROM e{r - 1} e
+        JOIN k{r} x ON e.a = x.node
+        JOIN k{r} y ON e.b = y.node)""")
+    return f"""
+    WITH {pairs_cte},
+    {",".join(chain)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node
+    """
+
+
 def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """Synchronous min-label propagation for a fixed round count: every
     node starts with its own id as label; each round takes the min of its

@@ -55,3 +55,65 @@ def point_interval_join(
         "inner",
     ).where((F.col(pos_col) >= F.col("_lo")) & (F.col(pos_col) <= F.col("_hi")))
     return joined.drop(iv[chrom_col]).drop("_bin", "_lo", "_hi")
+
+
+def interval_self_overlap(
+    intervals: DataFrame,
+    bin_size: int,
+    block_col: str = "block",
+    id_col: str = "id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """All strictly-overlapping interval pairs within each block
+    (half-open semantics: a overlaps b iff a.s < b.e AND b.s < a.e).
+
+    Same bin-bucketing strategy as point_interval_join, extended to
+    interval×interval: each interval is replicated to every bin it spans,
+    the pair join is an equi-join on (block, bin), and each candidate pair
+    is kept only in its OWNER bin — the bin of the later start,
+    floor(greatest(s_a, s_b) / bin_size) — so every overlapping pair
+    survives exactly once with no post-join distinct. A plain non-equi
+    self-join would be a per-block nested loop (O(n²) comparisons and a
+    single-task BroadcastNestedLoopJoin plan); this stays a hash join
+    whose collision sets are bounded by bin occupancy.
+
+    Returns columns: block, id_a, id_b, s_a, e_a, s_b, e_b.
+    """
+    binned = intervals.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    ).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s").cast("double") / bin_size),
+                F.floor(F.col("e").cast("double") / bin_size),
+            )
+        ),
+    )
+    a = binned.select(
+        "block", "_bin",
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = binned.select(
+        F.col("block").alias("_blk_b"), F.col("_bin").alias("_bin_b"),
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    owner_bin = F.floor(F.greatest("s_a", "s_b").cast("double") / bin_size)
+    return (
+        a.join(
+            b,
+            (a["block"] == b["_blk_b"])
+            & (a["_bin"] == b["_bin_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .where(
+            (F.col("_bin") == owner_bin)
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .select("block", "id_a", "id_b", "s_a", "e_a", "s_b", "e_b")
+    )

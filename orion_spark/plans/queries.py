@@ -3154,6 +3154,8 @@ _TRI_PAIRS_SQL = """
 """
 
 from orion_spark.operators.graphalgo import (  # noqa: E402
+    kcore_oracle_sql,
+    kcore_prune,
     triangle_count,
     triangle_count_oracle_sql,
 )
@@ -3658,4 +3660,290 @@ def customer_rfm_segments_q(spark, sf_dir):
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
+    )
+
+
+# ===========================================================================
+# Round-1 widening batch: k-core, corpus dup-ngram fraction, moving median,
+# interval overlap join, market-basket lift, embedding quantization
+# ===========================================================================
+
+_KCORE_PAIRS_SQL = """
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+           WHERE l_quantity >= 45),
+    pairs AS (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p)
+"""
+
+
+@query("graph_kcore", kcore_oracle_sql(_KCORE_PAIRS_SQL.strip(), k=2, rounds=3))
+def graph_kcore_q(spark, sf_dir):
+    """Bounded 2-core peeling on the high-quantity part co-occurrence
+    graph (sparsified so peeling actually removes nodes: ~1/3 of the
+    vertices sit below degree 2 at sf0.01). Three rounds = three
+    degree-aggregate + semi-join passes over a monotonically shrinking
+    edge set (operators/graphalgo.py:kcore_prune); the oracle unrolls the
+    identical rounds as chained CTEs."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = op.select("o", F.col("p").alias("a"))
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    pairs = (
+        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    return kcore_prune(pairs, k=2, rounds=3)
+
+
+@query(
+    "text_dup_ngram_fraction",
+    """
+    WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest([array_to_string(w[i:i+4], ' ')
+                       for i in range(1, len(w) - 3)]) AS g
+        FROM ws WHERE len(w) >= 5),
+    dg AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g),
+    df AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_grams,
+           ROUND(CAST(SUM(CASE WHEN df > 1 THEN n ELSE 0 END) AS DOUBLE) /
+                 CAST(SUM(n) AS DOUBLE), 6) AS dup_ngram_fraction
+    FROM dg JOIN df USING (g) GROUP BY doc_id
+    """,
+)
+def text_dup_ngram_fraction_q(spark, sf_dir):
+    """Cross-document duplicated-5-gram fraction per doc — the
+    RefinedWeb/Gopher corpus-level signal that complements the intra-doc
+    text_repetition_stats: what share of a document's 5-gram positions is
+    text that also appears in at least one OTHER document.
+
+    Scale shape: the doc→gram explode happens after a repartition on
+    doc_id, so the first (doc_id, gram) aggregate is partition-local
+    (HashPartitioning(doc_id) satisfies the (doc_id, g) clustering);
+    exploded gram rows never shuffle. Only the compact (doc_id, gram,
+    count) table moves — once to compute per-gram document frequency,
+    once back for the final per-doc rollup. At 100 TB the df table is the
+    hot side; it stays (gram, count) narrow and never carries text
+    beyond the 5-gram key itself."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("w"))
+        .where(F.size("w") >= 5)
+        .repartition("doc_id")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 4),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+            )
+        ).alias("g"),
+    )
+    dg = grams.groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    df = dg.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        dg.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") > 1, F.col("n")).otherwise(0)).cast("double")
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("dup_ngram_fraction"),
+        )
+    )
+
+
+@query(
+    "events_moving_median",
+    """
+    SELECT event_id, user_id,
+           median(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS median_cents
+    FROM events
+    """,
+)
+def events_moving_median_q(spark, sf_dir):
+    """Exact sliding-window median (5-row trailing frame) of event value
+    per user. Cross-engine determinism: values go through integer cents
+    first, so the even-count interpolation (a+b)/2 is exact in binary
+    floating point and Spark's percentile(0.5) matches DuckDB's median
+    bit-for-bit with no rounding tolerance. One shuffle
+    (hash on user_id), sort within partitions, single window pass."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.percentile(cents, F.lit(0.5)).over(w).alias("median_cents"),
+    )
+
+
+@query(
+    "part_interval_overlap",
+    """
+    WITH iv AS (
+        SELECT p_brand AS brand, p_partkey AS id,
+               CAST(p_retailprice AS DECIMAL(12,2)) AS s,
+               CAST(p_retailprice AS DECIMAL(12,2)) + p_size AS e
+        FROM part)
+    SELECT a.brand AS brand, COUNT(*) AS n_pairs,
+           CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS DOUBLE)
+               AS total_overlap
+    FROM iv a JOIN iv b
+      ON a.brand = b.brand AND a.id < b.id AND a.s < b.e AND b.s < a.e
+    GROUP BY a.brand
+    """,
+)
+def part_interval_overlap_q(spark, sf_dir):
+    """Interval×interval overlap join: parts become price intervals
+    [retailprice, retailprice + size) blocked by brand; count overlapping
+    pairs and total overlap length per brand (exact decimal arithmetic,
+    cast to double only at the end). The Spark side runs the bin-bucketed
+    self-overlap join (operators/range_join.py:interval_self_overlap) —
+    equi-join on (brand, bin) with owner-bin dedup — while the oracle is
+    the plain quadratic non-equi join, so correctness of the bucketing
+    (replication + exactly-once pair ownership) is what's being checked."""
+    from orion_spark.operators.range_join import interval_self_overlap
+
+    s = F.col("p_retailprice").cast("decimal(12,2)")
+    iv = _t(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("block"),
+        F.col("p_partkey").alias("id"),
+        s.alias("s"),
+        (s + F.col("p_size")).alias("e"),
+    )
+    pairs = interval_self_overlap(iv, bin_size=64)
+    return pairs.groupBy(F.col("block").alias("brand")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+        ).cast("double").alias("total_overlap"),
+    )
+
+
+@query(
+    "orders_basket_lift",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    item AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    pairs AS (
+        SELECT x.p AS a, y.p AS b, COUNT(*) AS pair_count
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        GROUP BY x.p, y.p
+        HAVING COUNT(*) >= 2)
+    SELECT pr.a, pr.b, pr.pair_count,
+           ROUND(CAST(pr.pair_count * n.n_orders AS DOUBLE) /
+                 CAST(ia.c * ib.c AS DOUBLE), 6) AS lift
+    FROM pairs pr
+    JOIN item ia ON pr.a = ia.p
+    JOIN item ib ON pr.b = ib.p
+    CROSS JOIN n
+    """,
+)
+def orders_basket_lift_q(spark, sf_dir):
+    """Market-basket association mining over order baskets: part pairs
+    co-occurring in >=2 orders, scored by lift = P(ab)/(P(a)P(b)) in
+    exact integer cross-multiplication (one double division at the end,
+    identical IEEE result in both engines). The per-order self-join is
+    quadratic in basket size — bounded at <=7 items in TPC-H data; a
+    100 TB run with hub baskets would cap items per basket first. Item
+    counts (|parts| rows) broadcast to the pair table; the only big
+    shuffles are the op distinct and the basket self-join on order key."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    item = op.groupBy("p").agg(F.count("*").alias("c"))
+    n_orders = op.select(F.countDistinct("o").alias("n_orders"))
+    x = op.select("o", F.col("p").alias("a"))
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    pairs = (
+        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= 2)
+    )
+    ia = item.select(F.col("p").alias("_pa"), F.col("c").alias("_ca"))
+    ib = item.select(F.col("p").alias("_pb"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ia), F.col("a") == F.col("_pa"))
+        .join(F.broadcast(ib), F.col("b") == F.col("_pb"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                (F.col("pair_count") * F.col("n_orders")).cast("double")
+                / (F.col("_ca") * F.col("_cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "embedding_quantization_error",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(x AS DOUBLE) for x in embedding] AS v,
+               list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        FROM embeddings)
+    SELECT vec_id,
+           round(maxabs, 6) AS max_abs,
+           round(list_sum([pow(x - round(x / (maxabs / 127)) * (maxabs / 127), 2)
+                           for x in v]) / len(v), 9) AS mse
+    FROM q
+    """,
+)
+def embedding_quantization_error_q(spark, sf_dir):
+    """Symmetric int8 quantization panel over the embedding column: per
+    vector, scale = max|x| / 127, reconstruction MSE of
+    round(x/scale)*scale. The compression-QA primitive for embedding
+    tables (decide int8 vs fp16 storage from actual error). Pure
+    higher-order column expressions (transform + left-fold aggregate) —
+    no UDF, no shuffle: this is a map-only pass over the scan, and the
+    identical elementwise double arithmetic on both engines makes the
+    MSE bit-comparable at 9 decimals."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.withColumn(
+        "maxabs", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    scale = F.col("maxabs") / 127
+    sq_err = F.aggregate(
+        F.transform(
+            "v", lambda x: F.pow(x - F.round(x / scale) * scale, F.lit(2))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("max_abs"),
+        F.round(sq_err / F.size("v"), 9).alias("mse"),
     )

@@ -50,3 +50,29 @@ def test_label_propagation_converges_to_components(spark):
     )
     out = {r.id: r.label for r in label_propagation_min(edges, iterations=3).collect()}
     assert out == {"B": "B", "C": "B", "D": "B", "X": "X", "Y": "X"}
+
+
+def test_kcore_peels_tail_and_keeps_core(spark):
+    """Triangle 1-2-3 with a pendant chain 3-4-5: the chain peels off over
+    two rounds (5 first, then 4), the triangle survives 2-core peeling
+    with every surviving degree == 2."""
+    from orion_spark.operators.graphalgo import kcore_prune
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "a int, b int"
+    )
+    out = {r.node: r.degree for r in kcore_prune(pairs, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_bounded_rounds_stop_short(spark):
+    """A length-4 path needs 2 rounds to fully dissolve under k=2;
+    rounds=1 must leave the partially-peeled middle (bounded-cost
+    semantics, not fixpoint)."""
+    from orion_spark.operators.graphalgo import kcore_prune
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a int, b int")
+    after1 = {r.node for r in kcore_prune(pairs, k=2, rounds=1).collect()}
+    assert after1 == {2, 3}
+    after2 = kcore_prune(pairs, k=2, rounds=2).count()
+    assert after2 == 0

@@ -155,3 +155,44 @@ def test_approx_sketches_error_bounds(spark):
         # percentile_approx returns an actual data value near the quantile
         spread = ev.agg(F.max("value") - F.min("value")).first()[0]
         assert abs(a.approx_p95_value - e.p95) <= 0.05 * spread
+
+
+def test_interval_self_overlap_owner_bin_dedup(spark):
+    """Pairs spanning several shared bins must appear exactly once, pairs
+    meeting only at a shared endpoint not at all (half-open semantics),
+    and blocks never mix."""
+    from orion_spark.operators.range_join import interval_self_overlap
+
+    iv = spark.createDataFrame(
+        [
+            # block X: [0,25) overlaps [20,40) across bins 0..2 (bin_size 10)
+            ("X", 1, 0.0, 25.0),
+            ("X", 2, 20.0, 40.0),
+            # touching endpoints only: [40,50) vs [50,60) -> no pair
+            ("X", 3, 50.0, 60.0),
+            # same coordinates, different block -> no cross-block pair
+            ("Y", 4, 0.0, 25.0),
+        ],
+        "block string, id int, s double, e double",
+    )
+    rows = interval_self_overlap(iv, bin_size=10).collect()
+    assert [(r.block, r.id_a, r.id_b) for r in rows] == [("X", 1, 2)]
+
+
+def test_interval_self_overlap_matches_naive_join(spark):
+    """Bucketed result == plain quadratic non-equi join on a dense block."""
+    from orion_spark.operators.range_join import interval_self_overlap
+
+    data = [("B", i, float(i * 3 % 17), float(i * 3 % 17 + 1 + i % 5)) for i in range(40)]
+    iv = spark.createDataFrame(data, "block string, id int, s double, e double")
+    got = {
+        (r.id_a, r.id_b)
+        for r in interval_self_overlap(iv, bin_size=4).collect()
+    }
+    naive = {
+        (a_id, b_id)
+        for (_, a_id, a_s, a_e) in data
+        for (_, b_id, b_s, b_e) in data
+        if a_id < b_id and a_s < b_e and b_s < a_e
+    }
+    assert got == naive

@@ -38,6 +38,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "graph_triangle_count": "1-row summary aggregates combined into the output row",
         "full_pipeline_counts": "constant predicate is constant-folded out of the join key; the 'join' is a residual filter against the 14-row broadcast closure dim",
         "documents_mixture_report": "corpus-total scalar (1 row) broadcast under every source row",
+        "orders_basket_lift": "order-count scalar (1 row) broadcast into the lift expression",
     },
     "ArrowEvalPython": {
         "multimodal_decode_features": "stubbed media decode is a declared mapInPandas boundary",
