@@ -3783,7 +3783,7 @@ def events_moving_median_q(spark, sf_dir):
     floating point and Spark's percentile(0.5) matches DuckDB's median
     bit-for-bit with no rounding tolerance. One shuffle
     (hash on user_id), sort within partitions, single window pass."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("bigint")
     w = (
         Window.partitionBy("user_id")
@@ -3946,4 +3946,214 @@ def embedding_quantization_error_q(spark, sf_dir):
         "vec_id",
         F.round("maxabs", 6).alias("max_abs"),
         F.round(sq_err / F.size("v"), 9).alias("mse"),
+    )
+
+
+@query(
+    "graph_neighbor_jaccard",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+                WHERE l_quantity >= 45),
+    pairs AS (
+        SELECT DISTINCT x.p AS a, y.p AS b
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+    sym AS (SELECT a AS u, b AS w FROM pairs
+            UNION ALL SELECT b AS u, a AS w FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    common AS (
+        SELECT e1.u AS a, e2.u AS b, COUNT(*) AS c
+        FROM sym e1 JOIN sym e2 ON e1.w = e2.w AND e1.u < e2.u
+        GROUP BY e1.u, e2.u)
+    SELECT cm.a, cm.b, cm.c AS common_neighbors,
+           ROUND(CAST(cm.c AS DOUBLE) / CAST(da.d + db.d - cm.c AS DOUBLE), 6)
+               AS jaccard
+    FROM common cm
+    JOIN deg da ON cm.a = da.u
+    JOIN deg db ON cm.b = db.u
+    WHERE cm.c * 5 >= da.d + db.d - cm.c
+    """,
+)
+def graph_neighbor_jaccard_q(spark, sf_dir):
+    """Neighbor-set Jaccard similarity (the link-prediction primitive)
+    over the sparsified part co-occurrence graph: for every node pair
+    sharing a neighbor, |N(a) n N(b)| / |N(a) u N(b)|, kept when >= 0.2.
+    The threshold compare is exact integer cross-multiplication
+    (c*5 >= union), so the only float is the reported score. Wedge join
+    fans out from shared neighbors — on power-law graphs the hub caps
+    from kcore/triangle apply; here the quantity filter bounds degree.
+    Degree table (|V| rows) broadcasts into the pair table."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x = op.select("o", F.col("p").alias("a"))
+    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    pairs = (
+        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = sym.select(F.col("u").alias("ua"), "w")
+    e2 = sym.select(F.col("u").alias("ub"), F.col("w").alias("w2"))
+    common = (
+        e1.join(e2, (e1["w"] == e2["w2"]) & (e1["ua"] < e2["ub"]))
+        .groupBy(F.col("ua").alias("a"), F.col("ub").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    da = deg.select(F.col("u").alias("_ua"), F.col("d").alias("_da"))
+    db = deg.select(F.col("u").alias("_ub"), F.col("d").alias("_db"))
+    union_size = F.col("_da") + F.col("_db") - F.col("c")
+    return (
+        common.join(F.broadcast(da), F.col("a") == F.col("_ua"))
+        .join(F.broadcast(db), F.col("b") == F.col("_ub"))
+        .where(F.col("c") * 5 >= union_size)
+        .select(
+            "a",
+            "b",
+            F.col("c").alias("common_neighbors"),
+            F.round(F.col("c").cast("double") / union_size.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@query(
+    "documents_sequence_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_off
+        FROM toks)
+    SELECT CAST(start_off // 2048 AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1
+    """,
+)
+def documents_sequence_packing_q(spark, sf_dir):
+    """Sequence packing for training-data prep: documents are laid out in
+    doc_id order and cut into ~2048-token chunks by their start offset in
+    the concatenated token stream (the concat-then-chunk packing every
+    LLM data pipeline runs before tokenized shard writes).
+
+    The global prefix sum is NOT computed with a single-partition window
+    (the naive ORDER BY window moves the whole corpus through one task —
+    exactly what dies at 100 TB). Two-phase scalable cumsum instead:
+    (1) per-range-bucket token subtotals (tiny: one row per bucket) are
+    cumulated driver-free via a window over buckets and broadcast back;
+    (2) the within-bucket running sum is a window partitioned by bucket,
+    so every partition works in parallel. offset = bucket_base +
+    within-bucket prefix. Integer arithmetic end to end — exact."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    bucketed = toks.withColumn("_bkt", F.floor(F.col("doc_id") / 64))
+    per_bucket = bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bt"))
+    # bucket table is tiny (|docs|/64 rows): the cross-bucket prefix sum
+    # window is single-partition BY DESIGN over that dimension table only
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_base")
+    )
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        bucketed.join(F.broadcast(bases), "_bkt")
+        .select(
+            "n_tokens",
+            (
+                F.col("_base") + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+            ).alias("offset"),
+        )
+    )
+    return packed.groupBy(
+        F.floor(F.col("offset") / 2048).cast("bigint").alias("chunk_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events),
+    mom AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(v) AS s, SUM(v * v) AS ss
+        FROM c GROUP BY event_type)
+    SELECT m.event_type, m.n,
+           ROUND(CAST(m.s AS DOUBLE) / m.n, 6) AS mean_cents,
+           ROUND(CAST(m.n * m.ss - m.s * m.s AS DOUBLE) /
+                 (CAST(m.n AS DOUBLE) * (m.n - 1)), 6) AS var_cents,
+           CAST(SUM(CASE WHEN ABS(c.v - CAST(m.s AS DOUBLE) / m.n) >
+                       3 * sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE) /
+                                (CAST(m.n AS DOUBLE) * (m.n - 1)))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM mom m JOIN c ON c.event_type = m.event_type
+    GROUP BY m.event_type, m.n, m.s, m.ss
+    """,
+)
+def events_anomaly_zscore_q(spark, sf_dir):
+    """Per-event-type 3-sigma anomaly counts with EXACT moment arithmetic:
+    values become integer cents, so sum and sum-of-squares are exact
+    bigints regardless of aggregation order (the distributed-float-sum
+    nondeterminism that makes naive stddev un-oracle-able never appears);
+    mean/variance are single double divisions of exact integers and sqrt
+    is IEEE-correctly-rounded, so both engines flag the identical rows.
+    Two passes over events (moments, then flag-count) sharing one
+    hash-partitioning on event_type; the moments table broadcasts."""
+    c = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).repartition("event_type").persist()
+    mom = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    m = mom.select(
+        F.col("event_type").alias("_et"), "n", "s", "ss",
+        mean.alias("_mean"), var.alias("_var"),
+    )
+    return (
+        c.join(F.broadcast(m), c["event_type"] == F.col("_et"))
+        .groupBy("event_type", "n", "s", "ss", "_mean", "_var")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("_mean")) > 3 * F.sqrt("_var"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("_mean", 6).alias("mean_cents"),
+            F.round("_var", 6).alias("var_cents"),
+            "n_anomalies",
+        )
     )
