@@ -180,6 +180,42 @@ def triangle_count_oracle_sql(pairs_cte: str) -> str:
     """
 
 
+def cooccurrence_pairs(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Per-group item pairs (a, b) with a < b — one output row per
+    (group, pair) occurrence (callers dedupe or count as needed).
+
+    Built as collect_set-per-group + a higher-order pair explode instead
+    of the textbook self-join-on-group: one shuffle (the groupBy, with
+    map-side partial collect_set) replaces the self-join's two shuffled
+    sides, and no join ever materializes. Baskets are bounded (TPC-H
+    orders hold <= 7 parts), so the in-row pair expansion is O(k²) on a
+    tiny k — the plan-level win is removing a whole exchange of the big
+    side. A 100 TB run with unbounded groups would cap items per group
+    before the expansion (same hub-cap discipline as triangle_count's
+    degree orientation).
+    """
+    grouped = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("items")
+    )
+    # for sorted items, all (items[i], items[j]) with i < j give a < b
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice(
+                    "items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(
+        F.col("g"), F.explode(pair_structs).alias("pr")
+    ).select("g", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+
+
 def kcore_prune(pairs: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     """Bounded-round k-core peeling over an undirected edge list.
 

@@ -3154,6 +3154,7 @@ _TRI_PAIRS_SQL = """
 """
 
 from orion_spark.operators.graphalgo import (  # noqa: E402
+    cooccurrence_pairs,
     kcore_oracle_sql,
     kcore_prune,
     triangle_count,
@@ -3170,15 +3171,8 @@ def graph_triangle_count_q(spark, sf_dir):
     explosion, which is what kills naive pair-joins on power-law graphs
     at 100 TB. Extension surface (reference computes only degree-style
     aggregates — orion/answercoalesce_build.py:100-165)."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x = op.select(F.col("o"), F.col("p").alias("a"))
-    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
     pairs = (
-        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        cooccurrence_pairs(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .select("a", "b")
         .distinct()
     )
@@ -3685,16 +3679,9 @@ def graph_kcore_q(spark, sf_dir):
     degree-aggregate + semi-join passes over a monotonically shrinking
     edge set (operators/graphalgo.py:kcore_prune); the oracle unrolls the
     identical rounds as chained CTEs."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") >= 45)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x = op.select("o", F.col("p").alias("a"))
-    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
     pairs = (
-        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
         .select("a", "b")
         .distinct()
     )
@@ -3877,10 +3864,8 @@ def orders_basket_lift_q(spark, sf_dir):
     )
     item = op.groupBy("p").agg(F.count("*").alias("c"))
     n_orders = op.select(F.countDistinct("o").alias("n_orders"))
-    x = op.select("o", F.col("p").alias("a"))
-    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
     pairs = (
-        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        cooccurrence_pairs(op, "o", "p")
         .groupBy("a", "b")
         .agg(F.count("*").alias("pair_count"))
         .where(F.col("pair_count") >= 2)
@@ -3982,16 +3967,9 @@ def graph_neighbor_jaccard_q(spark, sf_dir):
     fans out from shared neighbors — on power-law graphs the hub caps
     from kcore/triangle apply; here the quantity filter bounds degree.
     Degree table (|V| rows) broadcasts into the pair table."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") >= 45)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    x = op.select("o", F.col("p").alias("a"))
-    y = op.select(F.col("o").alias("o2"), F.col("p").alias("b"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
     pairs = (
-        x.join(y, (x["o"] == F.col("o2")) & (F.col("a") < F.col("b")))
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
         .select("a", "b")
         .distinct()
         .persist()

@@ -76,3 +76,30 @@ def test_kcore_bounded_rounds_stop_short(spark):
     assert after1 == {2, 3}
     after2 = kcore_prune(pairs, k=2, rounds=2).count()
     assert after2 == 0
+
+
+def test_cooccurrence_pairs_matches_self_join(spark):
+    """HOF pair explode == textbook self-join-on-group, including
+    duplicate source rows (collect_set dedups within group) and
+    singleton groups (no pairs)."""
+    from pyspark.sql import functions as F
+
+    from orion_spark.operators.graphalgo import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "a"), (2, "x"), (3, "b"), (3, "a")],
+        "g int, item string",
+    )
+    got = sorted(
+        (r.g, r.a, r.b) for r in cooccurrence_pairs(df, "g", "item").collect()
+    )
+    op = df.select("g", "item").distinct()
+    x = op.select("g", F.col("item").alias("a"))
+    y = op.select(F.col("g").alias("g2"), F.col("item").alias("b"))
+    want = sorted(
+        (r.g, r.a, r.b)
+        for r in x.join(
+            y, (x["g"] == F.col("g2")) & (F.col("a") < F.col("b"))
+        ).select("g", "a", "b").collect()
+    )
+    assert got == want == [(1, "a", "b"), (1, "a", "c"), (1, "b", "c"), (3, "a", "b")]
