@@ -4135,3 +4135,214 @@ def events_anomaly_zscore_q(spark, sf_dir):
             "n_anomalies",
         )
     )
+
+
+@query(
+    "lineitem_measures_unpivot",
+    """
+    WITH long AS (
+        SELECT measure, val FROM (
+            SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT 'discount', l_discount FROM lineitem
+            UNION ALL SELECT 'tax', l_tax FROM lineitem))
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM long GROUP BY measure
+    """,
+)
+def lineitem_measures_unpivot_q(spark, sf_dir):
+    """Wide-to-long UNPIVOT (the inverse of events_type_pivot): the four
+    lineitem measures melt into (measure, val) rows via the native
+    unpivot operator — a zero-shuffle Expand node, NOT a 4x self-union
+    re-scan — then one aggregate over exact decimals. The oracle spells
+    it as the UNION ALL the Expand is equivalent to."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    long = li.unpivot(
+        ids=[],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("decimal(14,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "events_value_mode",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events),
+    vc AS (SELECT event_type, v, COUNT(*) AS c FROM c GROUP BY event_type, v),
+    ranked AS (
+        SELECT event_type, v, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, v ASC) AS rn
+        FROM vc)
+    SELECT event_type, v AS mode_cents, c AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_value_mode_q(spark, sf_dir):
+    """Deterministic mode per event type: most frequent integer-cents
+    value, ties broken by smallest value (engines disagree on arbitrary
+    mode tiebreaks — the explicit (count DESC, value ASC) total order is
+    what makes this oracle-able). Two aggregates sharing the event_type
+    clustering plus a tiny per-type window."""
+    c = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    vc = c.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("v"))
+    return (
+        vc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("v").alias("mode_cents"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "customer_scd2_intervals",
+    """
+    WITH h AS (
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+               o_orderdate AS odate, o_orderkey AS okey,
+               LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                   AS prev_status
+        FROM orders),
+    changes AS (
+        SELECT custkey, status, odate, okey FROM h
+        WHERE prev_status IS NULL OR status <> prev_status)
+    SELECT custkey, status,
+           strftime(odate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(odate) OVER (PARTITION BY custkey
+                                               ORDER BY odate, okey),
+                             '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to
+    FROM changes
+    """,
+)
+def customer_scd2_intervals_q(spark, sf_dir):
+    """SCD Type-2 dimension build: each customer's order-status history
+    collapses into validity intervals — a row per status CHANGE with
+    valid_from/valid_to ('current' for the open interval). The
+    change-detection lag and the interval-closing lead both run over the
+    same (custkey, date, key) ordering, so one hash partitioning on
+    custkey serves both windows; total order via the orderkey tiebreak
+    makes the intervals engine-independent."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+    )
+    changes = h.where(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w2), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+    )
+
+
+@query(
+    "events_session_window_builtin",
+    """
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    tagged AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered)
+    SELECT user_id, MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, sid
+    """,
+)
+def events_session_window_builtin_q(spark, sf_dir):
+    """Native session_window sessionization (the built-in stateful
+    operator behind streaming session aggregation, here in its batch
+    shape): 30-min-gap sessions per user with start/end/size. Spark's
+    session end is last-event + gap and a gap of exactly 1800s starts a
+    NEW session (half-open window), which the gaps-and-islands oracle
+    reproduces with >= in the boundary test — one character that
+    otherwise silently disagrees at tied timestamps. Single shuffle on
+    user_id; the session merge is partition-local."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_user_type_setops",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click'),
+    purchasers AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+    SELECT 'click_and_purchase' AS cohort, COUNT(*) AS n_users FROM
+        (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers)
+    UNION ALL
+    SELECT 'click_only', COUNT(*) FROM
+        (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers)
+    UNION ALL
+    SELECT 'purchase_only', COUNT(*) FROM
+        (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM clickers)
+    """,
+)
+def events_user_type_setops_q(spark, sf_dir):
+    """Relational set operations (INTERSECT / EXCEPT — SURVEY §2.7 R4
+    family): behavioral cohort sizes from distinct-user sets. Catalyst
+    plans these as left-semi / left-anti hash joins over the deduped id
+    sets; both inputs derive from one events scan."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type").persist()
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+
+    def tag(df, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("cohort"), "n_users"
+        )
+
+    return (
+        tag(clickers.intersect(purchasers), "click_and_purchase")
+        .unionAll(tag(clickers.exceptAll(purchasers), "click_only"))
+        .unionAll(tag(purchasers.exceptAll(clickers), "purchase_only"))
+    )
