@@ -165,9 +165,12 @@ def minhash_lsh_pairs(
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
     """Connected components over near-dup pairs: every document in a
     transitively-connected cluster maps to the cluster's minimum doc id
-    (the canonical keeper). Iterative min-label propagation — each round is
-    two joins + a groupBy; converges in O(diameter) rounds (label values
-    jump via the min, so effectively O(log n) for typical dup clusters).
+    (the canonical keeper). Iterative min-label propagation with a
+    path-halving shortcut: each round takes the min over neighbors' labels
+    AND then jumps through the label indirection (label <- label[label]),
+    which cuts convergence from O(diameter) to O(log diameter) rounds —
+    the difference between ~30 and ~6 shuffle rounds on sparse tree-like
+    graphs (pointer-jumping, the standard distributed-CC accelerant).
 
     This is the step that turns pairwise near-dup output into an actionable
     keep/drop decision at corpus scale.
@@ -195,12 +198,26 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_labels = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["a"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # path halving: label <- label[label]. Labels are always node ids
+        # (start as own id, only ever replaced by mins of node ids), so the
+        # self-join hits a row for every label; coalesce is belt-and-braces.
+        hop = new_labels.select(
+            F.col("node").alias("_n2"), F.col("label").alias("_l2")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            new_labels.join(hop, new_labels["label"] == hop["_n2"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_l2"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)

@@ -4346,3 +4346,47 @@ def events_user_type_setops_q(spark, sf_dir):
         .unionAll(tag(clickers.exceptAll(purchasers), "click_only"))
         .unionAll(tag(purchasers.exceptAll(clickers), "purchase_only"))
     )
+
+
+_CC_PAIRS_SQL = """
+    SELECT DISTINCT x.p AS doc_a, y.p AS doc_b
+    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+          WHERE l_quantity >= 45) x
+    JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+          WHERE l_quantity >= 45) y
+      ON x.o = y.o AND x.p < y.p
+"""
+
+from orion_spark.llm.dedup import (  # noqa: E402
+    dedup_clusters,
+    dedup_clusters_oracle_sql,
+)
+
+
+@query(
+    "graph_connected_components",
+    f"""
+    SELECT doc_id AS node, cluster_id AS component
+    FROM ({dedup_clusters_oracle_sql(_CC_PAIRS_SQL.strip())})
+    """,
+)
+def graph_connected_components_q(spark, sf_dir):
+    """Weakly connected components to CONVERGENCE (unlike the
+    bounded-round graph_label_propagation): min-label propagation with a
+    per-round changed-row check, so the loop stops at the graph's actual
+    diameter instead of a fixed round count. Runs the same engine as the
+    near-dup clustering step (llm/dedup.py:dedup_clusters — one codepath
+    for 'group transitive duplicates' and 'find graph components');
+    oracle is the recursive-CTE transitive closure."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .distinct()
+    )
+    # sparse co-occurrence graphs are tree-like: the giant component's
+    # diameter exceeds dedup-cluster defaults; the changed-row check still
+    # exits at actual convergence, the cap is just a runaway guard
+    return dedup_clusters(pairs, max_iterations=60).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )
