@@ -176,3 +176,26 @@ def interval_join_streams(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
     )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked session-window aggregation over the event stream — the
+    built-in stateful sessionization operator (merging session state per
+    user, sessions close when the watermark passes last-event + gap).
+    Batch shape of the identical expression is oracle-checked as
+    `events_session_window_builtin`; this is the streaming shape with
+    bounded state: expired sessions are emitted and dropped, so state is
+    O(open sessions), not O(history)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

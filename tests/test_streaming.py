@@ -205,3 +205,31 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination()
     out = spark.sql("select * from ssj_test").collect()
     assert [(r.l_event_id, r.r_event_id) for r in out] == [(1, 10)]
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Native session_window in streaming mode: user 1's two clicks 10 min
+    apart merge into one session (gap 30 min) spanning first event to
+    last event + gap; user 2's lone event forms its own session. The
+    duplicate event_id row lands inside user 1's session (pure count —
+    no dedup stage in this pipeline)."""
+    src = str(tmp_path / "events_sw")
+    _write_events(spark, src)
+    stream = SE.read_event_stream(spark, src)
+    q = (
+        SE.session_window_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sw_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        (r.user_id, r.session_start.minute, r.n_events): r.session_end
+        for r in spark.sql("select * from sw_test").collect()
+    }
+    assert len(out) == 2
+    end_u1 = out[(1, 0, 3)]
+    assert (end_u1.hour, end_u1.minute) == (0, 40)  # last event 00:10 + 30 min
+    assert (2, 5, 1) in {k for k in out}
