@@ -4390,3 +4390,82 @@ def graph_connected_components_q(spark, sf_dir):
     return dedup_clusters(pairs, max_iterations=60).select(
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
     )
+
+
+@query(
+    "events_minute_gap_fill",
+    """
+    WITH m AS (SELECT epoch_us(ts) // 60000000 AS m FROM events),
+    c AS (SELECT m, COUNT(*) AS n FROM m GROUP BY m),
+    b AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM m),
+    spine AS (SELECT unnest(generate_series(mn, mx)) AS m FROM b)
+    SELECT spine.m AS minute_epoch,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+           c.n IS NULL AS is_gap
+    FROM spine LEFT JOIN c ON spine.m = c.m
+    """,
+)
+def events_minute_gap_fill_q(spark, sf_dir):
+    """Time-series densification (gap fill): the complete per-minute spine
+    between the first and last event, zero-filled where no events landed —
+    the step every downstream rate/alerting computation needs before
+    window math, since absent rows are invisible to plain groupBy.
+    Integer epoch-minute buckets keep it engine-exact. The spine is
+    generated from the 1-row bounds aggregate via sequence+explode
+    (no driver round-trip, no Python range) and the per-minute counts
+    join back to it; at 100 TB the spine stays tiny relative to events
+    (minutes, not rows) so the join broadcasts."""
+    ev = _events(spark, sf_dir).select(
+        (F.unix_micros("ts") / 60_000_000).cast("bigint").alias("m")
+    )
+    c = ev.groupBy("m").agg(F.count("*").alias("n"))
+    spine = (
+        ev.agg(F.min("m").alias("mn"), F.max("m").alias("mx"))
+        .select(F.explode(F.sequence("mn", "mx")).alias("m"))
+    )
+    return spine.join(c, "m", "left").select(
+        F.col("m").alias("minute_epoch"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "documents_dedup_retention",
+    """
+    WITH keep AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                 COUNT(*), 6) AS retention_rate
+    FROM keep GROUP BY source
+    """,
+)
+def documents_dedup_retention_q(spark, sf_dir):
+    """End-to-end exact-dedup curation report: canonical keeper per
+    content hash (min doc_id), retention rate per source — the number a
+    data-mixture owner actually reads after a dedup pass. One shuffle on
+    the content hash for keeper election (a window, not a groupBy+join
+    back), then a tiny per-source rollup; the document text itself never
+    shuffles (hashed in the map stage)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    keep = docs.withColumn("rn", F.row_number().over(w))
+    return keep.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("retention_rate"),
+    )
