@@ -4469,3 +4469,76 @@ def documents_dedup_retention_q(spark, sf_dir):
             6,
         ).alias("retention_rate"),
     )
+
+
+@query(
+    "documents_per_source_sample",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM documents)
+    SELECT source, doc_id, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def documents_per_source_sample_q(spark, sf_dir):
+    """Deterministic k-per-group sample (reservoir semantics without the
+    randomness): the 5 docs with smallest md5(doc_id) per source — a
+    uniform-but-reproducible pick identical in any engine, the standard
+    trick for stable eval-set carving. One shuffle on source; the window
+    ranks within groups and rows beyond k are discarded reader-side
+    (TakeOrdered-per-group shape)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "doc_id", "rk")
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total
+        FROM orders GROUP BY 1)
+    SELECT yr, n_orders, total,
+           ROUND((total - LAG(total) OVER (ORDER BY yr)) /
+                 LAG(total) OVER (ORDER BY yr) * 100, 6) AS yoy_pct
+    FROM yearly
+    """,
+)
+def orders_yoy_growth_q(spark, sf_dir):
+    """Year-over-year growth — the BI staple: yearly exact-decimal
+    revenue, then lag-based growth percent. The unpartitioned window runs
+    over the YEARLY dimension only (a handful of rows after the
+    aggregate), so the single-partition window warning is by design and
+    costless; the heavy table is reduced by the partial-aggregating
+    groupBy first. Division happens in double on values that are exact
+    by construction, rounded to 6."""
+    yearly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("total").over(w)
+    return yearly.select(
+        "yr",
+        "n_orders",
+        "total",
+        F.round((F.col("total") - prev) / prev * 100, 6).alias("yoy_pct"),
+    )
