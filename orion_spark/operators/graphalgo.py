@@ -352,3 +352,65 @@ def label_propagation_oracle_sql(edges_cte: str, iterations: int = 3) -> str:
     WITH {edges_cte},{",".join(chain)}
     SELECT id, label FROM lp{iterations}
     """
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Bounded-hop BFS: hop distance from a seed set over an undirected
+    graph, the relational encoding of ORION's neighborhood expansion
+    (reference walks adjacency imperatively; here each hop is one
+    join+min-aggregate round, so k hops = k shuffles on a cluster).
+
+    `edges` needs src/dst columns, `seeds` a single `id` column. Returns
+    (id, dist) for every node within `max_hops` of a seed — unreached
+    nodes are absent, matching the oracle's frontier semantics. Distances
+    are min-combined per round, so revisiting a node through a longer
+    path never raises its distance. The symmetrized edge list is
+    persisted pre-partitioned on the join key (shuffled once, reused
+    every round); per-round localCheckpoint truncates lineage exactly as
+    in label_propagation_min above.
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .repartition("b")
+        .persist()
+    )
+    dist = seeds.select(F.col("id")).distinct().withColumn("dist", F.lit(0))
+    for _ in range(max_hops):
+        expanded = (
+            sym.join(dist, sym["b"] == dist["id"])
+            .select(F.col("a").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def bfs_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int = 3) -> str:
+    """DuckDB oracle: the identical BFS rounds as chained CTEs.
+    `edges_cte` must define a CTE named `bfs_edges` with src/dst columns;
+    `seeds_sql` is a SELECT yielding one `id` column."""
+    chain = [f"""
+    sym AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM bfs_edges
+            UNION ALL SELECT dst AS a, src AS b FROM bfs_edges)),
+    d0 AS (SELECT DISTINCT id, 0 AS dist FROM ({seeds_sql}))"""]
+    for i in range(1, max_hops + 1):
+        chain.append(f"""
+    d{i} AS (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.a AS id, d.dist + 1 AS dist
+            FROM sym e JOIN d{i - 1} d ON e.b = d.id)
+        GROUP BY id)""")
+    return f"""
+    WITH {edges_cte},{",".join(chain)}
+    SELECT id, dist FROM d{max_hops}
+    """
