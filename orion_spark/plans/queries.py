@@ -4542,3 +4542,144 @@ def orders_yoy_growth_q(spark, sf_dir):
         "total",
         F.round((F.col("total") - prev) / prev * 100, 6).alias("yoy_pct"),
     )
+
+
+# ===========================================================================
+# PII scan/redact panel + bounded-hop BFS (closing the round-1 untested gap)
+# ===========================================================================
+
+from orion_spark.llm.pii import PII_PATTERNS  # noqa: E402
+
+
+def _pii_oracle_sql() -> str:
+    """Build the DuckDB half from the same PII_PATTERNS dict the Spark
+    operator uses, so pattern edits can never desynchronize the two."""
+    count_exprs = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, (pat, _) in PII_PATTERNS.items()
+    )
+    red = "text"
+    for _, (pat, tok) in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    residual = " + ".join(
+        f"len(regexp_extract_all(red, '{pat}'))" for _, (pat, _) in PII_PATTERNS.items()
+    )
+    sums = ",\n           ".join(
+        f"CAST(SUM(n_{k}) AS BIGINT) AS total_{k}" for k in PII_PATTERNS
+    )
+    return f"""
+    WITH aug AS (
+        SELECT source,
+               text
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' contact user' || doc_id || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.42.7' ELSE '' END
+                 AS text
+        FROM documents),
+    counted AS (
+        SELECT source, length(text) AS orig_len,
+               {count_exprs},
+               {red} AS red
+        FROM aug)
+    SELECT source, COUNT(*) AS n_docs,
+           {sums},
+           CAST(SUM(CASE WHEN {total} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_pii,
+           CAST(SUM(orig_len - length(red)) AS BIGINT) AS chars_removed,
+           CAST(SUM({residual}) AS BIGINT) AS residual_pii
+    FROM counted GROUP BY source
+    """
+
+
+@query("text_pii_panel", _pii_oracle_sql())
+def text_pii_panel_q(spark, sf_dir):
+    """PII scan + redaction round-trip (llm/pii.py) over documents with
+    deterministically injected PII (the synthetic corpus carries none, so
+    the panel seeds emails/SSNs/phones/IPs keyed on doc_id). Per-source:
+    match counts per kind, docs-with-PII, characters removed by
+    redaction, and the residual match count over the REDACTED text —
+    which the oracle hash proves is zero, i.e. redaction actually
+    scrubbed every span the scanner found. All regex work is JVM-side
+    whole-stage codegen (regexp_count/regexp_replace): a narrow map over
+    the corpus scan, one shuffle for the groupBy — 100 TB shape."""
+    from orion_spark.llm import pii as P
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" from 10.0.42.7")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    counted = P.pii_counts(aug).withColumn("orig_len", F.length("text"))
+    red = P.pii_redact(counted)
+    residual = None
+    for col in P.pii_count_cols(F.col("text")).values():
+        residual = col if residual is None else residual + col
+    has = F.when(F.col("has_pii"), 1).otherwise(0)
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(f"n_{k}").cast("bigint").alias(f"total_{k}")
+            for k in P.PII_PATTERNS
+        ],
+        F.sum(has).cast("bigint").alias("n_docs_pii"),
+        F.sum(F.col("orig_len") - F.length("text")).cast("bigint").alias(
+            "chars_removed"
+        ),
+        F.sum(residual).cast("bigint").alias("residual_pii"),
+    )
+
+
+from orion_spark.operators.graphalgo import (  # noqa: E402
+    bfs_distances,
+    bfs_oracle_sql,
+)
+
+_BFS_EDGES_SQL = f"""
+    {G.ALL_EDGES_SQL.strip()},
+    bfs_edges AS (SELECT subject AS src, object AS dst FROM edges)
+"""
+
+
+@query(
+    "graph_bfs_distances",
+    f"""
+    WITH bfs AS ({bfs_oracle_sql(_BFS_EDGES_SQL.strip(), "SELECT 'REGION:' || r_regionkey AS id FROM region", max_hops=3)})
+    SELECT id, dist FROM bfs
+    """,
+)
+def graph_bfs_distances_q(spark, sf_dir):
+    """Bounded-hop BFS from the 5 REGION seed nodes over the undirected
+    KGX graph (operators/graphalgo.py bfs_distances): hop distances for
+    every node within 3 hops — REGION(0) -> NATION(1) -> CUST/SUPP(2) ->
+    ORDER(3). Each hop is one join + min-aggregate (k hops = k shuffles);
+    the symmetrized edge list shuffles once and is reused every round;
+    per-round localCheckpoint truncates lineage. Oracle: identical
+    rounds unrolled as chained DuckDB CTEs (graphalgo.bfs_oracle_sql)."""
+    edges = G.all_edges(spark, sf_dir).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    seeds = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("REGION:"), F.col("r_regionkey")).alias("id")
+    )
+    return bfs_distances(edges, seeds, max_hops=3)

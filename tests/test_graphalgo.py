@@ -103,3 +103,45 @@ def test_cooccurrence_pairs_matches_self_join(spark):
         ).select("g", "a", "b").collect()
     )
     assert got == want == [(1, "a", "b"), (1, "a", "c"), (1, "b", "c"), (3, "a", "b")]
+
+
+def test_bfs_distances_path_graph(spark):
+    # path a-b-c-d-e, seed {a}: dist a=0 b=1 c=2 d=3 within 3 hops; e absent
+    from pyspark.sql import Row
+
+    from orion_spark.operators.graphalgo import bfs_distances
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]]
+    )
+    seeds = spark.createDataFrame([Row(id="a")])
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_distances_min_combines_over_shorter_path(spark):
+    # triangle a-b, b-c, a-c: c is 1 hop via a-c even though a-b-c exists
+    from pyspark.sql import Row
+
+    from orion_spark.operators.graphalgo import bfs_distances
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [("a", "b"), ("b", "c"), ("a", "c")]]
+    )
+    seeds = spark.createDataFrame([Row(id="a")])
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1}
+
+
+def test_bfs_distances_multi_seed_undirected(spark):
+    # seeds {a, e} on path a-b-c-d-e: c reached at dist 2 from either end
+    from pyspark.sql import Row
+
+    from orion_spark.operators.graphalgo import bfs_distances
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]]
+    )
+    seeds = spark.createDataFrame([Row(id="a"), Row(id="e")])
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 0}

@@ -213,3 +213,39 @@ def test_ngram_contamination_known_overlap(spark):
     assert out[2].n_contaminated == 0
     assert out[2].is_contaminated == 0
     assert out[2].n_shingles == 6
+
+
+def test_pii_counts_and_flag(spark):
+    rows = [
+        Row(doc_id=1, text="mail me at a.b+c@example.org or 555-123-4567"),
+        Row(doc_id=2, text="ssn 123-45-6789 from 10.0.0.1"),
+        Row(doc_id=3, text="nothing sensitive here"),
+    ]
+    from orion_spark.llm import pii as P
+
+    out = {r.doc_id: r for r in P.pii_counts(spark.createDataFrame(rows)).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ssn == 0
+    assert out[2].n_ssn == 1 and out[2].n_ipv4 == 1
+    assert out[1].has_pii and out[2].has_pii and not out[3].has_pii
+
+
+def test_pii_redact_scrubs_everything(spark):
+    rows = [
+        Row(doc_id=1, text="a@b.co and 123-45-6789 and 555.123.4567 and 8.8.8.8"),
+    ]
+    from orion_spark.llm import pii as P
+
+    red = P.pii_redact(spark.createDataFrame(rows))
+    text = red.collect()[0].text
+    assert text == "[EMAIL] and [SSN] and [PHONE] and [IP]"
+    # round-trip: scanner finds nothing in redacted text
+    residual = P.pii_counts(red).where(F.col("has_pii")).count()
+    assert residual == 0
+
+
+def test_pii_ssn_not_eaten_by_phone(spark):
+    # SSN (3-2-4) must redact as SSN, not be half-matched by phone (3-3-4)
+    rows = [Row(doc_id=1, text="id 987-65-4321 ok")]
+    from orion_spark.llm import pii as P
+
+    assert P.pii_redact(spark.createDataFrame(rows)).collect()[0].text == "id [SSN] ok"
