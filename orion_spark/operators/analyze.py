@@ -164,12 +164,14 @@ def meta_kg_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     row_number window ordered by the edge key columns (the reference's
     file-order 'first' is not reproducible under parallelism).
 
-    The category map is persisted: it feeds TWO broadcast builds (subject
-    side and object side), and each build would otherwise re-scan the
-    full node union."""
+    The category map is materialized with localCheckpoint (eager): it
+    feeds TWO broadcast builds (subject side and object side), and each
+    build would otherwise re-scan the full node union. localCheckpoint
+    (not .persist()) so blocks release on GC instead of accumulating
+    across invocations in a long-lived session."""
     cat = nodes.select(
         F.col(NODE_ID).alias("_cid"), F.col("category").getItem(0).alias("_cat")
-    ).persist()
+    ).localCheckpoint(eager=True)
     s = cat.withColumnRenamed("_cat", "subject_type").withColumnRenamed("_cid", "_sid")
     o = cat.withColumnRenamed("_cat", "object_type").withColumnRenamed("_cid", "_oid")
     typed = (

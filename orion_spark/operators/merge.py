@@ -322,8 +322,13 @@ def prune_unconnected_nodes(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Drop nodes referenced by no edge (orion/kgx_file_normalizer.py:419-439;
     toggled by preserve_unconnected_nodes, orion/loader_interface.py:15-16).
 
-    The endpoint set is persisted: when `nodes` is a union of N per-source
-    frames (the normal bundle shape), Catalyst pushes the semi-join into
-    every branch — without materialization the endpoints dedup (a full
-    edge-table scan + shuffle) would execute N times, once per branch."""
-    return nodes.join(edge_endpoints(edges).persist(), NODE_ID, "left_semi")
+    The endpoint set is materialized with localCheckpoint (eager): when
+    `nodes` is a union of N per-source frames (the normal bundle shape),
+    Catalyst pushes the semi-join into every branch — without
+    materialization the endpoints dedup (a full edge-table scan + shuffle)
+    would execute N times, once per branch. localCheckpoint (not
+    .persist()) so the blocks are released when the frame is GC'd rather
+    than pinning executor storage for the life of the session."""
+    return nodes.join(
+        edge_endpoints(edges).localCheckpoint(eager=True), NODE_ID, "left_semi"
+    )

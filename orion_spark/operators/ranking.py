@@ -54,12 +54,15 @@ def bucketed_global_rank(
     b = df.withColumn("_bkt", bucket)
     # This window runs over the BUCKET dimension table only (one row per
     # bucket), so single-partition is bounded by design. The constant
-    # partition key is written as the fold-proof `_bkt % 1` (a bare lit()
-    # is constant-folded back to an empty partitionSpec, and `x * 0`
+    # partition key is written as the fold-proof `floor(_bkt) % 1` (a bare
+    # lit() is constant-folded back to an empty partitionSpec, and `x * 0`
     # folds too when x is non-nullable): it keeps WindowExec's
     # single-partition scale warning meaningful for genuine offenders
-    # while being semantically one partition.
-    const = F.col("_bkt") % 1
+    # while being semantically one partition. The floor matters — buckets
+    # may be fractional doubles (e.g. a negated price for descending
+    # orders), and a raw `_bkt % 1` would then be the fractional part,
+    # silently fragmenting the offset table's partitioning.
+    const = F.floor(F.col("_bkt").cast("double")) % 1
     wb = Window.partitionBy(const).orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -307,12 +307,35 @@ def publish_graph(
             index = json.load(fh)
     release = select_release_version(build_version, index, bump=bump)
     release_dir = os.path.join(releases_dir, release)
+    marker = os.path.join(release_dir, "_RELEASE_OF")
     if os.path.exists(release_dir):
+        # The dir may be a crashed prior publish of a DIFFERENT build that
+        # never made it into releases.json — verify provenance before
+        # treating it as ours (the marker travels inside the staged copy,
+        # so it exists the instant the dir does).
+        owner = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                owner = fh.read().strip()
+        if owner != build_version:
+            raise FileExistsError(
+                f"release dir {release_dir} belongs to build "
+                f"{owner!r}, not {build_version!r}"
+            )
+        if index.get(release) != build_version:  # crashed before index write
+            index[release] = build_version
+            with open(index_path, "w") as fh:
+                json.dump(index, fh, indent=2)
         return release, release_dir
     staging = os.path.join(releases_dir, f".staging_{release}")
     if os.path.exists(staging):
         shutil.rmtree(staging)
     shutil.copytree(build_dir, staging)
+    # provenance marker rides inside the atomic rename: any observer of
+    # release_dir can always tell which build produced it, even if we
+    # crash before the index write below (recovered on the next publish)
+    with open(os.path.join(staging, "_RELEASE_OF"), "w") as fh:
+        fh.write(build_version)
     os.rename(staging, release_dir)
     index[release] = build_version
     with open(index_path, "w") as fh:

@@ -20,8 +20,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from orion_spark.operators import analyze as A
 from orion_spark.operators import derive as D
@@ -289,7 +290,7 @@ def qc_rollup_counts_q(spark, sf_dir):
 )
 def events_rolling_avg_q(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+        "user_id", "event_id", _epoch_us("ts").alias("us"), "value"
     )
     w = (
         Window.partitionBy("user_id")
@@ -2317,17 +2318,41 @@ def llm_curation_funnel_q(spark, sf_dir):
 # Event-stream analytics (batch shape of the streaming ops)
 # ===========================================================================
 
+def _epoch_us(col: str | Column) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column, timezone-FREE: the
+    naive wall clock is interpreted as UTC — exactly DuckDB's ``epoch_us``
+    over the same parquet — via an NTZ-to-NTZ timestamp_diff.
+    ``unix_micros`` must not be used on these columns: it requires LTZ, and
+    the implicit NTZ→LTZ cast shifts by the driver session's timezone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts converted from raw ns (nanosAsLong) to a timestamp
-    column truncated to µs — matching how DuckDB reads the same parquet.
+    """events with ``ts`` normalized to a µs-precision TIMESTAMP_NTZ
+    regardless of how the parquet stores it: timestamp[us] (no tz) is
+    passed through, raw int64 nanos (older fixture generations) are
+    converted via nanosAsLong + a tz-free timestamp_add onto the NTZ epoch
+    — matching how DuckDB reads the same parquet either way. Downstream
+    epoch math goes through ``_epoch_us`` (NEVER ``unix_micros``, which
+    would drag the session timezone into the values).
 
     The conf is set here (runtime SQLConf), not only in the session factory,
     because the driver harness supplies its own vanilla SparkSession."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        ev = ev.withColumn(
+            "ts",
+            F.timestamp_add(
+                "MICROSECOND",
+                F.expr("ts div 1000"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ),
+        )
+    return ev
 
 
 @query(
@@ -2365,7 +2390,7 @@ def events_hourly_q(spark, sf_dir):
 )
 def events_sessionize_q(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
-        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+        "user_id", _epoch_us("ts").alias("us"), "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return (
@@ -2451,7 +2476,7 @@ def events_asof_join_q(spark, sf_dir):
     from orion_spark.operators.asof import as_of_join
 
     base = _events(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+        "event_id", "user_id", "event_type", "value", _epoch_us("ts").alias("us")
     )
     views = base.where(F.col("event_type") == "view").select(
         "event_id", "user_id", "us"
@@ -3233,7 +3258,7 @@ def events_interarrival_stats_q(spark, sf_dir):
     off-by-one); only the final avg divides (rounded 6)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = _epoch_us("ts")
     gaps = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
@@ -3575,7 +3600,7 @@ def events_sequence_funnel_q(spark, sf_dir):
     shuffle. Exact microsecond ordering."""
     ev = (
         _events(spark, sf_dir)
-        .select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("t"))
+        .select("user_id", "event_type", _epoch_us("ts").alias("t"))
         .repartition("user_id")
     )
     s1 = (
@@ -4299,7 +4324,7 @@ def customer_scd2_intervals_q(spark, sf_dir):
     "events_session_window_builtin",
     """
     WITH ordered AS (
-        SELECT user_id, epoch_us(ts) AS us,
+        SELECT user_id, event_id, epoch_us(ts) AS us,
                CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                             >= 1800000000
@@ -4308,7 +4333,7 @@ def customer_scd2_intervals_q(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
     tagged AS (
         SELECT user_id, us,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
         FROM ordered)
     SELECT user_id, MIN(us) AS session_start_us,
@@ -4332,8 +4357,8 @@ def events_session_window_builtin_q(spark, sf_dir):
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros("session_window.start").alias("session_start_us"),
-            F.unix_micros("session_window.end").alias("session_end_us"),
+            _epoch_us("session_window.start").alias("session_start_us"),
+            _epoch_us("session_window.end").alias("session_end_us"),
             "n_events",
         )
     )
@@ -4447,7 +4472,7 @@ def events_minute_gap_fill_q(spark, sf_dir):
     join back to it; at 100 TB the spine stays tiny relative to events
     (minutes, not rows) so the join broadcasts."""
     ev = _events(spark, sf_dir).select(
-        (F.unix_micros("ts") / 60_000_000).cast("bigint").alias("m")
+        (_epoch_us("ts") / 60_000_000).cast("bigint").alias("m")
     )
     c = ev.groupBy("m").agg(F.count("*").alias("n"))
     spine = (

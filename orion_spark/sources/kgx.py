@@ -113,10 +113,24 @@ def compact_table(
     size, optionally sorting within partitions (clustered columns give
     parquet min/max stats real skipping power).
 
-    Returns the new file count. Rewrite is staged through a sibling temp
-    dir then atomically swapped (same pattern as the publish stage).
+    Returns the new file count (0 = nothing to compact). Rewrite is staged
+    through a sibling temp dir then swapped; stale leftovers from a
+    crashed prior run are cleaned at entry, and a failure between the two
+    renames restores ``path`` from the saved copy so concurrent readers
+    never see the table permanently missing.
     """
     import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    # Recover from a prior crashed run: a leftover __compact_old with no
+    # live table means the swap died mid-flight — restore it; otherwise
+    # both leftovers are garbage from before the failure point.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     total = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -124,15 +138,19 @@ def compact_table(
         for f in files
         if f.endswith(".parquet")
     )
+    if total == 0:
+        return 0
     n_files = max(1, -(-total // target_file_bytes))  # ceil div
     df = spark.read.parquet(path)
     out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = path.rstrip("/") + "__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # restore — table must never stay missing
+        raise
     shutil.rmtree(old)
     return n_files

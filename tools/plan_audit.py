@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, "/root/repo")
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 # pattern -> {query_name: reason}
 WHITELIST: dict[str, dict[str, str]] = {
