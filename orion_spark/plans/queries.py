@@ -2039,36 +2039,39 @@ def dedup_simhash_q(spark, sf_dir):
 @query(
     "multimodal_decode_features",
     """
-    SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_bytes,
-           md5(text) AS content_key,
-           1 + unicode(substr(text, 1, 1)) % 64 AS width,
-           1 + unicode(substr(text, CASE WHEN length(text) >= 2 THEN 2 ELSE 1 END, 1))
-               % 64 AS height,
-           CAST(list_sum([unicode(substr(text, i, 1))
-                          for i in range(1, least(length(text), 64) + 1)])
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               1 + doc_id % 8 AS width,
+               1 + (doc_id // 8) % 8 AS height
+        FROM documents)
+    SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+           width, height,
+           width * height * 3 AS n_channel_bytes,
+           CAST(list_sum(list_transform(range(0, width * height * 3),
+                                        i -> (media_id * 31 + i) % 256))
                 AS BIGINT) AS pixel_sum
-    FROM documents
+    FROM dims
     """,
 )
 def multimodal_decode_features_q(spark, sf_dir):
-    """Multimodal plumbing end-to-end: documents' text re-encoded as an
-    opaque BINARY payload column (stand-in for image bytes), cheap
-    metadata (byte length + md5 content key) as pushdown-able columns, then
-    the Arrow-batched mapInPandas decode stage with the deterministic stub
-    decoder. The DuckDB oracle recomputes the stub math over the same utf-8
-    bytes, so the batching/schema plumbing is hash-verified, not rows-only
-    (reference has no multimodal surface; north-star extension)."""
+    """Multimodal decode end-to-end over REAL image bytes: a deterministic
+    fixture stage builds an actual binary-PPM (even ids) or 24-bit BMP
+    (odd ids) payload per document id, then the Arrow-batched mapInPandas
+    decode stage parses the format for real — header tokenization, BMP
+    bottom-up rows, stride padding, BGR order — and emits width/height/
+    channel stats. Because the synthesized pixel stream is closed-form
+    ((id*31 + i) % 256), the DuckDB oracle recomputes every decoded
+    feature analytically: any parsing slip (padding counted in the sum,
+    rows misordered, header off-by-one) hash-mismatches (reference has no
+    multimodal surface; north-star extension)."""
     from orion_spark.llm import multimodal as MM
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
     )
-    media = MM.attach_media_metadata(media)
-    feats = MM.decode_features(media)
-    return media.select("media_id", "n_bytes", "content_key").join(feats, "media_id")
+    media = MM.synthesize_media(docs)
+    return MM.decode_features(media)
 
 
 @query(

@@ -97,20 +97,53 @@ def test_vcf_roundtrip(spark, tmp_path):
     assert back.count() == 2
 
 
-def test_multimodal_stub_decode(spark):
+def test_ppm_roundtrip_with_comments():
+    """Real codec, local: encode→decode identity, and header comments are
+    legal PPM that must be skipped."""
     from orion_spark.llm import multimodal as MM
 
-    df = spark.createDataFrame(
-        [(1, "image", bytearray(b"\x10\x20fakebytes")),
-         (2, "image", bytearray(b"\x40\x50other"))],
-        "media_id bigint, media_type string, payload binary",
-    )
-    with_meta = MM.attach_media_metadata(df)
-    assert with_meta.where(F.col("n_bytes") > 0).count() == 2
-    feats = MM.decode_features(with_meta).collect()
-    by_id = {r.media_id: r for r in feats}
-    assert by_id[1].width == 1 + 0x10 % 64
-    assert by_id[2].height == 1 + 0x50 % 64
+    vals = [(i * 7) % 256 for i in range(2 * 3 * 3)]
+    payload = MM.encode_ppm(2, 3, vals)
+    assert MM.decode_ppm(payload) == (2, 3, vals)
+    commented = b"P6\n# a comment\n2 3\n# another\n255\n" + bytes(vals)
+    assert MM.decode_ppm(commented) == (2, 3, vals)
+
+
+def test_bmp_roundtrip_padding_and_row_order():
+    """w=3 forces a nonzero stride pad; decode must exclude the padding
+    from the channel stream and un-reverse the bottom-up rows."""
+    from orion_spark.llm import multimodal as MM
+
+    vals = list(range(3 * 2 * 3))  # distinct values expose any reordering
+    payload = MM.encode_bmp(3, 2, vals)
+    assert MM.decode_bmp(payload) == (3, 2, vals)
+
+
+def test_decode_rejects_unknown_magic():
+    from orion_spark.llm import multimodal as MM
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG\r\n")
+
+
+def test_multimodal_real_decode_distributed(spark):
+    """End-to-end over the Spark stage: synthesized PPM/BMP payloads decode
+    to the analytically-known features."""
+    from orion_spark.llm import multimodal as MM
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "media_id bigint")
+    media = MM.synthesize_media(ids)
+    with_meta = MM.attach_media_metadata(media)
+    assert with_meta.where(F.col("n_bytes") > 0).count() == 20
+    feats = {r.media_id: r for r in MM.decode_features(media).collect()}
+    for mid in range(20):
+        w, h = 1 + mid % 8, 1 + (mid // 8) % 8
+        r = feats[mid]
+        assert (r.format, r.width, r.height) == (
+            "ppm" if mid % 2 == 0 else "bmp", w, h,
+        )
+        assert r.pixel_sum == sum((mid * 31 + i) % 256 for i in range(w * h * 3))
 
 
 def test_frame_sample_plan(spark):
