@@ -492,6 +492,83 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 12,
+    planes_per_band: int = 8,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup: banded random-hyperplane
+    LSH blocking, then an exact cosine verify over the candidates only.
+
+    Per band b, each vector gets a `planes_per_band`-bit signature from a
+    disjoint plane family; candidates are pairs sharing (band, signature)
+    in AT LEAST one band — an ordinary equi-join on the exploded
+    (band, sig) key, so the plan is shuffle-hash/sort-merge, never a
+    BroadcastNestedLoopJoin, and bucket size bounds the pair fan-out
+    (n/2^planes per bucket in expectation). Pair recall per the standard
+    SimHash analysis: a pair at cosine c collides in one band with
+    probability (1 - arccos(c)/pi)^planes_per_band; across 12 bands of 8
+    planes, a true near-dup at c >= 0.99 is missed with probability
+    < 1e-8, and an EXACT scaled copy (sign-identical projections) is
+    caught with probability 1. The verify recomputes the same
+    fold-ordered cosine as the exact variant, so false candidates can't
+    leak through.
+    """
+    from orion_spark.llm.similarity import cosine, hyperplane_signature
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    sigs = base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        hyperplane_signature(
+                            F.col("_v"),
+                            dim,
+                            planes_per_band,
+                            plane_offset=b * planes_per_band,
+                        ).alias("_sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("_id", "_bs._band", "_bs._sig")
+    # candidate ids only (narrow) -> distinct -> join vectors back for the
+    # verify: candidates << n^2, so two id-joins beat carrying the vectors
+    # through every band
+    cand = (
+        sigs.alias("l")
+        .join(
+            sigs.alias("r"),
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._sig") == F.col("r._sig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_oracle_sql(
     threshold: float, table: str = "embeddings"
 ) -> str:

@@ -186,18 +186,31 @@ def ivf_topk(
 # LSH (random hyperplane) bucketing — the scale path
 # ---------------------------------------------------------------------------
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, plane_offset: int = 0
+) -> Column:
     """Sign bits against n_planes deterministic pseudo-random hyperplanes.
     Plane coefficients come from md5(plane,coord) — reproducible anywhere,
-    no stored model. Returns a bigint bucket id."""
+    no stored model. Returns a bigint bucket id. ``plane_offset`` selects a
+    disjoint plane family, so banded LSH derives independent per-band
+    signatures from the same generator."""
+    import hashlib
+
     bits = []
-    for p in range(n_planes):
+    for p0 in range(n_planes):
+        p = p0 + plane_offset
+        # identical values to the original Catalyst-side derivation
+        # conv(substring(md5('plane:p:i'),1,8),16,10)/2^32 - 0.5, but
+        # computed ONCE at plan-build time: the expression-tree version
+        # costs O(dim * planes) analyzer/codegen work per query — at
+        # 12 bands x 8 planes x 64 dims that alone dominated runtime
         coeffs = F.array(
             *[
-                (
-                    F.conv(F.substring(F.md5(F.lit(f"plane:{p}:{i}")), 1, 8), 16, 10)
-                    .cast("double")
-                    / F.lit(float(1 << 32))
+                F.lit(
+                    int(
+                        hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8], 16
+                    )
+                    / float(1 << 32)
                     - 0.5
                 )
                 for i in range(dim)
@@ -209,7 +222,9 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
             lambda acc, x: acc + x,
         )
         bits.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+            # bit index is the LOCAL plane index p0 — the offset only picks
+            # the plane family, it must not push the shift past 63 bits
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p0)).otherwise(
                 F.lit(0).cast("bigint")
             )
         )

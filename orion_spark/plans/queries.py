@@ -2098,11 +2098,37 @@ def multimodal_frame_sample_q(spark, sf_dir):
 
 @query("dedup_embedding_cosine")
 def dedup_embedding_cosine_q(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact variant — the
-    ground-truth baseline the LSH-blocked scale path is validated
-    against). Threshold 0.4 because the synthetic embeddings carry no
-    injected near-dups (max pairwise cosine ~0.5-0.6); real corpora run
-    this at ~0.95."""
+    """Embedding-cosine near-duplicate detection on the SCALE path: banded
+    random-hyperplane LSH blocking + exact cosine verify (no
+    BroadcastNestedLoopJoin anywhere in the plan — candidates come from an
+    equi-join on the exploded (band, signature) key). The synthetic
+    embeddings carry no organic near-dups at the 0.95 operating point, so
+    the query injects deterministic ones: a ×2-scaled copy of each
+    vec_id < 50 (scaling by a power of two is exact in IEEE arithmetic, so
+    the copy's projections are sign-identical and its cosine is exactly
+    1.0 — LSH recall 1 by construction, and the DuckDB oracle reproduces
+    the same injection + exact all-pairs, making the hash check
+    non-trivial: 50 expected pairs, not 0)."""
+    from orion_spark.llm import dedup as DD
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+    )
+    return DD.embedding_near_dup_pairs_banded(
+        emb.unionByName(copies), dim=64, threshold=0.95
+    )
+
+
+@query("dedup_embedding_cosine_exact")
+def dedup_embedding_cosine_exact_q(spark, sf_dir):
+    """Exact all-pairs embedding-cosine (the ground-truth baseline the
+    LSH-banded scale path is validated against; O(n^2), validation scale
+    only). Threshold 0.4 because the synthetic embeddings carry no
+    injected near-dups (max pairwise cosine ~0.5-0.6)."""
     from orion_spark.llm import dedup as DD
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2772,7 +2798,29 @@ from orion_spark.llm.dedup import (  # noqa: E402
 from orion_spark.llm.similarity import brute_force_topk_oracle_sql  # noqa: E402
 
 ORACLES["dedup_minhash_lsh"] = minhash_lsh_oracle_sql(k=5, threshold=0.5)
-ORACLES["dedup_embedding_cosine"] = embedding_near_dup_oracle_sql(threshold=0.4)
+ORACLES["dedup_embedding_cosine_exact"] = embedding_near_dup_oracle_sql(
+    threshold=0.4
+)
+# scale-path query: same exact all-pairs oracle over the corpus PLUS the
+# deterministic scaled-copy injection — the banded LSH result must equal
+# the exact answer (recall 1 on sign-identical copies by construction)
+ORACLES["dedup_embedding_cosine"] = """
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    v AS (
+        SELECT vec_id, ev FROM v0
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, list_transform(ev, x -> x * 2) AS ev
+        FROM v0 WHERE vec_id < 50),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                   list_sum([a.ev[i] * b.ev[i] for i in range(1, len(a.ev) + 1)]) /
+                   (sqrt(list_sum([a.ev[i] * a.ev[i] for i in range(1, len(a.ev) + 1)])) *
+                    sqrt(list_sum([b.ev[i] * b.ev[i] for i in range(1, len(b.ev) + 1)]))),
+                   6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+"""
 ORACLES["llm_curation_funnel"] = f"""
     WITH {_FUNNEL_STATS_SQL.strip()},
     near_pairs AS ({minhash_lsh_oracle_sql(k=5, threshold=0.5)}),

@@ -189,6 +189,38 @@ def test_embedding_near_dup_lsh_blocked_matches_exact(spark):
     }
 
 
+def test_embedding_near_dup_banded_matches_exact(spark):
+    """Banded LSH (the registered scale path) must reproduce the exact
+    answer on both synthetic clusters and the real embeddings table with
+    injected scaled copies."""
+    exact = DD.embedding_near_dup_pairs(_emb(spark), threshold=0.999)
+    banded = DD.embedding_near_dup_pairs_banded(
+        _emb(spark), dim=4, threshold=0.999, n_bands=6, planes_per_band=4
+    )
+    assert {(r.id_a, r.id_b, r.cosine) for r in banded.collect()} == {
+        (r.id_a, r.id_b, r.cosine) for r in exact.collect()
+    }
+
+
+def test_embedding_near_dup_banded_scaled_copy_recall_one(spark):
+    """A x2-scaled copy has sign-identical projections in EVERY band —
+    recall 1 by construction, not by luck (this is what the registered
+    oracle-checked injection relies on)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    pairs = DD.embedding_near_dup_pairs_banded(
+        emb.unionByName(copies), dim=64, threshold=0.95
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    assert set(got) == {(i, i + 100000) for i in range(20)}
+    assert all(c == 1.0 for c in got.values())
+
+
 def test_ngram_contamination_known_overlap(spark):
     """One train doc shares a full 3-gram window with the eval doc; the
     other shares none. Zero-overlap docs must still appear (flag 0)."""

@@ -30,7 +30,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ann_cosine_topk": "by design: every (candidate, query) pair is scored; the query side is broadcast",
         "ann_lsh_topk": "bucket-limited pair scoring after LSH blocking",
         "ann_ivf_topk": "probe-list-limited pair scoring after IVF routing",
-        "dedup_embedding_cosine": "exact variant scores all pairs (LSH-blocked variant is the scale path)",
+        "dedup_embedding_cosine_exact": "exact variant scores all pairs (dedup_embedding_cosine is the LSH-banded scale path, no BNLJ)",
         "tpch_q11_important_parts": "scalar-aggregate broadcast (1 row) joined under every group",
         "tpch_q15_top_supplier": "scalar max (1 row) compared against every supplier revenue",
         "tpch_q22_sales_opportunity": "scalar aggregate (1 row) cross-multiplied against customers",
