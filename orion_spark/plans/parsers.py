@@ -24,7 +24,12 @@ from orion_spark.operators.extract import (
     hgvs_from_coords,
     predicate_remap,
 )
-from orion_spark.sources.readers import curie_contract, read_ntriples, read_tabular
+from orion_spark.sources.readers import (
+    curie_contract,
+    read_ntriples,
+    read_tabular,
+    read_xml_records,
+)
 
 # ---------------------------------------------------------------------------
 # CTD-like: chemical-gene interactions TSV with evidence thresholds
@@ -265,3 +270,49 @@ def ubergraph_like(
         )
     )
     return nodes, subclass
+
+
+# ---------------------------------------------------------------------------
+# UniRef-like: UniProt similarity-cluster XML
+# (parsers/ViralProteome/src/loadUniRef.py:279-387 — entry id carries the
+#  similarity bin, members are dbReferences with an NCBI taxonomy property;
+#  only entries whose common-taxon id is in the target set are captured)
+# ---------------------------------------------------------------------------
+
+UNIREF_FIELDS = {
+    "entry_id": "@id",
+    "entry_name": "name",
+    "common_taxon_id": 'property[@type="common taxon ID"]@value',
+    "member_id": "representativeMember/dbReference@id",
+    "member_taxon": (
+        'representativeMember/dbReference/property[@type="NCBI taxonomy"]@value'
+    ),
+}
+
+
+def uniref_like(
+    spark: SparkSession, path: str, target_taxa: set[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """UniRef similarity clusters: XML entries -> (cluster node, member
+    taxon node, cluster -[similar_to]-> taxon edge). The reference's
+    per-entry ElementTree walk + taxon-set membership test
+    (loadUniRef.py:296-300 id underscore->colon, 279-387 capture) becomes
+    one read_xml_records scan + an ExtractSpec whose row_filter is the
+    broadcast membership predicate (P3)."""
+    raw = read_xml_records(spark, path, "entry", UNIREF_FIELDS)
+    similarity_bin = F.split(F.col("entry_id"), "_").getItem(0)
+    spec = ExtractSpec(
+        subject_id=F.regexp_replace(F.col("entry_id"), "_", ":"),
+        object_id=F.concat(F.lit("NCBITaxon:"), F.col("member_taxon")),
+        predicates=[F.lit("biolink:similar_to")],
+        subject_name=F.col("entry_name"),
+        object_name=F.col("member_id"),
+        subject_categories=["biolink:GeneFamily"],
+        object_categories=["biolink:OrganismTaxon"],
+        subject_properties={"similarity_bin": similarity_bin},
+        object_properties={"similarity_bin": similarity_bin},
+        edge_properties={"similarity_bin": similarity_bin},
+        primary_knowledge_source="infores:uniref",
+        row_filter=F.col("common_taxon_id").isin(*sorted(target_taxa)),
+    )
+    return extract(raw, spec)

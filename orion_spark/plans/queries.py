@@ -1750,6 +1750,105 @@ def extract_declarative_q(spark, sf_dir):
     return edges
 
 
+def _uniref_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic UniRef-style XML synthesized from the nation dim (25
+    rows — driver-side fixture synthesis over a bounded dimension, the same
+    pattern as the reference's test fixtures): one <entry> per nation whose
+    member taxon id is a closed-form function of (regionkey, nationkey), so
+    a SQL oracle can recompute the parse exactly. Nations in the same
+    region share member taxa (key % 3), exercising the node-merge
+    aggregate on real id collisions."""
+    import os
+    import re as _re
+    import tempfile
+
+    rows = sorted(
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"uniref_fixture{slug}.xml")
+    ents = []
+    for k, name, r in rows:
+        taxon = r * 100 + k % 3
+        ents.append(
+            f'  <entry id="UniRef50_N{k}">\n'
+            f"    <name>Cluster: {name}</name>\n"
+            f'    <property type="common taxon ID" value="{r}"/>\n'
+            f"    <representativeMember>\n"
+            f'      <dbReference type="UniProtKB ID" id="MEM_{taxon}">\n'
+            f'        <property type="NCBI taxonomy" value="{taxon}"/>\n'
+            f"      </dbReference>\n"
+            f"    </representativeMember>\n"
+            f"  </entry>\n"
+        )
+    with open(path, "w") as fh:
+        fh.write("<UniRef>\n" + "".join(ents) + "</UniRef>\n")
+    return path
+
+
+@query(
+    "extract_xml_declarative",
+    """
+    SELECT 'UniRef50:N' || n_nationkey AS subject,
+           'biolink:similar_to' AS predicate,
+           'NCBITaxon:' || (n_regionkey * 100 + n_nationkey % 3) AS object,
+           'infores:uniref' AS primary_knowledge_source,
+           'UniRef50' AS similarity_bin
+    FROM nation WHERE n_regionkey IN (0, 2, 4)
+    """,
+)
+def extract_xml_declarative_q(spark, sf_dir):
+    """S7 source-to-KGX: UniRef-like similarity XML through
+    read_xml_records (nested-attribute xpaths) -> ExtractSpec with a
+    taxon-membership row_filter -> edge projection
+    (parsers/ViralProteome/src/loadUniRef.py:279-387). The fixture is
+    synthesized deterministically from the nation dim, so the oracle
+    recomputes the whole parse from the parquet table."""
+    from orion_spark.plans.parsers import uniref_like
+
+    path = _uniref_fixture(spark, sf_dir)
+    _, _, edges = uniref_like(spark, path, target_taxa={"0", "2", "4"})
+    return edges
+
+
+@query(
+    "extract_xml_merged_nodes",
+    """
+    WITH f AS (
+        SELECT n_nationkey AS k, n_regionkey AS r, n_name
+        FROM nation WHERE n_regionkey IN (0, 2, 4))
+    SELECT 'UniRef50:N' || k AS id, 'Cluster: ' || n_name AS name,
+           'biolink:GeneFamily' AS category, 'UniRef50' AS similarity_bin
+    FROM f
+    UNION ALL
+    SELECT DISTINCT 'NCBITaxon:' || (r * 100 + k % 3) AS id,
+           'MEM_' || (r * 100 + k % 3) AS name,
+           'biolink:OrganismTaxon' AS category, 'UniRef50' AS similarity_bin
+    FROM f
+    """,
+)
+def extract_xml_merged_nodes_q(spark, sf_dir):
+    """The node half of the XML family, THROUGH the merge aggregate:
+    subject + object node frames union (stamped with source ordinals) and
+    fold in merge_nodes — shared member taxa across same-region nations
+    give the group-by real collisions whose name/category/property folds
+    the oracle pins exactly."""
+    from orion_spark.operators.merge import SOURCE_ORDINAL, merge_nodes
+    from orion_spark.plans.parsers import uniref_like
+
+    path = _uniref_fixture(spark, sf_dir)
+    subj, obj, _ = uniref_like(spark, path, target_taxa={"0", "2", "4"})
+    nodes = subj.withColumn(SOURCE_ORDINAL, F.lit(0)).unionByName(
+        obj.withColumn(SOURCE_ORDINAL, F.lit(1))
+    )
+    return merge_nodes(nodes).select(
+        "id", "name", F.array_join("category", "|").alias("category"),
+        "similarity_bin",
+    )
+
+
 @query(
     "hgvs_expressions",
     """

@@ -127,7 +127,11 @@ def read_xml_records(
     """S7: XML ingest. Reads each file whole (wholetext) and parses records
     of `record_tag` with ElementTree inside mapInPandas — Arrow-batched, one
     task per file, no JVM xml package needed. `fields` maps output column ->
-    relative xpath ('@attr' for attributes, 'tag/subtag' for text)."""
+    relative xpath: '@attr' reads a record attribute, 'tag/subtag' reads
+    element text (falling back to its `value` attribute, the UniProt
+    property convention), and 'tag/subtag@attr' reads a nested element's
+    attribute; ElementTree predicates like 'property[@type="x"]' work in
+    the path part."""
     schema = ", ".join(f"{name} string" for name in fields)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,9 +147,20 @@ def read_xml_records(
                     for name, xpath in fields.items():
                         if xpath.startswith("@"):
                             row[name] = rec.get(xpath[1:])
+                            continue
+                        # split a trailing @attr that is OUTSIDE any
+                        # [...] predicate (predicates contain @ too)
+                        path, attr = xpath, None
+                        at = xpath.rfind("@")
+                        if at > xpath.rfind("]"):
+                            path, attr = xpath[: at - 1] if xpath[at - 1] == "/" else xpath[:at], xpath[at + 1 :]
+                        el = rec.find(path)
+                        if el is None:
+                            row[name] = None
+                        elif attr is not None:
+                            row[name] = el.get(attr)
                         else:
-                            el = rec.find(xpath)
-                            row[name] = None if el is None else (el.text or el.get("value"))
+                            row[name] = el.text or el.get("value")
                     rows.append(row)
             yield pd.DataFrame(rows, columns=list(fields))
 

@@ -147,3 +147,63 @@ def test_string_db_like_parser(spark, tmp_path):
     assert rows[0].object == "ENSEMBL:ENSP00000258149"
     assert rows[0].predicate == "biolink:interacts_with"
     assert rows[0].combined_score == 900
+
+
+UNIREF = """\
+<UniRef>
+  <entry id="UniRef50_Q123">
+    <name>Cluster: Capsid protein</name>
+    <property type="common taxon ID" value="10493"/>
+    <representativeMember>
+      <dbReference type="UniProtKB ID" id="CAPSD_VIRUS">
+        <property type="NCBI taxonomy" value="654924"/>
+        <property type="protein name" value="Capsid protein"/>
+      </dbReference>
+    </representativeMember>
+  </entry>
+  <entry id="UniRef50_Q999">
+    <name>Cluster: Human keratin</name>
+    <property type="common taxon ID" value="9606"/>
+    <representativeMember>
+      <dbReference type="UniProtKB ID" id="KRT_HUMAN">
+        <property type="NCBI taxonomy" value="9606"/>
+      </dbReference>
+    </representativeMember>
+  </entry>
+  <entry id="UniRef50_Q777">
+    <name>Cluster: Orphan, no member taxon</name>
+    <property type="common taxon ID" value="10493"/>
+    <representativeMember>
+      <dbReference type="UniProtKB ID" id="ORPHAN_1"/>
+    </representativeMember>
+  </entry>
+</UniRef>
+"""
+
+
+def test_uniref_like_parser_golden_counts(spark, tmp_path):
+    """Reference fixture style (tests/test_loaders.py:33-40 golden counts):
+    3 entries -> 1 edge. The human cluster fails the taxon row_filter, the
+    orphan has no member-taxon property so its object id is null."""
+    p = tmp_path / "uniref50.xml"
+    p.write_text(UNIREF)
+    subj, obj, edges = PP.uniref_like(
+        spark, str(p), target_taxa={"10493", "2219562"}
+    )
+    e = edges.collect()
+    assert len(e) == 1
+    row = e[0]
+    assert row.subject == "UniRef50:Q123"
+    assert row.predicate == "biolink:similar_to"
+    assert row.object == "NCBITaxon:654924"
+    assert row.similarity_bin == "UniRef50"
+    assert row.primary_knowledge_source == "infores:uniref"
+    s = {r.id: r for r in subj.collect()}
+    # the orphan survives the row_filter (it IS a target taxon) and has a
+    # valid subject id — only the human cluster is filtered out
+    assert sorted(s) == ["UniRef50:Q123", "UniRef50:Q777"]
+    assert s["UniRef50:Q123"].name == "Cluster: Capsid protein"
+    assert s["UniRef50:Q123"].category == ["biolink:GeneFamily"]
+    o = obj.collect()
+    assert len(o) == 1 and o[0].id == "NCBITaxon:654924"
+    assert o[0].name == "CAPSD_VIRUS"
