@@ -316,3 +316,214 @@ def uniref_like(
         row_filter=F.col("common_taxon_id").isin(*sorted(target_taxa)),
     )
     return extract(raw, spec)
+
+
+# ---------------------------------------------------------------------------
+# DrugCentral-like: relational (JDBC) source with three extract queries
+# (parsers/drugcentral/src/loaddrugcentral.py:61-74 queries, 110-151
+#  extraction lambdas, 194-213 bioactivity edge attributes, 252-310
+#  predicate fallback chain action_type -> act_type -> interacts_with)
+# ---------------------------------------------------------------------------
+
+OMOP_RELATION_MAP = {
+    "off-label use": "biolink:applied_to_treat",
+    "reduce risk": "biolink:preventative_for_condition",
+    "contraindication": "NCIT:C37933",
+    "symptomatic treatment": "RO:0002606",
+    "indication": "RO:0002606",
+    "diagnosis": "DrugCentral:5271",
+}
+
+EXCLUDED_STYS = [
+    "T002", "T007", "T034", "T040", "T042", "T058", "T059", "T060",
+    "T061", "T109", "T121", "T130", "T131", "T167",
+]
+
+BIOACTIVITY_PREDICATES = {
+    "ANTAGONIST": "biolink:decreases_activity_of",
+    "AGONIST": "biolink:increases_activity_of",
+    "BLOCKER": "biolink:decreases_activity_of",
+    "ACTIVATOR": "biolink:increases_activity_of",
+    "INHIBITOR": "biolink:decreases_activity_of",
+    "OPENER": "biolink:increases_activity_of",
+    "SUBSTRATE": "biolink:is_substrate_of",
+    "MODULATOR": "biolink:affects",
+    "BINDING AGENT": "biolink:interacts_with",
+    "IC50": "biolink:decreases_activity_of",
+    "Kd": "biolink:interacts_with",
+    "AC50": "biolink:increases_activity_of",
+    "Ki": "biolink:decreases_activity_of",
+    "EC50": "biolink:increases_activity_of",
+}
+
+ACT_SOURCE_TO_INFORES = {
+    "IUPHAR": "infores:gtopdb",
+    "KEGG DRUG": "infores:kegg",
+    "PDSP": "infores:pdsp",
+    "CHEMBL": "infores:chembl",
+    "DRUGBANK": "infores:drugbank",
+}
+
+_DC_PKS = "infores:drugcentral"
+
+
+def _lower_cols(df: DataFrame) -> DataFrame:
+    """Derby/Postgres return unquoted identifiers uppercased — normalize."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def drugcentral_like(
+    spark: SparkSession, url: str, properties: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """S4 end-to-end: the reference's three DB-side extract queries become
+    three partitionable JDBC reads feeding ExtractSpecs; the structures
+    node-property enrichment (loaddrugcentral.py:163-190's driver-side
+    dict pass) becomes a broadcast join on the merged node frame. Returns
+    (nodes, edges) — merged KGX."""
+    from orion_spark.operators.merge import (
+        SOURCE_ORDINAL,
+        merge_edges,
+        merge_nodes,
+    )
+    from orion_spark.sources.readers import read_jdbc
+
+    excl = ", ".join(f"'{s}'" for s in EXCLUDED_STYS)
+    omop = _lower_cols(
+        read_jdbc(
+            spark,
+            url,
+            "SELECT struct_id, relationship_name, umls_cui FROM omop_relationship "
+            "WHERE umls_cui IS NOT NULL AND (cui_semantic_type IS NULL OR "
+            f"cui_semantic_type NOT IN ({excl}))",
+            properties=properties,
+        )
+    )
+    omop_spec = ExtractSpec(
+        subject_id=F.concat(F.lit("DrugCentral:"), F.col("struct_id")),
+        object_id=F.concat(F.lit("UMLS:"), F.col("umls_cui")),
+        predicates=[predicate_remap(F.col("relationship_name"), OMOP_RELATION_MAP)],
+        subject_categories=["biolink:Drug"],
+        object_categories=["biolink:DiseaseOrPhenotypicFeature"],
+        edge_properties={
+            "knowledge_level": F.lit("knowledge_assertion"),
+            "agent_type": F.lit("manual_agent"),
+        },
+        primary_knowledge_source=_DC_PKS,
+    )
+
+    faers = _lower_cols(
+        read_jdbc(
+            spark,
+            url,
+            "SELECT struct_id, meddra_code, llr FROM faers "
+            "WHERE llr > llr_threshold AND drug_ae > 25",
+            properties=properties,
+        )
+    )
+    faers_spec = ExtractSpec(
+        subject_id=F.concat(F.lit("DrugCentral:"), F.col("struct_id")),
+        object_id=F.concat(F.lit("MEDDRA:"), F.col("meddra_code")),
+        predicates=[F.lit("biolink:has_adverse_event")],
+        subject_categories=["biolink:Drug"],
+        object_categories=["biolink:DiseaseOrPhenotypicFeature"],
+        edge_properties={
+            "FAERS_llr": F.col("llr"),
+            "aggregator_knowledge_sources": F.array(F.lit(_DC_PKS)),
+            "knowledge_level": F.lit("knowledge_assertion"),
+            "agent_type": F.lit("manual_agent"),
+        },
+        primary_knowledge_source="infores:faers",
+    )
+
+    bio = _lower_cols(
+        read_jdbc(
+            spark,
+            url,
+            "SELECT a.struct_id AS struct_id, a.act_value AS act_value, "
+            "a.act_unit AS act_unit, a.act_type AS act_type, "
+            "a.act_source AS act_source, a.action_type AS action_type, "
+            "c.accession AS accession "
+            "FROM act_table_full a, td2tc dc, target_component c "
+            "WHERE a.target_id = dc.target_id AND dc.component_id = c.id",
+            properties=properties,
+        )
+    )
+    act_key = F.coalesce(
+        F.nullif(F.col("action_type"), F.lit("")),
+        F.nullif(F.col("act_type"), F.lit("")),
+    )
+    pks_map = predicate_remap(F.col("act_source"), ACT_SOURCE_TO_INFORES)
+    bio_spec = ExtractSpec(
+        subject_id=F.concat(F.lit("DrugCentral:"), F.col("struct_id")),
+        object_id=F.concat(F.lit("UniProtKB:"), F.col("accession")),
+        predicates=[
+            F.coalesce(
+                predicate_remap(act_key, BIOACTIVITY_PREDICATES),
+                F.lit("biolink:interacts_with"),
+            )
+        ],
+        subject_categories=["biolink:Drug"],
+        object_categories=["biolink:Protein"],
+        edge_properties={
+            "affinity": F.when(F.col("act_type").isNotNull(), F.col("act_value")),
+            "affinity_parameter": F.when(
+                F.col("act_type").isNotNull(),
+                F.concat(F.lit("p"), F.col("act_type")),
+            ),
+            "aggregator_knowledge_sources": F.when(
+                pks_map.isNotNull(), F.array(F.lit(_DC_PKS))
+            ),
+            "knowledge_level": F.lit("knowledge_assertion"),
+            "agent_type": F.lit("manual_agent"),
+            # carried through only so the per-row pks override below can
+            # see it (the spec's pks field is a constant)
+            "_act_source": F.col("act_source"),
+        },
+        primary_knowledge_source=_DC_PKS,
+    )
+
+    parts = []
+    for i, (df, spec) in enumerate(
+        [(omop, omop_spec), (faers, faers_spec), (bio, bio_spec)]
+    ):
+        subj, obj, edges = extract(df, spec)
+        if spec is bio_spec:
+            # act_source-dependent primary knowledge source
+            # (loaddrugcentral.py:206-212): mapped source wins, else
+            # DrugCentral itself is primary and no aggregator is added
+            src_map = predicate_remap(F.col("_act_source"), ACT_SOURCE_TO_INFORES)
+            edges = edges.withColumn(
+                "primary_knowledge_source", F.coalesce(src_map, F.lit(_DC_PKS))
+            ).drop("_act_source")
+        nodes = subj.unionByName(obj, allowMissingColumns=True)
+        parts.append(
+            (
+                nodes.withColumn(SOURCE_ORDINAL, F.lit(i)),
+                edges.withColumn(SOURCE_ORDINAL, F.lit(i)),
+            )
+        )
+    all_nodes = parts[0][0]
+    all_edges = parts[0][1]
+    for n, e in parts[1:]:
+        all_nodes = all_nodes.unionByName(n, allowMissingColumns=True)
+        all_edges = all_edges.unionByName(e, allowMissingColumns=True)
+
+    # structures enrichment: extra node properties joined onto merged drug
+    # nodes (a broadcast dim join, not a driver-side dict pass)
+    structures = _lower_cols(
+        read_jdbc(
+            spark,
+            url,
+            "SELECT id, smiles, mrdef FROM structures",
+            properties=properties,
+        )
+    ).select(
+        F.concat(F.lit("DrugCentral:"), F.col("id")).alias("id"),
+        "smiles",
+        "mrdef",
+    )
+    merged_nodes = merge_nodes(all_nodes).join(
+        F.broadcast(structures), "id", "left"
+    )
+    merged_edges = merge_edges(all_edges)
+    return merged_nodes, merged_edges

@@ -207,3 +207,87 @@ def test_uniref_like_parser_golden_counts(spark, tmp_path):
     o = obj.collect()
     assert len(o) == 1 and o[0].id == "NCBITaxon:654924"
     assert o[0].name == "CAPSD_VIRUS"
+
+
+def test_drugcentral_like_jdbc_end_to_end(spark, tmp_path):
+    """S4 source-to-KGX (parsers/drugcentral/src/loaddrugcentral.py): a
+    real embedded-Derby DB with the five reference tables, three extract
+    queries -> specs -> merged KGX nodes+edges with structures
+    enrichment. Golden counts + semantics: STY exclusion, FAERS llr
+    threshold, bioactivity predicate fallback and per-source pks."""
+    url = f"jdbc:derby:{tmp_path}/dcdb;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    ddl = [
+        "CREATE TABLE omop_relationship (struct_id INT, relationship_name "
+        "VARCHAR(40), umls_cui VARCHAR(20), cui_semantic_type VARCHAR(8))",
+        "CREATE TABLE faers (struct_id INT, meddra_code VARCHAR(20), "
+        "llr DOUBLE, llr_threshold DOUBLE, drug_ae INT)",
+        "CREATE TABLE act_table_full (struct_id INT, target_id INT, "
+        "act_value DOUBLE, act_unit VARCHAR(10), act_type VARCHAR(10), "
+        "act_source VARCHAR(30), action_type VARCHAR(30))",
+        "CREATE TABLE td2tc (target_id INT, component_id INT)",
+        "CREATE TABLE target_component (id INT, accession VARCHAR(20))",
+        "CREATE TABLE structures (id INT, smiles VARCHAR(60), "
+        "mrdef VARCHAR(60))",
+        # omop: row 1 kept, row 2 dropped by STY exclusion, row 3 null cui
+        # dropped DB-side
+        "INSERT INTO omop_relationship VALUES "
+        "(1, 'indication', 'C0004096', 'T047'), "
+        "(1, 'indication', 'C0032285', 'T059'), "
+        "(2, 'off-label use', NULL, NULL), "
+        "(2, 'contraindication', 'C0011849', NULL)",
+        # faers: first passes both gates, second fails llr threshold,
+        # third fails drug_ae floor
+        "INSERT INTO faers VALUES (1, '10019211', 9.5, 5.0, 100), "
+        "(1, '10028596', 3.0, 5.0, 100), (2, '10019211', 9.5, 5.0, 10)",
+        # bioactivity: action_type wins over act_type; empty action_type
+        # falls back to act_type; CHEMBL maps to infores:chembl
+        "INSERT INTO act_table_full VALUES "
+        "(1, 7, 8.2, NULL, 'Ki', 'CHEMBL', 'INHIBITOR'), "
+        "(2, 7, 6.1, NULL, 'EC50', 'SCIENTIFIC LITERATURE', '')",
+        "INSERT INTO td2tc VALUES (7, 70)",
+        "INSERT INTO target_component VALUES (70, 'P35372')",
+        "INSERT INTO structures VALUES (1, 'CC(=O)OC1=CC=CC=C1C(=O)O', "
+        "'an analgesic'), (2, 'CN1CCC23C4C1CC5=C2C(=C(C=C5)O)OC3C(C=C4)O', "
+        "NULL), (99, 'XX', 'unextracted structure')",
+    ]
+    for q in ddl:
+        st.execute(q)
+    st.close()
+    conn.close()
+
+    import orion_spark.plans.parsers as PP2
+
+    nodes, edges = PP2.drugcentral_like(spark, url)
+    e = edges.collect()
+    by = {(r.subject, r.predicate, r.object): r for r in e}
+    assert set(by) == {
+        ("DrugCentral:1", "RO:0002606", "UMLS:C0004096"),
+        ("DrugCentral:2", "NCIT:C37933", "UMLS:C0011849"),
+        ("DrugCentral:1", "biolink:has_adverse_event", "MEDDRA:10019211"),
+        ("DrugCentral:1", "biolink:decreases_activity_of", "UniProtKB:P35372"),
+        ("DrugCentral:2", "biolink:increases_activity_of", "UniProtKB:P35372"),
+    }
+    ae = by[("DrugCentral:1", "biolink:has_adverse_event", "MEDDRA:10019211")]
+    assert ae.primary_knowledge_source == "infores:faers"
+    assert ae.FAERS_llr == 9.5
+    chembl = by[
+        ("DrugCentral:1", "biolink:decreases_activity_of", "UniProtKB:P35372")
+    ]
+    assert chembl.primary_knowledge_source == "infores:chembl"
+    assert chembl.aggregator_knowledge_sources == ["infores:drugcentral"]
+    assert chembl.affinity_parameter == "pKi"
+    lit = by[
+        ("DrugCentral:2", "biolink:increases_activity_of", "UniProtKB:P35372")
+    ]
+    assert lit.primary_knowledge_source == "infores:drugcentral"
+    assert lit.aggregator_knowledge_sources is None
+
+    n = {r.id: r for r in nodes.collect()}
+    # 2 drugs + 2 UMLS + 1 MEDDRA + 1 protein; struct 99 never extracted
+    assert len(n) == 6 and "DrugCentral:99" not in n
+    assert n["DrugCentral:1"].smiles == "CC(=O)OC1=CC=CC=C1C(=O)O"
+    assert n["UniProtKB:P35372"].smiles is None
+    assert n["DrugCentral:1"].category == ["biolink:Drug"]
