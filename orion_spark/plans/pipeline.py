@@ -275,6 +275,64 @@ def build_graph(
 
 
 # ---------------------------------------------------------------------------
+# Supplementation stage (orion/supplementation.py:89-135
+# find_supplemental_data): variant nodes -> VCF -> annotator subprocess ->
+# annotated VCF -> supplemental KGX merged back into the bundle
+# ---------------------------------------------------------------------------
+
+def supplement_graph(
+    spark: SparkSession,
+    bundle_dir: str,
+    workspace_dir: str,
+    annotator_command: list[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Run the supplementation stage over a built bundle: extract the
+    SequenceVariant nodes, round-trip through the external annotator
+    (injectable command — production passes the snpEff java invocation,
+    tests a fake binary), parse the annotations declaratively, and merge
+    the supplemental gene nodes + variant-gene edges back into the bundle
+    (the reference then normalizes the supplemental files; here they join
+    the ordinary bundle merge). Returns the reference-shaped metadata dict
+    (SnpEffVersion/SnpEffCmd + row counts)."""
+    from pyspark.sql import functions as F
+
+    from orion_spark.operators.supplement import (
+        parse_snpeff_metadata,
+        run_annotator,
+        snpeff_annotations_to_kgx,
+        variant_nodes_to_vcf,
+    )
+
+    nodes, edges = read_bundle(spark, bundle_dir, fmt=fmt)
+    os.makedirs(workspace_dir, exist_ok=True)
+    vcf_dir = os.path.join(workspace_dir, "variants_vcf")
+    annotated = os.path.join(workspace_dir, "variants_ann.vcf")
+    variant_nodes_to_vcf(nodes, vcf_dir)
+    run_annotator(vcf_dir, annotated, annotator_command)
+    supp_nodes, supp_edges = snpeff_annotations_to_kgx(spark, annotated)
+    meta = parse_snpeff_metadata(annotated)
+
+    merged_nodes = merge_nodes(
+        union_all(
+            [
+                nodes.withColumn("_source_ordinal", F.lit(0)),
+                supp_nodes.withColumn("_source_ordinal", F.lit(1)),
+            ]
+        )
+    )
+    merged_edges = union_all(
+        [edges, supp_edges]
+    )  # supplemental edges are new by construction (distinct provenance)
+    out_dir = os.path.join(workspace_dir, "supplemented")
+    write_bundle(merged_nodes, merged_edges, out_dir, fmt=fmt)
+    meta["supp_node_count"] = supp_nodes.count()
+    meta["supp_edge_count"] = supp_edges.count()
+    meta["bundle_dir"] = out_dir
+    return meta
+
+
+# ---------------------------------------------------------------------------
 # Publish (§3.3: orion/cli/publish_graphs.py:117-143; staged atomic copy
 # 55-95) — promote a completed build dir to a release-semver dir
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ import json
 import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from orion_spark.plans import pipeline as P
 from orion_spark.sources.kgx import read_bundle, write_bundle
@@ -184,3 +185,121 @@ def test_publish_requires_completed_build(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         P.publish_graph(str(tmp_path), "nope", "deadbeef")
+
+
+def test_supplement_graph_with_fake_annotator(spark, tmp_path):
+    """N5 orchestration parity (orion/supplementation.py:89-221): bundle ->
+    VCF -> subprocess (a fake snpEff that annotates deterministically) ->
+    ANN parse -> supplemental KGX merged back. Covers the SO predicate
+    map, the fallback predicate, multi-effect '&' and multi-gene '-'
+    fan-out, and non-integer distance handling."""
+    import os
+    import sys
+
+    from pyspark.sql import Row
+
+    # bundle: 2 variants + 1 non-variant node
+    nodes = spark.createDataFrame(
+        [
+            Row(
+                id="CAID:CA1", name="v1", category=["biolink:SequenceVariant"],
+                chrom="1", pos=1000, ref="A", alt="G",
+            ),
+            Row(
+                id="CAID:CA2", name="v2", category=["biolink:SequenceVariant"],
+                chrom="2", pos=2000, ref="", alt="T",
+            ),
+            Row(
+                id="NCBIGene:7157", name="TP53", category=["biolink:Gene"],
+                chrom=None, pos=None, ref=None, alt=None,
+            ),
+        ]
+    )
+    edges = spark.createDataFrame(
+        [Row(subject="CAID:CA1", predicate="biolink:related_to",
+             object="NCBIGene:7157", primary_knowledge_source="infores:x")]
+    )
+    from orion_spark.sources.kgx import write_bundle
+
+    bundle = str(tmp_path / "bundle")
+    write_bundle(nodes, edges, bundle)
+
+    # fake snpEff: reads the VCF, emits it back with an ANN INFO field
+    fake = tmp_path / "fake_snpeff.py"
+    fake.write_text(
+        "import sys\n"
+        "print('##SnpEffVersion=\"5.1-fake\"')\n"
+        "print('##SnpEffCmd=\"SnpEff GRCh38.99 fake\"')\n"
+        "anns = {\n"
+        "  'CAID:CA1': 'ANN=G|missense_variant&synonymous_variant|MOD|X|"
+        "ENSG01-ENSG02|t|||||||||443|',\n"
+        "  'CAID:CA2': 'ANN=T|weird_unmapped_effect|MOD|X|ENSG03|t|||||||||"
+        "not_a_number|',\n"
+        "}\n"
+        "for line in open(sys.argv[1]):\n"
+        "    if line.startswith('#'): continue\n"
+        "    f = line.rstrip('\\n').split('\\t')\n"
+        "    f[7] = anns[f[2]]\n"
+        "    print('\\t'.join(f))\n"
+    )
+
+    import orion_spark.plans.pipeline as P2
+
+    meta = P2.supplement_graph(
+        spark,
+        bundle,
+        str(tmp_path / "ws"),
+        annotator_command=[sys.executable, str(fake)],
+    )
+    assert meta["SnpEffVersion"] == '"5.1-fake"'
+    # CA1: 2 effects x 2 genes = 4 edges; CA2: 1 edge
+    assert meta["supp_edge_count"] == 5
+    assert meta["supp_node_count"] == 3
+
+    from orion_spark.sources.kgx import read_bundle
+
+    out_nodes, out_edges = read_bundle(spark, meta["bundle_dir"])
+    e = {
+        (r.subject, r.predicate, r.object): r
+        for r in out_edges.where(
+            F.col("primary_knowledge_source") == "infores:robokop-snpeff"
+        ).collect()
+    }
+    assert set(e) == {
+        ("CAID:CA1", "SO:0001583", "ENSEMBL:ENSG01"),
+        ("CAID:CA1", "SO:0001583", "ENSEMBL:ENSG02"),
+        ("CAID:CA1", "SO:0001819", "ENSEMBL:ENSG01"),
+        ("CAID:CA1", "SO:0001819", "ENSEMBL:ENSG02"),
+        ("CAID:CA2", "biolink:related_to", "ENSEMBL:ENSG03"),
+    }
+    missense = e[("CAID:CA1", "SO:0001583", "ENSEMBL:ENSG01")]
+    assert missense.snpeff_effect == "missense_variant"
+    assert missense.distance_to_feature == 443
+    assert missense.knowledge_level == "prediction"
+    unmapped = e[("CAID:CA2", "biolink:related_to", "ENSEMBL:ENSG03")]
+    assert unmapped.distance_to_feature is None  # 'not_a_number' dropped
+    # gene nodes merged into the bundle alongside originals
+    ids = {r.id for r in out_nodes.collect()}
+    assert {"ENSEMBL:ENSG01", "ENSEMBL:ENSG02", "ENSEMBL:ENSG03"} <= ids
+    assert "NCBIGene:7157" in ids
+
+
+def test_run_annotator_failure_raises(tmp_path):
+    import sys
+
+    from orion_spark.operators.supplement import (
+        SupplementationFailedError,
+        run_annotator,
+    )
+
+    vcf_dir = tmp_path / "v"
+    vcf_dir.mkdir()
+    (vcf_dir / "00_header.vcf").write_text("#CHROM\n")
+    bad = tmp_path / "bad.py"
+    bad.write_text("import sys; sys.stderr.write('boom'); sys.exit(3)\n")
+    import pytest as _pytest
+
+    with _pytest.raises(SupplementationFailedError, match="ExitCode 3.*boom"):
+        run_annotator(
+            str(vcf_dir), str(tmp_path / "ann.vcf"), [sys.executable, str(bad)]
+        )
