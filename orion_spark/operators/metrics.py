@@ -74,6 +74,7 @@ def normalization_report(
         ).alias("output_edges"),
     ).collect()[0]
 
+    surviving = edge_counts["total"] - int(edge_counts["dropped"])
     return {
         "nodes_total": node_counts["total"],
         "nodes_normalized": int(node_counts["normalized"]),
@@ -82,6 +83,9 @@ def normalization_report(
         "edges_total": edge_counts["total"],
         "edges_dropped_missing_endpoint": int(edge_counts["dropped"]),
         "edges_after_split_fanout": int(edge_counts["output_edges"]),
+        # reference invariant (kgx_file_normalizer.py:360-362):
+        # source_edges - failures + splits = edges post norm
+        "edge_splits": int(edge_counts["output_edges"]) - surviving,
         "prefix_stats": [r.asDict() for r in prefix_stats(nodes, norm_map).collect()],
     }
 

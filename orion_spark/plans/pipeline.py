@@ -269,9 +269,136 @@ def build_graph(
     write_metadata_sidecars(
         spec.graph_id, spec.build_version, nodes_back, edges_back, out_dir
     )
+    # merge counters sidecar (kgx_file_merger.py:84-100): totals across
+    # every source tier (primary + subset + verbatim) vs the final bundle
+    from orion_spark.operators.metrics import merge_report
+    from orion_spark.sinks.metadata import write_merge_sidecar
+
+    raw_nodes = union_all(
+        primary_nodes
+        + [n for n, _ in subset_sources]
+        + [n for n, _ in verbatim]
+    )
+    raw_edges = union_all(
+        primary_edges
+        + [e for _, e in subset_sources]
+        + [e for _, e in verbatim]
+    )
+    write_merge_sidecar(
+        merge_report(raw_nodes, nodes_back, raw_edges, edges_back), out_dir
+    )
     with open(done_marker, "w") as fh:
         fh.write(spec.build_version)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Source resolution (orion/source_resolution.py:39-76): resolve a spec
+# source as an on-disk bundle by tier — local, then registry, then produce.
+# Only an unpinned source may be produced on a miss; a pinned source that
+# misses both local and registry fails to resolve (same contract).
+# ---------------------------------------------------------------------------
+
+BUNDLE_MARKER = "_BUNDLE_COMPLETE"
+
+
+class SourceResolutionError(RuntimeError):
+    pass
+
+
+class FileSystemRegistry:
+    """Registry client over a shared directory tree — the same protocol
+    surface as the reference's GraphRegistryClient (has/fetch/publish by
+    (source_id, build_version)), with the transport swapped for copytree;
+    an HTTP-backed client is a drop-in replacement. Bundles are stored
+    content-addressed under {root}/{source_id}/{build_version}."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _dir(self, source_id: str, build_version: str) -> str:
+        return os.path.join(self.root, source_id, build_version)
+
+    def has_bundle(self, source_id: str, build_version: str) -> bool:
+        return os.path.exists(
+            os.path.join(self._dir(source_id, build_version), BUNDLE_MARKER)
+        )
+
+    def fetch_bundle(
+        self, source_id: str, build_version: str, dest_dir: str
+    ) -> bool:
+        src = self._dir(source_id, build_version)
+        if not os.path.exists(os.path.join(src, BUNDLE_MARKER)):
+            return False
+        staging = dest_dir + ".fetching"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        shutil.copytree(src, staging)
+        os.rename(staging, dest_dir)  # marker travels inside the copy
+        return True
+
+    def publish_bundle(
+        self, source_id: str, build_version: str, bundle_dir: str
+    ) -> None:
+        dest = self._dir(source_id, build_version)
+        if os.path.exists(os.path.join(dest, BUNDLE_MARKER)):
+            return  # content-addressed: same key -> same bundle
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        staging = dest + ".publishing"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        shutil.copytree(bundle_dir, staging)
+        os.rename(staging, dest)
+
+
+class SourceResolver:
+    """local -> registry -> produce (orion/source_resolution.py:39-43).
+
+    `producers` maps source_id to a zero-arg callable that writes the
+    bundle into the given directory (the parse pipeline for a parser
+    source, a recursive graph build for a graph dependency). A resolved
+    produce is published back to the registry so every later builder gets
+    a registry hit — the content key (build_version) makes the reuse safe.
+    ``last_tier`` records how the most recent resolve succeeded."""
+
+    def __init__(
+        self,
+        storage: str,
+        registry: FileSystemRegistry | None = None,
+        producers: dict | None = None,
+    ):
+        self.storage = storage
+        self.registry = registry
+        self.producers = producers or {}
+        self.last_tier: str | None = None
+
+    def _local_dir(self, source_id: str, build_version: str) -> str:
+        return os.path.join(self.storage, "sources", source_id, build_version)
+
+    def resolve(self, source_id: str, build_version: str, pinned: bool = True) -> str:
+        local = self._local_dir(source_id, build_version)
+        if os.path.exists(os.path.join(local, BUNDLE_MARKER)):
+            self.last_tier = "local"
+            return local
+        if self.registry is not None and self.registry.fetch_bundle(
+            source_id, build_version, local
+        ):
+            self.last_tier = "registry"
+            return local
+        producer = self.producers.get(source_id)
+        if pinned or producer is None:
+            raise SourceResolutionError(
+                f"{source_id}@{build_version}: not local, not in registry, "
+                + ("pinned sources are never produced" if pinned else "no producer")
+            )
+        os.makedirs(local, exist_ok=True)
+        producer(local)
+        with open(os.path.join(local, BUNDLE_MARKER), "w") as fh:
+            fh.write(build_version)
+        if self.registry is not None:
+            self.registry.publish_bundle(source_id, build_version, local)
+        self.last_tier = "produce"
+        return local
 
 
 # ---------------------------------------------------------------------------

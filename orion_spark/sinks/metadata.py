@@ -80,3 +80,21 @@ def write_metadata_sidecars(
         json.dump(qc_results(nodes, edges), fh, indent=2)
     with open(os.path.join(out_dir, "schema.json"), "w") as fh:
         json.dump(kgx_schema(nodes, edges), fh, indent=2)
+
+
+def write_merge_sidecar(report: dict, out_dir: str) -> None:
+    """merge-metadata.json (orion/kgx_file_merger.py:84-100 merge_metadata:
+    source vs final counts, merged-away counts per stage). The report dict
+    comes from operators/metrics.merge_report."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "merge-metadata.json"), "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
+
+
+def write_normalization_sidecar(report: dict, out_dir: str) -> None:
+    """normalization-metadata.json (orion/kgx_file_normalizer.py:355-364:
+    source_edges / edge_splits / final counts + per-prefix stats). The
+    report dict comes from operators/metrics.normalization_report."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "normalization-metadata.json"), "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)

@@ -200,3 +200,76 @@ def test_compact_table_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10000
     assert not _os.path.exists(path + "__compact_tmp")
     assert not _os.path.exists(path + "__compact_old")
+
+
+def test_merge_and_normalization_sidecars(spark, tmp_path):
+    """Split/merge counter sidecars (kgx_file_merger.py:84-100,
+    kgx_file_normalizer.py:355-364) land as JSON next to the bundle."""
+    from pyspark.sql import Row
+
+    from orion_spark.operators import metrics as MX
+
+    raw = spark.createDataFrame(
+        [Row(id="HGNC:1"), Row(id="HGNC:1"), Row(id="HGNC:2")]
+    )
+    merged = raw.dropDuplicates(["id"])
+    raw_e = spark.createDataFrame(
+        [Row(subject="HGNC:1", object="HGNC:2"),
+         Row(subject="HGNC:1", object="HGNC:2")]
+    )
+    merged_e = raw_e.dropDuplicates()
+    out = str(tmp_path / "sidecars")
+    MD.write_merge_sidecar(
+        MX.merge_report(raw, merged, raw_e, merged_e), out
+    )
+    rep = json.load(open(os.path.join(out, "merge-metadata.json")))
+    assert rep["source_nodes"] == 3 and rep["merged_nodes"] == 2
+    assert rep["nodes_merged_away"] == 1
+    assert rep["source_edges"] == 2 and rep["edges_merged_away"] == 1
+
+    norm_map = spark.createDataFrame(
+        [Row(original_id="HGNC:1", normalized_ids=["N:1", "N:1b"]),
+         Row(original_id="HGNC:2", normalized_ids=["N:2"])],
+        "original_id string, normalized_ids array<string>",
+    )
+    MD.write_normalization_sidecar(
+        MX.normalization_report(merged, merged_e, norm_map), out
+    )
+    nrep = json.load(open(os.path.join(out, "normalization-metadata.json")))
+    assert nrep["edge_splits"] == 1  # 1x2 fan-out over one surviving edge
+    assert nrep["node_splits"] == 1
+
+
+def test_build_graph_writes_merge_sidecar(spark, tmp_path):
+    """build_graph emits merge-metadata.json alongside the other sidecars
+    with the reference's source-vs-final counts."""
+    from orion_spark.plans import pipeline as P
+    from orion_spark.sources.kgx import write_bundle
+
+    from pyspark.sql import Row
+
+    def bundle(dirname, ids):
+        nodes = spark.createDataFrame(
+            [Row(id=i, name=i.lower(), category=["biolink:NamedThing"]) for i in ids]
+        )
+        edges = spark.createDataFrame(
+            [Row(subject=ids[0], predicate="biolink:related_to", object=ids[-1],
+                 primary_knowledge_source="infores:t")]
+        )
+        d = str(tmp_path / dirname)
+        write_bundle(nodes, edges, d)
+        return d
+
+    b1 = bundle("s1", ["A:1", "A:2"])
+    b2 = bundle("s2", ["A:2", "A:3"])  # A:2 merges away
+    spec = P.GraphSpec(
+        graph_id="gtest",
+        sources=[
+            P.GraphSource(source_id="s1"),
+            P.GraphSource(source_id="s2"),
+        ],
+    )
+    out = P.build_graph(spark, spec, {"s1": b1, "s2": b2}, str(tmp_path / "st"))
+    rep = json.load(open(os.path.join(out, "merge-metadata.json")))
+    assert rep["source_nodes"] == 4 and rep["merged_nodes"] == 3
+    assert rep["nodes_merged_away"] == 1

@@ -51,6 +51,8 @@ def test_normalization_report(spark):
     assert rep["edges_total"] == 3
     assert rep["edges_dropped_missing_endpoint"] == 2
     assert rep["edges_after_split_fanout"] == 2
+    # invariant: surviving (1) + splits = post-norm edges (2)
+    assert rep["edge_splits"] == 1
     prefixes = {p["prefix"]: p for p in rep["prefix_stats"]}
     assert prefixes["X"]["normalized"] == 2 and prefixes["X"]["failed"] == 1
 

@@ -303,3 +303,53 @@ def test_run_annotator_failure_raises(tmp_path):
         run_annotator(
             str(vcf_dir), str(tmp_path / "ann.vcf"), [sys.executable, str(bad)]
         )
+
+
+def test_source_resolver_tiers(spark, tmp_path):
+    """orion/source_resolution.py:39-76 parity: local -> registry ->
+    produce. A registry hit materializes locally and SKIPS produce; a
+    produced bundle publishes back so the next resolver gets a registry
+    hit; a pinned source that misses both tiers fails instead of
+    producing."""
+    import pytest as _pytest
+
+    registry = P.FileSystemRegistry(str(tmp_path / "registry"))
+    calls = []
+
+    def producer(dest):
+        calls.append(dest)
+        nodes = spark.createDataFrame(
+            [Row(id="A:1", name="a", category=["biolink:NamedThing"])]
+        )
+        edges = spark.createDataFrame(
+            [Row(subject="A:1", predicate="biolink:related_to", object="A:1")]
+        )
+        write_bundle(nodes, edges, dest)
+
+    r1 = P.SourceResolver(
+        str(tmp_path / "builder1"), registry, producers={"src_a": producer}
+    )
+    # unpinned miss -> produce (and publish to the registry)
+    out1 = r1.resolve("src_a", "v1", pinned=False)
+    assert r1.last_tier == "produce" and len(calls) == 1
+    assert registry.has_bundle("src_a", "v1")
+    # second resolve on the same builder -> local, no new produce
+    r1.resolve("src_a", "v1", pinned=False)
+    assert r1.last_tier == "local" and len(calls) == 1
+
+    # a DIFFERENT builder resolves the same content key from the registry
+    # and never calls its producer — the content-addressed reuse
+    r2 = P.SourceResolver(
+        str(tmp_path / "builder2"), registry, producers={"src_a": producer}
+    )
+    out2 = r2.resolve("src_a", "v1", pinned=False)
+    assert r2.last_tier == "registry" and len(calls) == 1
+    nodes2, _ = read_bundle(spark, out2)
+    assert nodes2.count() == 1
+
+    # pinned source missing everywhere -> hard failure, not produce
+    with _pytest.raises(P.SourceResolutionError, match="pinned"):
+        r2.resolve("src_a", "v2", pinned=True)
+    # unpinned with no producer for the id -> failure too
+    with _pytest.raises(P.SourceResolutionError, match="no producer"):
+        r2.resolve("unknown_src", "v1", pinned=False)
