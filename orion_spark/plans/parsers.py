@@ -527,3 +527,116 @@ def drugcentral_like(
     )
     merged_edges = merge_edges(all_edges)
     return merged_nodes, merged_edges
+
+
+# ---------------------------------------------------------------------------
+# HMDB-like: metabolite XML with REPEATED protein/disease children
+# (parsers/hmdb/src/loadHMDB.py:91-131 record walk, 154-253 gene edges with
+#  the protein_type direction switch, 255-330 disease edges with per-
+#  disease pubmed reference lists)
+# ---------------------------------------------------------------------------
+
+HMDB_FIELDS = {"accession": "accession", "metabolite_name": "name"}
+HMDB_LIST_FIELDS = {
+    "protein_uniprot": ("protein_associations/protein", "uniprot_id"),
+    "protein_type": ("protein_associations/protein", "protein_type"),
+    "protein_name": ("protein_associations/protein", "name"),
+    "disease_omim": ("diseases/disease", "omim_id"),
+    "disease_name": ("diseases/disease", "name"),
+    "disease_pmids": ("diseases/disease", "references/reference/pubmed_id*"),
+}
+
+
+def hmdb_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """HMDB metabolites: repeated children become index-aligned arrays,
+    arrays_zip + explode reconstructs the reference's per-protein /
+    per-disease loops, and the protein_type prefix switch picks both the
+    predicate AND the edge direction (Enzyme/Transport point protein ->
+    metabolite, unknown types metabolite -> protein). Returns
+    (nodes, edges) — the reference writes one node stream
+    (loadHMDB.py:124-125, 233-234)."""
+    raw = read_xml_records(
+        spark, path, "metabolite", HMDB_FIELDS, list_fields=HMDB_LIST_FIELDS
+    )
+    met_id = F.concat(F.lit("HMDB:"), F.col("accession"))
+    base = raw.where(
+        F.col("accession").isNotNull() & F.col("metabolite_name").isNotNull()
+    )
+
+    prot = base.select(
+        met_id.alias("met_id"),
+        "metabolite_name",
+        F.explode(
+            F.arrays_zip(
+                F.col("protein_uniprot").alias("uniprot"),
+                F.col("protein_type").alias("ptype"),
+                F.col("protein_name").alias("pname"),
+            )
+        ).alias("p"),
+    ).where(F.col("p.uniprot").isNotNull() & F.col("p.ptype").isNotNull())
+    prot_id = F.concat(F.lit("UniProtKB:"), F.col("p.uniprot"))
+    is_enzyme = F.col("p.ptype").startswith("Enzyme")
+    is_transport = F.col("p.ptype").startswith("Transport")
+    protein_first = is_enzyme | is_transport
+    gene_edges = prot.select(
+        F.when(protein_first, prot_id).otherwise(F.col("met_id")).alias("subject"),
+        F.when(is_enzyme, F.lit("CTD:affects_abundance_of"))
+        .when(is_transport, F.lit("CTD:increases_transport_of"))
+        .otherwise(F.lit("CTD:related_to"))
+        .alias("predicate"),
+        F.when(protein_first, F.col("met_id")).otherwise(prot_id).alias("object"),
+        F.lit("infores:hmdb").alias("primary_knowledge_source"),
+        F.lit(None).cast("array<string>").alias("publications"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+    )
+
+    dis = base.select(
+        met_id.alias("met_id"),
+        F.explode(
+            F.arrays_zip(
+                F.col("disease_omim").alias("omim"),
+                F.col("disease_name").alias("dname"),
+                F.col("disease_pmids").alias("pmids"),
+            )
+        ).alias("d"),
+    ).where(F.col("d.omim").isNotNull())
+    dis_id = F.concat(F.lit("OMIM:"), F.col("d.omim"))
+    disease_edges = dis.select(
+        F.col("met_id").alias("subject"),
+        F.lit("SEMMEDDB:ASSOCIATED_WITH").alias("predicate"),
+        dis_id.alias("object"),
+        F.lit("infores:hmdb").alias("primary_knowledge_source"),
+        F.when(
+            F.col("d.pmids").isNotNull(),
+            F.transform(
+                F.split(F.col("d.pmids"), r"\|"),
+                lambda x: F.concat(F.lit("PMID:"), x),
+            ),
+        ).alias("publications"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+    )
+    edges = gene_edges.unionByName(disease_edges)
+
+    met_nodes = base.select(
+        met_id.alias("id"),
+        F.col("metabolite_name").alias("name"),
+        F.array(F.lit("biolink:SmallMolecule")).alias("category"),
+    )
+    prot_nodes = prot.select(
+        prot_id.alias("id"),
+        F.coalesce(F.col("p.pname"), F.lit("")).alias("name"),
+        F.array(F.lit("biolink:Protein")).alias("category"),
+    )
+    dis_nodes = dis.select(
+        dis_id.alias("id"),
+        F.coalesce(F.col("d.dname"), F.lit("")).alias("name"),
+        F.array(F.lit("biolink:Disease")).alias("category"),
+    )
+    nodes = (
+        met_nodes.unionByName(prot_nodes)
+        .unionByName(dis_nodes)
+        .dropDuplicates(["id"])
+    )
+    return nodes, edges

@@ -123,6 +123,7 @@ def read_xml_records(
     path: str,
     record_tag: str,
     fields: dict[str, str],
+    list_fields: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """S7: XML ingest. Reads each file whole (wholetext) and parses records
     of `record_tag` with ElementTree inside mapInPandas — Arrow-batched, one
@@ -131,8 +132,20 @@ def read_xml_records(
     element text (falling back to its `value` attribute, the UniProt
     property convention), and 'tag/subtag@attr' reads a nested element's
     attribute; ElementTree predicates like 'property[@type="x"]' work in
-    the path part."""
-    schema = ", ".join(f"{name} string" for name in fields)
+    the path part.
+
+    `list_fields` maps output column -> (repeat_path, sub_xpath) for
+    REPEATED children (HMDB-style protein/disease lists): one
+    array<string> per column, index-aligned across columns sharing a
+    repeat_path (missing sub-elements keep their slot as null), so
+    arrays_zip + explode downstream reconstructs the per-child rows. A
+    sub_xpath ending in '*' is itself a findall whose texts join with '|'
+    (doubly-nested repeats like per-disease pubmed reference lists)."""
+    lf = list_fields or {}
+    schema = ", ".join(
+        [f"{name} string" for name in fields]
+        + [f"{name} array<string>" for name in lf]
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import xml.etree.ElementTree as ET
@@ -161,8 +174,30 @@ def read_xml_records(
                             row[name] = el.get(attr)
                         else:
                             row[name] = el.text or el.get("value")
+                    for name, (repeat_path, sub) in lf.items():
+                        vals = []
+                        for child in rec.findall(repeat_path):
+                            if sub.endswith("*"):
+                                inner = [
+                                    e.text
+                                    for e in child.findall(sub[:-1])
+                                    if e.text is not None
+                                ]
+                                vals.append("|".join(inner) if inner else None)
+                            elif sub == ".":
+                                vals.append(child.text)
+                            else:
+                                e = child.find(sub)
+                                vals.append(
+                                    None
+                                    if e is None
+                                    else (e.text or e.get("value"))
+                                )
+                        row[name] = vals
                     rows.append(row)
-            yield pd.DataFrame(rows, columns=list(fields))
+            yield pd.DataFrame(
+                rows, columns=list(fields) + list(lf)
+            )
 
     raw = spark.read.text(path, wholetext=True)
     return raw.mapInPandas(parse, schema=schema)

@@ -273,3 +273,68 @@ def test_build_graph_writes_merge_sidecar(spark, tmp_path):
     rep = json.load(open(os.path.join(out, "merge-metadata.json")))
     assert rep["source_nodes"] == 4 and rep["merged_nodes"] == 3
     assert rep["nodes_merged_away"] == 1
+
+
+def test_neo4j_dump_orchestration_with_fake_binaries(spark, tmp_path):
+    """K5 (neo4j_tools.py:255-338): the import->start->index->stop->dump
+    subprocess chain runs in order against fake executables; the dump step
+    creates the file the chain renames into place; a failing step aborts
+    with the captured stderr."""
+    import stat
+    import sys
+
+    from orion_spark.sinks import neo4j_dump as ND
+
+    def fake(name, body):
+        p = tmp_path / name
+        p.write_text(f"#!{sys.executable}\nimport sys\n{body}\n")
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+        return [str(p)]
+
+    calls = tmp_path / "calls.log"
+    record = (
+        f"open({str(calls)!r}, 'a').write(' '.join(sys.argv[1:]) + '\\n')\n"
+    )
+    out_dir = str(tmp_path / "dump_out")
+    admin = fake(
+        "fake_admin.py",
+        record
+        + "if sys.argv[1:3] == ['database', 'dump']:\n"
+        + f"    open('{out_dir}/neo4j.dump', 'w').write('DUMP')\n",
+    )
+    neo = fake("fake_neo4j.py", record)
+    shell = fake("fake_cypher.py", record)
+
+    ok, log = ND.create_neo4j_dump(
+        _nodes(spark), _edges(spark), out_dir,
+        neo4j_admin=admin, neo4j=neo, cypher_shell=shell,
+    )
+    assert ok and os.path.exists(os.path.join(out_dir, "neo4j.dump"))
+    steps = calls.read_text().splitlines()
+    verbs = [s.split()[0] for s in steps]
+    assert verbs == ["dbms", "database", "start", "-f", "stop", "database"]
+    assert "--delimiter=TAB" in steps[1] and "--array-delimiter=U+001F" in steps[1]
+    # the temp CSVs were cleaned up, the concatenated import inputs gone
+    assert not os.path.exists(os.path.join(out_dir, "nodes.temp_csv"))
+    # index cypher derived from the data's labels
+    cypher = open(os.path.join(out_dir, "indexes.cypher")).read()
+    assert "REQUIRE n.id IS UNIQUE" in cypher
+    # idempotent: second call short-circuits, no new commands
+    ok2, log2 = ND.create_neo4j_dump(
+        _nodes(spark), _edges(spark), out_dir,
+        neo4j_admin=admin, neo4j=neo, cypher_shell=shell,
+    )
+    assert ok2 and log2 == []
+
+    # failure path: import exits nonzero -> chain aborts with stderr
+    bad_admin = fake(
+        "bad_admin.py",
+        "sys.stderr.write('no space'); sys.exit(2)",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ND.Neo4jDumpError, match="ExitCode 2.*no space"):
+        ND.create_neo4j_dump(
+            _nodes(spark), _edges(spark), str(tmp_path / "dump2"),
+            neo4j_admin=bad_admin, neo4j=neo, cypher_shell=shell,
+        )

@@ -291,3 +291,77 @@ def test_drugcentral_like_jdbc_end_to_end(spark, tmp_path):
     assert n["DrugCentral:1"].smiles == "CC(=O)OC1=CC=CC=C1C(=O)O"
     assert n["UniProtKB:P35372"].smiles is None
     assert n["DrugCentral:1"].category == ["biolink:Drug"]
+
+
+HMDB = """\
+<hmdb>
+  <metabolite>
+    <accession>HMDB0000001</accession>
+    <name>1-Methylhistidine</name>
+    <protein_associations>
+      <protein>
+        <uniprot_id>P05091</uniprot_id>
+        <name>Aldehyde dehydrogenase</name>
+        <protein_type>Enzyme</protein_type>
+      </protein>
+      <protein>
+        <uniprot_id>Q9UHI5</uniprot_id>
+        <name>Large neutral amino acids transporter</name>
+        <protein_type>Transporter</protein_type>
+      </protein>
+      <protein>
+        <uniprot_id>A0A0B4</uniprot_id>
+        <name>Mystery protein</name>
+        <protein_type>Unknown</protein_type>
+      </protein>
+      <protein>
+        <uniprot_id>NOTYPE1</uniprot_id>
+        <name>No type, must be skipped</name>
+      </protein>
+    </protein_associations>
+    <diseases>
+      <disease>
+        <name>Kidney disease</name>
+        <omim_id>613677</omim_id>
+        <references>
+          <reference><pubmed_id>111</pubmed_id></reference>
+          <reference><pubmed_id>222</pubmed_id></reference>
+        </references>
+      </disease>
+      <disease>
+        <name>No omim, skipped</name>
+        <references><reference><pubmed_id>333</pubmed_id></reference></references>
+      </disease>
+    </diseases>
+  </metabolite>
+  <metabolite>
+    <accession>HMDB0000002</accession>
+  </metabolite>
+</hmdb>
+"""
+
+
+def test_hmdb_like_parser_golden_counts(spark, tmp_path):
+    """Repeated-children XML family (loadHMDB.py): 4 proteins -> 3 edges
+    (typeless one skipped) with the Enzyme/Transport direction flip, 2
+    diseases -> 1 edge (no-omim skipped) carrying the nested pubmed list;
+    the nameless metabolite record is dropped entirely."""
+    p = tmp_path / "hmdb_metabolites.xml"
+    p.write_text(HMDB)
+    nodes, edges = PP.hmdb_like(spark, str(p))
+    e = {(r.subject, r.predicate, r.object): r for r in edges.collect()}
+    assert set(e) == {
+        ("UniProtKB:P05091", "CTD:affects_abundance_of", "HMDB:HMDB0000001"),
+        ("UniProtKB:Q9UHI5", "CTD:increases_transport_of", "HMDB:HMDB0000001"),
+        ("HMDB:HMDB0000001", "CTD:related_to", "UniProtKB:A0A0B4"),
+        ("HMDB:HMDB0000001", "SEMMEDDB:ASSOCIATED_WITH", "OMIM:613677"),
+    }
+    dis = e[("HMDB:HMDB0000001", "SEMMEDDB:ASSOCIATED_WITH", "OMIM:613677")]
+    assert dis.publications == ["PMID:111", "PMID:222"]
+    assert dis.knowledge_level == "knowledge_assertion"
+    n = {r.id: r for r in nodes.collect()}
+    assert len(n) == 5  # metabolite + 3 proteins + 1 disease
+    assert n["HMDB:HMDB0000001"].category == ["biolink:SmallMolecule"]
+    assert n["OMIM:613677"].name == "Kidney disease"
+    assert n["UniProtKB:P05091"].name == "Aldehyde dehydrogenase"
+    assert "UniProtKB:NOTYPE1" not in n
