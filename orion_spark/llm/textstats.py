@@ -167,3 +167,81 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select("doc_id", "word", F.round("_score", 6).alias("tfidf"), "rk")
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    line_drop_markers: tuple[str, ...] = ("javascript",),
+    page_drop_markers: tuple[str, ...] = ("lorem ipsum",),
+) -> DataFrame:
+    """C4-style line-level boilerplate filtering (Raffel et al. 2020, the
+    public C4 cleaning rules): keep only lines that end in terminal
+    punctuation, have >= `min_words_per_line` words, and carry no drop
+    marker ('javascript'); drop whole pages with fewer than
+    `min_kept_lines` surviving lines or a page-level marker
+    ('lorem ipsum'). Pure higher-order column functions — the per-line
+    loop of the reference implementation is a JVM-side array filter, no
+    Python in the row path. Returns a per-page panel
+    (n_lines, n_kept, page_kept, clean_chars)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _keep(x: Column) -> Column:
+        cond = (
+            (F.size(F.split(F.trim(x), r"\s+")) >= min_words_per_line)
+            & x.rlike('[.!?"]$')
+        )
+        for m in line_drop_markers:
+            cond = cond & ~F.lower(x).contains(m)
+        return cond
+
+    kept = F.filter(lines, _keep)
+    page_ok = F.size(kept) >= min_kept_lines
+    for m in page_drop_markers:
+        page_ok = page_ok & ~F.lower(t).contains(m)
+    return df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        page_ok.cast("int").alias("page_kept"),
+        F.length(F.array_join(kept, "\n")).alias("clean_chars"),
+    )
+
+
+def source_mixing_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_by: str = "n_chars",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based source mixing (the multinomial alpha-sampling of
+    multilingual/multi-corpus pre-training, e.g. the XLM-R recipe):
+    natural share p_s of each source (by `weight_by`), tempered share
+    q_s = p_s^alpha / sum(p^alpha), and the per-document up/down-sampling
+    multiplier q_s/p_s a sampler applies. Two tiny aggregates (per-source,
+    then the scalar normalizer broadcast back) — the corpus itself is
+    scanned once; at 100 TB the panel is a dimension table."""
+    per = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(weight_by).cast("double").alias("_w"),
+    )
+    totals = per.agg(
+        F.sum("_w").alias("_tw"),
+        F.sum(F.pow(F.col("_w"), F.lit(alpha))).alias("_tq_raw"),
+    )
+    # _tq_raw is sum(w^alpha); q_s = w^a / sum(w^a) is invariant to
+    # normalizing w by total first: (w/T)^a / sum((w/T)^a) == w^a/sum(w^a)
+    j = per.crossJoin(F.broadcast(totals))
+    p = F.col("_w") / F.col("_tw")
+    q = F.pow(F.col("_w"), F.lit(alpha)) / F.col("_tq_raw")
+    return j.select(
+        source_col,
+        "n_docs",
+        F.round(p, 6).alias("natural_share"),
+        F.round(q, 6).alias("tempered_share"),
+        F.round(q / p, 6).alias("mix_weight"),
+    )

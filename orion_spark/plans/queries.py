@@ -2235,6 +2235,87 @@ def dedup_embedding_cosine_exact_q(spark, sf_dir):
 
 
 @query(
+    "text_c4_line_filter",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               [array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') ||
+                CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN ''
+                           ELSE ' javascript.' END
+                for i in range(0, CAST(ceil(len(ws) / 8.0) AS INT))] AS lines
+        FROM w),
+    k AS (
+        SELECT doc_id, len(lines) AS n_lines,
+               list_filter(lines, x ->
+                   len(string_split_regex(trim(x), '\\s+')) >= 5
+                   AND regexp_matches(x, '[.!?"]$')
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM c)
+    SELECT doc_id, n_lines, len(kept) AS n_kept,
+           CASE WHEN len(kept) >= 3 THEN 1 ELSE 0 END AS page_kept,
+           length(array_to_string(kept, chr(10))) AS clean_chars
+    FROM k
+    """,
+)
+def text_c4_line_filter_q(spark, sf_dir):
+    """C4-style boilerplate cleaning over pages with synthesized line
+    structure: the flat synthetic docs are re-chunked into 8-word lines
+    whose ending alternates deterministically (terminal '.', no
+    punctuation, ' javascript.') so every line rule fires — the
+    punctuation gate, the short-line gate on the ragged tail, and the
+    marker gate on lines that WOULD pass punctuation. The oracle
+    reproduces chunking + filter closed-form; the operator itself
+    (llm/textstats.c4_line_filter) is the generic page cleaner."""
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+            F.when(i % 3 == 0, F.lit("."))
+            .when(i % 3 == 1, F.lit(""))
+            .otherwise(F.lit(" javascript.")),
+        ),
+    )
+    pages = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("page_text")
+    )
+    return TS.c4_line_filter(pages, text_col="page_text")
+
+
+@query(
+    "text_source_mixing_weights",
+    """
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) AS w
+        FROM documents GROUP BY source),
+    t AS (SELECT SUM(w) AS tw, SUM(pow(w, 0.3)) AS tq FROM per)
+    SELECT source, n_docs,
+           round(w / tw, 6) AS natural_share,
+           round(pow(w, 0.3) / tq, 6) AS tempered_share,
+           round((pow(w, 0.3) / tq) / (w / tw), 6) AS mix_weight
+    FROM per, t
+    """,
+)
+def text_source_mixing_weights_q(spark, sf_dir):
+    """Temperature-based multi-corpus mixing (alpha=0.3, the XLM-R-style
+    multinomial recipe): per-source natural share by characters, tempered
+    share p^alpha/sum, and the up/down-sampling multiplier. Two tiny
+    aggregates + a broadcast scalar — the corpus scans once."""
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return TS.source_mixing_weights(docs, alpha=0.3)
+
+
+@query(
     "text_token_counts",
     """
     SELECT doc_id,

@@ -281,3 +281,54 @@ def test_pii_ssn_not_eaten_by_phone(spark):
     from orion_spark.llm import pii as P
 
     assert P.pii_redact(spark.createDataFrame(rows)).collect()[0].text == "id [SSN] ok"
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule in isolation: punctuation gate, min-words gate, line
+    marker, page marker, min-kept-lines page gate."""
+    page_good = "\n".join(
+        [
+            "this is a perfectly fine sentence one.",
+            "another good line with enough words here!",
+            'a third keeper line with many words, quoted ending"',
+            "too short.",                                   # <5 words
+            "no terminal punctuation on this line at all",  # no punct
+            "a line mentioning javascript should be gone.",  # marker
+        ]
+    )
+    page_thin = "only one good line lives right here."  # < 3 kept lines
+    page_lorem = (
+        "lorem ipsum dolor sit amet and more words.\n"
+        "second fine line with plenty of words here.\n"
+        "third fine line with plenty of words too.\n"
+        "fourth fine line with plenty of words also."
+    )
+    df = spark.createDataFrame(
+        [(1, page_good), (2, page_thin), (3, page_lorem)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TS.c4_line_filter(df).collect()}
+    assert (out[1].n_lines, out[1].n_kept, out[1].page_kept) == (6, 3, 1)
+    assert out[2].n_kept == 1 and out[2].page_kept == 0
+    # all 4 lines pass the line rules, but the page marker kills the page
+    assert out[3].n_kept == 4 and out[3].page_kept == 0
+    kept_len = len(
+        "\n".join(page_good.split("\n")[:3])
+    )
+    assert out[1].clean_chars == kept_len
+
+
+def test_source_mixing_weights_math(spark):
+    """alpha=0.5 over shares 0.8/0.2: tempered shares ~0.667/0.333, so the
+    minority source is up-weighted ~1.67x and the majority down-weighted."""
+    rows = [("big", 80), ("small", 20)]
+    df = spark.createDataFrame(
+        [(s, 1) for s, n in rows for _ in range(n)], "source string, n_chars long"
+    )
+    out = {r.source: r for r in
+           TS.source_mixing_weights(df, alpha=0.5).collect()}
+    assert out["big"].n_docs == 80 and out["small"].n_docs == 20
+    import math
+
+    tq = math.sqrt(80) + math.sqrt(20)
+    assert abs(out["small"].tempered_share - math.sqrt(20) / tq) < 1e-6
+    assert out["small"].mix_weight > 1.6 and out["big"].mix_weight < 1.0
