@@ -518,29 +518,47 @@ def embedding_near_dup_pairs_banded(
     fold-ordered cosine as the exact variant, so false candidates can't
     leak through.
     """
-    from orion_spark.llm.similarity import cosine, hyperplane_signature
+    import hashlib
+
+    from orion_spark.llm.similarity import cosine
 
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
-    sigs = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("_band"),
-                        hyperplane_signature(
-                            F.col("_v"),
-                            dim,
-                            planes_per_band,
-                            plane_offset=b * planes_per_band,
-                        ).alias("_sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("_bs"),
-    ).select("_id", "_bs._band", "_bs._sig")
+    # All band signatures in ONE nested-HOF expression over a single flat
+    # coefficient literal. Building 96 separate fold expressions through
+    # the Python Column API costs ~10s of py4j roundtrips per query; one
+    # expr() string + one lit(list) is two calls. Coefficient derivation
+    # is IDENTICAL to similarity.hyperplane_signature (md5('plane:p:i')
+    # prefix / 2^32 - 0.5, plane id = band*planes_per_band + p), so the
+    # buckets match the non-banded path's plane families.
+    ppb, nb = planes_per_band, n_bands
+    flat = ",".join(
+        repr(
+            int(hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8], 16)
+            / float(1 << 32)
+            - 0.5
+        )
+        + "D"
+        for p in range(nb * ppb)
+        for i in range(dim)
+    )
+    sig_expr = F.expr(
+        f"""
+        transform(sequence(0, {nb - 1}), b -> struct(
+            b AS _band,
+            aggregate(sequence(0, {ppb - 1}), 0L, (acc, p) -> acc + if(
+                aggregate(
+                    zip_with(_v,
+                             slice(array({flat}),
+                                   (b * {ppb} + p) * {dim} + 1, {dim}),
+                             (x, c) -> x * c),
+                    cast(0.0 AS DOUBLE), (a, x) -> a + x) > 0,
+                shiftleft(1L, p), 0L)) AS _sig))
+        """
+    )
+    sigs = base.select("_id", F.explode(sig_expr).alias("_bs")).select(
+        "_id", "_bs._band", "_bs._sig"
+    )
     # candidate ids only (narrow) -> distinct -> join vectors back for the
     # verify: candidates << n^2, so two id-joins beat carrying the vectors
     # through every band

@@ -202,17 +202,14 @@ def hyperplane_signature(
         # identical values to the original Catalyst-side derivation
         # conv(substring(md5('plane:p:i'),1,8),16,10)/2^32 - 0.5, but
         # computed ONCE at plan-build time: the expression-tree version
-        # costs O(dim * planes) analyzer/codegen work per query — at
-        # 12 bands x 8 planes x 64 dims that alone dominated runtime
-        coeffs = F.array(
-            *[
-                F.lit(
-                    int(
-                        hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8], 16
-                    )
-                    / float(1 << 32)
-                    - 0.5
-                )
+        # cost O(dim * planes) analyzer/codegen work per query, and the
+        # per-element F.lit form cost O(dim * planes) py4j roundtrips —
+        # one list-literal call per plane keeps both flat
+        coeffs = F.lit(
+            [
+                int(hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8], 16)
+                / float(1 << 32)
+                - 0.5
                 for i in range(dim)
             ]
         )

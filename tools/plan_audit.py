@@ -41,9 +41,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "full_pipeline_counts": "constant predicate is constant-folded out of the join key; the 'join' is a residual filter against the 14-row broadcast closure dim",
         "documents_mixture_report": "corpus-total scalar (1 row) broadcast under every source row",
         "orders_basket_lift": "order-count scalar (1 row) broadcast into the lift expression",
+        "text_source_mixing_weights": "normalizer scalars (1 row) broadcast under the 20-row source panel",
     },
     "ArrowEvalPython": {
-        "multimodal_decode_features": "stubbed media decode is a declared mapInPandas boundary",
+        "multimodal_decode_features": "real PPM/BMP byte decode is a declared mapInPandas boundary",
         "multimodal_frame_sample": "frame sampling over binary payloads — same boundary",
     },
     "BatchEvalPython": {},
