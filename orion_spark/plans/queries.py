@@ -1783,8 +1783,10 @@ def _uniref_fixture(spark: SparkSession, sf_dir: str) -> str:
             f"    </representativeMember>\n"
             f"  </entry>\n"
         )
-    with open(path, "w") as fh:
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
         fh.write("<UniRef>\n" + "".join(ents) + "</UniRef>\n")
+    os.replace(tmp, path)  # atomic — concurrent query runs never see a torn file
     return path
 
 
