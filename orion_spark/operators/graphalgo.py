@@ -114,9 +114,9 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     Returns one row: n_nodes, n_edges, n_triangles.
     """
     # pairs feeds the degree table AND the orientation join; deg feeds the
-    # orientation twice plus the node/edge summary. Persist both so the
-    # multi-referenced subtrees compute once (without this, every scalar in
-    # the summary row re-executes the whole pair-construction lineage).
+    # orientation twice plus the node/edge summary. Materialize both
+    # (lazy localCheckpoint — GC-releasable, unlike a never-unpersisted
+    # cache) so the multi-referenced subtrees compute once.
     pairs = pairs.persist()
     deg = (
         pairs.select(F.col("a").alias("node"))

@@ -3914,22 +3914,28 @@ def customer_rfm_segments_q(spark, sf_dir):
     )
     from orion_spark.operators.ranking import scalable_ntile
 
+    # Materialize between tilings: every scalable_ntile forks its input
+    # (per-bucket offset branch + join branch), so three chained tilings
+    # would otherwise re-execute the upstream join+aggregate up to 2^3
+    # times (the plan audit showed 22 exchanges). Lazy localCheckpoints
+    # bound each stage to one execution; every tiling is then its own
+    # 2-shuffle plan over the materialized dim.
     scored = scalable_ntile(
-        rfm,
+        rfm.localCheckpoint(eager=False),
         5,
         F.col("recency_days"),
         [F.asc("recency_days"), F.asc("custkey")],
         "r_score",
     )
     scored = scalable_ntile(
-        scored,
+        scored.localCheckpoint(eager=False),
         5,
         -F.col("frequency"),
         [F.desc("frequency"), F.asc("custkey")],
         "f_score",
     )
     scored = scalable_ntile(
-        scored,
+        scored.localCheckpoint(eager=False),
         5,
         F.floor(F.col("monetary") / F.lit(-1000.0)),
         [F.desc("monetary"), F.asc("custkey")],
@@ -4618,8 +4624,16 @@ def events_user_type_setops_q(spark, sf_dir):
     """Relational set operations (INTERSECT / EXCEPT — SURVEY §2.7 R4
     family): behavioral cohort sizes from distinct-user sets. Catalyst
     plans these as left-semi / left-anti hash joins over the deduped id
-    sets; both inputs derive from one events scan."""
-    ev = _events(spark, sf_dir).select("user_id", "event_type").persist()
+    sets; both inputs derive from one events scan, materialized with
+    localCheckpoint (GC-releasable) rather than a never-unpersisted
+    cache. A flags-aggregate (bool_or per user) would do this in 2
+    shuffles; the set-op form is kept deliberately as the R4 surface."""
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .localCheckpoint(eager=False)
+    )
     clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
     purchasers = (
         ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
