@@ -1,0 +1,107 @@
+"""Streaming LLM-corpus curation: the batch curation funnel (quality
+score -> language gate -> C4 line rules -> exact dedup) as a Structured
+Streaming pipeline over an arriving document feed.
+
+Shape: readStream (file source — at production scale a Kafka/queue source
+with the same schema) -> stateless per-document scoring and filtering
+(pure column expressions, so they run identically in micro-batch and
+continuous modes) -> foreachBatch exact-dedup append sink. Cross-batch
+dedup uses the accumulated sink itself as the seen-set (anti-join per
+micro-batch), so restarts are idempotent without any driver-side state:
+the checkpoint replays a batch, the anti-join drops what already landed.
+
+Near-dup (MinHash) stays a periodic batch job over the curated sink —
+LSH banding needs corpus-global candidate generation that per-batch
+streaming state cannot bound; the reference pipeline batches it too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """Stateless curation stage: per-document quality/language/C4 gates.
+    Works on a stream or a static frame — pure column expressions."""
+    from orion_spark.llm.textstats import lang_id, quality_score
+
+    t = F.col("text")
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (F.size(F.split(F.trim(x), r"\s+")) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+    return (
+        docs.withColumn("quality", quality_score(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+        .where(
+            (F.col("quality") >= min_quality)
+            & F.col("lang_pred").isin(*langs)
+            & (F.size(kept) >= min_kept_lines)
+            & ~F.lower(t).contains("lorem ipsum")
+        )
+        .select("doc_id", "source", "lang_pred", "quality", "clean_text")
+    )
+
+
+def curated_dedup_sink(spark: SparkSession, out_path: str, checkpoint: str):
+    """foreachBatch sink: drop docs whose clean-text hash already exists in
+    the curated corpus (first batch wins), then drop intra-batch dups
+    (min doc_id wins), then append. Replayed batches are no-ops — the
+    anti-join sees their rows already landed."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("content_key", F.md5("clean_text"))
+        if os.path.exists(out_path):
+            seen = spark.read.parquet(out_path).select("content_key").distinct()
+            b = b.join(seen, "content_key", "left_anti")
+        keep = b.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+        out = b.join(keep, ["content_key", "doc_id"], "left_semi")
+        out.write.mode("append").parquet(out_path)
+
+    return _process
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    checkpoint: str,
+    **curate_kwargs,
+) -> None:
+    """availableNow run: process everything currently in the source,
+    checkpointed so a rerun only handles new files."""
+    stream = curate(read_document_stream(spark, src_path), **curate_kwargs)
+    (
+        stream.writeStream.foreachBatch(
+            curated_dedup_sink(spark, out_path, checkpoint)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -233,3 +233,47 @@ def test_session_window_stream(spark, tmp_path):
     end_u1 = out[(1, 0, 3)]
     assert (end_u1.hour, end_u1.minute) == (0, 40)  # last event 00:10 + 30 min
     assert (2, 5, 1) in {k for k in out}
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """Streaming LLM-corpus curation end-to-end: quality/lang/C4 gates +
+    cross-batch exact dedup through the foreachBatch sink; a rerun with
+    new files keeps the dedup (first-seen wins) and the checkpoint skips
+    already-processed input."""
+    from orion_spark.streaming import curation as C
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "curated")
+    ck = str(tmp_path / "ck")
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running\n"
+        "another long and reasonably clean line of english text here"
+    )
+    rows1 = [
+        (1, good, "en", "s1", len(good)),
+        (2, "short junk", "en", "s1", 10),                      # quality gate
+        (3, good, "en", "s2", len(good)),                        # exact dup of 1
+        (4, good + "\nthis line mentions javascript stuff only", "en", "s1", 10),
+    ]
+    spark.createDataFrame(rows1, C.DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    C.run_curation_stream(spark, src, out, ck)
+    first = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # 1 survives; 3 deduped against 1 (same clean text, min id wins);
+    # 4's javascript line is stripped -> same clean text -> deduped too
+    assert set(first) == {1}
+    assert "javascript" not in first[1].clean_text
+
+    # second wave: one genuinely new doc + a replay-equivalent dup
+    other = (
+        "the completely different document has another long english sentence\n"
+        "and the second line of this document is also long and quite clean"
+    )
+    rows2 = [(9, other, "en", "s3", len(other)), (10, good, "en", "s3", len(good))]
+    spark.createDataFrame(rows2, C.DOCS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    C.run_curation_stream(spark, src, out, ck)
+    final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert final == [1, 9]  # 10 deduped cross-batch against the sink
