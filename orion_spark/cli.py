@@ -152,6 +152,32 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_supplement(args) -> int:
+    from orion_spark.plans.pipeline import supplement_graph
+
+    spark = _spark()
+    meta = supplement_graph(
+        spark,
+        args.bundle,
+        args.workspace,
+        annotator_command=args.annotator_cmd.split(),
+        fmt=args.format,
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_neo4j_dump(args) -> int:
+    from orion_spark.sinks.neo4j_dump import create_neo4j_dump
+    from orion_spark.sources.kgx import read_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle, fmt=args.format)
+    ok, log = create_neo4j_dump(nodes, edges, args.out, graph_id=args.graph_id)
+    print(json.dumps({"success": ok, "commands": log}))
+    return 0 if ok else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -211,6 +237,24 @@ def main(argv: list[str] | None = None) -> int:
     pub.add_argument("--build-version", required=True)
     pub.add_argument("--bump", default="minor")
     pub.set_defaults(fn=cmd_publish)
+
+    sp = sub.add_parser("supplement")
+    sp.add_argument("--bundle", required=True)
+    sp.add_argument("--workspace", required=True)
+    sp.add_argument(
+        "--annotator-cmd",
+        default="java -Xmx12g -jar snpEff.jar -noStats -ud 100000 GRCh38.99",
+        help="external annotator command; the input VCF path is appended",
+    )
+    sp.add_argument("--format", default="parquet")
+    sp.set_defaults(fn=cmd_supplement)
+
+    nd = sub.add_parser("neo4j-dump")
+    nd.add_argument("--bundle", required=True)
+    nd.add_argument("--out", required=True)
+    nd.add_argument("--graph-id", default="graph")
+    nd.add_argument("--format", default="parquet")
+    nd.set_defaults(fn=cmd_neo4j_dump)
 
     args = p.parse_args(argv)
     return args.fn(args)

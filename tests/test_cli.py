@@ -94,3 +94,68 @@ def test_cli_compact(spark, tmp_path):
     import os as _os
 
     assert sum(f.endswith(".parquet") for f in _os.listdir(path)) == 1
+
+
+def test_cli_supplement(spark, tmp_path, capsys):
+    """supplement subcommand over a bundle with one variant node, driven
+    by a fake annotator binary."""
+    import sys
+
+    bundle = str(tmp_path / "b_supp")
+    nodes = spark.createDataFrame(
+        [Row(id="CAID:CA1", name="v", category=["biolink:SequenceVariant"],
+             chrom="1", pos=10, ref="A", alt="G")]
+    )
+    edges = spark.createDataFrame(
+        [Row(subject="CAID:CA1", predicate="biolink:related_to",
+             object="CAID:CA1", primary_knowledge_source="infores:x")]
+    )
+    write_bundle(nodes, edges, bundle)
+    fake = tmp_path / "ann.py"
+    fake.write_text(
+        "import sys\n"
+        "print('##SnpEffVersion=\"cli-fake\"')\n"
+        "for line in open(sys.argv[1]):\n"
+        "    if line.startswith('#'): continue\n"
+        "    f = line.rstrip('\\n').split('\\t')\n"
+        "    f[7] = 'ANN=G|missense_variant|M|X|ENSGX|t|||||||||12|'\n"
+        "    print('\\t'.join(f))\n"
+    )
+    rc = cli.main([
+        "supplement", "--bundle", bundle,
+        "--workspace", str(tmp_path / "ws"),
+        "--annotator-cmd", f"{sys.executable} {fake}",
+    ])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["supp_edge_count"] == 1
+    assert meta["SnpEffVersion"] == '"cli-fake"'
+
+
+def test_cli_neo4j_dump(spark, tmp_path, capsys):
+    import stat
+    import sys
+
+    bundle = str(tmp_path / "b_dump")
+    _bundle(spark, bundle)
+    out_dir = str(tmp_path / "dump")
+    # PATH-resolvable fakes named neo4j-admin/neo4j/cypher-shell
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    for name in ("neo4j-admin", "neo4j", "cypher-shell"):
+        fp = bindir / name
+        fp.write_text(
+            f"#!{sys.executable}\nimport sys\n"
+            "if sys.argv[1:3] == ['database', 'dump']:\n"
+            f"    open({out_dir!r} + '/neo4j.dump', 'w').write('D')\n"
+        )
+        fp.chmod(fp.stat().st_mode | stat.S_IEXEC)
+    old = os.environ.get("PATH", "")
+    os.environ["PATH"] = f"{bindir}:{old}"
+    try:
+        rc = cli.main(["neo4j-dump", "--bundle", bundle, "--out", out_dir])
+    finally:
+        os.environ["PATH"] = old
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["success"] and os.path.exists(os.path.join(out_dir, "neo4j.dump"))
