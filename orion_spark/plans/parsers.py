@@ -640,3 +640,127 @@ def hmdb_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         .dropDuplicates(["id"])
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# BINDING-DB-like: wide TSV with four nM measure columns melted to
+# log-scale affinity edges
+# (parsers/BINDING/src/loadBINDINGDB.py:32-45 nM parse + negative log,
+#  133-215 per-(ligand,protein,measure) merge with dead-compound '>' skip
+#  and averaged supporting affinities, 72-77 measure->predicate map)
+# ---------------------------------------------------------------------------
+
+BINDING_MEASURE_PREDICATES = {
+    "pKi": "DGIdb:inhibitor",
+    "pIC50": "CTD:decreases_activity_of",
+    "pKd": "RO:0002436",
+    "pEC50": "CTD:increases_activity_of",
+}
+
+
+def binding_like(
+    spark: SparkSession, path: str, affinity_threshold: float | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """BindingDB affinity measurements: the reference's per-row dict-merge
+    loop becomes unpivot (stack the four nM measure columns) -> text
+    cleanup (strip '<'/commas/spaces, skip '>' dead compounds and zeros)
+    -> one groupBy (ligand, protein, measure) aggregate computing the
+    averaged affinity in log-scale units (-log10(nM * 1e-9), rounded 2)
+    plus sorted distinct publication/assay/patent lists. Returns
+    (nodes, edges); `affinity_threshold` optionally keeps only edges at
+    or above the pX threshold (LOG_SCALE_AFFINITY_THRESHOLD)."""
+    raw = read_tabular(spark, path)
+    # everything to string up front: the reader's inference types clean
+    # numeric columns, and under ANSI mode a '' comparison against a
+    # BIGINT column is a cast error, not a mismatch
+    melted = raw.select(
+        F.col("pubchem_cid").cast("string").alias("pubchem_cid"),
+        F.col("uniprot_chain").cast("string").alias("uniprot_chain"),
+        F.col("pmid").cast("string").alias("pmid"),
+        F.col("pubchem_aid").cast("string").alias("pubchem_aid"),
+        F.col("patent_number").cast("string").alias("patent_number"),
+        F.expr(
+            # cast to string uniformly: the reader's type inference may
+            # give a clean column DOUBLE while '>'/',' text keeps its
+            # sibling STRING, and stack requires homogeneous slots
+            "stack(4, 'pKi', CAST(ki_nm AS STRING), "
+            "'pIC50', CAST(ic50_nm AS STRING), "
+            "'pKd', CAST(kd_nm AS STRING), "
+            "'pEC50', CAST(ec50_nm AS STRING)) AS (measure, raw_nm)"
+        ),
+    ).where(
+        (F.col("pubchem_cid") != "")
+        & (F.col("uniprot_chain") != "")
+        & F.col("raw_nm").isNotNull()
+        & (F.col("raw_nm") != "")
+        & ~F.col("raw_nm").contains(">")  # dead compound: exceeds assay range
+    )
+    nm = F.regexp_replace(F.col("raw_nm"), "[<, ]", "").try_cast("double")
+    cleaned = melted.withColumn("nm", nm).where(
+        F.col("nm").isNotNull() & (F.col("nm") != 0)
+    )
+    plog = lambda c: F.round(-F.log10(c * F.lit(1e-9)), 2)  # noqa: E731
+    grouped = (
+        cleaned.groupBy("pubchem_cid", "uniprot_chain", "measure")
+        .agg(
+            plog(F.avg("nm")).alias("affinity"),
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("pmid").isNotNull() & (F.col("pmid") != ""),
+                        F.concat(F.lit("PMID:"), F.col("pmid")),
+                    )
+                )
+            ).alias("publications"),
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("pubchem_aid").isNotNull()
+                        & (F.col("pubchem_aid") != ""),
+                        F.concat(F.lit("PUBCHEM.AID:"), F.col("pubchem_aid")),
+                    )
+                )
+            ).alias("pubchem_assay_ids"),
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("patent_number").isNotNull()
+                        & (F.col("patent_number") != ""),
+                        F.concat(F.lit("PATENT:"), F.col("patent_number")),
+                    )
+                )
+            ).alias("patent_ids"),
+        )
+    )
+    if affinity_threshold is not None:
+        grouped = grouped.where(F.col("affinity") >= affinity_threshold)
+    edges = grouped.select(
+        F.concat(F.lit("PUBCHEM.COMPOUND:"), F.col("pubchem_cid")).alias("subject"),
+        predicate_remap(F.col("measure"), BINDING_MEASURE_PREDICATES).alias(
+            "predicate"
+        ),
+        F.concat(F.lit("UniProtKB:"), F.col("uniprot_chain")).alias("object"),
+        F.lit("infores:bindingdb").alias("primary_knowledge_source"),
+        F.col("measure").alias("affinity_parameter"),
+        "affinity",
+        F.when(F.size("publications") > 0, F.col("publications")).alias(
+            "publications"
+        ),
+        F.when(F.size("pubchem_assay_ids") > 0, F.col("pubchem_assay_ids")).alias(
+            "pubchem_assay_ids"
+        ),
+        F.when(F.size("patent_ids") > 0, F.col("patent_ids")).alias("patent_ids"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+    )
+    ligands = edges.select(F.col("subject").alias("id")).distinct().select(
+        "id",
+        F.lit("").alias("name"),
+        F.array(F.lit("biolink:ChemicalEntity")).alias("category"),
+    )
+    proteins = edges.select(F.col("object").alias("id")).distinct().select(
+        "id",
+        F.lit("").alias("name"),
+        F.array(F.lit("biolink:Protein")).alias("category"),
+    )
+    return ligands.unionByName(proteins), edges

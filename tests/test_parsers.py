@@ -365,3 +365,53 @@ def test_hmdb_like_parser_golden_counts(spark, tmp_path):
     assert n["OMIM:613677"].name == "Kidney disease"
     assert n["UniProtKB:P05091"].name == "Aldehyde dehydrogenase"
     assert "UniProtKB:NOTYPE1" not in n
+
+
+BINDING = """\
+pubchem_cid\tuniprot_chain\tki_nm\tic50_nm\tkd_nm\tec50_nm\tpmid\tpubchem_aid\tpatent_number
+101\tP35372\t10\t\t\t\t11111\tAID1\t
+101\tP35372\t30\t\t\t\t22222\t\tUS123
+101\tP35372\t>5000\t\t\t\t33333\t\t
+101\tP35372\t0\t\t\t\t44444\t\t
+102\tP35372\t\t<1,000\t\t\t\t\t
+\tP35372\t7\t\t\t\t\t\t
+103\t\t7\t\t\t\t\t\t
+104\tQ00987\t\t\t\t200 \t55555\t\t
+"""
+
+
+def test_binding_like_parser_golden(spark, tmp_path):
+    """Unit-normalizing melt family (loadBINDINGDB.py): four nM measure
+    columns unpivot to per-(ligand,protein,measure) edges; '>' dead
+    compounds and zero readings are skipped BEFORE averaging, '<'/commas/
+    spaces are stripped, and the affinity is the negative log10 of the
+    averaged molar concentration."""
+    import math
+
+    p = tmp_path / "binding.tsv"
+    p.write_text(BINDING)
+    nodes, edges = PP.binding_like(spark, str(p))
+    e = {(r.subject, r.predicate, r.object): r for r in edges.collect()}
+    assert set(e) == {
+        ("PUBCHEM.COMPOUND:101", "DGIdb:inhibitor", "UniProtKB:P35372"),
+        ("PUBCHEM.COMPOUND:102", "CTD:decreases_activity_of", "UniProtKB:P35372"),
+        ("PUBCHEM.COMPOUND:104", "CTD:increases_activity_of", "UniProtKB:Q00987"),
+    }
+    ki = e[("PUBCHEM.COMPOUND:101", "DGIdb:inhibitor", "UniProtKB:P35372")]
+    # rows 10 and 30 nM average to 20 nM -> pKi = -log10(20e-9) = 7.70
+    assert ki.affinity == round(-math.log10(20e-9), 2)
+    assert ki.publications == ["PMID:11111", "PMID:22222"]
+    assert ki.pubchem_assay_ids == ["PUBCHEM.AID:AID1"]
+    assert ki.patent_ids == ["PATENT:US123"]
+    assert ki.affinity_parameter == "pKi"
+    ic = e[("PUBCHEM.COMPOUND:102", "CTD:decreases_activity_of", "UniProtKB:P35372")]
+    assert ic.affinity == round(-math.log10(1000e-9), 2)  # '<1,000' cleaned
+    assert ic.publications is None
+    n = {r.id for r in nodes.collect()}
+    assert n == {
+        "PUBCHEM.COMPOUND:101", "PUBCHEM.COMPOUND:102", "PUBCHEM.COMPOUND:104",
+        "UniProtKB:P35372", "UniProtKB:Q00987",
+    }
+    # threshold path: pKi >= 7 keeps 101 (7.7) drops 102 (6.0) and 104 (6.7)
+    _, strong = PP.binding_like(spark, str(p), affinity_threshold=7.0)
+    assert {r.subject for r in strong.collect()} == {"PUBCHEM.COMPOUND:101"}
