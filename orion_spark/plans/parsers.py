@@ -5,12 +5,19 @@ source path — the same contract as the reference's loader interface
 (orion/loader_interface.py:65-115), but the "parser" is data, not code:
 Catalyst sees the whole plan from scan to KGX projection.
 
-Five reference-shaped families:
-- CTD-like chemical-gene TSV      (parsers/CTD/src/loadCTD.py)
-- Hetio-like nested JSON          (parsers/hetio/src/loadHetio.py)
-- GWASCatalog-like variant TSV    (parsers/GWASCatalog — HGVS construction)
-- UberGraph-like ontology triples (parsers/UberGraph/src/loadUG.py)
-- template TSV                    (parsers/_parser_template/src/parser.py)
+Reference-shaped families (one per structural source shape):
+- CTD-like chemical-gene TSV        (parsers/CTD/src/loadCTD.py)
+- Hetio-like nested JSON            (parsers/hetio/src/loadHetio.py)
+- GWASCatalog-like variant TSV      (parsers/GWASCatalog — HGVS construction)
+- GOA-like GAF 2.2                  (parsers/GOA — qualifier predicates)
+- STRING-like score-thresholded TSV (parsers/STRING)
+- UberGraph-like ontology triples   (parsers/UberGraph/src/loadUG.py)
+- UniRef-like similarity XML        (parsers/ViralProteome/src/loadUniRef.py)
+- HMDB-like repeated-children XML   (parsers/hmdb/src/loadHMDB.py)
+- DrugCentral-like JDBC/relational  (parsers/drugcentral/src/loaddrugcentral.py)
+- BindingDB-like unit-normalizing melt (parsers/BINDING/src/loadBINDINGDB.py)
+- HGNC-like parallel pipe-list zip  (parsers/hgnc/src/loadHGNC.py)
+- template TSV                      (parsers/_parser_template/src/parser.py)
 """
 
 from __future__ import annotations
@@ -764,3 +771,65 @@ def binding_like(
         F.array(F.lit("biolink:Protein")).alias("category"),
     )
     return ligands.unionByName(proteins), edges
+
+
+# ---------------------------------------------------------------------------
+# HGNC-like: TSV with pipe-delimited PARALLEL list columns zipped into
+# per-membership edges (parsers/hgnc/src/loadHGNC.py:75-110 — gene nodes
+# with scalar props, family nodes from the zipped group id/name lists,
+# gene-[member_of]->family edges with optional pipe-split publications)
+# ---------------------------------------------------------------------------
+
+def hgnc_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges). The reference's zip(gene_group_ids,
+    gene_group_names) row loop becomes arrays_zip over the pipe-split
+    parallel columns + one explode; rows with no gene group are skipped
+    (the unusable-line counter's population)."""
+    raw = read_tabular(spark, path)
+    base = raw.where(
+        F.col("gene_group_id").isNotNull()
+        & (F.col("gene_group_id").cast("string") != "")
+    )
+    gene_nodes = base.select(
+        F.col("hgnc_id").alias("id"),
+        F.col("name"),
+        F.array(F.lit("biolink:Gene")).alias("category"),
+        F.col("locus_group"),
+        F.col("symbol"),
+        F.col("location"),
+    )
+    member = base.select(
+        F.col("hgnc_id").alias("gene_id"),
+        F.col("pubmed_id").cast("string").alias("pubmed_id"),
+        F.explode(
+            F.arrays_zip(
+                F.split(F.col("gene_group_id").cast("string"), r"\|").alias("gid"),
+                F.split(F.col("gene_group"), r"\|").alias("gname"),
+            )
+        ).alias("g"),
+    )
+    family_id = F.concat(F.lit("HGNC.FAMILY:"), F.col("g.gid"))
+    family_nodes = member.select(
+        family_id.alias("id"),
+        F.col("g.gname").alias("name"),
+        F.array(F.lit("biolink:GeneFamily")).alias("category"),
+    ).dropDuplicates(["id"])
+    edges = member.select(
+        F.col("gene_id").alias("subject"),
+        F.lit("biolink:member_of").alias("predicate"),
+        family_id.alias("object"),
+        F.lit("infores:hgnc").alias("primary_knowledge_source"),
+        F.when(
+            F.col("pubmed_id").isNotNull() & (F.col("pubmed_id") != ""),
+            F.transform(
+                F.split(F.col("pubmed_id"), r"\|"),
+                lambda x: F.concat(F.lit("PMID:"), x),
+            ),
+        ).alias("publications"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+    )
+    nodes = gene_nodes.unionByName(
+        family_nodes, allowMissingColumns=True
+    ).dropDuplicates(["id"])
+    return nodes, edges

@@ -415,3 +415,36 @@ def test_binding_like_parser_golden(spark, tmp_path):
     # threshold path: pKi >= 7 keeps 101 (7.7) drops 102 (6.0) and 104 (6.7)
     _, strong = PP.binding_like(spark, str(p), affinity_threshold=7.0)
     assert {r.subject for r in strong.collect()} == {"PUBCHEM.COMPOUND:101"}
+
+
+HGNC = """\
+hgnc_id\tname\tsymbol\tlocus_group\tlocation\tgene_group_id\tgene_group\tpubmed_id
+HGNC:5\talpha-1-B glycoprotein\tA1BG\tprotein-coding gene\t19q13.43\t594\tImmunoglobulin like domain containing\t2591067
+HGNC:37133\tA1BG antisense RNA 1\tA1BG-AS1\tnon-coding RNA\t19q13.43\t1234|594\tAntisense RNAs|Immunoglobulin like domain containing\t111|222
+HGNC:99999\tno group gene\tNOGRP\tprotein-coding gene\t1p1.1\t\t\t
+"""
+
+
+def test_hgnc_like_parser_golden(spark, tmp_path):
+    """Parallel pipe-list zip family (loadHGNC.py): two groups on one row
+    fan out to two membership edges; the groupless row is skipped; family
+    nodes dedup across genes."""
+    p = tmp_path / "hgnc.tsv"
+    p.write_text(HGNC)
+    nodes, edges = PP.hgnc_like(spark, str(p))
+    e = {(r.subject, r.object): r for r in edges.collect()}
+    assert set(e) == {
+        ("HGNC:5", "HGNC.FAMILY:594"),
+        ("HGNC:37133", "HGNC.FAMILY:1234"),
+        ("HGNC:37133", "HGNC.FAMILY:594"),
+    }
+    assert e[("HGNC:5", "HGNC.FAMILY:594")].publications == ["PMID:2591067"]
+    assert e[("HGNC:37133", "HGNC.FAMILY:594")].publications == [
+        "PMID:111", "PMID:222",
+    ]
+    n = {r.id: r for r in nodes.collect()}
+    assert "HGNC:99999" not in n
+    assert n["HGNC:5"].symbol == "A1BG"
+    assert n["HGNC.FAMILY:594"].name == "Immunoglobulin like domain containing"
+    assert n["HGNC.FAMILY:594"].category == ["biolink:GeneFamily"]
+    assert len(n) == 4  # 2 genes + 2 families
