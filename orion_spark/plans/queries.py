@@ -2236,6 +2236,54 @@ def dedup_embedding_cosine_exact_q(spark, sf_dir):
     return DD.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+_SEMANTIC_PAIRS_SQL = """
+    SELECT id_a AS doc_a, id_b AS doc_b FROM (
+        WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        v AS (
+            SELECT vec_id, ev FROM v0
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(ev, x -> x * 2) AS ev
+            FROM v0 WHERE vec_id < 50)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(
+            list_sum([a.ev[i] * b.ev[i] for i in range(1, len(a.ev) + 1)]) /
+            (sqrt(list_sum([a.ev[i] * a.ev[i] for i in range(1, len(a.ev) + 1)])) *
+             sqrt(list_sum([b.ev[i] * b.ev[i] for i in range(1, len(b.ev) + 1)]))),
+            6) >= 0.95)
+"""
+
+
+def _register_semantic_clusters():
+    from orion_spark.llm.dedup import dedup_clusters_oracle_sql
+
+    @query("dedup_semantic_clusters", dedup_clusters_oracle_sql(_SEMANTIC_PAIRS_SQL))
+    def dedup_semantic_clusters_q(spark, sf_dir):
+        """The full semantic-dedup decision pipeline composed end-to-end:
+        banded-LSH near-dup pairs (scaled-copy injection, exact verify)
+        feed connected components, so every document maps to its
+        cluster's minimum id — the keep/drop assignment a 100 TB corpus
+        dedup actually applies. Oracle: the same injection + exact
+        all-pairs inside a recursive-CTE reachability ground truth."""
+        from orion_spark.llm import dedup as DD
+
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        copies = emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+        )
+        pairs = DD.embedding_near_dup_pairs_banded(
+            emb.unionByName(copies), dim=64, threshold=0.95
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        return DD.dedup_clusters(pairs)
+
+
+_register_semantic_clusters()
+
+
 @query(
     "text_c4_line_filter",
     """
