@@ -414,3 +414,88 @@ def bfs_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int = 3) -> str:
     WITH {edges_cte},{",".join(chain)}
     SELECT id, dist FROM d{max_hops}
     """
+
+
+def ktruss_prune(pairs: DataFrame, k: int = 3, rounds: int = 2) -> DataFrame:
+    """Bounded-round k-truss peeling over an undirected edge list: each
+    round computes per-edge support (# triangles through the edge, i.e.
+    common neighbors of its endpoints) and drops edges with support
+    < k-2; the fixed round count is the bounded-cost variant (full
+    k-truss iterates to fixpoint). `pairs` must hold unique undirected
+    edges (a, b), a < b. Returns the surviving edges with their support
+    in the surviving subgraph.
+
+    Scale design: the support join is the standard symmetrized
+    common-neighbor equi-join (the same shape as triangle counting —
+    shuffle on the shared-neighbor key, then one aggregate per unordered
+    pair); the edge set shrinks monotonically and re-snapshots per round
+    via localCheckpoint, truncating the multiplicative lineage. Completes
+    the cohesive-subgraph family next to kcore_prune.
+    Extension surface: the reference computes degree-style aggregates
+    only (orion/answercoalesce_build.py:100-165)."""
+
+    def support(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        s1 = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        s2 = sym.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+        # common neighbor w of the unordered pair (u, v), u < v
+        cn = s1.join(s2, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v")))
+        counts = cn.groupBy("u", "v").agg(F.count("*").alias("support"))
+        # only pairs that ARE edges carry truss support
+        return (
+            e.join(
+                counts,
+                (e["a"] == counts["u"]) & (e["b"] == counts["v"]),
+                "left",
+            )
+            .select(
+                "a",
+                "b",
+                F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias(
+                    "support"
+                ),
+            )
+        )
+
+    e = pairs.select("a", "b").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        e = (
+            support(e)
+            .where(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return support(e)
+
+
+def ktruss_oracle_sql(pairs_cte: str, k: int = 3, rounds: int = 2) -> str:
+    """DuckDB oracle: identical peeling rounds as chained CTEs. `pairs_cte`
+    must define a CTE named `pairs` with unique undirected (a, b), a < b."""
+
+    def sup(src: str, out: str) -> str:
+        return f"""
+    sym_{out} AS (SELECT a AS src, b AS dst FROM {src}
+                  UNION ALL SELECT b, a FROM {src}),
+    cn_{out} AS (
+        SELECT s1.src AS u, s2.src AS v, COUNT(*) AS support
+        FROM sym_{out} s1 JOIN sym_{out} s2
+          ON s1.dst = s2.dst AND s1.src < s2.src
+        GROUP BY s1.src, s2.src),
+    {out} AS (
+        SELECT e.a, e.b, CAST(COALESCE(c.support, 0) AS BIGINT) AS support
+        FROM {src} e LEFT JOIN cn_{out} c ON e.a = c.u AND e.b = c.v)"""
+
+    chain = ["e0 AS (SELECT a, b FROM pairs)"]
+    for r in range(1, rounds + 1):
+        chain.append(sup(f"e{r - 1}", f"s{r}"))
+        chain.append(
+            f"e{r} AS (SELECT a, b FROM s{r} WHERE support >= {k - 2})"
+        )
+    chain.append(sup(f"e{rounds}", "final"))
+    return f"""
+    WITH {pairs_cte},
+    {",".join(chain)}
+    SELECT a, b, support FROM final
+    """

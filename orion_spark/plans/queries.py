@@ -4025,6 +4025,30 @@ def graph_kcore_q(spark, sf_dir):
     return kcore_prune(pairs, k=2, rounds=3)
 
 
+def _register_ktruss():
+    from orion_spark.operators.graphalgo import ktruss_oracle_sql, ktruss_prune
+
+    @query("graph_ktruss", ktruss_oracle_sql(_KCORE_PAIRS_SQL.strip(), k=3, rounds=2))
+    def graph_ktruss_q(spark, sf_dir):
+        """Bounded 3-truss peeling on the same sparsified co-occurrence
+        graph as graph_kcore: two rounds of per-edge support (common-
+        neighbor count, the triangle-join shape) with support >= 1 kept,
+        then the final support panel. Completes the cohesive-subgraph
+        family (k-core peels nodes by degree; k-truss peels edges by
+        triangle support). Oracle unrolls identical rounds as chained
+        CTEs."""
+        li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+        pairs = (
+            cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+            .select("a", "b")
+            .distinct()
+        )
+        return ktruss_prune(pairs, k=3, rounds=2)
+
+
+_register_ktruss()
+
+
 @query(
     "text_dup_ngram_fraction",
     """

@@ -145,3 +145,24 @@ def test_bfs_distances_multi_seed_undirected(spark):
     seeds = spark.createDataFrame([Row(id="a"), Row(id="e")])
     got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=3).collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 0}
+
+
+def test_ktruss_peels_tail_edges(spark):
+    """K4 plus a pendant path: every K4 edge sits in 2 triangles
+    (support 2, survives 3-truss and even 4-truss), the path edges sit in
+    none and peel off in round one. A triangle hanging off the K4 by one
+    shared vertex survives 3-truss (support 1) but dies in a 4-truss."""
+    from orion_spark.operators.graphalgo import ktruss_prune
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(4, 5), (4, 6), (5, 6)]          # triangle sharing vertex 4
+    tail = [(6, 7), (7, 8)]                 # pendant path
+    pairs = spark.createDataFrame(k4 + tri + tail, "a bigint, b bigint")
+
+    t3 = {(r.a, r.b): r.support for r in ktruss_prune(pairs, k=3, rounds=2).collect()}
+    assert set(t3) == set(k4 + tri)
+    assert all(t3[e] == 2 for e in k4)
+    assert all(t3[e] == 1 for e in tri)
+
+    t4 = {(r.a, r.b): r.support for r in ktruss_prune(pairs, k=4, rounds=2).collect()}
+    assert set(t4) == set(k4)
