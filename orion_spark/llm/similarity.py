@@ -108,6 +108,60 @@ def brute_force_topk_oracle_sql(
     """
 
 
+def lsh_topk_oracle_sql(
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    query_filter: str = "vec_id % 100 = 0",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB ground truth for lsh_topk: the hyperplane signatures are
+    RECOMPUTED in SQL from the same md5 generator
+    (('0x' || substr(md5('plane:p:i'),1,8))::BIGINT / 2^32 - 0.5 — the
+    division and the 0.5 subtraction are exact in doubles, so the
+    coefficients are bit-identical to the plan-build-time hashlib values),
+    with per-plane coefficient LISTS so the projection folds in the same
+    index order as Spark's zip_with. Bucket equality + cosine scoring +
+    rank then mirror brute_force_topk's oracle exactly. LSH is
+    deterministic for fixed data, so the approximate operator is fully
+    hash-checkable — not merely rows-only."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM {table}),
+    cf AS (
+        SELECT p,
+               list(('0x' || substr(md5('plane:' || p || ':' || i), 1, 8))
+                        ::BIGINT / 4294967296.0 - 0.5 ORDER BY i) AS cs
+        FROM range(0, {n_planes}) t1(p), range(0, {dim}) t2(i)
+        GROUP BY p),
+    proj AS (
+        SELECT v.vec_id, cf.p,
+               list_sum([v.ev[i] * cf.cs[i] for i in range(1, {dim} + 1)]) AS pr
+        FROM v, cf),
+    sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << p)
+                             ELSE 0 END) AS BIGINT) AS s
+        FROM proj GROUP BY vec_id),
+    q AS (SELECT v.vec_id AS query_id, ev AS qv, s
+          FROM v JOIN sig USING (vec_id) WHERE {query_filter}),
+    c AS (SELECT v.vec_id AS neighbor_id, ev AS cv, s
+          FROM v JOIN sig USING (vec_id)),
+    pairs AS (
+        SELECT query_id, neighbor_id,
+               round(
+                   list_sum([qv[i] * cv[i] for i in range(1, len(qv) + 1)]) /
+                   (sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)])) *
+                    sqrt(list_sum([cv[i] * cv[i] for i in range(1, len(cv) + 1)]))),
+                   6) AS cosine
+        FROM q JOIN c ON q.s = c.s AND query_id <> neighbor_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index — the other scale path
 # ---------------------------------------------------------------------------

@@ -2506,13 +2506,24 @@ def ann_ivf_topk_q(spark, sf_dir):
     return S.ivf_topk(queries_df, emb, k=10, n_clusters=8, n_probe=3)
 
 
-@query("ann_lsh_topk")
-def ann_lsh_topk_q(spark, sf_dir):
-    from orion_spark.llm import similarity as S
+def _register_ann_lsh():
+    from orion_spark.llm.similarity import lsh_topk_oracle_sql
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") % 100 == 0)
-    return S.lsh_topk(queries_df, emb, dim=64, k=10, n_planes=8)
+    @query("ann_lsh_topk", lsh_topk_oracle_sql(k=10, n_planes=8, dim=64))
+    def ann_lsh_topk_q(spark, sf_dir):
+        """Hyperplane-LSH approximate top-k — previously rows-only, now
+        fully hash-checked: LSH is deterministic for fixed data, and the
+        oracle recomputes the md5-derived signatures in SQL (identical
+        coefficient values and fold order), so the bucket-limited result
+        set itself is the ground truth being compared."""
+        from orion_spark.llm import similarity as S
+
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.where(F.col("vec_id") % 100 == 0)
+        return S.lsh_topk(queries_df, emb, dim=64, k=10, n_planes=8)
+
+
+_register_ann_lsh()
 
 
 _FUNNEL_STATS_SQL = """
