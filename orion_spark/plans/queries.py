@@ -3894,6 +3894,12 @@ def events_sequence_funnel_q(spark, sf_dir):
         _events(spark, sf_dir)
         .select("user_id", "event_type", _epoch_us("ts").alias("t"))
         .repartition("user_id")
+        # cached WITH its partitioning metadata (persist, not
+        # localCheckpoint): three stage branches + two chained joins all
+        # read this frame — without materialization Catalyst pushes each
+        # stage's filter below the repartition and the scan+shuffle runs
+        # once per branch instead of once
+        .persist()
     )
     s1 = (
         ev.where(F.col("event_type") == "signup")
