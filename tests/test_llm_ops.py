@@ -332,3 +332,47 @@ def test_source_mixing_weights_math(spark):
     tq = math.sqrt(80) + math.sqrt(20)
     assert abs(out["small"].tempered_share - math.sqrt(20) / tq) < 1e-6
     assert out["small"].mix_weight > 1.6 and out["big"].mix_weight < 1.0
+
+
+def test_c4_line_filter_property_random_pages(spark):
+    """Randomized cross-check: the Spark higher-order-function filter must
+    agree with a direct pure-Python implementation of the same C4 rules
+    on generated pages mixing all rule-triggering line shapes."""
+    import itertools
+    import re
+
+    frags = [
+        "this line has plenty of words and ends well.",
+        "short one.",
+        "no punctuation here but quite a few words indeed",
+        "a javascript heavy line with enough words here.",
+        'quoted ending line with a good number of words"',
+        "x y z.",
+    ]
+    pages = []
+    for n, combo in enumerate(itertools.product(range(len(frags)), repeat=3)):
+        body = "\n".join(frags[i] for i in combo)
+        if n % 7 == 0:
+            body += "\nlorem ipsum dolor sit amet padding words everywhere."
+        pages.append((n, body))
+
+    def py_keep(line):
+        return (
+            len(line.strip().split()) >= 5
+            and re.search(r'[.!?"]$', line) is not None
+            and "javascript" not in line.lower()
+        )
+
+    def py_panel(text):
+        lines = text.split("\n")
+        kept = [x for x in lines if py_keep(x)]
+        page_ok = len(kept) >= 3 and "lorem ipsum" not in text.lower()
+        return (len(lines), len(kept), int(page_ok), len("\n".join(kept)))
+
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.page_kept, r.clean_chars)
+        for r in TS.c4_line_filter(df).collect()
+    }
+    want = {n: py_panel(t) for n, t in pages}
+    assert got == want
