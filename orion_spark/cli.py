@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shlex
 import sys
 
 from pyspark.sql import functions as F
@@ -160,7 +161,9 @@ def cmd_supplement(args) -> int:
         spark,
         args.bundle,
         args.workspace,
-        annotator_command=args.annotator_cmd.split(),
+        # shlex, not str.split: quoted arguments ('-jar "/opt/snp eff.jar"')
+        # must survive
+        annotator_command=shlex.split(args.annotator_cmd),
         fmt=args.format,
     )
     print(json.dumps(meta))

@@ -114,10 +114,11 @@ def minhash_lsh_pairs(
     """
     # small-file inputs arrive in one partition; the shingle/minhash
     # projection is compute-bound (md5 per shingle), so spread it across the
-    # cluster before doing the work. Shingles AND signatures are cached in
-    # one frame: they feed four branches (both sides of the band self-join,
-    # both sides of the verify join) that would otherwise each recompute the
-    # md5-per-shingle + 16-hash-family projection.
+    # cluster before doing the work. Shingles AND signatures are
+    # materialized in one frame (localCheckpoint — released on GC, not
+    # pinned in the cache manager): they feed four branches (both sides of
+    # the band self-join, both sides of the verify join) that would
+    # otherwise each recompute the md5-per-shingle + 16-hash projection.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.repartition(parallelism)
@@ -128,7 +129,7 @@ def minhash_lsh_pairs(
     )
     sig = base.withColumn(
         "_sig", minhash_signature(shingle_hashes(F.col("_sh")), num_hashes)
-    ).persist()
+    ).localCheckpoint(eager=True)
     base = sig  # downstream shingle consumers read the cached frame
     # band explode: (band_index, band_value) bucket keys
     bands = sig.select(
@@ -360,7 +361,7 @@ def simhash_near_pairs(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     base = df.repartition(parallelism).select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
-    ).persist()
+    ).localCheckpoint(eager=True)
     chunks = base.select(
         "_id",
         "_sh",

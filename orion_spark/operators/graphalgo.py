@@ -114,16 +114,17 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     Returns one row: n_nodes, n_edges, n_triangles.
     """
     # pairs feeds the degree table AND the orientation join; deg feeds the
-    # orientation twice plus the node/edge summary. Materialize both
-    # (lazy localCheckpoint — GC-releasable, unlike a never-unpersisted
-    # cache) so the multi-referenced subtrees compute once.
-    pairs = pairs.persist()
+    # orientation twice plus the node/edge summary. Materialize both with
+    # localCheckpoint (GC-releasable once the frame is dropped, unlike a
+    # never-unpersisted cache pinned in the cache manager for the whole
+    # session) so the multi-referenced subtrees compute once.
+    pairs = pairs.localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("a").alias("node"))
         .unionAll(pairs.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # one aggregate gives both summary scalars: sum(deg) == 2|E| exactly
     stats = deg.agg(
@@ -142,7 +143,7 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
     e3 = oriented.select(F.col("src").alias("u3"), F.col("dst").alias("w3"))
@@ -301,6 +302,13 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
         .repartition("b")
+        # persist (NOT localCheckpoint): the cached InMemoryRelation keeps
+        # the hashpartitioning(b) metadata so each round's join shuffles
+        # only the small labels side; a localCheckpoint's LogicalRDD drops
+        # outputPartitioning (measured: the big side re-exchanges every
+        # round). The per-round eager checkpoints below are actions, so by
+        # the time we return, labels is materialized and sym can be
+        # explicitly unpersisted — no session-lifetime storage pin.
         .persist()
     )
     labels = (
@@ -327,6 +335,9 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
             # materialization caps both plan size and task memory.
             .localCheckpoint(eager=True)
         )
+    # every join against sym already ran (the eager checkpoints above are
+    # actions); release its blocks instead of pinning them for the session
+    sym.unpersist()
     return labels
 
 
@@ -374,6 +385,10 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> Data
         .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
         .repartition("b")
+        # persist + unpersist-after-loop, same reasoning as
+        # label_propagation_min: cached partitioning metadata keeps the big
+        # side shuffle-once, and the per-round eager checkpoints are the
+        # actions that make the final unpersist safe
         .persist()
     )
     dist = seeds.select(F.col("id")).distinct().withColumn("dist", F.lit(0))
@@ -388,6 +403,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> Data
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+    sym.unpersist()
     return dist
 
 

@@ -23,6 +23,7 @@ Spark. Both are kept: this module is drop-in parity, the range join is the
 from __future__ import annotations
 
 import os
+import shutil
 import subprocess
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,10 +117,12 @@ def run_annotator(
         for f in os.listdir(vcf_dir)
         if f.endswith(".vcf") or f.startswith("part-")
     )
-    with open(single, "w") as out:
+    with open(single, "wb") as out:
         for p in parts:
-            with open(p) as fh:
-                out.write(fh.read())
+            with open(p, "rb") as fh:
+                # stream, don't slurp: a multi-GB VCF part read whole
+                # would sit in driver memory
+                shutil.copyfileobj(fh, out)
     with open(annotated_vcf_path, "w") as out:
         result = subprocess.run(
             command + [single], cwd=workdir, stdout=out, stderr=subprocess.PIPE

@@ -290,10 +290,19 @@ UNIREF_FIELDS = {
     "entry_id": "@id",
     "entry_name": "name",
     "common_taxon_id": 'property[@type="common taxon ID"]@value',
-    "member_id": "representativeMember/dbReference@id",
-    "member_taxon": (
-        'representativeMember/dbReference/property[@type="NCBI taxonomy"]@value'
+}
+
+# the reference iterates BOTH 'representativeMember' and 'member' children,
+# emitting one node pair per dbReference (loadUniRef.py:332-340) — capture
+# each family as index-aligned (id, taxon) arrays and concat downstream
+UNIREF_MEMBER_LISTS = {
+    "rep_ids": ("representativeMember/dbReference", "@id"),
+    "rep_taxa": (
+        "representativeMember/dbReference",
+        'property[@type="NCBI taxonomy"]@value',
     ),
+    "mem_ids": ("member/dbReference", "@id"),
+    "mem_taxa": ("member/dbReference", 'property[@type="NCBI taxonomy"]@value'),
 }
 
 
@@ -301,12 +310,34 @@ def uniref_like(
     spark: SparkSession, path: str, target_taxa: set[str]
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """UniRef similarity clusters: XML entries -> (cluster node, member
-    taxon node, cluster -[similar_to]-> taxon edge). The reference's
-    per-entry ElementTree walk + taxon-set membership test
-    (loadUniRef.py:296-300 id underscore->colon, 279-387 capture) becomes
-    one read_xml_records scan + an ExtractSpec whose row_filter is the
-    broadcast membership predicate (P3)."""
-    raw = read_xml_records(spark, path, "entry", UNIREF_FIELDS)
+    taxon node, cluster -[similar_to]-> taxon edges, one per member). The
+    reference's per-entry ElementTree walk + taxon-set membership test
+    (loadUniRef.py:296-300 id underscore->colon, 279-387 capture, 332-340
+    member + representativeMember iteration) becomes one read_xml_records
+    scan -> arrays_zip/explode member fan-out -> ExtractSpec whose
+    row_filter is the broadcast membership predicate (P3). An empty taxon
+    set captures nothing (the reference only ever emits on a membership
+    hit), rather than raising on the empty isin()."""
+    raw = read_xml_records(
+        spark, path, "entry", UNIREF_FIELDS, list_fields=UNIREF_MEMBER_LISTS
+    )
+    raw = raw.select(
+        "entry_id",
+        "entry_name",
+        "common_taxon_id",
+        F.explode(
+            F.arrays_zip(
+                F.concat("rep_ids", "mem_ids").alias("member_id"),
+                F.concat("rep_taxa", "mem_taxa").alias("member_taxon"),
+            )
+        ).alias("_m"),
+    ).select(
+        "entry_id",
+        "entry_name",
+        "common_taxon_id",
+        F.col("_m.member_id").alias("member_id"),
+        F.col("_m.member_taxon").alias("member_taxon"),
+    )
     similarity_bin = F.split(F.col("entry_id"), "_").getItem(0)
     spec = ExtractSpec(
         subject_id=F.regexp_replace(F.col("entry_id"), "_", ":"),
@@ -320,7 +351,11 @@ def uniref_like(
         object_properties={"similarity_bin": similarity_bin},
         edge_properties={"similarity_bin": similarity_bin},
         primary_knowledge_source="infores:uniref",
-        row_filter=F.col("common_taxon_id").isin(*sorted(target_taxa)),
+        row_filter=(
+            F.col("common_taxon_id").isin(*sorted(target_taxa))
+            if target_taxa
+            else F.lit(False)
+        ),
     )
     return extract(raw, spec)
 
@@ -405,10 +440,21 @@ def drugcentral_like(
             properties=properties,
         )
     )
+    # a relationship_name outside the map is DROPPED but counted (observed
+    # metric) — visible like the reference's loud dict KeyError
+    # (loaddrugcentral.py:252-310) without failing the whole extract, and
+    # never a silent NULL-predicate edge
+    omop = omop.observe(
+        "omop_relationship_coverage",
+        F.sum(
+            F.when(F.col("relationship_name").isin(*OMOP_RELATION_MAP), 0).otherwise(1)
+        ).alias("n_unmapped_relationships"),
+    )
     omop_spec = ExtractSpec(
         subject_id=F.concat(F.lit("DrugCentral:"), F.col("struct_id")),
         object_id=F.concat(F.lit("UMLS:"), F.col("umls_cui")),
         predicates=[predicate_remap(F.col("relationship_name"), OMOP_RELATION_MAP)],
+        row_filter=F.col("relationship_name").isin(*OMOP_RELATION_MAP),
         subject_categories=["biolink:Drug"],
         object_categories=["biolink:DiseaseOrPhenotypicFeature"],
         edge_properties={

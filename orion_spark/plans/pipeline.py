@@ -306,6 +306,20 @@ class SourceResolutionError(RuntimeError):
     pass
 
 
+def _clear_stale_bundle_dir(path: str) -> None:
+    """Remove a marker-less leftover bundle directory.
+
+    A producer that crashed mid-write leaves `path` as a dirty directory
+    without its _BUNDLE_COMPLETE marker; a later os.rename(staging, path)
+    would then raise ENOTEMPTY forever. Only marker-less directories are
+    removed — a completed bundle is never touched (same stale-leftover
+    discipline as compact_table/publish_graph)."""
+    if os.path.isdir(path) and not os.path.exists(
+        os.path.join(path, BUNDLE_MARKER)
+    ):
+        shutil.rmtree(path)
+
+
 class FileSystemRegistry:
     """Registry client over a shared directory tree — the same protocol
     surface as the reference's GraphRegistryClient (has/fetch/publish by
@@ -334,6 +348,7 @@ class FileSystemRegistry:
         if os.path.exists(staging):
             shutil.rmtree(staging)
         shutil.copytree(src, staging)
+        _clear_stale_bundle_dir(dest_dir)
         os.rename(staging, dest_dir)  # marker travels inside the copy
         return True
 
@@ -348,6 +363,7 @@ class FileSystemRegistry:
         if os.path.exists(staging):
             shutil.rmtree(staging)
         shutil.copytree(bundle_dir, staging)
+        _clear_stale_bundle_dir(dest)
         os.rename(staging, dest)
 
 
@@ -391,6 +407,7 @@ class SourceResolver:
                 f"{source_id}@{build_version}: not local, not in registry, "
                 + ("pinned sources are never produced" if pinned else "no producer")
             )
+        _clear_stale_bundle_dir(local)  # crashed prior produce leaves junk
         os.makedirs(local, exist_ok=True)
         producer(local)
         with open(os.path.join(local, BUNDLE_MARKER), "w") as fh:

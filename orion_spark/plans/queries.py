@@ -1768,10 +1768,15 @@ def _uniref_fixture(spark: SparkSession, sf_dir: str) -> str:
         .collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"uniref_fixture{slug}.xml")
+    # v2: entries carry a plain <member> besides the representative (the
+    # reference iterates both, loadUniRef.py:332-340) with a disjoint
+    # closed-form taxon (+7 clears the k%3 range) so the oracle separates
+    # the two member families exactly
+    path = os.path.join(tempfile.gettempdir(), f"uniref_fixture_v2{slug}.xml")
     ents = []
     for k, name, r in rows:
         taxon = r * 100 + k % 3
+        taxon2 = taxon + 7
         ents.append(
             f'  <entry id="UniRef50_N{k}">\n'
             f"    <name>Cluster: {name}</name>\n"
@@ -1781,6 +1786,11 @@ def _uniref_fixture(spark: SparkSession, sf_dir: str) -> str:
             f'        <property type="NCBI taxonomy" value="{taxon}"/>\n'
             f"      </dbReference>\n"
             f"    </representativeMember>\n"
+            f"    <member>\n"
+            f'      <dbReference type="UniProtKB ID" id="MEM_{taxon2}">\n'
+            f'        <property type="NCBI taxonomy" value="{taxon2}"/>\n'
+            f"      </dbReference>\n"
+            f"    </member>\n"
             f"  </entry>\n"
         )
     tmp = path + f".{os.getpid()}.tmp"
@@ -1793,12 +1803,14 @@ def _uniref_fixture(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "extract_xml_declarative",
     """
+    WITH m AS (SELECT 0 AS off FROM (VALUES (1)) UNION ALL SELECT 7)
     SELECT 'UniRef50:N' || n_nationkey AS subject,
            'biolink:similar_to' AS predicate,
-           'NCBITaxon:' || (n_regionkey * 100 + n_nationkey % 3) AS object,
+           'NCBITaxon:' || (n_regionkey * 100 + n_nationkey % 3 + m.off)
+               AS object,
            'infores:uniref' AS primary_knowledge_source,
            'UniRef50' AS similarity_bin
-    FROM nation WHERE n_regionkey IN (0, 2, 4)
+    FROM nation CROSS JOIN m WHERE n_regionkey IN (0, 2, 4)
     """,
 )
 def extract_xml_declarative_q(spark, sf_dir):
@@ -1820,15 +1832,16 @@ def extract_xml_declarative_q(spark, sf_dir):
     """
     WITH f AS (
         SELECT n_nationkey AS k, n_regionkey AS r, n_name
-        FROM nation WHERE n_regionkey IN (0, 2, 4))
+        FROM nation WHERE n_regionkey IN (0, 2, 4)),
+    m AS (SELECT 0 AS off FROM (VALUES (1)) UNION ALL SELECT 7)
     SELECT 'UniRef50:N' || k AS id, 'Cluster: ' || n_name AS name,
            'biolink:GeneFamily' AS category, 'UniRef50' AS similarity_bin
     FROM f
     UNION ALL
-    SELECT DISTINCT 'NCBITaxon:' || (r * 100 + k % 3) AS id,
-           'MEM_' || (r * 100 + k % 3) AS name,
+    SELECT DISTINCT 'NCBITaxon:' || (r * 100 + k % 3 + m.off) AS id,
+           'MEM_' || (r * 100 + k % 3 + m.off) AS name,
            'biolink:OrganismTaxon' AS category, 'UniRef50' AS similarity_bin
-    FROM f
+    FROM f CROSS JOIN m
     """,
 )
 def extract_xml_merged_nodes_q(spark, sf_dir):
@@ -2920,7 +2933,10 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
             word_shingles(F.col("text"), 2).alias("_gr"),
         )
         .where(F.size("_gr") > 0)
-        .persist()
+        # localCheckpoint (GC-releasable) — both self-join sides read the
+        # materialized shingles; no hash-partitioning metadata is needed
+        # (the join key is _lang, not the repartition key)
+        .localCheckpoint(eager=True)
     )
     pairs = sh.alias("a").join(
         sh.alias("b"),
@@ -3924,11 +3940,17 @@ def events_sequence_funnel_q(spark, sf_dir):
         return df.agg(F.count("*").alias("n_users")).select(
             F.lit(label).alias("stage"), "n_users"
         )
-    return (
+    # the result is 3 rows: materialize it eagerly so the persisted event
+    # frame can be released before returning instead of pinning storage
+    # until some later session-wide cleanup
+    out = (
         stage(s1, "signup")
         .unionAll(stage(s2, "then_click"))
         .unionAll(stage(s3, "then_purchase"))
+        .localCheckpoint(eager=True)
     )
+    ev.unpersist()
+    return out
 
 
 @query(
@@ -4238,7 +4260,9 @@ def orders_basket_lift_q(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: compute-once across the three
+        # consumers without pinning cache-manager storage for the session
+        .localCheckpoint(eager=True)
     )
     item = op.groupBy("p").agg(F.count("*").alias("c"))
     n_orders = op.select(F.countDistinct("o").alias("n_orders"))
@@ -4350,7 +4374,8 @@ def graph_neighbor_jaccard_q(spark, sf_dir):
         cooccurrence_pairs(li, "l_orderkey", "l_partkey")
         .select("a", "b")
         .distinct()
-        .persist()
+        # localCheckpoint for the same no-session-pin reason as above
+        .localCheckpoint(eager=True)
     )
     sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("w"))
@@ -4499,7 +4524,9 @@ def events_anomaly_zscore_q(spark, sf_dir):
         F.col("event_type").alias("_et"), "n", "s", "ss",
         mean.alias("_mean"), var.alias("_var"),
     )
-    return (
+    # per-event-type result (~10 rows): materialize eagerly, then release
+    # the persisted cents frame so nothing stays pinned after the call
+    out = (
         c.join(F.broadcast(m), c["event_type"] == F.col("_et"))
         .groupBy("event_type", "n", "s", "ss", "_mean", "_var")
         .agg(
@@ -4518,7 +4545,10 @@ def events_anomaly_zscore_q(spark, sf_dir):
             F.round("_var", 6).alias("var_cents"),
             "n_anomalies",
         )
+        .localCheckpoint(eager=True)
     )
+    c.unpersist()
+    return out
 
 
 @query(

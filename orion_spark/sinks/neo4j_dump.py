@@ -19,6 +19,7 @@ via cypher-shell — identical cypher, different transport.
 from __future__ import annotations
 
 import os
+import shutil
 import subprocess
 
 from pyspark.sql import DataFrame
@@ -66,14 +67,15 @@ def index_cypher_statements(nodes: DataFrame) -> list[str]:
 
 
 def _concat_csv(csv_dir: str, header_name: str, data_prefix: str, out: str) -> None:
-    with open(out, "w") as fh:
-        with open(os.path.join(csv_dir, header_name)) as h:
-            fh.write(h.read())
+    # streamed (copyfileobj), not slurped — part files can be multi-GB
+    with open(out, "wb") as fh:
+        with open(os.path.join(csv_dir, header_name), "rb") as h:
+            shutil.copyfileobj(h, fh)
         data_dir = os.path.join(csv_dir, data_prefix)
         for part in sorted(os.listdir(data_dir)):
             if part.startswith("part-") and not part.endswith(".crc"):
-                with open(os.path.join(data_dir, part)) as p:
-                    fh.write(p.read())
+                with open(os.path.join(data_dir, part), "rb") as p:
+                    shutil.copyfileobj(p, fh)
 
 
 def create_neo4j_dump(

@@ -140,7 +140,9 @@ def read_xml_records(
     repeat_path (missing sub-elements keep their slot as null), so
     arrays_zip + explode downstream reconstructs the per-child rows. A
     sub_xpath ending in '*' is itself a findall whose texts join with '|'
-    (doubly-nested repeats like per-disease pubmed reference lists)."""
+    (doubly-nested repeats like per-disease pubmed reference lists);
+    '@attr' reads an attribute of the repeated child itself and
+    'path@attr' a nested element's attribute, same as `fields`."""
     lf = list_fields or {}
     schema = ", ".join(
         [f"{name} string" for name in fields]
@@ -150,6 +152,25 @@ def read_xml_records(
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import xml.etree.ElementTree as ET
 
+        def resolve(el, xpath):
+            # '@attr' on the element itself; else 'path' or 'path@attr',
+            # splitting a trailing @attr only OUTSIDE any [...] predicate
+            # (predicates contain @ too)
+            if xpath.startswith("@"):
+                return el.get(xpath[1:])
+            path, attr = xpath, None
+            at = xpath.rfind("@")
+            if at > xpath.rfind("]"):
+                path, attr = (
+                    xpath[: at - 1] if xpath[at - 1] == "/" else xpath[:at]
+                ), xpath[at + 1 :]
+            found = el.find(path)
+            if found is None:
+                return None
+            if attr is not None:
+                return found.get(attr)
+            return found.text or found.get("value")
+
         for pdf in batches:
             rows = []
             for content in pdf["value"]:
@@ -158,22 +179,7 @@ def read_xml_records(
                 for rec in it:
                     row = {}
                     for name, xpath in fields.items():
-                        if xpath.startswith("@"):
-                            row[name] = rec.get(xpath[1:])
-                            continue
-                        # split a trailing @attr that is OUTSIDE any
-                        # [...] predicate (predicates contain @ too)
-                        path, attr = xpath, None
-                        at = xpath.rfind("@")
-                        if at > xpath.rfind("]"):
-                            path, attr = xpath[: at - 1] if xpath[at - 1] == "/" else xpath[:at], xpath[at + 1 :]
-                        el = rec.find(path)
-                        if el is None:
-                            row[name] = None
-                        elif attr is not None:
-                            row[name] = el.get(attr)
-                        else:
-                            row[name] = el.text or el.get("value")
+                        row[name] = resolve(rec, xpath)
                     for name, (repeat_path, sub) in lf.items():
                         vals = []
                         for child in rec.findall(repeat_path):
@@ -187,12 +193,7 @@ def read_xml_records(
                             elif sub == ".":
                                 vals.append(child.text)
                             else:
-                                e = child.find(sub)
-                                vals.append(
-                                    None
-                                    if e is None
-                                    else (e.text or e.get("value"))
-                                )
+                                vals.append(resolve(child, sub))
                         row[name] = vals
                     rows.append(row)
             yield pd.DataFrame(

@@ -166,3 +166,44 @@ def test_ktruss_peels_tail_edges(spark):
 
     t4 = {(r.a, r.b): r.support for r in ktruss_prune(pairs, k=4, rounds=2).collect()}
     assert set(t4) == set(k4)
+
+
+def test_no_cache_pinned_after_multi_branch_ops(spark):
+    """Storage hygiene (round-2 verdict #4): operators that materialize
+    multi-consumer frames must not leave DataFrame caches registered for
+    the session lifetime — they either localCheckpoint (GC-releasable,
+    never registered in the cache manager) or explicitly unpersist once
+    their in-function actions complete."""
+    from pyspark.sql import Row
+
+    from orion_spark.llm.dedup import minhash_lsh_pairs, simhash_near_pairs
+    from orion_spark.operators.graphalgo import (
+        bfs_distances,
+        label_propagation_min,
+        triangle_count,
+    )
+
+    spark.catalog.clearCache()
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs = spark.createDataFrame(k4 + [(4, 5)], "a int, b int")
+    triangle_count(pairs).collect()
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [("a", "b"), ("b", "c"), ("x", "y")]]
+    )
+    label_propagation_min(edges, iterations=2).collect()
+    seeds = spark.createDataFrame([Row(id="a")])
+    bfs_distances(edges, seeds, max_hops=2).collect()
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"the quick brown fox jumps over dog {i % 2}")
+            for i in range(8)
+        ]
+    )
+    minhash_lsh_pairs(docs).collect()
+    simhash_near_pairs(docs).collect()
+
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "an operator left a DataFrame cache registered after its action"
+    )

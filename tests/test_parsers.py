@@ -160,6 +160,14 @@ UNIREF = """\
         <property type="protein name" value="Capsid protein"/>
       </dbReference>
     </representativeMember>
+    <member>
+      <dbReference type="UniProtKB ID" id="CAPSD_FROG3">
+        <property type="NCBI taxonomy" value="2219562"/>
+      </dbReference>
+    </member>
+    <member>
+      <dbReference type="UniProtKB ID" id="CAPSD_NOTAX"/>
+    </member>
   </entry>
   <entry id="UniRef50_Q999">
     <name>Cluster: Human keratin</name>
@@ -183,30 +191,42 @@ UNIREF = """\
 
 def test_uniref_like_parser_golden_counts(spark, tmp_path):
     """Reference fixture style (tests/test_loaders.py:33-40 golden counts):
-    3 entries -> 1 edge. The human cluster fails the taxon row_filter, the
-    orphan has no member-taxon property so its object id is null."""
+    3 entries -> 2 edges (representative + plain member, matching
+    loadUniRef.py:332-340's iteration over both tags). The human cluster
+    fails the taxon row_filter; members without a taxonomy property yield
+    a null object id and so no edge."""
     p = tmp_path / "uniref50.xml"
     p.write_text(UNIREF)
     subj, obj, edges = PP.uniref_like(
         spark, str(p), target_taxa={"10493", "2219562"}
     )
-    e = edges.collect()
-    assert len(e) == 1
-    row = e[0]
+    e = {r.object: r for r in edges.collect()}
+    assert sorted(e) == ["NCBITaxon:2219562", "NCBITaxon:654924"]
+    row = e["NCBITaxon:654924"]
     assert row.subject == "UniRef50:Q123"
     assert row.predicate == "biolink:similar_to"
-    assert row.object == "NCBITaxon:654924"
     assert row.similarity_bin == "UniRef50"
     assert row.primary_knowledge_source == "infores:uniref"
+    assert e["NCBITaxon:2219562"].subject == "UniRef50:Q123"
     s = {r.id: r for r in subj.collect()}
     # the orphan survives the row_filter (it IS a target taxon) and has a
     # valid subject id — only the human cluster is filtered out
     assert sorted(s) == ["UniRef50:Q123", "UniRef50:Q777"]
     assert s["UniRef50:Q123"].name == "Cluster: Capsid protein"
     assert s["UniRef50:Q123"].category == ["biolink:GeneFamily"]
-    o = obj.collect()
-    assert len(o) == 1 and o[0].id == "NCBITaxon:654924"
-    assert o[0].name == "CAPSD_VIRUS"
+    o = {r.id: r for r in obj.collect()}
+    assert sorted(o) == ["NCBITaxon:2219562", "NCBITaxon:654924"]
+    assert o["NCBITaxon:654924"].name == "CAPSD_VIRUS"
+    assert o["NCBITaxon:2219562"].name == "CAPSD_FROG3"
+
+
+def test_uniref_like_empty_taxon_set(spark, tmp_path):
+    """An empty target set captures nothing instead of raising on the
+    empty isin() (the reference's membership test can never hit)."""
+    p = tmp_path / "uniref50.xml"
+    p.write_text(UNIREF)
+    subj, obj, edges = PP.uniref_like(spark, str(p), target_taxa=set())
+    assert edges.count() == 0 and subj.count() == 0 and obj.count() == 0
 
 
 def test_drugcentral_like_jdbc_end_to_end(spark, tmp_path):

@@ -353,3 +353,68 @@ def test_source_resolver_tiers(spark, tmp_path):
     # unpinned with no producer for the id -> failure too
     with _pytest.raises(P.SourceResolutionError, match="no producer"):
         r2.resolve("unknown_src", "v1", pinned=False)
+
+
+def test_source_resolver_recovers_from_crashed_produce(spark, tmp_path):
+    """A producer that crashes mid-write leaves a dirty, marker-less local
+    directory. A later resolve must (a) not treat it as a local hit,
+    (b) fetch/produce into it without ENOTEMPTY, and (c) a registry
+    publish over a marker-less leftover must also succeed — the
+    stale-leftover discipline of compact_table applied to the registry
+    tier."""
+    import pytest as _pytest
+
+    registry = P.FileSystemRegistry(str(tmp_path / "registry"))
+
+    def crashing(dest):
+        with open(os.path.join(dest, "partial.parquet"), "w") as fh:
+            fh.write("torn")
+        raise RuntimeError("simulated crash mid-produce")
+
+    r1 = P.SourceResolver(
+        str(tmp_path / "b1"), registry, producers={"src_a": crashing}
+    )
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        r1.resolve("src_a", "v1", pinned=False)
+    dirty = r1._local_dir("src_a", "v1")
+    assert os.path.isdir(dirty) and not os.path.exists(
+        os.path.join(dirty, P.BUNDLE_MARKER)
+    )
+
+    # someone else published the bundle meanwhile; our fetch into the
+    # dirty dir must succeed (pre-fix: os.rename raised ENOTEMPTY forever)
+    good = tmp_path / "good_bundle"
+    good.mkdir()
+    (good / "data.txt").write_text("ok")
+    (good / P.BUNDLE_MARKER).write_text("v1")
+    registry.publish_bundle("src_a", "v1", str(good))
+    out = r1.resolve("src_a", "v1", pinned=False)
+    assert r1.last_tier == "registry"
+    assert open(os.path.join(out, "data.txt")).read() == "ok"
+    assert not os.path.exists(os.path.join(out, "partial.parquet"))
+
+    # a marker-less leftover in the REGISTRY tree (crashed publish staging
+    # promoted by an older version, or manual junk) is likewise replaced
+    reg_dir = registry._dir("src_b", "v1")
+    os.makedirs(reg_dir)
+    with open(os.path.join(reg_dir, "junk"), "w") as fh:
+        fh.write("x")
+    registry.publish_bundle("src_b", "v1", str(good))
+    assert registry.has_bundle("src_b", "v1")
+    assert not os.path.exists(os.path.join(reg_dir, "junk"))
+
+    # crashed produce followed by RE-produce (no registry copy available)
+    calls = []
+
+    def producer(dest):
+        calls.append(dest)
+        with open(os.path.join(dest, "data.txt"), "w") as fh:
+            fh.write("fresh")
+
+    r2 = P.SourceResolver(str(tmp_path / "b2"), None, producers={"src_c": producer})
+    os.makedirs(r2._local_dir("src_c", "v1"))
+    with open(os.path.join(r2._local_dir("src_c", "v1"), "stale"), "w") as fh:
+        fh.write("x")
+    out2 = r2.resolve("src_c", "v1", pinned=False)
+    assert r2.last_tier == "produce" and len(calls) == 1
+    assert not os.path.exists(os.path.join(out2, "stale"))
