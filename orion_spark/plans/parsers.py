@@ -22,7 +22,7 @@ Reference-shaped families (one per structural source shape):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orion_spark.operators.extract import (
@@ -879,3 +879,247 @@ def hgnc_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         family_nodes, allowMissingColumns=True
     ).dropDuplicates(["id"])
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# GTEx-like: per-tissue QTL melt with HGVS variant construction
+# (parsers/GTEx/src/loadGTEx.py — a RESOURCE_HOGS member. The reference
+#  streams each tissue file out of a tar and walks rows imperatively
+#  [loadGTEx.py:262-337], converting variants to HGVS one at a time with a
+#  driver-side memo dict [loadGTEx.py:181-221]. Here the melt is one Spark
+#  csv scan over the extracted per-tissue files: the tissue comes from
+#  input_file_name(), the anatomy lookup is a literal map [loadGTEx.py:26-75],
+#  and the HGVS conversion [orion/hgvs_utils.py:34-111] is pure JVM column
+#  logic — no memo needed, the variant never leaves the executor.)
+# ---------------------------------------------------------------------------
+
+# tissue-name -> UBERON anatomy curie (loadGTEx.py:26-75; public UBERON ids)
+GTEX_TISSUE_ANATOMY = {
+    "Adipose_Subcutaneous": "UBERON:0002190",
+    "Adipose_Visceral_Omentum": "UBERON:0003688",
+    "Adrenal_Gland": "UBERON:0018303",
+    "Artery_Aorta": "UBERON:0004178",
+    "Artery_Coronary": "UBERON:0002111",
+    "Artery_Tibial": "UBERON:0007610",
+    "Brain_Amygdala": "UBERON:0001876",
+    "Brain_Anterior_cingulate_cortex_BA24": "UBERON:0006101",
+    "Brain_Caudate_basal_ganglia": "UBERON:0002420",
+    "Brain_Cerebellar_Hemisphere": "UBERON:0002245",
+    "Brain_Cerebellum": "UBERON:0002037",
+    "Brain_Cortex": "UBERON:0001851",
+    "Brain_Frontal_Cortex_BA9": "UBERON:0013540",
+    "Brain_Hippocampus": "UBERON:0002310",
+    "Brain_Hypothalamus": "UBERON:0001898",
+    "Brain_Nucleus_accumbens_basal_ganglia": "UBERON:0001882",
+    "Brain_Putamen_basal_ganglia": "UBERON:0001874",
+    "Brain_Spinal_cord_cervical_c-1": "UBERON:0002726",
+    "Brain_Substantia_nigra": "UBERON:0002038",
+    "Breast_Mammary_Tissue": "UBERON:0001911",
+    "Cells_Cultured_fibroblasts": "UBERON:0015764",
+    "Cells_EBV-transformed_lymphocytes": "UBERON:0001744",
+    "Colon_Sigmoid": "UBERON:0001159",
+    "Colon_Transverse": "UBERON:0001157",
+    "Esophagus_Gastroesophageal_Junction": "UBERON:0007650",
+    "Esophagus_Mucosa": "UBERON:0002469",
+    "Esophagus_Muscularis": "UBERON:0004648",
+    "Heart_Atrial_Appendage": "UBERON:0006618",
+    "Heart_Left_Ventricle": "UBERON:0002084",
+    "Kidney_Cortex": "UBERON:0001225",
+    "Liver": "UBERON:0002107",
+    "Lung": "UBERON:0002048",
+    "Minor_Salivary_Gland": "UBERON:0001830",
+    "Muscle_Skeletal": "UBERON:0001134",
+    "Nerve_Tibial": "UBERON:0001323",
+    "Ovary": "UBERON:0000992",
+    "Pancreas": "UBERON:0001264",
+    "Pituitary": "UBERON:0000007",
+    "Prostate": "UBERON:0002367",
+    "Skin_Not_Sun_Exposed_Suprapubic": "UBERON:0036149",
+    "Skin_Sun_Exposed_Lower_leg": "UBERON:0004264",
+    "Small_Intestine_Terminal_Ileum": "UBERON:0002116",
+    "Spleen": "UBERON:0002106",
+    "Stomach": "UBERON:0000945",
+    "Testis": "UBERON:0000473",
+    "Thyroid": "UBERON:0002046",
+    "Uterus": "UBERON:0000995",
+    "Vagina": "UBERON:0000996",
+    "Whole_Blood": "UBERON:0000178",
+}
+
+# b38/p1 RefSeq chromosome accessions (orion/hgvs_utils.py:14-22; public
+# NCBI identifiers). X=23, Y=24.
+HGVS_B38_ACCESSIONS = {
+    1: "NC_000001.11", 2: "NC_000002.12", 3: "NC_000003.12",
+    4: "NC_000004.12", 5: "NC_000005.10", 6: "NC_000006.12",
+    7: "NC_000007.14", 8: "NC_000008.11", 9: "NC_000009.12",
+    10: "NC_000010.11", 11: "NC_000011.10", 12: "NC_000012.12",
+    13: "NC_000013.11", 14: "NC_000014.9", 15: "NC_000015.10",
+    16: "NC_000016.10", 17: "NC_000017.11", 18: "NC_000018.10",
+    19: "NC_000019.10", 20: "NC_000020.11", 21: "NC_000021.9",
+    22: "NC_000022.11", 23: "NC_000023.11", 24: "NC_000024.10",
+}
+
+
+def hgvs_from_gtex_variant(variant: Column) -> Column:
+    """GTEx variant id ('chr1_1413898_T_C_b38') -> HGVS curie suffix, or
+    NULL where the reference's converter returns '' and skips the row
+    (orion/hgvs_utils.py:34-111 faithfully: X/Y chromosomes, '.'-allele
+    deletions, '<...>' structural alleles unsupported, prefix-anchored
+    ins/del, anything else unsupported). Pure column logic — whole-stage
+    codegen, no Python in the loop."""
+    parts = F.split(variant, "_")
+    chrom_s = F.regexp_replace(parts.getItem(0), "^chr", "")
+    chrom_n = (
+        F.when(chrom_s == "X", F.lit(23))
+        .when(chrom_s == "Y", F.lit(24))
+        .when(chrom_s.rlike("^[0-9]+$"), chrom_s.cast("int"))
+    )
+    acc_pairs = []
+    for k, v in HGVS_B38_ACCESSIONS.items():
+        acc_pairs += [F.lit(k), F.lit(v)]
+    accession = F.when(
+        parts.getItem(4) == "b38", F.element_at(F.create_map(*acc_pairs), chrom_n)
+    )
+    pos = parts.getItem(1).cast("bigint")
+    ref, alt = parts.getItem(2), parts.getItem(3)
+    len_ref, len_alt = F.length(ref), F.length(alt)
+    s = lambda c: c.cast("string")  # noqa: E731
+    snp = F.concat(s(pos), ref, F.lit(">"), alt)
+    # alt extends ref (insert after the shared prefix): offset = len_ref
+    ins = F.concat(
+        s(pos + len_ref - 1), F.lit("_"), s(pos + len_ref), F.lit("ins"),
+        alt.substr(len_ref + F.lit(1), len_alt),
+    )
+    # ref extends alt (delete the suffix): offset = len_alt
+    del_one = F.concat(s(pos + len_alt), F.lit("del"))
+    del_many = F.concat(
+        s(pos + len_alt), F.lit("_"), s(pos + len_ref - 1), F.lit("del")
+    )
+    dot_del = F.when(len_ref == 1, F.concat(s(pos), F.lit("del"))).otherwise(
+        F.concat(s(pos), F.lit("_"), s(pos + len_ref - 1), F.lit("del"))
+    )
+    variation = (
+        F.when(alt == ".", dot_del)
+        .when(alt.startswith("<"), F.lit(None).cast("string"))
+        .when((len_ref == 1) & (len_alt == 1), snp)
+        .when((len_alt > len_ref) & alt.startswith(ref), ins)
+        .when(
+            (len_ref > len_alt) & ref.startswith(alt),
+            F.when(len_ref - len_alt == 1, del_one).otherwise(del_many),
+        )
+    )
+    return F.when(
+        accession.isNotNull() & variation.isNotNull(),
+        F.concat(accession, F.lit(":g."), variation),
+    )
+
+
+def _gtex_scan(spark: SparkSession, path: str, is_sqtl: bool) -> DataFrame:
+    """One csv scan over a directory of per-tissue signif-pair files
+    (the extracted tar layout, '<Tissue>.v8.*.txt[.gz]'). Columns are
+    taken positionally (variant 0, gene/phenotype 1, pval 6, slope 7 —
+    loadGTEx.py:264-268) so eqtl and sqtl headers both work."""
+    df = spark.read.options(sep="\t", header=True).csv(path)
+    cols = df.columns
+    tissue = F.element_at(
+        F.split(F.element_at(F.split(F.input_file_name(), "/"), -1), r"\."), 1
+    )
+    return df.select(
+        tissue.alias("tissue"),
+        F.col(cols[0]).alias("gtex_variant"),
+        F.col(cols[1]).alias("gene_field"),
+        F.col(cols[6]).cast("double").alias("p_value"),
+        F.col(cols[7]).cast("double").alias("slope"),
+        F.lit(is_sqtl).alias("is_sqtl"),
+    )
+
+
+def gtex_like(
+    spark: SparkSession,
+    eqtl_path: str | None,
+    sqtl_path: str | None = None,
+    tissue_anatomy: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """GTEx family end-to-end: (variant nodes, gene nodes, edges).
+
+    Semantics per loadGTEx.py:155-258: tissue files whose name is not in
+    the anatomy lookup are skipped entirely; variants that fail HGVS
+    conversion are skipped and counted; sqtl gene ids come from the 5th
+    ':'-field of the phenotype id; gene version suffixes are stripped;
+    the predicate is affects_splicing_of for sqtl else the slope sign
+    picks increases/decreases_expression_of. Edge properties carry the
+    anatomy curie, p-value and slope (single-element arrays in the
+    reference's KGX output; scalars here — the list wrapper is a
+    serialization detail of its file writer).
+
+    At 100 TB scale nothing here shuffles: scan -> project -> filter is
+    one codegen stage per input split; only the node dedup aggregates."""
+    lookup = tissue_anatomy if tissue_anatomy is not None else GTEX_TISSUE_ANATOMY
+    scans = []
+    if eqtl_path:
+        scans.append(_gtex_scan(spark, eqtl_path, is_sqtl=False))
+    if sqtl_path:
+        scans.append(_gtex_scan(spark, sqtl_path, is_sqtl=True))
+    if not scans:
+        raise ValueError("gtex_like needs at least one of eqtl_path/sqtl_path")
+    raw = scans[0]
+    for other in scans[1:]:
+        raw = raw.unionByName(other)
+
+    ana_pairs = []
+    for k, v in sorted(lookup.items()):
+        ana_pairs += [F.lit(k), F.lit(v)]
+    anatomy = F.element_at(F.create_map(*ana_pairs), F.col("tissue"))
+
+    gene_ens = F.when(
+        F.col("is_sqtl"),
+        F.element_at(F.split(F.col("gene_field"), ":"), 5),
+    ).otherwise(F.col("gene_field"))
+    gene_id = F.concat(
+        F.lit("ENSEMBL:"), F.element_at(F.split(gene_ens, r"\."), 1)
+    )
+    predicate = (
+        F.when(F.col("is_sqtl"), F.lit("CTD:affects_splicing_of"))
+        .when(F.col("slope") > 0, F.lit("CTD:increases_expression_of"))
+        .otherwise(F.lit("CTD:decreases_expression_of"))
+    )
+
+    # unknown tissues drop silently (reference logs a warning per FILE);
+    # failed HGVS conversions drop but are COUNTED, mirroring the
+    # reference's skipped_record_counter (loadGTEx.py:160-175)
+    with_anatomy = raw.withColumn("anatomy_id", anatomy).where(
+        F.col("anatomy_id").isNotNull()
+    )
+    converted = with_anatomy.withColumn(
+        "variant_id",
+        F.concat(F.lit("HGVS:"), hgvs_from_gtex_variant(F.col("gtex_variant"))),
+    ).observe(
+        "gtex_skips",
+        F.sum(F.when(F.col("variant_id").isNull(), 1).otherwise(0)).alias(
+            "skipped_record_counter"
+        ),
+    )
+    kept = converted.where(F.col("variant_id").isNotNull())
+
+    edges = kept.select(
+        F.col("variant_id").alias("subject"),
+        predicate.alias("predicate"),
+        gene_id.alias("object"),
+        F.lit("infores:gtex").alias("primary_knowledge_source"),
+        F.col("anatomy_id").alias("expressed_in"),
+        F.col("p_value"),
+        F.col("slope"),
+        F.lit("prediction").alias("knowledge_level"),
+        F.lit("computational_model").alias("agent_type"),
+    )
+    variant_nodes = kept.select(
+        F.col("variant_id").alias("id"),
+        F.lit("").alias("name"),
+        F.array(F.lit("biolink:SequenceVariant")).alias("category"),
+    ).dropDuplicates(["id"])
+    gene_nodes = kept.select(
+        gene_id.alias("id"),
+        F.lit("").alias("name"),
+        F.array(F.lit("biolink:Gene")).alias("category"),
+    ).dropDuplicates(["id"])
+    return variant_nodes, gene_nodes, edges

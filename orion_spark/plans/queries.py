@@ -5107,3 +5107,151 @@ def graph_bfs_distances_q(spark, sf_dir):
         F.concat(F.lit("REGION:"), F.col("r_regionkey")).alias("id")
     )
     return bfs_distances(edges, seeds, max_hops=3)
+
+
+def _gtex_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Deterministic GTEx-style eqtl/sqtl directories synthesized from the
+    nation dim (25 rows, driver-side fixture synthesis over a bounded
+    dimension — the uniref fixture pattern). Every cell is a closed-form
+    function of (nationkey, tissue index), so the oracle recomputes the
+    whole melt + HGVS conversion from the parquet table. Case (k+t)%4
+    covers SNP / insert / delete / unsupported-structural; slope
+    (k%3-1)*0.5 covers both predicate signs AND the slope==0 edge
+    (reference: only strictly-positive slopes are 'increases',
+    loadGTEx.py:240-245)."""
+    import gzip
+    import os
+    import re as _re
+    import shutil as _shutil
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"gtex_fixture_v1{slug}")
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return os.path.join(root, "eqtl"), os.path.join(root, "sqtl")
+
+    tissues = [
+        ("Brain_Cortex", 0),
+        ("Liver", 1),
+        ("Artery_Aorta", 2),
+        ("Mystery_Tissue", 99),  # not in the anatomy lookup -> file skipped
+    ]
+    hdr = (
+        "variant_id\tgene_id\ttss_distance\tma_samples\tma_count\tmaf\t"
+        "pval_nominal\tslope\tslope_se\tpval_nominal_threshold\t"
+        "min_pval_nominal\tpval_beta\n"
+    )
+
+    def eqtl_row(k: int, t: int) -> str:
+        chrom = (k + t) % 22 + 1
+        pos = 1000 + 10 * k + t
+        c = (k + t) % 4
+        ref, alt = [("T", "C"), ("A", "AGG"), ("CTT", "C"), ("G", "<CN0>")][c]
+        slope = (k % 3 - 1) * 0.5
+        p = (10 * k + t + 1) / 10000.0
+        variant = f"chr{chrom}_{pos}_{ref}_{alt}_b38"
+        return (
+            f"{variant}\tENSG{k}.{k % 7}\t0\t1\t1\t0.1\t{p}\t{slope}"
+            f"\t0.01\t0.05\t0.001\t0.002\n"
+        )
+
+    tmp = f"{root}.{os.getpid()}.tmp"
+    if os.path.exists(tmp):
+        _shutil.rmtree(tmp)
+    for sub in ("eqtl", "sqtl"):
+        os.makedirs(os.path.join(tmp, sub))
+    for tissue, t in tissues:
+        path = os.path.join(
+            tmp, "eqtl", f"{tissue}.v8.signif_variant_gene_pairs.txt.gz"
+        )
+        with gzip.open(path, "wt") as fh:
+            fh.write(hdr)
+            for k in ks:
+                fh.write(eqtl_row(k, t))
+    sq = os.path.join(tmp, "sqtl", "Whole_Blood.v8.sqtl_signifpairs.txt.gz")
+    with gzip.open(sq, "wt") as fh:
+        fh.write(hdr)
+        for k in ks:
+            variant = f"chr{k % 22 + 1}_{5000 + k}_TA_T_b38"
+            pheno = f"chr1:1:2:clu_{k}:ENSG9{k}.3"
+            fh.write(
+                f"{variant}\t{pheno}\t0\t1\t1\t0.1\t{(k + 1) / 1000.0}\t-0.25"
+                f"\t0.01\t0.05\t0.001\t0.002\n"
+            )
+    with open(os.path.join(tmp, "_DONE"), "w") as fh:
+        fh.write("v1")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        _shutil.rmtree(tmp)  # concurrent run won the race; theirs is complete
+    return os.path.join(root, "eqtl"), os.path.join(root, "sqtl")
+
+
+from orion_spark.plans.parsers import HGVS_B38_ACCESSIONS as _GTEX_ACCESSIONS
+
+_GTEX_ACC_SQL = ", ".join(
+    f"({k}, '{v}')" for k, v in sorted(_GTEX_ACCESSIONS.items())
+)
+
+
+@query(
+    "gtex_like_edges",
+    f"""
+    WITH acc(chrom, accession) AS (VALUES {_GTEX_ACC_SQL}),
+    n AS (SELECT n_nationkey AS k FROM nation),
+    t(t, anatomy) AS (VALUES
+        (0, 'UBERON:0001851'), (1, 'UBERON:0002107'), (2, 'UBERON:0004178')),
+    e AS (
+        SELECT k, t.t, anatomy,
+               (k + t.t) % 22 + 1 AS chrom,
+               1000 + 10 * k + t.t AS pos,
+               (k + t.t) % 4 AS c,
+               (k % 3 - 1) * 0.5 AS slope,
+               CAST(10 * k + t.t + 1 AS DOUBLE) / 10000 AS p_value
+        FROM n CROSS JOIN t),
+    eq AS (
+        SELECT 'HGVS:' || a.accession || ':g.' ||
+               CASE c WHEN 0 THEN pos || 'T>C'
+                      WHEN 1 THEN pos || '_' || (pos + 1) || 'insGG'
+                      ELSE (pos + 1) || '_' || (pos + 2) || 'del' END
+                   AS subject,
+               CASE WHEN slope > 0 THEN 'CTD:increases_expression_of'
+                    ELSE 'CTD:decreases_expression_of' END AS predicate,
+               'ENSEMBL:ENSG' || k AS object,
+               anatomy AS expressed_in, p_value, slope
+        FROM e JOIN acc a ON a.chrom = e.chrom
+        WHERE c < 3),
+    sq AS (
+        SELECT 'HGVS:' || a.accession || ':g.' || (5001 + k) || 'del'
+                   AS subject,
+               'CTD:affects_splicing_of' AS predicate,
+               'ENSEMBL:ENSG9' || k AS object,
+               'UBERON:0000178' AS expressed_in,
+               CAST(k + 1 AS DOUBLE) / 1000 AS p_value,
+               -0.25 AS slope
+        FROM n JOIN acc a ON a.chrom = (k % 22 + 1))
+    SELECT subject, predicate, object, expressed_in,
+           ROUND(p_value, 6) AS p_value, slope
+    FROM (SELECT * FROM eq UNION ALL SELECT * FROM sq)
+    """,
+)
+def gtex_like_edges_q(spark, sf_dir):
+    """S3+P11 source-to-KGX: the GTEx tissue melt end-to-end
+    (parsers/GTEx/src/loadGTEx.py) — per-tissue csv scan, filename->tissue
+    ->anatomy lookup, faithful b38 HGVS conversion (SNP/ins/del/structural
+    -skip), slope-signed predicates, sqtl phenotype-field gene extraction,
+    unknown-tissue file drop. The fixture is synthesized deterministically
+    from the nation dim so the oracle recomputes the entire parse."""
+    from orion_spark.plans.parsers import gtex_like
+
+    eqtl, sqtl = _gtex_fixture(spark, sf_dir)
+    _, _, edges = gtex_like(spark, eqtl, sqtl)
+    return edges.select(
+        "subject", "predicate", "object", "expressed_in",
+        F.round("p_value", 6).alias("p_value"), "slope",
+    )

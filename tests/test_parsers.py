@@ -468,3 +468,94 @@ def test_hgnc_like_parser_golden(spark, tmp_path):
     assert n["HGNC.FAMILY:594"].name == "Immunoglobulin like domain containing"
     assert n["HGNC.FAMILY:594"].category == ["biolink:GeneFamily"]
     assert len(n) == 4  # 2 genes + 2 families
+
+
+def _write_gtex_file(dirpath, tissue, rows, sqtl=False):
+    """One per-tissue signif-pairs file in the extracted-tar layout
+    (12 tab-separated columns, loadGTEx.py:303 column-count check)."""
+    import gzip
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    kind = "sqtl_signifpairs" if sqtl else "signif_variant_gene_pairs"
+    hdr = [
+        "variant_id", "gene_id", "tss_distance", "ma_samples", "ma_count",
+        "maf", "pval_nominal", "slope", "slope_se",
+        "pval_nominal_threshold", "min_pval_nominal", "pval_beta",
+    ]
+    path = os.path.join(dirpath, f"{tissue}.v8.{kind}.txt.gz")
+    with gzip.open(path, "wt") as fh:
+        fh.write("\t".join(hdr) + "\n")
+        for variant, gene, pval, slope in rows:
+            cells = [variant, gene, "0", "1", "1", "0.1", str(pval),
+                     str(slope), "0.01", "0.05", "0.001", "0.002"]
+            fh.write("\t".join(cells) + "\n")
+
+
+def test_gtex_like_parser_golden_counts(spark, tmp_path):
+    """loadGTEx.py end-to-end semantics on a reference-style fixture:
+    tissue melt, anatomy lookup, HGVS conversion (SNP / insert / delete /
+    unsupported structural allele), slope-signed predicates, sqtl
+    phenotype-field gene extraction, unknown-tissue file skip."""
+    eqtl = str(tmp_path / "eqtl")
+    sqtl = str(tmp_path / "sqtl")
+    _write_gtex_file(eqtl, "Brain_Cortex", [
+        ("chr1_100_T_C_b38", "ENSG00000001.5", 1e-8, 0.5),      # SNP, up
+        ("chr2_200_A_AGG_b38", "ENSG00000002.1", 1e-9, -0.25),  # ins, down
+        ("chrX_300_CTT_C_b38", "ENSG00000003.2", 1e-10, 1.5),   # del, X=23
+        ("chr3_400_G_<CN0>_b38", "ENSG00000004.1", 1e-7, 2.0),  # skip
+        ("chrM_500_T_C_b38", "ENSG00000005.1", 1e-7, 2.0),      # skip (no MT)
+    ])
+    _write_gtex_file(eqtl, "Liver", [
+        ("chr1_100_T_C_b38", "ENSG00000001.5", 1e-6, -0.5),     # dup variant
+    ])
+    _write_gtex_file(eqtl, "Mystery_Tissue", [
+        ("chr9_900_T_C_b38", "ENSG00000009.1", 1e-6, 1.0),      # file skipped
+    ])
+    _write_gtex_file(sqtl, "Whole_Blood", [
+        ("chr4_1000_TA_T_b38", "chr4:100:200:clu_12:ENSG00000777.11",
+         1e-11, -0.33),                                          # splicing
+    ], sqtl=True)
+
+    variants, genes, edges = PP.gtex_like(spark, eqtl, sqtl)
+    e = edges.collect()
+    assert len(e) == 5  # 3 Brain_Cortex + 1 Liver + 1 sqtl
+    by_subj = {}
+    for r in e:
+        by_subj.setdefault(r.subject, []).append(r)
+    # SNP in two tissues -> same HGVS id, opposite predicates
+    snp = sorted(
+        by_subj["HGVS:NC_000001.11:g.100T>C"], key=lambda r: r.expressed_in
+    )
+    assert [r.predicate for r in snp] == [
+        "CTD:increases_expression_of",  # UBERON:0001851 Brain_Cortex, +0.5
+        "CTD:decreases_expression_of",  # UBERON:0002107 Liver, -0.5
+    ]
+    assert snp[0].expressed_in == "UBERON:0001851"
+    assert snp[0].p_value == 1e-8 and snp[0].slope == 0.5
+    assert snp[0].knowledge_level == "prediction"
+    assert snp[0].agent_type == "computational_model"
+    # insertion after shared prefix: pos+len_ref-1 _ pos+len_ref ins GG
+    assert "HGVS:NC_000002.12:g.200_201insGG" in by_subj
+    # deletion with X->23: pos+len_alt _ pos+len_ref-1 del
+    assert "HGVS:NC_000023.11:g.301_302del" in by_subj
+    # sqtl: gene from phenotype field 5, version stripped, 1bp del
+    sq = by_subj["HGVS:NC_000004.12:g.1001del"][0]
+    assert sq.predicate == "CTD:affects_splicing_of"
+    assert sq.object == "ENSEMBL:ENSG00000777"
+    assert sq.expressed_in == "UBERON:0000178"
+
+    vids = sorted(r.id for r in variants.collect())
+    assert vids == [
+        "HGVS:NC_000001.11:g.100T>C",
+        "HGVS:NC_000002.12:g.200_201insGG",
+        "HGVS:NC_000004.12:g.1001del",
+        "HGVS:NC_000023.11:g.301_302del",
+    ]
+    g = {r.id for r in genes.collect()}
+    assert g == {
+        "ENSEMBL:ENSG00000001", "ENSEMBL:ENSG00000002",
+        "ENSEMBL:ENSG00000003", "ENSEMBL:ENSG00000777",
+    }
+    cats = {tuple(r.category) for r in variants.collect()}
+    assert cats == {("biolink:SequenceVariant",)}
