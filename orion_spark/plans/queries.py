@@ -5255,3 +5255,94 @@ def gtex_like_edges_q(spark, sf_dir):
         "subject", "predicate", "object", "expressed_in",
         F.round("p_value", 6).alias("p_value"), "slope",
     )
+
+
+def _intact_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic PSI-MI TAB zip synthesized from the nation dim: per
+    nation two identical interaction lines differing only in detection
+    method (one experiment group -> pipe-joined methods), isoform-suffixed
+    raw uniprot ids (hyphen trim), publication id rotating through the
+    pubmed/imex/doi priority chain, and a non-uniprot line every 5th
+    nation that the row gate must drop."""
+    import os
+    import re as _re
+    import tempfile
+    import zipfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"intact_fixture_v1{slug}.zip")
+    if os.path.exists(path):
+        return path
+
+    def row(id_a, id_b, alias_a, alias_b, detect, pub, tax_a, tax_b):
+        cells = [""] * 42
+        cells[0], cells[1] = id_a, id_b
+        cells[4], cells[5] = alias_a, alias_b
+        cells[6] = detect
+        cells[8] = pub
+        cells[9], cells[10] = tax_a, tax_b
+        return "\t".join(cells)
+
+    lines = ["#ID(s) interactor A\tID(s) interactor B" + "\t" * 40]
+    for k in ks:
+        pub = [f"pubmed:{100 + k}", f"imex:IM-{k}", f"doi:10.1000/j.x{k}"][k % 3]
+        common = (
+            f"uniprotkb:A{k}-1", f"uniprotkb:B{k}",
+            f"uniprotkb:alpha{k}(display)", f"uniprotkb:beta{k}",
+        )
+        for mi in ('psi-mi:"MI:0018"(two hybrid)', 'psi-mi:"MI:0006"(coip)'):
+            lines.append(
+                row(*common, mi, pub, f"taxid:{9000 + k}(org)", f"taxid:{8000 + k}")
+            )
+        if k % 5 == 0:
+            lines.append(
+                row(f"chebi:{k}", f"uniprotkb:B{k}", "-", "-",
+                    'psi-mi:"MI:0018"(two hybrid)', pub, "taxid:1", "taxid:1")
+            )
+    tmp = path + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        zf.writestr("intact.txt", "\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "intact_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    pub AS (
+        SELECT k, CASE k % 3
+                  WHEN 0 THEN 'PMID:' || (100 + k)
+                  WHEN 1 THEN 'IM:' || k
+                  ELSE 'DOI:10.1000/j.x' || k END AS pub_id
+        FROM n)
+    SELECT 'UniProtKB:A' || k AS subject, 'RO:0002436' AS predicate,
+           'UniProtKB:B' || k AS object, pub_id AS publications,
+           'MI:0006|MI:0018' AS detection_method
+    FROM pub
+    UNION ALL
+    SELECT 'UniProtKB:A' || k, 'RO:0002162', 'NCBITaxon:' || (9000 + k),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM n
+    UNION ALL
+    SELECT 'UniProtKB:B' || k, 'RO:0002162', 'NCBITaxon:' || (8000 + k),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM n
+    """,
+)
+def intact_like_edges_q(spark, sf_dir):
+    """S9+S3 source-to-KGX: the IntAct archive family
+    (parsers/IntAct/src/loadIA.py) — zip-member staging, uniprotkb row
+    gate, publication priority chain, experiment-group detection-method
+    pipe-join, isoform hyphen trim, in_taxon edges. Fixture synthesized
+    deterministically from the nation dim; the oracle recomputes the
+    grouped parse closed-form."""
+    from orion_spark.plans.parsers import intact_like
+
+    path = _intact_fixture(spark, sf_dir)
+    _, edges = intact_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "publications", "detection_method"
+    )
