@@ -48,6 +48,8 @@ HEADLINE = [
     "graph_label_propagation",
     "text_decontamination",
     "bundle_version_diff",
+    "skew_direct_merge_stress",
+    "skew_salted_merge_stress",
 ]
 
 

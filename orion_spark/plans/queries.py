@@ -5346,3 +5346,72 @@ def intact_like_edges_q(spark, sf_dir):
     return edges.select(
         "subject", "predicate", "object", "publications", "detection_method"
     )
+
+
+def _zipf_merge_frame(spark: SparkSession, sf_dir: str):
+    """Hub-skewed property-merge input derived from lineitem: ~30% of all
+    rows land on ONE merge key ('HUB:0'), the rest spread over part keys —
+    the pathological shape where a plain groupBy puts a third of 100 TB on
+    a single reducer. Every folded value is a closed-form function of
+    (key, ordinal) so the keep-first-truthy result is deterministic and a
+    SQL oracle recomputes it."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit("HUB:0"))
+        .otherwise(F.concat(F.lit("N:"), F.col("l_partkey")))
+        .alias("id"),
+        F.col("l_linenumber").cast("int").alias("source_ordinal"),
+        F.concat(F.lit("nm"), F.col("l_linenumber")).alias("name"),
+        F.array(
+            F.concat(F.lit("P"), (F.col("l_suppkey") % 50).cast("string"))
+        ).alias("publications"),
+    )
+
+
+_ZIPF_MERGE_ORACLE = """
+    WITH z AS (
+        SELECT CASE WHEN l_orderkey % 10 < 3 THEN 'HUB:0'
+                    ELSE 'N:' || l_partkey END AS id,
+               l_linenumber AS ord,
+               'P' || (l_suppkey % 50) AS pub
+        FROM lineitem)
+    SELECT id,
+           'nm' || MIN(ord) AS name,
+           STRING_AGG(DISTINCT pub, '|' ORDER BY pub) AS pubs
+    FROM z GROUP BY id
+"""
+
+
+@query("skew_salted_merge_stress", _ZIPF_MERGE_ORACLE)
+def skew_salted_merge_stress_q(spark, sf_dir):
+    """Hub-skew stress for the salted two-phase A3 merge
+    (operators/skew.py:merge_properties_salted): one key owns ~30% of the
+    input. Phase 1 fans the hub across 16 salt buckets, so no reducer
+    ever sees more than hub/16 rows; phase 2 combines 16 partials. The
+    oracle proves bit-identical keep-first-truthy + sorted-list-union
+    results under the bucketing."""
+    from orion_spark.operators.skew import merge_properties_salted
+
+    merged = merge_properties_salted(
+        _zipf_merge_frame(spark, sf_dir), ["id"], "source_ordinal",
+        salt_buckets=16,
+    )
+    return merged.select(
+        "id", "name", F.array_join("publications", "|").alias("pubs")
+    )
+
+
+@query("skew_direct_merge_stress", _ZIPF_MERGE_ORACLE)
+def skew_direct_merge_stress_q(spark, sf_dir):
+    """The same hub-skewed merge through the DIRECT single-phase groupBy
+    (operators/merge.py:merge_properties_agg) — the baseline the salted
+    variant is measured against in BENCH (bench.py runs both; SCALE.md
+    records the delta). Same oracle, same result."""
+    from orion_spark.operators.merge import merge_properties_agg
+
+    merged = merge_properties_agg(
+        _zipf_merge_frame(spark, sf_dir), ["id"], "source_ordinal"
+    )
+    return merged.select(
+        "id", "name", F.array_join("publications", "|").alias("pubs")
+    )
