@@ -418,3 +418,170 @@ def test_source_resolver_recovers_from_crashed_produce(spark, tmp_path):
     out2 = r2.resolve("src_c", "v1", pinned=False)
     assert r2.last_tier == "produce" and len(calls) == 1
     assert not os.path.exists(os.path.join(out2, "stale"))
+
+
+def _start_registry_server(root):
+    """Local HTTP server with GET (files under root) + PUT (write under
+    root) — the minimal surface both registry clients speak."""
+    import http.server
+    import threading
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def do_PUT(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            target = os.path.join(str(root), self.path.lstrip("/"))
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(target, "wb") as fh:
+                fh.write(body)
+            self.send_response(201)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_http_bundle_registry_resolver_tiers(spark, tmp_path):
+    """orion/graph_registry.py parity for the bundle tier: the HTTP
+    registry is a drop-in for FileSystemRegistry in SourceResolver's
+    local -> registry -> produce ladder. A produced bundle publishes
+    (manifest last); a second builder fetches from HTTP and SKIPS its
+    producer; a fetch over a crashed-produce leftover dir succeeds."""
+    from orion_spark.plans.registry_http import HttpBundleRegistry
+
+    serve_root = tmp_path / "registry_root"
+    serve_root.mkdir()
+    srv, base = _start_registry_server(serve_root)
+    try:
+        registry = HttpBundleRegistry(base)
+        assert not registry.has_bundle("src_a", "v1")
+
+        calls = []
+
+        def producer(dest):
+            calls.append(dest)
+            os.makedirs(os.path.join(dest, "sub"), exist_ok=True)
+            with open(os.path.join(dest, "data.txt"), "w") as fh:
+                fh.write("payload")
+            with open(os.path.join(dest, "sub", "extra.txt"), "w") as fh:
+                fh.write("nested")
+
+        r1 = P.SourceResolver(
+            str(tmp_path / "b1"), registry, producers={"src_a": producer}
+        )
+        out1 = r1.resolve("src_a", "v1", pinned=False)
+        assert r1.last_tier == "produce" and len(calls) == 1
+        assert registry.has_bundle("src_a", "v1")
+        # manifest excludes the local completeness marker
+        import json as _json
+
+        manifest = _json.loads(
+            (serve_root / "src_a" / "v1" / "_MANIFEST").read_text()
+        )
+        assert manifest == ["data.txt", "sub/extra.txt"]
+
+        # second builder: registry hit over HTTP, producer never called
+        r2 = P.SourceResolver(
+            str(tmp_path / "b2"), registry, producers={"src_a": producer}
+        )
+        # simulate a crashed prior produce in b2's local tree
+        dirty = r2._local_dir("src_a", "v1")
+        os.makedirs(dirty)
+        with open(os.path.join(dirty, "torn"), "w") as fh:
+            fh.write("x")
+        out2 = r2.resolve("src_a", "v1", pinned=False)
+        assert r2.last_tier == "registry" and len(calls) == 1
+        assert open(os.path.join(out2, "data.txt")).read() == "payload"
+        assert open(os.path.join(out2, "sub", "extra.txt")).read() == "nested"
+        assert not os.path.exists(os.path.join(out2, "torn"))
+        assert os.path.exists(os.path.join(out2, P.BUNDLE_MARKER))
+
+        # idempotent republish is a no-op (content-addressed)
+        registry.publish_bundle("src_a", "v1", out1)
+    finally:
+        srv.shutdown()
+
+
+def test_http_graph_registry_client_protocol(tmp_path):
+    """Release-catalog protocol (graph_registry.py:42-133): cached
+    versions, build->release mapping, metadata by release/latest, file
+    manifest (missing -> error), and download with the three
+    distribution contentUrl resolution fallbacks."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from orion_spark.plans.registry_http import (
+        GraphRegistryError,
+        HttpGraphRegistryClient,
+    )
+
+    serve_root = tmp_path / "catalog"
+    (serve_root / "versions").mkdir(parents=True)
+    (serve_root / "graph_metadata" / "g1").mkdir(parents=True)
+    (serve_root / "files" / "g1").mkdir(parents=True)
+    (serve_root / "bundles" / "g1" / "r2").mkdir(parents=True)
+    (serve_root / "versions" / "g1").write_text(_json.dumps([
+        {"version": "r1", "build_version": "b1", "latest": False},
+        {"version": "r2", "build_version": "b2", "latest": True},
+    ]))
+    (serve_root / "bundles" / "g1" / "r2" / "nodes.jsonl").write_text(
+        '{"id": "A:1"}\n'
+    )
+    (serve_root / "bundles" / "g1" / "r2" / "schema.json").write_text("{}")
+    srv, base = _start_registry_server(serve_root)
+    try:
+        meta = {
+            "distribution": [
+                {"contentUrl": f"{base}/bundles/g1/r2/nodes.jsonl"}
+            ]
+        }
+        (serve_root / "graph_metadata" / "g1" / "r2").write_text(
+            _json.dumps(meta)
+        )
+        (serve_root / "files" / "g1" / "r2").write_text(_json.dumps(
+            [{"file_path": "g1/r2/nodes.jsonl", "file_size_bytes": 14}]
+        ))
+
+        client = HttpGraphRegistryClient(base)
+        assert client.release_version_for_build_version("g1", "b2") == "r2"
+        assert client.release_version_for_build_version("g1", "bX") is None
+        # versions are cached: a second call never re-fetches (delete the
+        # backing file and ask again)
+        (serve_root / "versions" / "g1").unlink()
+        assert client.release_version_for_build_version("g1", "b1") == "r1"
+
+        got = client.get_graph_metadata("g1", "r2")
+        assert got["distribution"] == meta["distribution"]
+        assert client.get_graph_metadata("g1", "r9") is None
+
+        files = client.list_files("g1", "r2")
+        assert files[0]["file_path"] == "g1/r2/nodes.jsonl"
+        with _pytest.raises(GraphRegistryError, match="no file manifest"):
+            client.list_files("g1", "r9")
+
+        # fallback 1: exact-file distribution entry
+        dest = tmp_path / "dl" / "nodes.jsonl"
+        client.download_file("g1", "nodes.jsonl", str(dest), got)
+        assert dest.read_text() == '{"id": "A:1"}\n'
+        # fallback 2: file not listed -> shares a listed file's directory
+        dest2 = tmp_path / "dl" / "schema.json"
+        client.download_file("g1", "schema.json", str(dest2), got)
+        assert dest2.read_text() == "{}"
+        # fallback 3: legacy directory-style contentUrl
+        legacy = {"distribution": [{"contentUrl": f"{base}/bundles/g1/r2/"}]}
+        dest3 = tmp_path / "dl" / "nodes2.jsonl"
+        client.download_file("g1", "nodes.jsonl", str(dest3), legacy)
+        assert dest3.read_text() == '{"id": "A:1"}\n'
+        # no resolvable URL -> loud error
+        with _pytest.raises(GraphRegistryError, match="contentUrl"):
+            client.download_file("g1", "x", str(tmp_path / "x"), {})
+    finally:
+        srv.shutdown()
