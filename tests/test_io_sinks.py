@@ -338,3 +338,87 @@ def test_neo4j_dump_orchestration_with_fake_binaries(spark, tmp_path):
             _nodes(spark), _edges(spark), str(tmp_path / "dump2"),
             neo4j_admin=bad_admin, neo4j=neo, cypher_shell=shell,
         )
+
+
+def test_memgraph_dump_files_and_load_orchestration(spark, tmp_path):
+    """memgraph_tools.py:9-48 parity: node csv + index cypher + one edge
+    csv per predicate with a manifest, idempotent per artifact; then the
+    injectable-mgconsole load chain runs indexes -> nodes -> per-type
+    LOAD CSV, gating on exit codes."""
+    import stat
+    import sys
+
+    from pyspark.sql import Row as R
+
+    from orion_spark.sinks import memgraph_dump as MD
+
+    edges = spark.createDataFrame(
+        [
+            R(subject="HGNC:1", predicate="biolink:related_to",
+              object="HGNC:2", primary_knowledge_source="infores:x"),
+            R(subject="HGNC:2", predicate="biolink:treats",
+              object="HGNC:1", primary_knowledge_source="infores:x"),
+            R(subject="HGNC:1", predicate="biolink:treats",
+              object="HGNC:2", primary_knowledge_source="infores:x"),
+        ]
+    )
+    out = str(tmp_path / "mgdump")
+    manifest = MD.create_memgraph_dump(
+        _nodes(spark), edges, out, graph_id="g1", release_version="1.0.0",
+        node_property_ignore_list={"empty_str", "empty_arr"},
+    )
+    # node csv: header + 2 rows, ignored properties dropped
+    lines = open(manifest["nodes_csv"]).read().splitlines()
+    assert len(lines) == 3
+    assert lines[0].split("\t")[:3] == ["id", "name", "category"]
+    assert "empty_str" not in lines[0]
+    # index cypher: root name index + per-label id indexes
+    cypher = open(manifest["indexes_cypher"]).read().splitlines()
+    assert cypher[0] == "CREATE INDEX ON :`biolink:NamedThing`(name);"
+    assert "CREATE INDEX ON :`biolink:Gene`(id);" in cypher
+    # per-predicate edge csvs + manifest
+    assert [e["rel_type"] for e in manifest["edge_csvs"]] == [
+        "biolink_related_to", "biolink_treats"
+    ]
+    treats = [e for e in manifest["edge_csvs"]
+              if e["rel_type"] == "biolink_treats"][0]
+    tlines = open(os.path.join(out, treats["file"])).read().splitlines()
+    assert len(tlines) == 3  # header + 2 treats rows
+    mlines = open(manifest["edge_manifest"]).read().splitlines()
+    assert mlines == [e["file"] for e in manifest["edge_csvs"]]
+
+    # idempotent: artifacts untouched on re-run (mtime preserved)
+    mtime = os.path.getmtime(manifest["nodes_csv"])
+    manifest2 = MD.create_memgraph_dump(
+        _nodes(spark), edges, out, graph_id="g1", release_version="1.0.0",
+    )
+    assert os.path.getmtime(manifest2["nodes_csv"]) == mtime
+    assert manifest2["edge_csvs"] == manifest["edge_csvs"]
+
+    # load orchestration against a fake mgconsole that records stdin
+    calls = tmp_path / "mg_calls.log"
+    fake = tmp_path / "fake_mgconsole.py"
+    fake.write_text(
+        f"#!{sys.executable}\nimport sys\n"
+        f"open({str(calls)!r}, 'a').write(sys.stdin.read() + '\\x00')\n"
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    ok, log = MD.load_memgraph_dump(manifest, mgconsole=[str(fake)])
+    assert ok and len(log) == 4  # indexes + nodes + 2 edge types
+    batches = calls.read_text().split("\x00")
+    assert "CREATE INDEX ON :`biolink:NamedThing`(name);" in batches[0]
+    assert "LOAD CSV" in batches[1] and "nodes.csv" in batches[1]
+    assert "biolink_related_to" in batches[2]
+    assert "biolink_treats" in batches[3]
+
+    # failing step aborts with captured stderr
+    bad = tmp_path / "bad_mgconsole.py"
+    bad.write_text(
+        f"#!{sys.executable}\nimport sys\n"
+        "sys.stderr.write('connection refused'); sys.exit(3)\n"
+    )
+    bad.chmod(bad.stat().st_mode | stat.S_IEXEC)
+    import pytest as _pytest
+
+    with _pytest.raises(MD.MemgraphDumpError, match="ExitCode 3.*refused"):
+        MD.load_memgraph_dump(manifest, mgconsole=[str(bad)])
