@@ -1348,3 +1348,338 @@ def intact_like(
     )
     nodes = protein_nodes.unionByName(taxon_nodes)
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Reactome-like: graph-DB-sourced extraction
+# (parsers/Reactome/src/loadReactome.py — the reference restores the
+#  Reactome neo4j dump into a live server [loadReactome.py:149-171, via
+#  orion/neo4j_tools.py], generates one cypher query per row of a
+#  triple-spec csv [:175-229], builds a reference-entity id map with three
+#  more cypher queries [:266-312], then walks result records imperatively
+#  resolving each endpoint through a mapping hierarchy [:348-383]. Here
+#  the graph export is two DataFrames — (db_id, labels, properties) nodes
+#  and (src, dst, rel_type) edges, exactly what the dump's CSVs hold; the
+#  load/dump orchestration itself is sinks/neo4j_dump.py — and every
+#  cypher pattern becomes a label-filtered join. The id-mapping hierarchy
+#  is one column expression; the reference-entity lookup is a
+#  deterministic min_by aggregate instead of dict-insertion order.)
+# ---------------------------------------------------------------------------
+
+REACTOME_PREDICATES = {
+    "compartment": "biolink:occurs_in",
+    "output": "biolink:has_output",
+    "input": "biolink:has_input",
+    "hasEvent": "biolink:contains_process",
+    "normalPathway": "biolink:contains_process",
+    "normalReaction": "biolink:contains_process",
+    "precedingEvent": "biolink:precedes",
+    "activeUnit": "biolink:actively_involves",
+    "hasComponent": "biolink:has_part",
+    "catalystActivity": "biolink:actively_involves",
+    "cellType": "biolink:located_in",
+    "goBiologicalProcess": "biolink:subclass_of",
+    "disease": "biolink:disease_has_basis_in",
+    "regulator": "biolink:affects",
+    "species": "biolink:in_taxon",
+    "includedLocation": "biolink:located_in",
+}
+
+# reactome databaseName -> curie prefix (loadReactome.py:47-59)
+REACTOME_DB_PREFIXES = {
+    "UniProt": "UniProtKB",
+    "Guide to Pharmacology": "GTOPDB",
+    "ChEBI": "CHEBI",
+    "REACT": "REACT",
+    "COMPOUND": "KEGG.COMPOUND",
+    "PubChem Compound": "PUBCHEM.COMPOUND",
+    "PubChem Substance": "PUBCHEM.COMPOUND",
+    "KEGG Glycan": "KEGG.GLYCAN",
+    "NCBI Entrez Gene": "NCBIGene",
+    "ClinVar": "CLINVAR",
+}
+
+_R_ON_NODE = [
+    "GO_Term", "Species", "ExternalOntology", "ReferenceTherapeutic",
+    "ReferenceMolecule", "ReferenceSequence", "Disease",
+]
+_R_NORMALIZED = [
+    "ReactionLikeEvent", "Pathway", "Event", "BlackboxEvent",
+    "FailedReaction", "Depolymerisation", "Polymerisation",
+]
+_R_CROSS = [
+    "EntityWithAccessionedSequence", "GenomeEncodedEntity", "SimpleEntity",
+    "Drug", "Complex", "Polymer",
+]
+
+
+def _r_has_any(labels: Column, names: list[str]) -> Column:
+    return F.arrays_overlap(labels, F.array(*[F.lit(n) for n in names]))
+
+
+def _r_db_curie(db_name: Column, ident: Column) -> Column:
+    """databaseName->prefix map with the reference's fall-through: an
+    unmapped databaseName keeps itself as the prefix so the failure is
+    visible downstream in normalization logs (loadReactome.py:289-296)."""
+    pairs = []
+    for k, v in REACTOME_DB_PREFIXES.items():
+        pairs += [F.lit(k), F.lit(v)]
+    prefix = F.coalesce(F.element_at(F.create_map(*pairs), db_name), db_name)
+    return F.concat(prefix, F.lit(":"), ident)
+
+
+def _r_on_node_curie(labels: Column) -> Column:
+    """On-node mapping (loadReactome.py:349-369): Species -> taxId,
+    GO_Term -> accession, else databaseName:identifier."""
+    return (
+        F.when(
+            F.array_contains(labels, "Species"),
+            F.concat(F.lit("NCBITaxon:"), F.col("tax_id")),
+        )
+        .when(
+            F.array_contains(labels, "GO_Term"),
+            _r_db_curie(F.col("database_name"), F.col("accession")),
+        )
+        .otherwise(_r_db_curie(F.col("database_name"), F.col("identifier")))
+    )
+
+
+def reactome_reference_entity_mapping(
+    graph_nodes: DataFrame, graph_edges: DataFrame
+) -> DataFrame:
+    """The three cross-map queries (loadReactome.py:266-312) as one
+    label-filtered join + aggregate. Returns (db_id, mapped_curie).
+
+    - referenceEntity links, source not a Pathway
+    - crossReference links, source not Pathway/PhysicalEntity/Event
+    - goBiologicalProcess Pathway->GO_Term where displayNames match
+      case/hyphen-insensitively
+    The reference keeps the FIRST curie per node in dict-insertion order
+    (query order, then neo4j's arbitrary record order); here the pick is
+    min_by((query_priority, curie)) — same priority across queries,
+    deterministic within one."""
+    nl = graph_nodes.select(
+        F.col("db_id").alias("_src_id"), F.col("labels").alias("_src_labels"),
+        F.col("display_name").alias("_src_name"),
+    )
+    refs = graph_nodes.select(
+        F.col("db_id").alias("_ref_id"), F.col("labels").alias("labels"),
+        "st_id", "display_name", "database_name", "identifier", "accession",
+        "tax_id",
+    )
+    e = graph_edges.select("src", "dst", "rel_type")
+    joined = (
+        e.join(nl, e["src"] == nl["_src_id"])
+        .join(refs, e["dst"] == refs["_ref_id"])
+    )
+    norm_name = lambda c: F.regexp_replace(F.lower(c), "-", " ")  # noqa: E731
+    eligible = (
+        F.when(
+            F.col("rel_type") == "referenceEntity",
+            ~F.array_contains("_src_labels", "Pathway"),
+        )
+        .when(
+            F.col("rel_type") == "crossReference",
+            ~F.array_contains("_src_labels", "Pathway")
+            & ~F.array_contains("_src_labels", "PhysicalEntity")
+            & ~F.array_contains("_src_labels", "Event"),
+        )
+        .when(
+            F.col("rel_type") == "goBiologicalProcess",
+            F.array_contains("_src_labels", "Pathway")
+            & F.array_contains("labels", "GO_Term")
+            & (norm_name(F.col("_src_name")) == norm_name(F.col("display_name"))),
+        )
+        .otherwise(F.lit(False))
+    )
+    priority = (
+        F.when(F.col("rel_type") == "referenceEntity", 0)
+        .when(F.col("rel_type") == "crossReference", 1)
+        .otherwise(2)
+    )
+    labels = F.col("labels")
+    curie = (
+        F.when(
+            _r_has_any(labels, _R_ON_NODE) | _r_has_any(labels, _R_CROSS),
+            _r_on_node_curie(labels),
+        )
+        .when(
+            _r_has_any(labels, _R_NORMALIZED),
+            F.concat(F.lit("REACT:"), F.col("st_id")),
+        )
+        .when(
+            (F.size(labels) == 2)
+            & F.array_contains(labels, "DatabaseObject")
+            & F.array_contains(labels, "DatabaseIdentifier"),
+            _r_db_curie(F.col("database_name"), F.col("identifier")),
+        )
+    )
+    return (
+        joined.where(eligible)
+        .select(F.col("src").alias("db_id"), priority.alias("_prio"), curie.alias("_curie"))
+        .where(F.col("_curie").isNotNull())
+        .groupBy("db_id")
+        .agg(
+            F.min_by("_curie", F.struct(F.col("_prio"), F.col("_curie"))).alias(
+                "mapped_curie"
+            )
+        )
+    )
+
+
+def reactome_like(
+    spark: SparkSession,
+    graph_nodes: DataFrame,
+    graph_edges: DataFrame,
+    triple_specs: list[tuple[str, str, str, str]],
+) -> tuple[DataFrame, DataFrame]:
+    """Reactome family end-to-end: (nodes, edges) from a graph-DB export.
+
+    `triple_specs` rows are (subject_label, rel_type, object_label,
+    include_mode) — the reference's reactomeContents_CriticalTriples.csv.
+    Modes: 'Include' (a->b), 'Include/SwitchSO' (emit b->a, the
+    reference's direction flip), 'Include/Complex' and
+    'Include/SwitchSO/Complex' (the hasComponent complex-context
+    patterns, carrying c.displayName as complex_context). Endpoint ids
+    resolve through the mapping hierarchy (loadReactome.py:348-383):
+    on-node mapping, else REACT stId for event-family labels (a Pathway
+    prefers its equivalent-GO mapping), else the reference-entity lookup
+    with REACT fallback; rows with an unresolvable endpoint are skipped
+    (counted via observe, the reference's skipped_record_counter)."""
+    refmap = reactome_reference_entity_mapping(graph_nodes, graph_edges)
+
+    def endpoint(side: str) -> DataFrame:
+        labels = F.col("labels")
+        mapped = F.col("mapped_curie")
+        node_id = (
+            F.when(_r_has_any(labels, _R_ON_NODE), _r_on_node_curie(labels))
+            .when(
+                _r_has_any(labels, _R_NORMALIZED),
+                F.when(
+                    F.array_contains(labels, "Pathway") & mapped.isNotNull(),
+                    mapped,
+                ).otherwise(F.concat(F.lit("REACT:"), F.col("st_id"))),
+            )
+            .when(
+                _r_has_any(labels, _R_CROSS),
+                F.coalesce(mapped, F.concat(F.lit("REACT:"), F.col("st_id"))),
+            )
+        )
+        return (
+            graph_nodes.join(refmap, "db_id", "left")
+            .select(
+                F.col("db_id").alias(f"_{side}_id"),
+                node_id.alias(f"{side}_curie"),
+                F.col("labels").alias(f"_{side}_labels"),
+                F.col("display_name").alias(f"_{side}_name"),
+                F.col("definition").alias(f"_{side}_def"),
+                F.col("url").alias(f"_{side}_url"),
+            )
+        )
+
+    a, b = endpoint("a"), endpoint("b")
+    e = graph_edges.select("src", "dst", "rel_type")
+    pred_pairs = []
+    for k, v in REACTOME_PREDICATES.items():
+        pred_pairs += [F.lit(k), F.lit(v)]
+    pred_map = F.create_map(*pred_pairs)
+
+    # complex-context lookup: component -> owning complex displayName
+    # (the c node of the MATCH (a)<-[hasComponent]-(c)-[r1]->(b) pattern)
+    complexes = graph_nodes.where(F.array_contains("labels", "Complex")).select(
+        F.col("db_id").alias("_cx_id"), F.col("display_name").alias("_cx_name")
+    )
+    comp_edges = graph_edges.where(F.col("rel_type") == "hasComponent").select(
+        F.col("src").alias("_cx_src"), F.col("dst").alias("_comp")
+    )
+    comp_ctx = (
+        comp_edges.join(complexes, F.col("_cx_src") == F.col("_cx_id"))
+        .groupBy(F.col("_cx_src").alias("_ctx_complex"))
+        .agg(F.min("_cx_name").alias("complex_context"))
+    )
+
+    out_frames = []
+    for subj_label, rel, obj_label, mode in triple_specs:
+        if not mode.startswith("Include"):
+            continue
+        switched = "SwitchSO" in mode
+        with_complex = mode.endswith("Complex")
+        matched = (
+            e.where(F.col("rel_type") == rel)
+            .join(a, F.col("src") == F.col("_a_id"))
+            .join(b, F.col("dst") == F.col("_b_id"))
+            .where(
+                F.array_contains("_a_labels", subj_label)
+                & F.array_contains("_b_labels", obj_label)
+            )
+        )
+        if with_complex:
+            # context comes from the Complex that hasComponent-owns the
+            # subject-side node of the matched pattern
+            matched = matched.join(
+                comp_ctx, F.col("src") == F.col("_ctx_complex"), "left"
+            )
+        else:
+            matched = matched.withColumn(
+                "complex_context", F.lit(None).cast("string")
+            )
+        subj_curie = F.col("b_curie") if switched else F.col("a_curie")
+        obj_curie = F.col("a_curie") if switched else F.col("b_curie")
+        out_frames.append(
+            matched.select(
+                subj_curie.alias("subject"),
+                F.coalesce(
+                    F.element_at(pred_map, F.col("rel_type")), F.col("rel_type")
+                ).alias("predicate"),
+                obj_curie.alias("object"),
+                F.lit("infores:reactome").alias("primary_knowledge_source"),
+                F.col("complex_context"),
+                F.col("src").alias("_sid"),
+                F.col("dst").alias("_oid"),
+            )
+        )
+    if not out_frames:
+        raise ValueError("no Include-mode triple specs given")
+    all_edges = out_frames[0]
+    for f in out_frames[1:]:
+        all_edges = all_edges.unionByName(f)
+    all_edges = all_edges.observe(
+        "reactome_skips",
+        F.sum(
+            F.when(
+                F.col("subject").isNull() | F.col("object").isNull(), 1
+            ).otherwise(0)
+        ).alias("skipped_record_counter"),
+    )
+    kept = all_edges.where(
+        F.col("subject").isNotNull() & F.col("object").isNotNull()
+    )
+    edges = kept.drop("_sid", "_oid").distinct()
+
+    # nodes: every resolved endpoint of a kept edge, with the reference's
+    # category rule (Complex -> MacromolecularComplex) and property pass
+    touched = kept.select(F.col("_sid").alias("db_id")).unionAll(
+        kept.select(F.col("_oid").alias("db_id"))
+    ).distinct()
+    resolved = endpoint("n")
+    nodes = (
+        touched.join(resolved, touched["db_id"] == resolved["_n_id"])
+        .where(F.col("n_curie").isNotNull())
+        .select(
+            F.col("n_curie").alias("id"),
+            F.coalesce(F.col("_n_name"), F.lit("")).alias("name"),
+            F.when(
+                F.array_contains("_n_labels", "Complex"),
+                F.array(
+                    F.lit("biolink:NamedThing"),
+                    F.lit("biolink:MacromolecularComplex"),
+                ),
+            )
+            .otherwise(F.array(F.lit("biolink:NamedThing")))
+            .alias("category"),
+            F.col("_n_def").alias("definition"),
+            F.col("_n_url").alias("url"),
+        )
+        .dropDuplicates(["id"])
+    )
+    return nodes, edges

@@ -5415,3 +5415,78 @@ def skew_direct_merge_stress_q(spark, sf_dir):
     return merged.select(
         "id", "name", F.array_join("publications", "|").alias("pubs")
     )
+
+
+@query(
+    "reactome_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'REACT:P' || k AS subject, 'biolink:contains_process' AS predicate,
+           'REACT:R' || k AS object
+    FROM n
+    UNION ALL
+    SELECT CASE WHEN k % 2 = 0 THEN 'UniProtKB:P0' || k
+                ELSE 'REACT:PR' || k END,
+           'biolink:has_input', 'REACT:R' || k
+    FROM n
+    """,
+)
+def reactome_like_edges_q(spark, sf_dir):
+    """Graph-DB-sourced extraction (parsers/Reactome/src/loadReactome.py)
+    over a nation-derived synthetic export: triple-spec joins, predicate
+    map, SwitchSO flip, and the referenceEntity id-mapping hierarchy
+    (even nations map to UniProt, odd fall back to their REACT stId). The
+    oracle recomputes the resolved edge set closed-form."""
+    from pyspark.sql import Row
+
+    from orion_spark.plans.parsers import reactome_like
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    node_rows, edge_rows = [], []
+    for k in ks:
+        node_rows += [
+            Row(db_id=10 * k + 1, labels=["DatabaseObject", "Event", "Pathway"],
+                st_id=f"P{k}", display_name=f"Pathway {k}", database_name=None,
+                identifier=None, accession=None, tax_id=None, definition=None,
+                url=None),
+            Row(db_id=10 * k + 2,
+                labels=["DatabaseObject", "Event", "ReactionLikeEvent"],
+                st_id=f"R{k}", display_name=f"Reaction {k}", database_name=None,
+                identifier=None, accession=None, tax_id=None, definition=None,
+                url=None),
+            Row(db_id=10 * k + 3,
+                labels=["DatabaseObject", "PhysicalEntity",
+                        "EntityWithAccessionedSequence"],
+                st_id=f"PR{k}", display_name=f"Protein {k}", database_name=None,
+                identifier=None, accession=None, tax_id=None, definition=None,
+                url=None),
+        ]
+        edge_rows += [
+            (10 * k + 1, 10 * k + 2, "hasEvent"),
+            (10 * k + 2, 10 * k + 3, "input"),
+        ]
+        if k % 2 == 0:
+            node_rows.append(
+                Row(db_id=10 * k + 4, labels=["DatabaseObject", "ReferenceSequence"],
+                    st_id=None, display_name=f"UniProt:P0{k}",
+                    database_name="UniProt", identifier=f"P0{k}", accession=None,
+                    tax_id=None, definition=None, url=None)
+            )
+            edge_rows.append((10 * k + 3, 10 * k + 4, "referenceEntity"))
+    gn = spark.createDataFrame(
+        node_rows,
+        "db_id long, labels array<string>, st_id string, display_name string, "
+        "database_name string, identifier string, accession string, "
+        "tax_id string, definition string, url string",
+    )
+    ge = spark.createDataFrame(edge_rows, "src long, dst long, rel_type string")
+    specs = [
+        ("Pathway", "hasEvent", "ReactionLikeEvent", "Include"),
+        ("ReactionLikeEvent", "input", "EntityWithAccessionedSequence",
+         "Include/SwitchSO"),
+    ]
+    _, edges = reactome_like(spark, gn, ge, specs)
+    return edges.select("subject", "predicate", "object")

@@ -636,3 +636,118 @@ def test_intact_like_parser_golden_counts(spark, tmp_path):
     assert n["UniProtKB:P300"].category == ["biolink:NamedThing"]
     assert "biolink:OrganismTaxon" in n["NCBITaxon:9606"].category
     assert "UniProtKB:P999" not in n  # skipped row contributes nothing
+
+
+def _reactome_graph(spark):
+    """Synthetic graph-DB export: a pathway with an equivalent GO term,
+    a reaction with an input protein (EWAS -> UniProt via
+    referenceEntity), a species link, and a complex with a component."""
+    from pyspark.sql import Row as R
+
+    nodes = spark.createDataFrame(
+        [
+            R(db_id=1, labels=["DatabaseObject", "Event", "Pathway"],
+              st_id="R-HSA-1", display_name="Cell Cycle", database_name=None,
+              identifier=None, accession=None, tax_id=None,
+              definition=None, url=None),
+            R(db_id=2, labels=["DatabaseObject", "Event", "ReactionLikeEvent"],
+              st_id="R-HSA-2", display_name="Phosphorylation",
+              database_name=None, identifier=None, accession=None,
+              tax_id=None, definition=None, url=None),
+            R(db_id=3,
+              labels=["DatabaseObject", "PhysicalEntity",
+                      "EntityWithAccessionedSequence"],
+              st_id="R-HSA-3", display_name="CDK1 protein",
+              database_name=None, identifier=None, accession=None,
+              tax_id=None, definition="a kinase", url=None),
+            R(db_id=4, labels=["DatabaseObject", "ReferenceSequence"],
+              st_id=None, display_name="UniProt:P06493", database_name="UniProt",
+              identifier="P06493", accession=None, tax_id=None,
+              definition=None, url="https://uniprot.org/P06493"),
+            R(db_id=5, labels=["DatabaseObject", "GO_Term"],
+              st_id=None, display_name="cell-cycle", database_name="GO",
+              identifier=None, accession="0007049", tax_id=None,
+              definition=None, url=None),
+            R(db_id=6, labels=["DatabaseObject", "Species"],
+              st_id=None, display_name="Homo sapiens", database_name=None,
+              identifier=None, accession=None, tax_id="9606",
+              definition=None, url=None),
+            R(db_id=7, labels=["DatabaseObject", "PhysicalEntity", "Complex"],
+              st_id="R-HSA-7", display_name="MPF complex", database_name=None,
+              identifier=None, accession=None, tax_id=None,
+              definition=None, url=None),
+            # an EWAS with NO referenceEntity -> falls back to REACT stId
+            R(db_id=8,
+              labels=["DatabaseObject", "PhysicalEntity",
+                      "EntityWithAccessionedSequence"],
+              st_id="R-HSA-8", display_name="Orphan protein",
+              database_name=None, identifier=None, accession=None,
+              tax_id=None, definition=None, url=None),
+        ]
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "hasEvent"),        # Pathway contains reaction
+            (2, 3, "input"),           # reaction has input protein
+            (3, 4, "referenceEntity"), # protein -> UniProt reference
+            (1, 5, "goBiologicalProcess"),  # pathway == GO term (name match)
+            (7, 6, "species"),         # complex in taxon
+            (7, 3, "hasComponent"),    # complex has the protein
+            (2, 8, "output"),          # orphan output
+        ],
+        "src long, dst long, rel_type string",
+    )
+    return nodes, edges
+
+
+def test_reactome_like_graph_extraction(spark):
+    """loadReactome.py parity on a synthetic export: triple-spec-driven
+    extraction, predicate map, the id-resolution hierarchy (on-node,
+    pathway-prefers-GO, referenceEntity lookup with REACT fallback),
+    SwitchSO direction flip, complex context."""
+    gn, ge = _reactome_graph(spark)
+    specs = [
+        ("Pathway", "hasEvent", "ReactionLikeEvent", "Include"),
+        # SwitchSO: emitted as protein -> reaction
+        ("ReactionLikeEvent", "input", "EntityWithAccessionedSequence",
+         "Include/SwitchSO"),
+        ("Complex", "species", "Species", "Include"),
+        ("ReactionLikeEvent", "output", "EntityWithAccessionedSequence",
+         "Include"),
+        ("Pathway", "somethingIgnored", "Species", "NotIncluded"),
+    ]
+    nodes, edges = PP.reactome_like(spark, gn, ge, specs)
+    e = {(r.subject, r.predicate, r.object) for r in edges.collect()}
+    assert e == {
+        # pathway resolved to its equivalent GO term, not REACT
+        ("GO:0007049", "biolink:contains_process", "REACT:R-HSA-2"),
+        # SwitchSO: protein (mapped via referenceEntity) -> reaction
+        ("UniProtKB:P06493", "biolink:has_input", "REACT:R-HSA-2"),
+        ("REACT:R-HSA-7", "biolink:in_taxon", "NCBITaxon:9606"),
+        # orphan EWAS falls back to its REACT stId
+        ("REACT:R-HSA-2", "biolink:has_output", "REACT:R-HSA-8"),
+    }
+    n = {r.id: r for r in nodes.collect()}
+    assert n["GO:0007049"].name == "Cell Cycle"  # pathway node, GO id
+    assert n["UniProtKB:P06493"].definition == "a kinase"
+    assert n["REACT:R-HSA-7"].category == [
+        "biolink:NamedThing", "biolink:MacromolecularComplex"
+    ]
+    assert n["NCBITaxon:9606"].name == "Homo sapiens"
+
+
+def test_reactome_complex_context_and_unmapped_predicate(spark):
+    """The Include/Complex mode carries the owning complex's displayName;
+    an unmapped rel_type keeps itself as predicate (visible, like the
+    unmapped databaseName prefix fall-through)."""
+    gn, ge = _reactome_graph(spark)
+    specs = [
+        ("Complex", "species", "Species", "Include/Complex"),
+        ("Pathway", "goBiologicalProcess", "GO_Term", "Include"),
+    ]
+    _, edges = PP.reactome_like(spark, gn, ge, specs)
+    rows = {(r.subject, r.predicate): r for r in edges.collect()}
+    cx = rows[("REACT:R-HSA-7", "biolink:in_taxon")]
+    assert cx.complex_context == "MPF complex"
+    # goBiologicalProcess IS in the predicate map
+    assert ("GO:0007049", "biolink:subclass_of") in rows
