@@ -1698,3 +1698,194 @@ def reactome_like(
         .dropDuplicates(["id"])
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# DrugMechDB-like: JSON array of indication-path documents
+# (parsers/drugmechdb/src/loadDrugMechDB.py)
+#
+# Each document is a mechanism-of-action path: graph metadata (drug,
+# drug_mesh, drugbank, disease, disease_mesh), a node list and an ordered
+# link list. The reference streams the array with an incremental JSON
+# decoder (loadDrugMechDB.py:14-72) and accumulates two dict-keyed edge
+# sets; here the whole parse is one declarative plan: multiLine JSON scan
+# -> posexplode(links) -> curie fixups -> predicate/qualifier map ->
+# groupBy edge-key with collect_set(path id). The positional lookahead
+# (links[index+1], loadDrugMechDB.py:264-278) becomes a self-join on
+# (doc, idx + 1). At scale the array file would be pre-split to JSONL so
+# the scan parallelizes; the plan is unchanged.
+# ---------------------------------------------------------------------------
+
+# str.replace chain from loadDrugMechDB.py:119-126
+DRUGMECHDB_NODE_FIXUPS = [
+    ("UniProt:", "UniProtKB:"),
+    ("InterPro:", "interpro:"),
+    ("reactome:", "REACT:"),
+    ("taxonomy:", "NCBITaxon:"),
+    ("Pfam:", "PFAM:"),
+    ("DB:", "DRUGBANK:"),
+    ("﻿", ""),
+]
+
+
+def _dmdb_fix_node(col: Column, node_mapping: dict[str, str] | None) -> Column:
+    for search, repl in DRUGMECHDB_NODE_FIXUPS:
+        col = F.replace(col, F.lit(search), F.lit(repl))
+    if node_mapping:
+        pairs = [F.lit(x) for kv in sorted(node_mapping.items()) for x in kv]
+        col = F.coalesce(F.element_at(F.create_map(*pairs), col), col)
+    return col
+
+
+def _dmdb_lookup(
+    mapping: dict[str, tuple[str, str, str, str]], raw: Column, slot: int
+) -> Column:
+    """One field of the predicate-mapping record (loadDrugMechDB.py:228-237):
+    slot 0 falls through to the raw biolink-ified key, qualifier slots to ''."""
+    pairs = []
+    for k, v in sorted(mapping.items()):
+        pairs += [F.lit(k), F.lit(v[slot])]
+    looked = F.element_at(F.create_map(*pairs), raw) if pairs else F.lit(None)
+    return F.coalesce(looked, raw if slot == 0 else F.lit(""))
+
+
+def drugmechdb_like(
+    spark: SparkSession,
+    path: str,
+    predicate_mapping: dict[str, tuple[str, str, str, str]],
+    node_mapping: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges). `predicate_mapping` maps a biolink-ified
+    link key to (predicate, qualified_predicate, object_direction_qualifier,
+    object_aspect_qualifier) — the flattened drugmechdb_predicate_map.json.
+
+    Mechanism edges: one per distinct (subject, object, predicate,
+    qualifiers) with the sorted set of supporting path ids
+    (loadDrugMechDB.py:151-170). target_for edges: drug-adjacent Protein/
+    GeneFamily targets — directly, or through one intermediate Drug/
+    ChemicalSubstance node via the idx+1 lookahead join — to the document's
+    disease (loadDrugMechDB.py:172-186, 239-278); a path whose drug link is
+    the final link has no lookahead row and drops out, where the reference
+    would fault on links[index+1]."""
+    raw = spark.read.option("multiLine", True).json(path)
+    doc = raw.select(
+        F.col("graph._id").alias("dmdb_id"),
+        F.col("graph.drug").alias("drug_name"),
+        F.col("graph.drug_mesh").alias("drug_mesh"),
+        F.col("graph.drugbank").alias("drugbank"),
+        F.col("graph.disease").alias("disease_name"),
+        _dmdb_fix_node(F.col("graph.disease_mesh"), node_mapping).alias("disease_id"),
+        "nodes",
+        "links",
+    )
+    links = doc.select(
+        "dmdb_id", "drug_name", "drug_mesh", "drugbank", "disease_name",
+        "disease_id", F.posexplode("links").alias("idx", "link"),
+    )
+    node_list = doc.select(
+        F.col("dmdb_id").alias("_nd_doc"), F.explode("nodes").alias("n")
+    ).select(
+        "_nd_doc",
+        F.col("n.id").alias("_nd_id"),
+        F.col("n.label").alias("_nd_label"),
+        F.col("n.name").alias("_nd_name"),
+    )
+
+    raw_pred = F.concat(
+        F.lit("biolink:"), F.replace(F.col("link.key"), F.lit(" "), F.lit("_"))
+    )
+    mech = links.select(
+        _dmdb_fix_node(F.col("link.source"), node_mapping).alias("subject"),
+        _dmdb_fix_node(F.col("link.target"), node_mapping).alias("object"),
+        _dmdb_lookup(predicate_mapping, raw_pred, 0).alias("predicate"),
+        _dmdb_lookup(predicate_mapping, raw_pred, 1).alias("qualified_predicate"),
+        _dmdb_lookup(predicate_mapping, raw_pred, 2).alias("object_direction_qualifier"),
+        _dmdb_lookup(predicate_mapping, raw_pred, 3).alias("object_aspect_qualifier"),
+        "dmdb_id",
+    )
+    mech_edges = mech.groupBy(
+        "subject", "object", "predicate", "qualified_predicate",
+        "object_direction_qualifier", "object_aspect_qualifier",
+    ).agg(F.array_sort(F.collect_set("dmdb_id")).alias("drugmechdb_path_id"))
+
+    # drug-anchored links: candidates for target_for (source == drug_mesh,
+    # compared raw as the reference does)
+    drug_links = links.where(F.col("link.source") == F.col("drug_mesh"))
+    anchored = drug_links.join(
+        node_list,
+        (F.col("_nd_doc") == F.col("dmdb_id"))
+        & (F.col("_nd_id") == F.col("link.target")),
+    )
+    direct = anchored.where(
+        F.col("_nd_label").isin("Protein", "GeneFamily")
+    ).select(
+        "dmdb_id", "drug_name", "drug_mesh", "drugbank", "disease_name",
+        "disease_id", F.col("_nd_name").alias("target_name"),
+        F.col("_nd_id").alias("target_raw_id"),
+    )
+    next_links = links.select(
+        F.col("dmdb_id").alias("_nx_doc"), F.col("idx").alias("_nx_idx"),
+        F.col("link").alias("_nx_link"),
+    )
+    via_intermediate = (
+        anchored.where(F.col("_nd_label").isin("Drug", "ChemicalSubstance"))
+        .join(
+            next_links,
+            (F.col("_nx_doc") == F.col("dmdb_id"))
+            & (F.col("_nx_idx") == F.col("idx") + 1)
+            & (F.col("_nx_link.source") == F.col("_nd_id")),
+        )
+        .drop("_nd_doc", "_nd_id", "_nd_label", "_nd_name")
+        .join(
+            node_list,
+            (F.col("_nd_doc") == F.col("dmdb_id"))
+            & (F.col("_nd_id") == F.col("_nx_link.target")),
+        )
+        .where(F.col("_nd_label").isin("Protein", "GeneFamily"))
+        .select(
+            "dmdb_id", "drug_name", "drug_mesh", "drugbank", "disease_name",
+            "disease_id", F.col("_nd_name").alias("target_name"),
+            F.col("_nd_id").alias("target_raw_id"),
+        )
+    )
+    targets = direct.unionByName(via_intermediate).withColumn(
+        "drug_target_id", _dmdb_fix_node(F.col("target_raw_id"), node_mapping)
+    )
+    tf_edges = (
+        targets.groupBy(
+            "drug_target_id", "disease_id", "drug_name", "drug_mesh",
+            "drugbank", "target_name", "disease_name",
+        )
+        .agg(F.array_sort(F.collect_set("dmdb_id")).alias("drugmechdb_path_id"))
+        .select(
+            F.col("drug_target_id").alias("subject"),
+            F.col("disease_id").alias("object"),
+            F.lit("biolink:target_for").alias("predicate"),
+            F.lit("").alias("qualified_predicate"),
+            F.lit("").alias("object_direction_qualifier"),
+            F.lit("").alias("object_aspect_qualifier"),
+            "drugmechdb_path_id",
+        )
+    )
+    edges = (
+        mech_edges.unionByName(tf_edges)
+        .withColumn("qualified_predicate", F.nullif("qualified_predicate", F.lit("")))
+        .withColumn(
+            "object_direction_qualifier",
+            F.nullif("object_direction_qualifier", F.lit("")),
+        )
+        .withColumn(
+            "object_aspect_qualifier", F.nullif("object_aspect_qualifier", F.lit(""))
+        )
+        .withColumn("knowledge_level", F.lit("knowledge_assertion"))
+        .withColumn("agent_type", F.lit("manual_agent"))
+        .withColumn(
+            "primary_knowledge_source", F.lit("infores:drugmechdb")
+        )
+    )
+    nodes = (
+        edges.select(F.col("subject").alias("id"))
+        .unionAll(edges.select(F.col("object").alias("id")))
+        .distinct()
+    )
+    return nodes, edges

@@ -5490,3 +5490,156 @@ def reactome_like_edges_q(spark, sf_dir):
     ]
     _, edges = reactome_like(spark, gn, ge, specs)
     return edges.select("subject", "predicate", "object")
+
+
+DRUGMECHDB_FIXTURE_PREDICATES = {
+    "biolink:positively_regulates":
+        ("biolink:affects", "biolink:causes", "increased", "activity"),
+    "biolink:negatively_regulates":
+        ("biolink:affects", "biolink:causes", "decreased", "activity"),
+    "biolink:decreases_activity_of":
+        ("biolink:affects", "biolink:causes", "decreased", "activity_or_abundance"),
+}
+
+
+def _drugmechdb_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic DrugMechDB indication-paths array synthesized from the
+    nation dim. Three doc shapes by k%3: direct drug->Protein path (direct
+    target_for), drug->Drug->Protein path (the idx+1 lookahead), and a
+    drug->BiologicalProcess stub (no target_for). Every doc also carries
+    one shared mechanism link so the path-id set aggregation spans docs.
+    Returns (json_path, node_mapping)."""
+    import json as _json
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    node_mapping = {f"MESH:DIS{k}": f"MONDO:{k}" for k in ks if k % 5 == 0}
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"drugmechdb_fixture_v1{slug}.json"
+    )
+    if os.path.exists(path):
+        return path, node_mapping
+
+    docs = []
+    for k in ks:
+        drug_mesh = f"MESH:DRUG{k}"
+        common = {"source": "UniProt:PCOM", "target": "CHEBI:424242", "key": "binds"}
+        graph = {
+            "_id": f"DB{k}", "drug": f"drug{k}", "drug_mesh": drug_mesh,
+            "drugbank": f"DB:{k}", "disease": f"dis{k}",
+            "disease_mesh": f"MESH:DIS{k}",
+        }
+        if k % 3 == 0:
+            links = [
+                common,
+                {"source": drug_mesh, "key": "positively regulates",
+                 "target": f"UniProt:P{k}"},
+                {"source": f"UniProt:P{k}", "key": "treats",
+                 "target": f"MESH:DIS{k}"},
+            ]
+            nodes = [
+                {"id": f"UniProt:P{k}", "label": "Protein", "name": f"prot{k}"},
+                {"id": drug_mesh, "label": "Drug", "name": f"drug{k}"},
+            ]
+        elif k % 3 == 1:
+            links = [
+                common,
+                {"source": drug_mesh, "key": "negatively regulates",
+                 "target": f"DB:C{k}"},
+                {"source": f"DB:C{k}", "key": "decreases activity of",
+                 "target": f"UniProt:P{k}"},
+                {"source": f"UniProt:P{k}", "key": "treats",
+                 "target": f"MESH:DIS{k}"},
+            ]
+            nodes = [
+                {"id": f"DB:C{k}", "label": "Drug", "name": f"chem{k}"},
+                {"id": f"UniProt:P{k}", "label": "Protein", "name": f"prot{k}"},
+            ]
+        else:
+            links = [
+                common,
+                {"source": drug_mesh, "key": "positively regulates",
+                 "target": f"taxonomy:T{k}"},
+            ]
+            nodes = [
+                {"id": f"taxonomy:T{k}", "label": "BiologicalProcess",
+                 "name": f"proc{k}"},
+            ]
+        docs.append({"graph": graph, "nodes": nodes, "links": links})
+
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(docs, fh)
+    os.replace(tmp, path)
+    return path, node_mapping
+
+
+@query(
+    "drugmechdb_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    dis AS (SELECT k, CASE WHEN k % 5 = 0 THEN 'MONDO:' || k
+                           ELSE 'MESH:DIS' || k END AS disease_id FROM n),
+    allp AS (SELECT string_agg(pid, '|' ORDER BY pid) AS pids
+             FROM (SELECT 'DB' || k AS pid FROM n)),
+    v0 AS (SELECT k, disease_id FROM dis WHERE k % 3 = 0),
+    v1 AS (SELECT k, disease_id FROM dis WHERE k % 3 = 1),
+    v2 AS (SELECT k FROM n WHERE k % 3 = 2)
+    SELECT 'UniProtKB:PCOM' AS subject, 'biolink:binds' AS predicate,
+           'CHEBI:424242' AS object,
+           CAST(NULL AS VARCHAR) AS qualified_predicate,
+           CAST(NULL AS VARCHAR) AS object_direction_qualifier,
+           CAST(NULL AS VARCHAR) AS object_aspect_qualifier,
+           (SELECT pids FROM allp) AS path_ids
+    UNION ALL
+    SELECT 'MESH:DRUG' || k, 'biolink:affects', 'UniProtKB:P' || k,
+           'biolink:causes', 'increased', 'activity', 'DB' || k FROM v0
+    UNION ALL
+    SELECT 'UniProtKB:P' || k, 'biolink:treats', disease_id,
+           NULL, NULL, NULL, 'DB' || k FROM v0
+    UNION ALL
+    SELECT 'UniProtKB:P' || k, 'biolink:target_for', disease_id,
+           NULL, NULL, NULL, 'DB' || k FROM v0
+    UNION ALL
+    SELECT 'MESH:DRUG' || k, 'biolink:affects', 'DRUGBANK:C' || k,
+           'biolink:causes', 'decreased', 'activity', 'DB' || k FROM v1
+    UNION ALL
+    SELECT 'DRUGBANK:C' || k, 'biolink:affects', 'UniProtKB:P' || k,
+           'biolink:causes', 'decreased', 'activity_or_abundance',
+           'DB' || k FROM v1
+    UNION ALL
+    SELECT 'UniProtKB:P' || k, 'biolink:treats', disease_id,
+           NULL, NULL, NULL, 'DB' || k FROM v1
+    UNION ALL
+    SELECT 'UniProtKB:P' || k, 'biolink:target_for', disease_id,
+           NULL, NULL, NULL, 'DB' || k FROM v1
+    UNION ALL
+    SELECT 'MESH:DRUG' || k, 'biolink:affects', 'NCBITaxon:T' || k,
+           'biolink:causes', 'increased', 'activity', 'DB' || k FROM v2
+    """,
+)
+def drugmechdb_like_edges_q(spark, sf_dir):
+    """S5 source-to-KGX: the DrugMechDB JSON path-document family
+    (parsers/drugmechdb/src/loadDrugMechDB.py) — multiLine array scan,
+    curie fixup chain + node-map lookup, predicate/qualifier mapping with
+    raw-key fall-through, per-edge-key path-id set aggregation, and the
+    links[idx+1] lookahead for drug->intermediate->Protein target_for
+    edges. Fixture synthesized deterministically from the nation dim; the
+    oracle recomputes the whole parse closed-form."""
+    from orion_spark.plans.parsers import drugmechdb_like
+
+    path, node_mapping = _drugmechdb_fixture(spark, sf_dir)
+    _, edges = drugmechdb_like(
+        spark, path, DRUGMECHDB_FIXTURE_PREDICATES, node_mapping
+    )
+    return edges.select(
+        "subject", "predicate", "object", "qualified_predicate",
+        "object_direction_qualifier", "object_aspect_qualifier",
+        F.array_join("drugmechdb_path_id", "|").alias("path_ids"),
+    )

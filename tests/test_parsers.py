@@ -751,3 +751,94 @@ def test_reactome_complex_context_and_unmapped_predicate(spark):
     assert cx.complex_context == "MPF complex"
     # goBiologicalProcess IS in the predicate map
     assert ("GO:0007049", "biolink:subclass_of") in rows
+
+
+def test_drugmechdb_like_parser(spark, tmp_path):
+    """loadDrugMechDB.py semantics on a hand-built two-doc array: curie
+    fixups + node-map override, predicate/qualifier mapping with raw-key
+    fall-through, cross-doc path-id aggregation, direct and lookahead
+    target_for derivation, and the no-next-link drop."""
+    import json
+
+    docs = [
+        {
+            "graph": {"_id": "DB1", "drug": "aspirin", "drug_mesh": "MESH:D1",
+                      "drugbank": "DB:100", "disease": "pain",
+                      "disease_mesh": "MESH:DIS1"},
+            "nodes": [
+                {"id": "UniProt:P1", "label": "Protein", "name": "PTGS2"},
+            ],
+            "links": [
+                {"source": "MESH:D1", "key": "decreases activity of",
+                 "target": "UniProt:P1"},
+                {"source": "UniProt:P1", "key": "treats",
+                 "target": "MESH:DIS1"},
+            ],
+        },
+        {
+            # same mechanism link again -> path ids aggregate across docs
+            "graph": {"_id": "DB2", "drug": "naproxen", "drug_mesh": "MESH:D2",
+                      "drugbank": "DB:200", "disease": "pain",
+                      "disease_mesh": "MESH:DIS1"},
+            "nodes": [
+                {"id": "DB:C2", "label": "ChemicalSubstance", "name": "meta"},
+                {"id": "UniProt:P1", "label": "Protein", "name": "PTGS2"},
+            ],
+            "links": [
+                {"source": "MESH:D2", "key": "positively regulates",
+                 "target": "DB:C2"},
+                {"source": "DB:C2", "key": "decreases activity of",
+                 "target": "UniProt:P1"},
+                {"source": "MESH:D1", "key": "decreases activity of",
+                 "target": "UniProt:P1"},
+            ],
+        },
+        {
+            # drug link is the final link -> lookahead join finds nothing
+            "graph": {"_id": "DB3", "drug": "x", "drug_mesh": "MESH:D3",
+                      "drugbank": "DB:300", "disease": "y",
+                      "disease_mesh": "MESH:DIS3"},
+            "nodes": [{"id": "DB:C3", "label": "Drug", "name": "c3"}],
+            "links": [
+                {"source": "MESH:D3", "key": "positively regulates",
+                 "target": "DB:C3"},
+            ],
+        },
+    ]
+    path = tmp_path / "indication_paths.json"
+    path.write_text(json.dumps(docs))
+    mapping = {
+        "biolink:decreases_activity_of":
+            ("biolink:affects", "biolink:causes", "decreased", "activity"),
+    }
+    nodes, edges = PP.drugmechdb_like(
+        spark, str(path), mapping, {"MESH:DIS1": "MONDO:7"}
+    )
+    rows = edges.collect()
+    e = {}
+    for r in rows:
+        e.setdefault((r.subject, r.predicate, r.object), []).append(
+            (list(r.drugmechdb_path_id), r.qualified_predicate,
+             r.object_direction_qualifier, r.object_aspect_qualifier)
+        )
+    # shared mechanism edge aggregates both docs' path ids, sorted
+    assert e[("MESH:D1", "biolink:affects", "UniProtKB:P1")] == [(
+        ["DB1", "DB2"], "biolink:causes", "decreased", "activity")]
+    # unmapped key falls through with empty (nulled) qualifiers
+    assert e[("UniProtKB:P1", "biolink:treats", "MONDO:7")] == [(
+        ["DB1"], None, None, None)]
+    # positively regulates is unmapped here -> raw biolink-ified key
+    assert ("MESH:D2", "biolink:positively_regulates", "DRUGBANK:C2") in e
+    # direct target_for from doc 1 and lookahead target_for from doc 2 are
+    # separate edges: the reference keys target_for on the full 7-tuple
+    # including drug_name (loadDrugMechDB.py:292), and the two docs differ
+    assert sorted(
+        pids for pids, *_ in e[("UniProtKB:P1", "biolink:target_for", "MONDO:7")]
+    ) == [["DB1"], ["DB2"]]
+    # doc 3: drug link last -> no lookahead row, no target_for
+    assert not any(
+        k[1] == "biolink:target_for" and k[0].endswith("C3") for k in e
+    )
+    assert len(rows) == 7
+    ids = {r.id for r in nodes.collect()}
+    assert "DRUGBANK:C3" in ids and "UniProtKB:P1" in ids
