@@ -1889,3 +1889,102 @@ def drugmechdb_like(
         .distinct()
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# TextMiningKP-like: headerless TSV edge file with a nested-JSON
+# attributes column (parsers/textminingkp/src/loadTMKP.py)
+#
+# The reference gunzips and splits rows in Python, then json.loads the
+# 19th column per row and walks nested TRAPI attributes for supporting
+# text/documents (loadTMKP.py:103-148). Here the JSON column is parsed
+# once by from_json into a typed array<struct> and the nested walk is
+# filter/transform/flatten — all JVM-side, no Python in the row path.
+# ---------------------------------------------------------------------------
+
+TMKP_COLUMNS = [
+    "subject", "predicate", "object", "qualified_predicate",
+    "subject_aspect_qualifier", "subject_direction_qualifier",
+    "subject_part_qualifier", "subject_form_or_variant_qualifier",
+    "object_aspect_qualifier", "object_direction_qualifier",
+    "object_part_qualifier", "object_form_or_variant_qualifier",
+    "anatomical_context_qualifier", "assertion_id", "association_curie",
+    "score", "supporting_study_results", "supporting_publications",
+    "json_attributes",
+]
+
+_TMKP_ATTR_SCHEMA = (
+    "array<struct<value_type_id:string,"
+    "attributes:array<struct<attribute_type_id:string,value:string>>>>"
+)
+
+TMKP_QUALIFIER_COLUMNS = TMKP_COLUMNS[3:13]
+
+
+def tmkp_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges).
+
+    Nodes are written for every row's subject and object BEFORE the skip
+    gate, as the reference does (loadTMKP.py:113-117 write_node precedes
+    the continue). The skip gate reproduces the reference's exact boolean
+    (`not subject and object and predicate`, loadTMKP.py:118): only rows
+    missing a subject while carrying an object and predicate are dropped.
+    Each TextMiningResult attribute contributes its LAST nested
+    supporting_text/supporting_document values ('' / 'NA' defaults), in
+    attribute order, pipe-joined (loadTMKP.py:130-141)."""
+    raw = (
+        spark.read.option("sep", "\t").option("quote", "").csv(path)
+    ).toDF(*TMKP_COLUMNS)
+
+    def last_nested(attr: Column, type_id: str, default: str) -> Column:
+        # try_element_at: an attribute with no matching nested entry yields
+        # an empty filtered array, which must null (ANSI element_at throws)
+        hit = F.try_element_at(
+            F.filter(
+                attr["attributes"],
+                lambda x: x["attribute_type_id"] == F.lit(type_id),
+            ),
+            F.lit(-1),
+        )
+        return F.coalesce(hit["value"], F.lit(default))
+
+    tmr = F.filter(
+        F.from_json("json_attributes", _TMKP_ATTR_SCHEMA),
+        lambda a: a["value_type_id"] == F.lit("biolink:TextMiningResult"),
+    )
+    sentences = F.array_join(
+        F.flatten(
+            F.transform(
+                tmr,
+                lambda a: F.array(
+                    last_nested(a, "biolink:supporting_text", ""),
+                    last_nested(a, "biolink:supporting_document", "NA"),
+                ),
+            )
+        ),
+        "|",
+    )
+
+    nodes = (
+        raw.select(F.col("subject").alias("id"))
+        .unionAll(raw.select(F.col("object").alias("id")))
+        .where(F.col("id").isNotNull())
+        .distinct()
+    )
+
+    empty = lambda c: F.coalesce(F.col(c), F.lit("")) == ""  # noqa: E731
+    skip = empty("subject") & ~empty("object") & ~empty("predicate")
+    edge_cols = [
+        "subject", "predicate", "object",
+        F.col("score").cast("double").alias("tmkp_confidence_score"),
+        sentences.alias("sentences"),
+        F.split("supporting_publications", r"\|").alias("publications"),
+        F.split("supporting_study_results", r"\|").alias("tmkp_ids"),
+        F.lit("not_provided").alias("knowledge_level"),
+        F.lit("text_mining_agent").alias("agent_type"),
+        F.lit("infores:text-mining-provider-targeted").alias(
+            "primary_knowledge_source"
+        ),
+    ] + [F.nullif(q, F.lit("")).alias(q) for q in TMKP_QUALIFIER_COLUMNS]
+    edges = raw.where(~skip).select(*edge_cols)
+    return nodes, edges

@@ -5643,3 +5643,118 @@ def drugmechdb_like_edges_q(spark, sf_dir):
         "object_direction_qualifier", "object_aspect_qualifier",
         F.array_join("drugmechdb_path_id", "|").alias("path_ids"),
     )
+
+
+def _tmkp_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic TextMiningKP edge TSV synthesized from the nation
+    dim: per nation one edge row whose 19th column is a TRAPI attribute
+    JSON blob (two TextMiningResult attributes — one with a document, one
+    without -> 'NA' — plus a decoy attribute the filter must drop), and
+    every 7th nation an extra subject-less row the skip gate must drop."""
+    import json as _json
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"tmkp_fixture_v1{slug}.tsv")
+    if os.path.exists(path):
+        return path
+
+    def attrs(k: int) -> str:
+        return _json.dumps([
+            {"value_type_id": "biolink:TextMiningResult",
+             "attributes": [
+                 {"attribute_type_id": "biolink:supporting_text",
+                  "value": f"stale{k}"},
+                 {"attribute_type_id": "biolink:supporting_text",
+                  "value": f"s{k}a"},
+                 {"attribute_type_id": "biolink:supporting_document",
+                  "value": f"PMID:{k}"},
+             ]},
+            {"value_type_id": "biolink:Decoy",
+             "attributes": [
+                 {"attribute_type_id": "biolink:supporting_text",
+                  "value": "nope"},
+             ]},
+            {"value_type_id": "biolink:TextMiningResult",
+             "attributes": [
+                 {"attribute_type_id": "biolink:supporting_text",
+                  "value": f"s{k}b"},
+             ]},
+        ], separators=(",", ":"))
+
+    lines = []
+    for k in ks:
+        cells = [""] * 19
+        cells[0] = f"CHEBI:{k}"
+        cells[1] = (
+            "biolink:affects" if k % 2 == 0 else "biolink:interacts_with"
+        )
+        cells[2] = f"UniProtKB:Q{k}"
+        if k % 2 == 0:
+            cells[8] = "activity"
+        if k % 3 == 0:
+            cells[12] = f"UBERON:{k}"
+        cells[15] = str(0.5 + k / 100.0)
+        cells[16] = f"tmkp:a{k}|tmkp:b{k}"
+        cells[17] = f"PMID:{k}|PMC:{k}"
+        cells[18] = attrs(k)
+        lines.append("\t".join(cells))
+        if k % 7 == 0:
+            bad = [""] * 19
+            bad[1] = "biolink:affects"
+            bad[2] = f"MESH:BAD{k}"
+            bad[15] = "0.1"
+            bad[16] = "tmkp:x"
+            bad[17] = "PMID:1"
+            bad[18] = "[]"
+            lines.append("\t".join(bad))
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "tmkp_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'CHEBI:' || k AS subject,
+           CASE WHEN k % 2 = 0 THEN 'biolink:affects'
+                ELSE 'biolink:interacts_with' END AS predicate,
+           'UniProtKB:Q' || k AS object,
+           ROUND(0.5 + k / 100.0, 6) AS tmkp_confidence_score,
+           's' || k || 'a|PMID:' || k || '|s' || k || 'b|NA' AS sentences,
+           'PMID:' || k || '|PMC:' || k AS publications,
+           'tmkp:a' || k || '|tmkp:b' || k AS tmkp_ids,
+           CASE WHEN k % 2 = 0 THEN 'activity' END AS object_aspect_qualifier,
+           CASE WHEN k % 3 = 0 THEN 'UBERON:' || k END
+               AS anatomical_context_qualifier
+    FROM n
+    """,
+)
+def tmkp_like_edges_q(spark, sf_dir):
+    """S3+§2.10 source-to-KGX: the TextMiningKP JSON-in-TSV family
+    (parsers/textminingkp/src/loadTMKP.py) — headerless 19-column TSV,
+    from_json TRAPI attribute parse, TextMiningResult filter with
+    last-wins nested supporting_text/document extraction and ''/'NA'
+    defaults, qualifier null-out, and the reference's exact skip gate.
+    Fixture synthesized deterministically from the nation dim."""
+    from orion_spark.plans.parsers import tmkp_like
+
+    path = _tmkp_fixture(spark, sf_dir)
+    _, edges = tmkp_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.round("tmkp_confidence_score", 6).alias("tmkp_confidence_score"),
+        "sentences",
+        F.array_join("publications", "|").alias("publications"),
+        F.array_join("tmkp_ids", "|").alias("tmkp_ids"),
+        "object_aspect_qualifier", "anatomical_context_qualifier",
+    )

@@ -842,3 +842,46 @@ def test_drugmechdb_like_parser(spark, tmp_path):
     assert len(rows) == 7
     ids = {r.id for r in nodes.collect()}
     assert "DRUGBANK:C3" in ids and "UniProtKB:P1" in ids
+
+
+def test_tmkp_like_parser(spark, tmp_path):
+    """loadTMKP.py semantics: nested TRAPI attribute walk (last-wins
+    supporting_text, 'NA' document default, decoy filtered), qualifier
+    null-out, pipe-list splits, exact skip-gate boolean, and nodes
+    written before the gate."""
+    attrs = (
+        '[{"value_type_id":"biolink:TextMiningResult","attributes":'
+        '[{"attribute_type_id":"biolink:supporting_text","value":"old"},'
+        '{"attribute_type_id":"biolink:supporting_text","value":"new"}]},'
+        '{"value_type_id":"biolink:Other","attributes":'
+        '[{"attribute_type_id":"biolink:supporting_text","value":"no"}]}]'
+    )
+    rows = []
+    good = [""] * 19
+    good[0], good[1], good[2] = "CHEBI:1", "biolink:affects", "PR:2"
+    good[8], good[15] = "expression", "0.93"
+    good[16], good[17], good[18] = "t:1|t:2", "PMID:9", attrs
+    rows.append("\t".join(good))
+    # subject-less row with object+predicate -> skipped, object node kept
+    bad = [""] * 19
+    bad[1], bad[2], bad[15], bad[16], bad[17], bad[18] = (
+        "biolink:affects", "MESH:GONE", "0.1", "t:x", "PMID:1", "[]")
+    rows.append("\t".join(bad))
+    p = tmp_path / "edges.tsv"
+    p.write_text("\n".join(rows) + "\n")
+
+    nodes, edges = PP.tmkp_like(spark, str(p))
+    e = edges.collect()
+    assert len(e) == 1
+    r = e[0]
+    assert (r.subject, r.predicate, r.object) == (
+        "CHEBI:1", "biolink:affects", "PR:2")
+    assert r.sentences == "new|NA"  # last-wins text, missing doc -> NA
+    assert r.tmkp_confidence_score == 0.93
+    assert r.publications == ["PMID:9"]
+    assert r.tmkp_ids == ["t:1", "t:2"]
+    assert r.object_aspect_qualifier == "expression"
+    assert r.subject_aspect_qualifier is None  # empty -> nulled
+    assert r.agent_type == "text_mining_agent"
+    ids = {r.id for r in nodes.collect()}
+    assert ids == {"CHEBI:1", "PR:2", "MESH:GONE"}
