@@ -1988,3 +1988,302 @@ def tmkp_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     ] + [F.nullif(q, F.lit("")).alias(q) for q in TMKP_QUALIFIER_COLUMNS]
     edges = raw.where(~skip).select(*edge_cols)
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# PHAROS-like: multi-query relational extraction over a live DB
+# (parsers/PHAROS/src/loadPHAROS.py)
+#
+# The reference runs three join queries against a stood-up TCRD MySQL and
+# walks cursors row-by-row (loadPHAROS.py:19-43, 161-351). Here the same
+# joins stay DB-side as partitionable JDBC reads (predicate pushdown at
+# the source), and the per-row fixups — UMLS/Orphanet/MIM curie repair,
+# snakify+DGIdb predicate map, per-dtype infores + KL/AT, name
+# sanitization — are pure column expressions. Identifier quoting follows
+# ANSI (xref's `value` column is reserved in Derby; MySQL accepts the
+# quoted form too).
+# ---------------------------------------------------------------------------
+
+# orion/predicates.py:7-53 (data table, reproduced for parity)
+DGIDB_PREDICATE_MAPPING = {
+    "ac50": "DGIdb:activator", "activator": "DGIdb:activator",
+    "agonist": "DGIdb:agonist", "allosteric_antagonist": "DGIdb:antagonist",
+    "allosteric_modulator": "DGIdb:modulator",
+    "antagonist": "DGIdb:antagonist", "antibody": "RO:0002436",
+    "antibody_binding": "RO:0002436",
+    "antisense_inhibitor": "DGIdb:inhibitor", "app_ki": "RO:0002434",
+    "app_km": "RO:0002434", "binding_agent": "RO:0002436",
+    "blocker": "DGIdb:blocker", "channel_blocker": "DGIdb:channel_blocker",
+    "ec50": "DGIdb:agonist", "ed50": "RO:0002434",
+    "gating_inhibitor": "DGIdb:gating_inhibitor", "gi50": "DGIdb:Inhibitor",
+    "ic50": "DGIdb:inhibitor", "inhibitor": "DGIdb:inhibitor",
+    "interacts_with": "RO:0002434", "inverse_agonist": "DGIdb:inverse_agonist",
+    "ka": "RO:0002436", "kact": "RO:0002436", "kb": "RO:0002436",
+    "kd": "RO:0002436", "kd1": "RO:0002436", "ki": "DGIdb:inhibitor",
+    "km": "RO:0002436", "ks": "RO:0002436", "modulator": "DGIdb:modulator",
+    "mic": "RO:0002434", "mpc": "RO:0002434",
+    "negative_modulator": "CHEMBL.MECHANISM:negative_modulator",
+    "negative_allosteric_modulator": "CHEMBL.MECHANISM:negative_modulator",
+    "opener": "CHEMBL.MECHANISM:opener", "other": "DGIdb:other",
+    "partial_agonist": "DGIdb:partial_agonist", "pa2": "RO:0002434",
+    "pharmacological_chaperone": "DGIdb:chaperone",
+    "positive_allosteric_modulator": "CHEMBL.MECHANISM:positive_modulator",
+    "positive_modulator": "CHEMBL.MECHANISM:positive_modulator",
+    "releasing_agent": "CHEMBL.MECHANISM:releasing_agent",
+    "substrate": "CHEMBL.MECHANISM:substrate", "xc50": "RO:0002436",
+}
+
+# loadPHAROS.py:47-59
+PHAROS_INFORES_MAPPING = {
+    "CTD": "infores:ctd", "DisGeNET": "infores:disgenet",
+    "DrugCentral Indication": "infores:drugcentral", "eRAM": "infores:eram",
+    "JensenLab Experiment TIGA": "infores:tiga",
+    "JensenLab Knowledge AmyCo": "infores:diseases",
+    "JensenLab Knowledge MedlinePlus": "infores:diseases",
+    "JensenLab Knowledge UniProtKB-KW": "infores:diseases",
+    "JensenLab Text Mining": "infores:diseases",
+    "Monarch": "infores:monarchinitiative",
+    "UniProt Disease": "infores:uniprot",
+}
+
+# loadPHAROS.py:63-75 — (knowledge_level, agent_type) per upstream source
+PHAROS_KL_AT_LOOKUP = {
+    "CTD": ("prediction", "manual_agent"),
+    "DisGeNET": ("not_provided", "not_provided"),
+    "DrugCentral Indication": ("knowledge_assertion", "manual_agent"),
+    "eRAM": ("not_provided", "not_provided"),
+    "JensenLab Experiment TIGA": ("prediction", "automated_agent"),
+    "JensenLab Knowledge AmyCo": ("knowledge_assertion", "manual_agent"),
+    "JensenLab Knowledge MedlinePlus": ("knowledge_assertion", "manual_agent"),
+    "JensenLab Knowledge UniProtKB-KW":
+        ("knowledge_assertion", "manual_validation_of_automated_agent"),
+    "JensenLab Text Mining": ("not_provided", "text_mining_agent"),
+    "Monarch": ("not_provided", "not_provided"),
+    "UniProt Disease": ("knowledge_assertion", "manual_agent"),
+}
+
+PHAROS_GENE_TO_DISEASE_SQL = """
+SELECT DISTINCT x."value", d.did, d.name, p.sym, d.dtype, d.score
+FROM disease d
+JOIN xref x ON x.protein_id = d.protein_id
+JOIN protein p ON p.id = x.protein_id
+WHERE x.xtype = 'HGNC'
+AND d.dtype <> 'Expression Atlas'
+AND d.did NOT LIKE 'NCBIGene%'
+AND d.did NOT LIKE 'AmyCo%'
+AND d.did NOT LIKE 'ENSP%'"""
+
+PHAROS_GENE_TO_DRUG_SQL = """
+SELECT DISTINCT x."value", da.drug, da.cmpd_chemblid AS cid,
+'ChEMBL' AS id_src, p.sym, da.act_value AS affinity,
+da.act_type AS affinity_parameter, da.action_type AS pred,
+CAST(NULL AS VARCHAR(255)) AS pubmed_ids, '' AS dtype
+FROM xref x
+JOIN drug_activity da ON x.protein_id = da.target_id
+JOIN protein p ON p.id = x.protein_id
+WHERE da.cmpd_chemblid IS NOT NULL
+AND x.xtype = 'HGNC'"""
+
+PHAROS_GENE_TO_CMPD_SQL = """
+SELECT DISTINCT x."value", ca.cmpd_name_in_src AS drug,
+ca.cmpd_id_in_src AS cid, ca.catype AS id_src,
+ca.act_value AS affinity, ca.act_type AS affinity_parameter,
+ca.act_type AS pred, p.sym, ca.pubmed_ids AS pubmed_ids, '' AS dtype
+FROM xref x
+JOIN cmpd_activity ca ON x.protein_id = ca.target_id
+JOIN protein p ON p.id = x.protein_id
+WHERE x.xtype = 'HGNC' AND ca.cmpd_name_in_src IS NOT NULL
+AND ca.cmpd_name_in_src <> 'NA' AND ca.cmpd_name_in_src NOT LIKE 'US%'"""
+
+
+def _pharos_sanitize(col: Column) -> Column:
+    """sanitize_name (loadPHAROS.py:431-432): non-ASCII chars -> '?'."""
+    return F.regexp_replace(col, r"[^\x00-\x7F]", "?")
+
+
+def _pharos_snakify(col: Column) -> Column:
+    """orion/utils.py:487-491: lower, ','/'-' -> '_', whitespace runs -> '_'."""
+    s = F.lower(col)
+    s = F.replace(s, F.lit(","), F.lit("_"))
+    s = F.replace(s, F.lit("-"), F.lit("_"))
+    return F.regexp_replace(F.trim(s), r"\s+", "_")
+
+
+def pharos_like(
+    spark: SparkSession, url: str, properties: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges) across the three PHAROS extractions.
+
+    gene->disease (loadPHAROS.py:161-237): UMLS bare-Cnnn repair,
+    Orphanet/MIM prefix fixes, self-edge drop, DrugCentral-sourced rows
+    become target_for, TIGA rows are skipped, per-dtype KL/AT with
+    not_provided default. gene->drug / gene->compound activity
+    (loadPHAROS.py:239-351): prefix-mapped compound curies, snakify+DGIdb
+    predicate map ('interacts_with' fallback for blank/1-char preds),
+    affinity + pN affinity_parameter, PMID pipe-lists, and the
+    provenance branch (mapped dtype -> upstream primary + pharos
+    aggregator; blank dtype -> pharos primary). Rows with a dtype or
+    predicate outside the maps are dropped and counted via observe —
+    the declarative analogue of the reference's loud KeyError /
+    SourceDataBrokenError."""
+    from orion_spark.sources.readers import read_jdbc
+
+    pks_self = "infores:pharos"
+
+    def kl_at(dtype: Column) -> tuple[Column, Column]:
+        kl = predicate_remap(
+            dtype, {k: v[0] for k, v in PHAROS_KL_AT_LOOKUP.items()},
+            default="not_provided",
+        )
+        at = predicate_remap(
+            dtype, {k: v[1] for k, v in PHAROS_KL_AT_LOOKUP.items()},
+            default="not_provided",
+        )
+        return kl, at
+
+    # ---- gene -> disease -------------------------------------------------
+    g2d = _lower_cols(
+        read_jdbc(spark, url, PHAROS_GENE_TO_DISEASE_SQL, properties=properties)
+    ).observe(
+        "pharos_g2d_coverage",
+        F.sum(
+            F.when(F.col("dtype").isin(*PHAROS_INFORES_MAPPING), 0).otherwise(1)
+        ).alias("n_unmapped_dtypes"),
+    )
+    disease_id = (
+        F.when(F.col("did").rlike(r"^C[0-9]+$"), F.concat(F.lit("UMLS:"), F.col("did")))
+        .when(
+            F.col("did").startswith("Orphanet:"),
+            F.concat(F.lit("ORPHANET:"), F.substring_index(F.col("did"), ":", -1)),
+        )
+        .when(F.col("did").startswith("MIM"), F.concat(F.lit("O"), F.col("did")))
+        .otherwise(F.col("did"))
+    )
+    provenance = predicate_remap(F.col("dtype"), PHAROS_INFORES_MAPPING)
+    kl, at = kl_at(F.col("dtype"))
+    g2d_spec = ExtractSpec(
+        subject_id=F.col("value"),
+        object_id=disease_id,
+        predicates=[
+            F.when(
+                provenance == "infores:drugcentral", F.lit("biolink:target_for")
+            ).otherwise(F.lit("WIKIDATA_PROPERTY:P2293"))
+        ],
+        subject_name=_pharos_sanitize(F.col("sym")),
+        object_name=_pharos_sanitize(F.col("name")),
+        subject_categories=["biolink:Gene"],
+        object_categories=["biolink:DiseaseOrPhenotypicFeature"],
+        edge_properties={
+            "knowledge_level": kl,
+            "agent_type": at,
+            "score": F.col("score").cast("double"),
+            "aggregator_knowledge_sources": F.array(F.lit(pks_self)),
+            "_pks": provenance,
+        },
+        row_filter=(
+            F.col("did").isNotNull()
+            & (disease_id != F.col("value"))
+            & F.col("dtype").isin(*PHAROS_INFORES_MAPPING)
+            & (provenance != "infores:tiga")
+        ),
+    )
+
+    # ---- gene -> drug / compound activity --------------------------------
+    def activity_part(sql: str, prefix_map: dict[str, str], tag: str) -> tuple:
+        raw = _lower_cols(
+            read_jdbc(spark, url, sql, properties=properties)
+        )
+        rel = F.when(
+            F.col("pred").isNotNull() & (F.length("pred") > 1),
+            _pharos_snakify(F.col("pred")),
+        ).otherwise(F.lit("interacts_with"))
+        raw = raw.observe(
+            f"pharos_activity_coverage_{tag}",
+            F.sum(
+                F.when(rel.isin(*DGIDB_PREDICATE_MAPPING), 0).otherwise(1)
+            ).alias("n_unmapped_predicates"),
+        )
+        cmpd_id = F.concat(
+            predicate_remap(F.col("id_src"), prefix_map),
+            F.replace(F.col("cid"), F.lit("CHEMBL"), F.lit("")),
+        )
+        prov = F.when(
+            F.nullif(F.col("dtype"), F.lit("")).isNotNull(),
+            predicate_remap(F.col("dtype"), PHAROS_INFORES_MAPPING),
+        )
+        spec = ExtractSpec(
+            subject_id=cmpd_id,
+            object_id=F.col("value"),
+            predicates=[predicate_remap(rel, DGIDB_PREDICATE_MAPPING)],
+            subject_name=_pharos_sanitize(F.col("drug")),
+            object_name=_pharos_sanitize(F.col("sym")),
+            subject_categories=["biolink:ChemicalEntity"],
+            object_categories=["biolink:Gene"],
+            edge_properties={
+                "affinity": F.when(
+                    F.col("affinity").isNotNull(),
+                    F.col("affinity").cast("double"),
+                ),
+                "affinity_parameter": F.when(
+                    F.nullif(F.col("affinity_parameter"), F.lit("")).isNotNull(),
+                    F.concat(F.lit("p"), F.col("affinity_parameter")),
+                ),
+                "publications": F.when(
+                    F.col("pubmed_ids").isNotNull(),
+                    F.transform(
+                        F.split(F.col("pubmed_ids"), r"\|"),
+                        lambda x: F.concat(F.lit("PMID:"), x),
+                    ),
+                ),
+                "knowledge_level": F.lit("knowledge_assertion"),
+                "agent_type": F.lit("manual_agent"),
+                "aggregator_knowledge_sources": F.when(
+                    prov.isNotNull(), F.array(F.lit(pks_self))
+                ),
+                "_pks": prov,
+            },
+            row_filter=(
+                F.col("id_src").isin(*prefix_map)
+                & rel.isin(*DGIDB_PREDICATE_MAPPING)
+                & (prov.isNull() | (prov != "infores:tiga"))
+            ),
+        )
+        return raw, spec
+
+    g2drug_raw, g2drug_spec = activity_part(
+        PHAROS_GENE_TO_DRUG_SQL,
+        {"ChEMBL": "CHEMBL.COMPOUND:CHEMBL", "Guide to Pharmacology": "GTOPDB:"},
+        "drug",
+    )
+    g2cmpd_raw, g2cmpd_spec = activity_part(
+        PHAROS_GENE_TO_CMPD_SQL,
+        {"ChEMBL": "CHEMBL.COMPOUND:CHEMBL", "Guide to Pharmacology": "GTOPDB:"},
+        "cmpd",
+    )
+
+    nodes_parts, edges_parts = [], []
+    for raw, spec in [
+        (g2d, g2d_spec), (g2drug_raw, g2drug_spec), (g2cmpd_raw, g2cmpd_spec)
+    ]:
+        subj, obj, edges = extract(raw, spec)
+        edges = edges.withColumn(
+            "primary_knowledge_source", F.coalesce(F.col("_pks"), F.lit(pks_self))
+        ).drop("_pks")
+        # blank dtype -> pharos primary, no aggregator (loadPHAROS.py:226-234)
+        edges = edges.withColumn(
+            "aggregator_knowledge_sources",
+            F.when(
+                F.col("primary_knowledge_source") != pks_self,
+                F.col("aggregator_knowledge_sources"),
+            ),
+        )
+        nodes_parts.append(subj.unionByName(obj, allowMissingColumns=True))
+        edges_parts.append(edges)
+
+    nodes = nodes_parts[0]
+    for p in nodes_parts[1:]:
+        nodes = nodes.unionByName(p, allowMissingColumns=True)
+    edges = edges_parts[0]
+    for p in edges_parts[1:]:
+        edges = edges.unionByName(p, allowMissingColumns=True)
+    return nodes.dropDuplicates(["id"]), edges

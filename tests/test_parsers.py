@@ -885,3 +885,90 @@ def test_tmkp_like_parser(spark, tmp_path):
     assert r.agent_type == "text_mining_agent"
     ids = {r.id for r in nodes.collect()}
     assert ids == {"CHEBI:1", "PR:2", "MESH:GONE"}
+
+
+def test_pharos_like_jdbc_end_to_end(spark, tmp_path):
+    """S4 multi-query extraction (parsers/PHAROS/src/loadPHAROS.py): an
+    embedded-Derby TCRD subset driven through the three reference
+    queries. Asserts curie repair (UMLS/Orphanet/MIM), target_for vs
+    genetic-association predicate branch, TIGA/self-edge/unknown-dtype
+    drops, DGIdb predicate mapping with interacts_with fallback, the
+    provenance branch, affinity props and PMID lists."""
+    url = f"jdbc:derby:{tmp_path}/pharosdb;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    ddl = [
+        'CREATE TABLE xref (protein_id INT, xtype VARCHAR(10), '
+        '"value" VARCHAR(30))',
+        "CREATE TABLE protein (id INT, sym VARCHAR(30))",
+        "CREATE TABLE disease (protein_id INT, did VARCHAR(30), "
+        "name VARCHAR(40), dtype VARCHAR(40), score DOUBLE)",
+        "CREATE TABLE drug_activity (target_id INT, drug VARCHAR(40), "
+        "cmpd_chemblid VARCHAR(30), act_value DOUBLE, act_type VARCHAR(10), "
+        "action_type VARCHAR(30))",
+        "CREATE TABLE cmpd_activity (target_id INT, cmpd_name_in_src "
+        "VARCHAR(40), cmpd_id_in_src VARCHAR(30), catype VARCHAR(30), "
+        "act_value DOUBLE, act_type VARCHAR(10), pubmed_ids VARCHAR(60))",
+        "INSERT INTO xref VALUES (1, 'HGNC', 'HGNC:11998'), "
+        "(2, 'HGNC', 'HGNC:1100'), (1, 'ENSEMBL', 'ENSG1')",
+        "INSERT INTO protein VALUES (1, 'TP53'), (2, 'BRçA1')",
+        "INSERT INTO disease VALUES "
+        "(1, 'C0006142', 'breast cancer', 'DisGeNET', 0.5), "
+        "(1, 'Orphanet:145', 'orpha disease', 'UniProt Disease', NULL), "
+        "(2, 'MIM:114480', 'omim disease', 'DrugCentral Indication', NULL), "
+        "(1, 'C0001', 'tiga disease', 'JensenLab Experiment TIGA', 1.0), "
+        "(1, NULL, 'no id', 'CTD', NULL), "
+        "(1, 'ENSP00001', 'excluded', 'CTD', NULL), "
+        "(1, 'HGNC:11998', 'self', 'CTD', NULL), "
+        "(1, 'C0009', 'mystery', 'UnknownSource', NULL)",
+        "INSERT INTO drug_activity VALUES "
+        "(1, 'Vemurafenib', 'CHEMBL1229517', 7.1, 'Ki', 'INHIBITOR'), "
+        "(2, 'Plain', 'CHEMBL99', NULL, '', '')",
+        "INSERT INTO cmpd_activity VALUES "
+        "(1, 'cmpdA', '12345', 'Guide to Pharmacology', 5.5, 'IC50', "
+        "'111|222'), "
+        "(1, 'NA', '77', 'ChEMBL', 1.0, 'Ki', NULL), "
+        "(1, 'US patent thing', '88', 'ChEMBL', 1.0, 'Ki', NULL)",
+    ]
+    for q in ddl:
+        st.execute(q)
+    st.close()
+    conn.close()
+
+    nodes, edges = PP.pharos_like(spark, f"jdbc:derby:{tmp_path}/pharosdb")
+    e = {(r.subject, r.object): r for r in edges.collect()}
+    assert len(e) == 6
+
+    dg = e[("HGNC:11998", "UMLS:C0006142")]
+    assert dg.predicate == "WIKIDATA_PROPERTY:P2293"
+    assert dg.primary_knowledge_source == "infores:disgenet"
+    assert dg.aggregator_knowledge_sources == ["infores:pharos"]
+    assert dg.knowledge_level == "not_provided"
+    assert dg.score == 0.5
+    orpha = e[("HGNC:11998", "ORPHANET:145")]
+    assert orpha.knowledge_level == "knowledge_assertion"
+    assert orpha.agent_type == "manual_agent"
+    omim = e[("HGNC:1100", "OMIM:114480")]
+    assert omim.predicate == "biolink:target_for"
+    assert omim.primary_knowledge_source == "infores:drugcentral"
+    # tiga, null-did, self-edge, unknown-dtype all dropped
+    assert not any(o == "C0001" or o == "UMLS:C0001" for _, o in e)
+
+    vem = e[("CHEMBL.COMPOUND:CHEMBL1229517", "HGNC:11998")]
+    assert vem.predicate == "DGIdb:inhibitor"
+    assert vem.affinity == 7.1
+    assert vem.affinity_parameter == "pKi"
+    assert vem.primary_knowledge_source == "infores:pharos"
+    assert vem.aggregator_knowledge_sources is None
+    plain = e[("CHEMBL.COMPOUND:CHEMBL99", "HGNC:1100")]
+    assert plain.predicate == "RO:0002434"  # interacts_with fallback
+    assert plain.affinity is None and plain.affinity_parameter is None
+    gtop = e[("GTOPDB:12345", "HGNC:11998")]
+    assert gtop.predicate == "DGIdb:inhibitor"
+    assert gtop.publications == ["PMID:111", "PMID:222"]
+
+    n = {r.id: r for r in nodes.collect()}
+    assert n["HGNC:1100"].name == "BR?A1"  # non-ascii sanitized
+    assert n["CHEMBL.COMPOUND:CHEMBL1229517"].name == "Vemurafenib"
+    assert "UMLS:C0006142" in n
