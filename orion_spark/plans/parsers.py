@@ -2287,3 +2287,128 @@ def pharos_like(
     for p in edges_parts[1:]:
         edges = edges.unionByName(p, allowMissingColumns=True)
     return nodes.dropDuplicates(["id"]), edges
+
+
+# ---------------------------------------------------------------------------
+# ChEBI-properties-like: role-hierarchy transitive closure -> node flags
+# (parsers/chebi/src/loadChebiProperties.py)
+#
+# The reference loads relation.tsv into driver dicts and recurses from the
+# role root to accumulate each role's ancestors (loadChebiProperties.py:
+# 146-160), then flags compounds with CHEBI_ROLE_* boolean properties.
+# Here the closure is an iterative frontier join over the is_a edges
+# restricted to the role subtree — O(depth) bounded rounds with lineage
+# truncation — and the compound->role fan-out is one join + optional
+# pivot. At 100 TB the role hierarchy is a tiny dimension (closure cost
+# ~0); the compound side joins it broadcast and never shuffles.
+# ---------------------------------------------------------------------------
+
+CHEBI_ROLE_ROOT = "CHEBI:50906"
+CHEBI_ROLES_TO_IGNORE = [
+    "CHEBI:50906",  # role
+    "CHEBI:24432",  # biological role
+    "CHEBI:51086",  # chemical role
+    "CHEBI:33232",  # application
+]
+
+
+def chebi_fixname(name: Column) -> Column:
+    """fixname (loadChebiProperties.py:137-141): CHEBI_ROLE_ prefix,
+    whitespace/parens/dashes to underscores, '.*' removed, double
+    underscores collapsed twice."""
+    s = F.regexp_replace(F.trim(name), r"\s+", "_")
+    s = F.concat(F.lit("CHEBI_ROLE_"), s)
+    for search, repl in [("(", "_"), (")", "_"), (".*", ""), ("-", "_"),
+                         ("__", "_"), ("__", "_")]:
+        s = F.replace(s, F.lit(search), F.lit(repl))
+    return s
+
+
+def chebi_role_ancestors(is_a: DataFrame) -> DataFrame:
+    """(node, anc) pairs for every role reachable from the role root,
+    anc ranging over all proper ancestors up to and including the root —
+    the closure update_ancestors builds recursively
+    (loadChebiProperties.py:146-153). `is_a` has columns (child, parent)."""
+    edges = is_a.select("child", "parent")
+    # frontier: nodes whose full ancestor set became final last round
+    closure = (
+        edges.where(F.col("parent") == CHEBI_ROLE_ROOT)
+        .select("child", F.col("parent").alias("anc"))
+        .localCheckpoint()
+    )
+    frontier = closure.select("child", "anc")
+    while True:
+        # kids of the frontier inherit (parent) + (parent's ancestors)
+        step = edges.join(
+            frontier.select(
+                F.col("child").alias("parent"), F.col("anc").alias("_panc")
+            ).distinct(),
+            "parent",
+        )
+        new_pairs = (
+            step.select("child", F.col("parent").alias("anc"))
+            .unionByName(step.select("child", F.col("_panc").alias("anc")))
+            .distinct()
+            .exceptAll(closure)
+            .localCheckpoint()
+        )
+        if new_pairs.isEmpty():
+            return closure.distinct()
+        closure = closure.unionByName(new_pairs).localCheckpoint()
+        frontier = new_pairs
+
+
+def chebi_like(
+    spark: SparkSession, compounds_path: str, relation_path: str,
+    pivot: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, role_flags).
+
+    role_flags is long-form (id, name, role_property) — one row per
+    compound per surviving role (direct has_role plus every ancestor of a
+    direct role, ignore-list filtered, loadChebiProperties.py:103-125).
+    nodes is the KGX frame: pivot=False keeps the flag list as an
+    array<string> property; pivot=True produces the reference's wide
+    boolean columns (dimension-side pivot — distinct role vocabulary)."""
+    compounds = read_tabular(spark, compounds_path).select(
+        F.col("chebi_accession").alias("id"), F.col("ascii_name").alias("name")
+    )
+    relation = read_tabular(spark, relation_path)
+    # relation.tsv triple is (final)-[type]->(init); 4=has_role, 5=is_a
+    # (loadChebiProperties.py:12-14, 160-175)
+    curie = lambda c: F.concat(F.lit("CHEBI:"), F.col(c))  # noqa: E731
+    has_role = relation.where(F.col("type_id") == 4).select(
+        curie("final_id").alias("id"), curie("init_id").alias("role")
+    )
+    is_a = relation.where(F.col("type_id") == 5).select(
+        curie("final_id").alias("child"), curie("init_id").alias("parent")
+    )
+    anc = chebi_role_ancestors(is_a)
+
+    inherited = has_role.join(
+        F.broadcast(anc.withColumnRenamed("child", "role")), "role"
+    ).select("id", F.col("anc").alias("role"))
+    all_roles = (
+        has_role.unionByName(inherited)
+        .where(~F.col("role").isin(CHEBI_ROLES_TO_IGNORE))
+        .distinct()
+    )
+    role_names = compounds.select(
+        F.col("id").alias("role"), chebi_fixname("name").alias("role_property")
+    )
+    flags = (
+        all_roles.join(F.broadcast(role_names), "role")
+        .join(compounds, "id")
+        .select("id", "name", "role_property")
+    )
+    if pivot:
+        nodes = (
+            flags.groupBy("id", "name")
+            .pivot("role_property")
+            .agg(F.first(F.lit(True)))
+        )
+    else:
+        nodes = flags.groupBy("id", "name").agg(
+            F.array_sort(F.collect_set("role_property")).alias("chebi_roles")
+        )
+    return nodes, flags

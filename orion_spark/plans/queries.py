@@ -5758,3 +5758,100 @@ def tmkp_like_edges_q(spark, sf_dir):
         F.array_join("tmkp_ids", "|").alias("tmkp_ids"),
         "object_aspect_qualifier", "anatomical_context_qualifier",
     )
+
+
+def _chebi_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Deterministic ChEBI compounds/relation pair synthesized from the
+    nation dim. Role hierarchy (is_a, type 5):
+    root 50906 -> 24432 (ignored) -> 900001 -> 900002; root -> 900003;
+    900003 -> 900002 (second parent, exercises DAG dedupe); 900009 is an
+    orphan role not reachable from the root. has_role (type 4) by k%4:
+    0 -> 900002 (inherits 900001+900003 after ignore filtering),
+    1 -> 900003, 2 -> 900009 (orphan: direct flag only), 3 -> none
+    (node skipped)."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"chebi_fixture_v1{slug}")
+    compounds = os.path.join(root, "compounds.tsv")
+    relation = os.path.join(root, "relation.tsv")
+    if os.path.exists(compounds) and os.path.exists(relation):
+        return compounds, relation
+
+    roles = [
+        (24432, "biological role"),
+        (900001, "anti-infective agent (drug)"),
+        (900002, "antibacterial agent"),
+        (900003, "pro-drug"),
+        (900009, "orphan role"),
+        (50906, "role"),
+    ]
+    comp_lines = ["chebi_accession\tascii_name"]
+    for rid, rname in roles:
+        comp_lines.append(f"CHEBI:{rid}\t{rname}")
+    for k in ks:
+        comp_lines.append(f"CHEBI:{100 + k}\tcompound {k}")
+
+    rel_lines = ["rel_id\ttype_id\tfinal_id\tinit_id"]
+    is_a = [
+        (24432, 50906), (900001, 24432), (900002, 900001),
+        (900003, 50906), (900002, 900003),
+    ]
+    for i, (child, parent) in enumerate(is_a):
+        rel_lines.append(f"{i}\t5\t{child}\t{parent}")
+    for k in ks:
+        role = {0: 900002, 1: 900003, 2: 900009}.get(k % 4)
+        if role is not None:
+            rel_lines.append(f"{1000 + k}\t4\t{100 + k}\t{role}")
+
+    tmp = root + f".{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "compounds.tsv"), "w") as fh:
+        fh.write("\n".join(comp_lines) + "\n")
+    with open(os.path.join(tmp, "relation.tsv"), "w") as fh:
+        fh.write("\n".join(rel_lines) + "\n")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    return compounds, relation
+
+
+@query(
+    "chebi_like_role_flags",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'CHEBI:' || (100 + k) AS id, 'compound ' || k AS name,
+           r.role_property
+    FROM n,
+    LATERAL (
+        SELECT unnest(CASE k % 4
+            WHEN 0 THEN ['CHEBI_ROLE_antibacterial_agent',
+                         'CHEBI_ROLE_anti_infective_agent_drug_',
+                         'CHEBI_ROLE_pro_drug']
+            WHEN 1 THEN ['CHEBI_ROLE_pro_drug']
+            WHEN 2 THEN ['CHEBI_ROLE_orphan_role']
+            ELSE [] END) AS role_property
+    ) r
+    """,
+)
+def chebi_like_role_flags_q(spark, sf_dir):
+    """A-family closure source-to-KGX: the ChEBI role-properties family
+    (parsers/chebi/src/loadChebiProperties.py) — swapped-column relation
+    triples, is_a ancestor closure from the role root (DAG-deduped,
+    ignore-list filtered), orphan-role direct flags, and the fixname
+    property formatting. Fixture synthesized deterministically from the
+    nation dim; the oracle enumerates the expected flag sets closed-form."""
+    from orion_spark.plans.parsers import chebi_like
+
+    compounds, relation = _chebi_fixture(spark, sf_dir)
+    _, flags = chebi_like(spark, compounds, relation)
+    return flags.select("id", "name", "role_property")

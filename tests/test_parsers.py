@@ -972,3 +972,60 @@ def test_pharos_like_jdbc_end_to_end(spark, tmp_path):
     assert n["HGNC:1100"].name == "BR?A1"  # non-ascii sanitized
     assert n["CHEMBL.COMPOUND:CHEMBL1229517"].name == "Vemurafenib"
     assert "UMLS:C0006142" in n
+
+
+def test_chebi_like_role_closure(spark, tmp_path):
+    """loadChebiProperties.py semantics: swapped relation columns, role
+    ancestor closure from the root (multi-parent dedupe), ignore-list
+    filtering, orphan roles, fixname formatting, roleless-compound skip,
+    and the pivoted wide variant."""
+    (tmp_path / "compounds.tsv").write_text(
+        "chebi_accession\tascii_name\n"
+        "CHEBI:50906\trole\n"
+        "CHEBI:24432\tbiological role\n"
+        "CHEBI:900001\tanti-infective agent (drug)\n"
+        "CHEBI:900002\tantibacterial agent\n"
+        "CHEBI:900009\torphan role\n"
+        "CHEBI:101\taspirin\n"
+        "CHEBI:102\twater\n"
+        "CHEBI:103\tnothing\n"
+    )
+    # is_a: 24432 under root; 900001 under 24432 AND root (two paths);
+    # 900002 under 900001. has_role: 101->900002, 102->900009
+    (tmp_path / "relation.tsv").write_text(
+        "rel_id\ttype_id\tfinal_id\tinit_id\n"
+        "1\t5\t24432\t50906\n"
+        "2\t5\t900001\t24432\n"
+        "3\t5\t900001\t50906\n"
+        "4\t5\t900002\t900001\n"
+        "5\t4\t101\t900002\n"
+        "6\t4\t102\t900009\n"
+        "7\t9\t101\t900009\n"  # unrelated relation type ignored
+    )
+    nodes, flags = PP.chebi_like(
+        spark, str(tmp_path / "compounds.tsv"), str(tmp_path / "relation.tsv")
+    )
+    by_id = {}
+    for r in flags.collect():
+        by_id.setdefault(r.id, set()).add(r.role_property)
+    assert by_id == {
+        "CHEBI:101": {
+            "CHEBI_ROLE_antibacterial_agent",
+            "CHEBI_ROLE_anti_infective_agent_drug_",
+        },
+        "CHEBI:102": {"CHEBI_ROLE_orphan_role"},
+    }
+    n = {r.id: r for r in nodes.collect()}
+    assert n["CHEBI:101"].chebi_roles == [
+        "CHEBI_ROLE_anti_infective_agent_drug_",
+        "CHEBI_ROLE_antibacterial_agent",
+    ]
+    assert "CHEBI:103" not in n  # no roles -> skipped
+
+    wide, _ = PP.chebi_like(
+        spark, str(tmp_path / "compounds.tsv"), str(tmp_path / "relation.tsv"),
+        pivot=True,
+    )
+    w = {r.id: r for r in wide.collect()}
+    assert w["CHEBI:101"].CHEBI_ROLE_antibacterial_agent is True
+    assert w["CHEBI:102"].CHEBI_ROLE_antibacterial_agent is None
