@@ -2412,3 +2412,343 @@ def chebi_like(
             F.array_sort(F.collect_set("role_property")).alias("chebi_roles")
         )
     return nodes, flags
+
+
+# ---------------------------------------------------------------------------
+# SIGNOR-like: causal-interaction TSV with CV side files and
+# mechanism/effect -> predicate+qualifier expansion
+# (parsers/SIGNOR/src/loadSIGNOR.py,
+#  parsers/SIGNOR/src/signor_mechanism_predicate_mapping.py)
+#
+# The reference pre-builds a JSON "type map" from the phenotype/stimulus
+# CSVs (GO-term regex over descriptions, loadSIGNOR.py:183-218), then
+# walks the main TSV row-by-row resolving SIGNOR-internal ids through it
+# and fanning each row out to mechanism and effect edges. Here the type
+# map is a broadcast dimension join, the fan-out is an exploded literal
+# array of edge variants, and the per-context split is explode_outer —
+# one declarative plan, no Python in the row path.
+# ---------------------------------------------------------------------------
+
+SIGNOR_MAIN_COLUMNS = [
+    "subject_name", "subject_type", "subject_id", "subject_db",
+    "object_name", "object_type", "object_id", "object_db",
+    "effect", "mechanism", "aa_modified", "sequence", "taxon",
+    "cell_type", "tissue_type", "modular_complex", "target_complex",
+    "modification_a", "modification_seq_a", "modification_b",
+    "modification_seq_b", "publications", "c22", "c23", "c24",
+    "description",
+]
+
+# signor_mechanism_predicate_mapping.py:3-29 (ptm_dict)
+SIGNOR_PTM_DIRECTION = {
+    "acetylation": "increased", "ADP-ribosylation": "increased",
+    "carboxylation": "increased", "deacetylation": "decreased",
+    "degradation": "increased", "deglycosylation": "decreased",
+    "demethylation": "decreased", "dephosphorylation": "decreased",
+    "desumoylation": "decreased", "deubiquitination": "decreased",
+    "glycosylation": "increased", "hydroxylation": "increased",
+    "lipidation": "increased", "methylation": "increased",
+    "monoubiquitination": "increased", "neddylation": "increased",
+    "oxidation": "increased", "palmitoylation": "increased",
+    "phosphorylation": "increased", "polyubiquitination": "increased",
+    "s-nitrosylation": "increased", "sumoylation": "increased",
+    "trimethylation": "increased", "tyrosination": "increased",
+    "ubiquitination": "increased", "cleavage": "increased",
+}
+
+# signor_mechanism_predicate_mapping.py:31-130 (mechanism_map, flattened
+# to (predicate, qualified_predicate, causal_mechanism_q, object_aspect_q))
+SIGNOR_MECHANISM_MAP = {
+    "binding": ("RO:0002436", None, None, None),
+    "catalytic activity": ("RO:0002327", None, None, None),
+    "chemical activation":
+        ("biolink:affects", "RO:0003303", "chemical activation", None),
+    "chemical inhibition":
+        ("biolink:affects", "RO:0003303", "chemical inhibition", None),
+    "chemical modification":
+        ("biolink:affects", "RO:0003303", None, "chemical modification"),
+}
+
+# signor_mechanism_predicate_mapping.py:134-231 (effect_mapping, flattened
+# to lists of (predicate, qualified_predicate, direction_q, aspect_q))
+SIGNOR_EFFECT_MAPPING = {
+    "form complex": [
+        ("biolink:in_complex_with", None, None, None),
+        ("RO:0002436", None, None, None),
+    ],
+    "down-regulates": [("RO:0002448", None, "downregulates", None)],
+    "down-regulates activity":
+        [("RO:0002448", None, "downregulates", "activity")],
+    "down-regulates quantity":
+        [("RO:0002448", None, "downregulates", "abundance")],
+    "down-regulates quantity by destabilization": [
+        ("RO:0002448", None, "downregulates", "abundance"),
+        ("biolink:affects", "RO:0003303", "decreased", "stability"),
+    ],
+    "down-regulates quantity by repression": [
+        ("RO:0002448", None, "downregulates", "abundance"),
+        ("biolink:affects", "RO:0003303", "decreased", "expression"),
+    ],
+    "up-regulates": [("RO:0002448", None, "upregulates", None)],
+    "up-regulates activity":
+        [("RO:0002448", None, "upregulates", "activity")],
+    "up-regulates quantity":
+        [("RO:0002448", None, "upregulates", "abundance")],
+    "up-regulates quantity by stabilization": [
+        ("RO:0002448", None, "upregulates", "abundance"),
+        ("biolink:affects", "RO:0003303", "increased", "stability"),
+    ],
+    "up-regulates quantity by expression": [
+        ("RO:0002448", None, "upregulates", "abundance"),
+        ("biolink:affects", "RO:0003303", "increased", "expression"),
+    ],
+}
+
+_SIGNOR_DB_PREFIXES = {
+    "UNIPROT": "UniProtKB", "PUBCHEM": "PUBCHEM.COMPOUND",
+    "RNAcentral": "RNACENTRAL", "DRUGBANK": "DRUGBANK",
+}
+
+_SIGNOR_VARIANT_FIELDS = (
+    "predicate string, qualified_predicate string, "
+    "object_direction_qualifier string, object_aspect_qualifier string, "
+    "causal_mechanism_qualifier string, part_override string, "
+    "force_part boolean"
+)
+
+
+def signor_type_map(spark: SparkSession, path: str, section: str) -> DataFrame:
+    """CV side file -> (section, signor_id, go_term): ';'-separated CSV,
+    GO:(\\d{7}) regex over the DESCRIPTION column (loadSIGNOR.py:192-217).
+    Entries without a GO term resolve to NULL -> row skipped downstream,
+    matching signor_node_mapping's None (loadSIGNOR.py:301-309)."""
+    raw = (
+        spark.read.option("sep", ";").option("quote", '"')
+        .option("header", True).csv(path)
+    ).toDF("signor_id", "cv_name", "description")
+    return raw.select(
+        F.lit(section).alias("section"),
+        "signor_id",
+        F.nullif(
+            F.regexp_extract("description", r"GO:(\d{7})", 0), F.lit("")
+        ).alias("go_term"),
+    )
+
+
+def _signor_fix_curie(db: Column, ident: Column) -> Column:
+    """fix_node_curie_prefix (loadSIGNOR.py:277-296): prefix map with
+    PUBCHEM CID: strip and UNIPROT -PRO_ suffix strip; unknown db -> NULL."""
+    pairs = []
+    for k, v in _SIGNOR_DB_PREFIXES.items():
+        pairs += [F.lit(k), F.lit(v)]
+    prefix = F.element_at(F.create_map(*pairs), db)
+    cleaned = (
+        F.when(db == "PUBCHEM", F.replace(ident, F.lit("CID:"), F.lit("")))
+        .when(
+            (db == "UNIPROT") & ident.contains("-PRO_"),
+            F.substring_index(ident, "-PRO_", 1),
+        )
+        .otherwise(ident)
+    )
+    return F.when(prefix.isNotNull(), F.concat(prefix, F.lit(":"), cleaned))
+
+
+def _signor_variant(
+    pred, qp=None, dq=None, aq=None, cmq=None, part=None, force_part=False
+) -> Column:
+    vals = [pred, qp, dq, aq, cmq, part]
+    names = [
+        "predicate", "qualified_predicate", "object_direction_qualifier",
+        "object_aspect_qualifier", "causal_mechanism_qualifier",
+        "part_override",
+    ]
+    cols = [
+        (v if isinstance(v, Column) else F.lit(v)).cast("string").alias(n)
+        for v, n in zip(vals, names)
+    ]
+    return F.struct(*cols, F.lit(force_part).alias("force_part"))
+
+
+def signor_like(
+    spark: SparkSession,
+    main_path: str,
+    phenotypes_path: str,
+    stimuli_path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges).
+
+    Node resolution (loadSIGNOR.py:400-409): SIGNOR-internal ids go
+    through the CV GO-term map (phenotype/stimulus sections; no GO term
+    -> row skipped), external ids through the prefix fixups. Edge fan-out
+    per row (loadSIGNOR.py:441-478): a mechanism-gated edge whose mapping
+    is keyed by the EFFECT string — the reference passes effect= into
+    edge_predicate_from_mechanism_effect (loadSIGNOR.py:443-444), so a
+    PTM-named effect takes the biolink:affects/RO:0003303 path with the
+    AA_MODIFIED part override ('cleavage' -> 'degradation' aspect) and
+    anything else falls through mechanism_map to biolink:related_to —
+    plus one edge per effect_mapping entry, or a bare related_to edge
+    when neither mechanism nor effect maps. Cell/tissue contexts split
+    the edge per anatomical_context_qualifier (loadSIGNOR.py:389-397)."""
+    cv = signor_type_map(spark, phenotypes_path, "phenotype").unionByName(
+        signor_type_map(spark, stimuli_path, "stimulus")
+    )
+    raw = (
+        spark.read.option("sep", "\t").option("quote", '"')
+        .option("header", True).csv(main_path)
+    ).toDF(*SIGNOR_MAIN_COLUMNS)
+
+    def resolved(side: str) -> DataFrame:
+        cvr = cv.select(
+            F.col("section").alias(f"_{side}_sec"),
+            F.col("signor_id").alias(f"_{side}_sid"),
+            F.col("go_term").alias(f"_{side}_go"),
+        )
+        return F.broadcast(cvr)
+
+    out = (
+        raw.join(
+            resolved("s"),
+            (F.col("_s_sec") == F.col("subject_type"))
+            & (F.col("_s_sid") == F.col("subject_id")),
+            "left",
+        )
+        .join(
+            resolved("o"),
+            (F.col("_o_sec") == F.col("object_type"))
+            & (F.col("_o_sid") == F.col("object_id")),
+            "left",
+        )
+        .withColumn(
+            "_subj",
+            F.when(F.col("subject_db") == "SIGNOR", F.col("_s_go")).otherwise(
+                _signor_fix_curie(F.col("subject_db"), F.col("subject_id"))
+            ),
+        )
+        .withColumn(
+            "_obj",
+            F.when(F.col("object_db") == "SIGNOR", F.col("_o_go")).otherwise(
+                _signor_fix_curie(F.col("object_db"), F.col("object_id"))
+            ),
+        )
+        .where(F.col("_subj").isNotNull() & F.col("_obj").isNotNull())
+    )
+
+    # ---- edge-variant fan-out -------------------------------------------
+    effect = F.col("effect")
+    mechanism = F.nullif(F.col("mechanism"), F.lit(""))
+    ptm_pairs = []
+    for k, v in sorted(SIGNOR_PTM_DIRECTION.items()):
+        ptm_pairs += [F.lit(k), F.lit(v)]
+    ptm_dir = F.element_at(F.create_map(*ptm_pairs), effect)
+    ptm_aspect = F.when(effect == "cleavage", F.lit("degradation")).otherwise(
+        effect
+    )
+    mech_variant = (
+        F.when(
+            ptm_dir.isNotNull(),
+            _signor_variant(
+                "biolink:affects", "RO:0003303", ptm_dir, ptm_aspect,
+                None, F.nullif(F.col("aa_modified"), F.lit("")),
+                force_part=True,
+            ),
+        )
+    )
+    for eff, (pred, qp, cmq, aq) in SIGNOR_MECHANISM_MAP.items():
+        mech_variant = mech_variant.when(
+            effect == eff, _signor_variant(pred, qp, None, aq, cmq)
+        )
+    mech_variant = mech_variant.otherwise(
+        _signor_variant("biolink:related_to")
+    )
+
+    effect_variants = F.when(F.lit(False), F.array().cast(
+        f"array<struct<{_SIGNOR_VARIANT_FIELDS}>>"
+    ))
+    for eff, entries in SIGNOR_EFFECT_MAPPING.items():
+        effect_variants = effect_variants.when(
+            effect == eff,
+            F.array(*[
+                _signor_variant(pred, qp, dq, aq) for pred, qp, dq, aq in entries
+            ]),
+        )
+    effect_mapped = effect.isin(*SIGNOR_EFFECT_MAPPING)
+
+    variants = F.concat(
+        F.when(mechanism.isNotNull(), F.array(mech_variant)).otherwise(
+            F.array().cast(f"array<struct<{_SIGNOR_VARIANT_FIELDS}>>")
+        ),
+        F.coalesce(
+            effect_variants,
+            F.when(
+                mechanism.isNull(),
+                F.array(_signor_variant("biolink:related_to")),
+            ).otherwise(
+                F.array().cast(f"array<struct<{_SIGNOR_VARIANT_FIELDS}>>")
+            ),
+        ),
+    )
+
+    # ---- anatomical-context split ---------------------------------------
+    split_nonempty = lambda c: F.filter(  # noqa: E731
+        F.split(F.coalesce(F.col(c), F.lit("")), ";"), lambda x: x != ""
+    )
+    contexts = F.concat(
+        split_nonempty("cell_type"), split_nonempty("tissue_type")
+    )
+
+    part_of = lambda c: F.when(  # noqa: E731
+        c.contains("-PRO_"), F.substring_index(c, "-", -1)
+    )
+    edges = (
+        out.select(
+            F.col("_subj").alias("subject"),
+            F.col("_obj").alias("object"),
+            F.explode(variants).alias("_v"),
+            F.when(F.size(F.array_compact(contexts)) > 0, contexts).alias(
+                "_ctxs"
+            ),
+            F.concat(F.lit("PMID:"), F.col("publications")).alias("_pub"),
+            F.col("description").alias("_desc"),
+            F.when(
+                ~F.col("taxon").isin("", "-1"),
+                F.concat(F.lit("NCBITaxon:"), F.col("taxon")),
+            ).alias("species_context_qualifier"),
+            part_of(F.col("subject_id")).alias("subject_part_qualifier"),
+            part_of(F.col("object_id")).alias("_opart"),
+        )
+        .select(
+            "*", F.explode_outer("_ctxs").alias("anatomical_context_qualifier")
+        )
+        .select(
+            "subject",
+            F.col("_v.predicate").alias("predicate"),
+            "object",
+            F.col("_v.qualified_predicate").alias("qualified_predicate"),
+            F.col("_v.object_direction_qualifier").alias(
+                "object_direction_qualifier"
+            ),
+            F.col("_v.object_aspect_qualifier").alias("object_aspect_qualifier"),
+            F.col("_v.causal_mechanism_qualifier").alias(
+                "causal_mechanism_qualifier"
+            ),
+            # the PTM variant's dict-merge overrides the -PRO_ suffix
+            # value even with a null AA_MODIFIED (loadSIGNOR.py:456)
+            F.when(F.col("_v.force_part"), F.col("_v.part_override"))
+            .otherwise(F.coalesce(F.col("_v.part_override"), F.col("_opart")))
+            .alias("object_part_qualifier"),
+            "anatomical_context_qualifier",
+            "species_context_qualifier",
+            "subject_part_qualifier",
+            F.array(F.col("_pub")).alias("publications"),
+            F.array(F.col("_desc")).alias("description"),
+            F.lit("knowledge_assertion").alias("knowledge_level"),
+            F.lit("manual_agent").alias("agent_type"),
+            F.lit("infores:signor").alias("primary_knowledge_source"),
+        )
+    )
+    nodes = (
+        out.select(F.col("_subj").alias("id"))
+        .unionAll(out.select(F.col("_obj").alias("id")))
+        .distinct()
+    )
+    return nodes, edges

@@ -5855,3 +5855,131 @@ def chebi_like_role_flags_q(spark, sf_dir):
     compounds, relation = _chebi_fixture(spark, sf_dir)
     _, flags = chebi_like(spark, compounds, relation)
     return flags.select("id", "name", "role_property")
+
+
+def _signor_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic SIGNOR main TSV + CV side files from the nation dim.
+    Shapes by k%4: PTM mechanism row (forced AA part override), CV-resolved
+    phenotype subject with an anatomical context and a single-variant
+    effect, two-variant 'form complex' effect, and the related_to
+    fallback. Returns (main, phenotypes, stimuli) paths."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"signor_fixture_v1{slug}")
+    main = os.path.join(root, "signor.tsv")
+    phen = os.path.join(root, "phen.csv")
+    stim = os.path.join(root, "stim.csv")
+    if os.path.exists(main):
+        return main, phen, stim
+
+    def row(**kw):
+        cells = [""] * 26
+        idx = {"sname": 0, "stype": 1, "sid": 2, "sdb": 3, "oname": 4,
+               "otype": 5, "oid": 6, "odb": 7, "effect": 8, "mechanism": 9,
+               "aa": 10, "taxon": 12, "cell": 13, "tissue": 14, "pub": 21,
+               "desc": 25}
+        for k, v in kw.items():
+            cells[idx[k]] = v
+        return "\t".join(cells)
+
+    lines = ["\t".join(f"c{i}" for i in range(26))]
+    phen_lines = ["SIGNOR ID;NAME;DESCRIPTION"]
+    for k in ks:
+        v = k % 4
+        if v == 0:
+            lines.append(row(
+                stype="protein", sid=f"P{k}-PRO_0001", sdb="UNIPROT",
+                otype="protein", oid=f"Q{k}", odb="UNIPROT",
+                effect="phosphorylation", mechanism="m", aa=f"Ser{k}",
+                taxon="9606", pub=str(100 + k), desc=f"d{k}"))
+        elif v == 1:
+            phen_lines.append(
+                f'SIGNOR-PH{k};p{k};"proc GO:{1000 + k:07d} term"')
+            lines.append(row(
+                stype="phenotype", sid=f"SIGNOR-PH{k}", sdb="SIGNOR",
+                otype="smallmolecule", oid=f"CID:{k}", odb="PUBCHEM",
+                effect="up-regulates activity", taxon="-1",
+                cell=f"cell{k}", pub=str(100 + k), desc=f"d{k}"))
+        elif v == 2:
+            lines.append(row(
+                stype="protein", sid=f"A{k}", sdb="UNIPROT",
+                otype="protein", oid=f"B{k}", odb="UNIPROT",
+                effect="form complex", pub=str(100 + k), desc=f"d{k}"))
+        else:
+            lines.append(row(
+                stype="chemical", sid=f"D{k}", sdb="DRUGBANK",
+                otype="rna", oid=f"R{k}", odb="RNAcentral",
+                effect="unknown", pub=str(100 + k), desc=f"d{k}"))
+
+    tmp = root + f".{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "signor.tsv"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(tmp, "phen.csv"), "w") as fh:
+        fh.write("\n".join(phen_lines) + "\n")
+    with open(os.path.join(tmp, "stim.csv"), "w") as fh:
+        fh.write("SIGNOR ID;NAME;DESCRIPTION\n")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    return main, phen, stim
+
+
+@query(
+    "signor_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'UniProtKB:P' || k AS subject, 'biolink:affects' AS predicate,
+           'UniProtKB:Q' || k AS object, 'RO:0003303' AS qualified_predicate,
+           'increased' AS object_direction_qualifier,
+           'phosphorylation' AS object_aspect_qualifier,
+           'Ser' || k AS object_part_qualifier,
+           'PRO_0001' AS subject_part_qualifier,
+           CAST(NULL AS VARCHAR) AS anatomical_context_qualifier,
+           'NCBITaxon:9606' AS species_context_qualifier,
+           'PMID:' || (100 + k) AS pub
+    FROM n WHERE k % 4 = 0
+    UNION ALL
+    SELECT 'GO:' || lpad(CAST(1000 + k AS VARCHAR), 7, '0'), 'RO:0002448',
+           'PUBCHEM.COMPOUND:' || k, NULL, 'upregulates', 'activity',
+           NULL, NULL, 'cell' || k, NULL, 'PMID:' || (100 + k)
+    FROM n WHERE k % 4 = 1
+    UNION ALL
+    SELECT 'UniProtKB:A' || k, p.pred, 'UniProtKB:B' || k,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'PMID:' || (100 + k)
+    FROM n, (SELECT unnest(['biolink:in_complex_with', 'RO:0002436']) AS pred) p
+    WHERE k % 4 = 2
+    UNION ALL
+    SELECT 'DRUGBANK:D' || k, 'biolink:related_to', 'RNACENTRAL:R' || k,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'PMID:' || (100 + k)
+    FROM n WHERE k % 4 = 3
+    """,
+)
+def signor_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the SIGNOR mechanism/effect family
+    (parsers/SIGNOR/src/loadSIGNOR.py) — CV GO-term subject resolution,
+    prefix fixups with CID:/-PRO_ surgery, the effect-keyed PTM mechanism
+    edge, effect_mapping fan-out (single- and two-variant), related_to
+    fallback and anatomical-context splitting. Fixture synthesized from
+    the nation dim; the oracle enumerates every expected edge closed-form."""
+    from orion_spark.plans.parsers import signor_like
+
+    main, phen, stim = _signor_fixture(spark, sf_dir)
+    _, edges = signor_like(spark, main, phen, stim)
+    return edges.select(
+        "subject", "predicate", "object", "qualified_predicate",
+        "object_direction_qualifier", "object_aspect_qualifier",
+        "object_part_qualifier", "subject_part_qualifier",
+        "anatomical_context_qualifier", "species_context_qualifier",
+        F.array_join("publications", "|").alias("pub"),
+    )

@@ -1029,3 +1029,95 @@ def test_chebi_like_role_closure(spark, tmp_path):
     w = {r.id: r for r in wide.collect()}
     assert w["CHEBI:101"].CHEBI_ROLE_antibacterial_agent is True
     assert w["CHEBI:102"].CHEBI_ROLE_antibacterial_agent is None
+
+
+def _signor_row(**kw):
+    cells = [""] * 26
+    idx = {"sname": 0, "stype": 1, "sid": 2, "sdb": 3, "oname": 4,
+           "otype": 5, "oid": 6, "odb": 7, "effect": 8, "mechanism": 9,
+           "aa": 10, "taxon": 12, "cell": 13, "tissue": 14, "pub": 21,
+           "desc": 25}
+    for k, v in kw.items():
+        cells[idx[k]] = v
+    return "\t".join(cells)
+
+
+def test_signor_like_parser(spark, tmp_path):
+    """loadSIGNOR.py semantics: CV GO-term resolution, prefix fixups with
+    CID:/-PRO_ surgery, the effect-keyed mechanism edge (PTM path with
+    forced AA part override), effect_mapping multi-edge fan-out,
+    related_to fallback, and per-anatomical-context edge splitting."""
+    (tmp_path / "phen.csv").write_text(
+        "SIGNOR ID;NAME;DESCRIPTION\n"
+        'SIGNOR-PH1;apoptosis;"A process GO:0008150 related"\n'
+        'SIGNOR-X;noterm;"nothing here"\n'
+    )
+    (tmp_path / "stim.csv").write_text("SIGNOR ID;NAME;DESCRIPTION\n")
+    rows = [
+        "\t".join(f"c{i}" for i in range(26)),  # header
+        _signor_row(sname="AKT1", stype="protein", sid="P1-PRO_0001",
+                    sdb="UNIPROT", oname="GSK3B", otype="protein", oid="Q2",
+                    odb="UNIPROT", effect="phosphorylation",
+                    mechanism="phosphorylation", aa="Ser473", taxon="9606",
+                    pub="111", desc="descA"),
+        _signor_row(sname="apoptosis", stype="phenotype", sid="SIGNOR-PH1",
+                    sdb="SIGNOR", oname="chem", otype="smallmolecule",
+                    oid="CID:444", odb="PUBCHEM",
+                    effect="up-regulates quantity by expression",
+                    taxon="-1", cell="epithelial;neuron", tissue="liver",
+                    pub="222", desc="descB"),
+        _signor_row(sname="drug", stype="chemical", sid="DB123",
+                    sdb="DRUGBANK", oname="rna", otype="rna", oid="R5",
+                    odb="RNAcentral", effect="unknown", pub="333",
+                    desc="descC"),
+        _signor_row(sname="ghost", stype="phenotype", sid="SIGNOR-X",
+                    sdb="SIGNOR", oname="x", otype="protein", oid="Q7",
+                    odb="UNIPROT", effect="up-regulates", pub="444",
+                    desc="descD"),
+        _signor_row(sname="A", stype="protein", sid="P9", sdb="UNIPROT",
+                    oname="B", otype="protein", oid="Q9", odb="UNIPROT",
+                    effect="binding", mechanism="binding", pub="555",
+                    desc="descE"),
+    ]
+    (tmp_path / "signor.tsv").write_text("\n".join(rows) + "\n")
+
+    nodes, edges = PP.signor_like(
+        spark, str(tmp_path / "signor.tsv"), str(tmp_path / "phen.csv"),
+        str(tmp_path / "stim.csv"),
+    )
+    e = edges.collect()
+    assert len(e) == 9
+
+    ptm = [r for r in e if r.subject == "UniProtKB:P1"]
+    assert len(ptm) == 1
+    assert ptm[0].predicate == "biolink:affects"
+    assert ptm[0].qualified_predicate == "RO:0003303"
+    assert ptm[0].object_direction_qualifier == "increased"
+    assert ptm[0].object_aspect_qualifier == "phosphorylation"
+    assert ptm[0].object_part_qualifier == "Ser473"
+    assert ptm[0].subject_part_qualifier == "PRO_0001"
+    assert ptm[0].species_context_qualifier == "NCBITaxon:9606"
+    assert ptm[0].publications == ["PMID:111"]
+
+    up = [r for r in e if r.subject == "GO:0008150"]
+    assert len(up) == 6  # 2 effect variants x 3 anatomical contexts
+    assert all(r.object == "PUBCHEM.COMPOUND:444" for r in up)
+    assert {r.predicate for r in up} == {"RO:0002448", "biolink:affects"}
+    assert {r.anatomical_context_qualifier for r in up} == {
+        "epithelial", "neuron", "liver"}
+    aff = [r for r in up if r.predicate == "biolink:affects"][0]
+    assert aff.object_aspect_qualifier == "expression"
+    assert aff.species_context_qualifier is None  # taxon -1
+
+    rel = [r for r in e if r.subject == "DRUGBANK:DB123"]
+    assert len(rel) == 1
+    assert rel[0].predicate == "biolink:related_to"
+    assert rel[0].object == "RNACENTRAL:R5"
+    assert rel[0].qualified_predicate is None
+
+    bind = [r for r in e if r.subject == "UniProtKB:P9"]
+    assert len(bind) == 1 and bind[0].predicate == "RO:0002436"
+
+    ids = {r.id for r in nodes.collect()}
+    assert "GO:0008150" in ids and "UniProtKB:Q2" in ids
+    assert not any("SIGNOR-X" in i or "Q7" in i for i in ids)  # row skipped
