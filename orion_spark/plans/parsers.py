@@ -2752,3 +2752,155 @@ def signor_like(
         .distinct()
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# PANTHER-like: sequence-classification TSV -> family/subfamily hierarchy
+# plus annotation fan-out (parsers/panther/src/loadPanther.py)
+#
+# The reference restructures the whole file into a nested driver dict
+# keyed family->subfamily (loadPanther.py:142-190) and then walks every
+# family/subfamily curie six times. Here each per-curie pass is one
+# declarative branch over an exploded (family-ref, row) frame: a row
+# contributes its annotations to BOTH its family and subfamily curie —
+# exactly what the reference's get_rows_using_curie union produces —
+# and global dedupe replaces the rows-not-in-rows / repeated-append
+# bookkeeping.
+# ---------------------------------------------------------------------------
+
+PANTHER_SEQUENCE_COLUMNS = [
+    "gene_identifier", "protein_id", "gene_name", "panther_sf_id",
+    "panther_family_name", "panther_subfamily_name", "panther_molecular_func",
+    "panther_biological_process", "cellular_components", "protein_class",
+    "pathway",
+]
+
+_PANTHER_KL_NP = ("not_provided", "not_provided")
+_PANTHER_KL_KA = ("knowledge_assertion", "manual_agent")
+
+
+def panther_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges).
+
+    Gene ids come from the 2nd pipe field of gene_identifier, skipped when
+    the field contains 'Gene', with '='->':' and uppercasing
+    (loadPanther.py:415-424). Annotation fields are ';' lists of
+    'name#accession' pairs; pathway keeps only the first '>' segment
+    (loadPanther.py:384-410). Predicates and KL/AT follow
+    loadPanther.py:54-58, 265-341: member_of RO:0002350 (not_provided),
+    involved_in RO:0002331 and enables RO:0002327 (knowledge_assertion/
+    manual_agent), located_in RO:0001025 and has_participant RO:0000057
+    (not_provided)."""
+    raw = read_tabular(spark, path, header=False).toDF(
+        *PANTHER_SEQUENCE_COLUMNS
+    )
+    fam_id = F.substring_index("panther_sf_id", ":", 1)
+    sub_id = F.substring_index("panther_sf_id", ":", -1)
+    fam_curie = F.concat(F.lit("PANTHER.FAMILY:"), fam_id)
+    sub_curie = F.concat(fam_curie, F.lit(":"), sub_id)
+    base = raw.select(
+        "*", fam_curie.alias("_fam"), sub_curie.alias("_sub")
+    )
+    rows_x = base.select(
+        "*", F.explode(F.array(F.col("_fam"), F.col("_sub"))).alias("_ref")
+    )
+
+    def edge(subj: Column, pred: str, obj: Column, kl_at) -> list[Column]:
+        return [
+            subj.alias("subject"), F.lit(pred).alias("predicate"),
+            obj.alias("object"), F.lit(kl_at[0]).alias("knowledge_level"),
+            F.lit(kl_at[1]).alias("agent_type"),
+            F.lit("infores:panther").alias("primary_knowledge_source"),
+        ]
+
+    subfam_edges = base.select(
+        *edge(F.col("_sub"), "RO:0002350", F.col("_fam"), _PANTHER_KL_NP)
+    )
+
+    gene_field = F.split("gene_identifier", r"\|")[1]
+    gene_id = F.when(
+        ~gene_field.contains("Gene"),
+        F.upper(F.replace(gene_field, F.lit("="), F.lit(":"))),
+    )
+    gene_edges = rows_x.where(gene_id.isNotNull()).select(
+        *edge(gene_id, "RO:0002350", F.col("_ref"), _PANTHER_KL_NP)
+    )
+
+    def annotation(col: str, pred: str, kl_at) -> DataFrame:
+        items = rows_x.select(
+            "_ref",
+            F.explode(
+                F.filter(F.split(col, ";"), lambda x: F.length(x) > 0)
+            ).alias("_item"),
+        )
+        term = F.substring_index("_item", "#", -1)
+        return items.select(
+            *edge(F.col("_ref"), pred, term, kl_at)
+        )
+
+    mf_edges = annotation("panther_molecular_func", "RO:0002327", _PANTHER_KL_KA)
+    bp_edges = annotation(
+        "panther_biological_process", "RO:0002331", _PANTHER_KL_KA
+    )
+    cc_edges = annotation("cellular_components", "RO:0001025", _PANTHER_KL_NP)
+
+    pathway_first = F.split(F.split("pathway", ">")[0], "#")
+    pathway_edges = rows_x.where(
+        F.length(F.split("pathway", ">")[0]) > 0
+    ).select(
+        *edge(
+            F.concat(F.lit("PANTHER.PATHWAY:"), pathway_first[1]),
+            "RO:0000057", F.col("_ref"), _PANTHER_KL_NP,
+        )
+    )
+    # swap: pathway edge is pathway -> family (loadPanther.py:404-409)
+
+    edges = (
+        subfam_edges.unionByName(gene_edges).unionByName(mf_edges)
+        .unionByName(bp_edges).unionByName(cc_edges)
+        .unionByName(pathway_edges).distinct()
+    )
+
+    gene_name = F.when(
+        F.length(F.coalesce(F.col("gene_name"), F.lit(""))) > 1,
+        F.col("gene_name"),
+    ).otherwise(gene_id)
+    term_nodes = []
+    for col in [
+        "panther_molecular_func", "panther_biological_process",
+        "cellular_components",
+    ]:
+        term_nodes.append(
+            base.select(
+                F.explode(
+                    F.filter(F.split(col, ";"), lambda x: F.length(x) > 0)
+                ).alias("_item")
+            ).select(
+                F.substring_index("_item", "#", -1).alias("id"),
+                F.substring_index("_item", "#", 1).alias("name"),
+            )
+        )
+    nodes = (
+        base.select(F.col("_fam").alias("id"),
+                    F.col("panther_family_name").alias("name"))
+        .unionByName(
+            base.select(F.col("_sub").alias("id"),
+                        F.col("panther_subfamily_name").alias("name"))
+        )
+        .unionByName(
+            base.where(gene_id.isNotNull()).select(
+                gene_id.alias("id"), gene_name.alias("name")
+            )
+        )
+        .unionByName(
+            base.where(F.length(F.split("pathway", ">")[0]) > 0).select(
+                F.concat(
+                    F.lit("PANTHER.PATHWAY:"), pathway_first[1]
+                ).alias("id"),
+                pathway_first[0].alias("name"),
+            )
+        )
+    )
+    for t in term_nodes:
+        nodes = nodes.unionByName(t)
+    return nodes.dropDuplicates(["id"]), edges

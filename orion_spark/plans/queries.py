@@ -5983,3 +5983,92 @@ def signor_like_edges_q(spark, sf_dir):
         "anatomical_context_qualifier", "species_context_qualifier",
         F.array_join("publications", "|").alias("pub"),
     )
+
+
+def _panther_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic PANTHER sequence-classification TSV from the nation
+    dim: two nations share each family (subfamily grouping + fam-level
+    dedupe), GeneID rows are skipped, MF/BP/CC semicolon lists with
+    name#accession pairs, first-'>'-segment pathways."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"panther_fixture_v1{slug}.tsv")
+    if os.path.exists(path):
+        return path
+
+    lines = []
+    for k in ks:
+        gene = (
+            f"HUMAN|GeneID={k}|UniProtKB=P{k}" if k % 5 == 0
+            else f"HUMAN|HGNC={k}|UniProtKB=P{k}"
+        )
+        mf = f"kinase activity#GO:0016301" if k % 2 == 0 else ""
+        bp = "proc a#GO:0008150;proc b#GO:0009987" if k % 3 == 0 else ""
+        cc = "nucleus#GO:0005634"
+        pw = "Apoptosis#P00006>component#P9" if k % 4 == 0 else ""
+        lines.append("\t".join([
+            gene, f"UniProtKB=P{k}", f"gene{k}", f"F{k // 2}:SF{k}",
+            f"family {k // 2}", f"subfamily {k}", mf, bp, cc, "kinase", pw,
+        ]))
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "panther_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    r AS (
+        SELECT k, ref FROM n, LATERAL (SELECT unnest([
+            'PANTHER.FAMILY:F' || (k // 2),
+            'PANTHER.FAMILY:F' || (k // 2) || ':SF' || k]) AS ref)
+    )
+    SELECT DISTINCT * FROM (
+        SELECT 'PANTHER.FAMILY:F' || (k // 2) || ':SF' || k AS subject,
+               'RO:0002350' AS predicate,
+               'PANTHER.FAMILY:F' || (k // 2) AS object,
+               'not_provided' AS knowledge_level,
+               'not_provided' AS agent_type
+        FROM n
+        UNION ALL
+        SELECT 'HGNC:' || k, 'RO:0002350', ref, 'not_provided',
+               'not_provided' FROM r WHERE k % 5 <> 0
+        UNION ALL
+        SELECT ref, 'RO:0002327', 'GO:0016301', 'knowledge_assertion',
+               'manual_agent' FROM r WHERE k % 2 = 0
+        UNION ALL
+        SELECT ref, 'RO:0002331', go, 'knowledge_assertion', 'manual_agent'
+        FROM r, (SELECT unnest(['GO:0008150', 'GO:0009987']) AS go)
+        WHERE k % 3 = 0
+        UNION ALL
+        SELECT ref, 'RO:0001025', 'GO:0005634', 'not_provided',
+               'not_provided' FROM r
+        UNION ALL
+        SELECT 'PANTHER.PATHWAY:P00006', 'RO:0000057', ref, 'not_provided',
+               'not_provided' FROM r WHERE k % 4 = 0
+    )
+    """,
+)
+def panther_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the PANTHER sequence-classification family
+    (parsers/panther/src/loadPanther.py) — family/subfamily hierarchy
+    edges, per-curie annotation fan-out to both levels, GeneID skip,
+    name#accession splitting, first-'>'-segment pathways, and global
+    dedupe. Fixture synthesized deterministically from the nation dim."""
+    from orion_spark.plans.parsers import panther_like
+
+    path = _panther_fixture(spark, sf_dir)
+    _, edges = panther_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "knowledge_level", "agent_type"
+    )

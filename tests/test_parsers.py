@@ -1121,3 +1121,53 @@ def test_signor_like_parser(spark, tmp_path):
     ids = {r.id for r in nodes.collect()}
     assert "GO:0008150" in ids and "UniProtKB:Q2" in ids
     assert not any("SIGNOR-X" in i or "Q7" in i for i in ids)  # row skipped
+
+
+def test_panther_like_parser(spark, tmp_path):
+    """loadPanther.py semantics: subfamily->family hierarchy, gene edges
+    to both curie levels with the GeneID skip and '='->':' uppercase,
+    annotation name#accession fan-out with per-type KL/AT, pathway
+    first-segment extraction and direction, short-gene-name fallback."""
+    rows = [
+        "\t".join([
+            "HUMAN|HGNC=10590|UniProtKB=P63104", "UniProtKB=P63104", "x",
+            "PTHR19:SF1", "famname", "subname",
+            "kinase activity#GO:0016301",
+            "proc a#GO:0008150;proc b#GO:0009987",
+            "nucleus#GO:0005634", "kinase",
+            "Apoptosis#P00006>comp#P9",
+        ]),
+        "\t".join([
+            "HUMAN|GeneID=999|UniProtKB=Q1", "UniProtKB=Q1", "skipme",
+            "PTHR19:SF2", "famname", "subname2", "", "", "", "", "",
+        ]),
+    ]
+    p = tmp_path / "PTHR19.0_human"
+    p.write_text("\n".join(rows) + "\n")
+    nodes, edges = PP.panther_like(spark, str(p))
+    e = {(r.subject, r.predicate, r.object): r for r in edges.collect()}
+
+    fam, sub1 = "PANTHER.FAMILY:PTHR19", "PANTHER.FAMILY:PTHR19:SF1"
+    assert (f"{fam}:SF1", "RO:0002350", fam) in e
+    assert (f"{fam}:SF2", "RO:0002350", fam) in e
+    # gene edge to both levels; '=' -> ':' + upper
+    assert ("HGNC:10590", "RO:0002350", fam) in e
+    assert ("HGNC:10590", "RO:0002350", sub1) in e
+    assert not any(s.startswith("GENEID") for s, _, _ in e)  # GeneID skip
+    mf = e[(fam, "RO:0002327", "GO:0016301")]
+    assert mf.knowledge_level == "knowledge_assertion"
+    cc = e[(sub1, "RO:0001025", "GO:0005634")]
+    assert cc.knowledge_level == "not_provided"
+    assert (fam, "RO:0002331", "GO:0009987") in e
+    # pathway: first '>' segment only, pathway -> family direction
+    assert ("PANTHER.PATHWAY:P00006", "RO:0000057", sub1) in e
+    assert not any("P9" in o for _, _, o in e)
+    # 2 subfam + 2x2 gene... total: subfam 2, gene 2, mf 2, bp 4, cc 2, pw 2
+    assert len(e) == 14
+
+    n = {r.id: r.name for r in nodes.collect()}
+    assert n["PANTHER.FAMILY:PTHR19"] == "famname"
+    assert n["PANTHER.FAMILY:PTHR19:SF1"] == "subname"
+    assert n["HGNC:10590"] == "HGNC:10590"  # 1-char gene_name falls back
+    assert n["GO:0016301"] == "kinase activity"
+    assert n["PANTHER.PATHWAY:P00006"] == "Apoptosis"
