@@ -2904,3 +2904,98 @@ def panther_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     for t in term_nodes:
         nodes = nodes.unionByName(t)
     return nodes.dropDuplicates(["id"]), edges
+
+
+# ---------------------------------------------------------------------------
+# ClinicalTrialsKP-like: pre-built KGX TSV pair whose edges carry parallel
+# comma-lists of per-study metadata (parsers/clinicaltrials/src/loadCTKP.py)
+#
+# The reference zips five comma-split columns per row and serializes one
+# TRAPI supporting-study JSON blob per zip entry (loadCTKP.py:156-216).
+# Here the zip is arrays_zip truncated to the shortest list (Python zip
+# semantics) and the JSON text is produced byte-identically to
+# json.dumps via format_string — all JVM-side.
+# ---------------------------------------------------------------------------
+
+CTKP_EDGE_COLUMNS = [
+    "id", "subject", "predicate", "object", "subject_name", "object_name",
+    "category", "knowledge_level", "agent_type", "nctid", "phase",
+    "primary_purpose", "intervention_model", "time_perspective",
+    "overall_status", "start_date", "enrollment", "enrollment_type",
+    "age_range", "child", "adult", "older_adult", "unii",
+]
+
+_CTKP_STUDY_FMT = (
+    '{"attribute_type_id": "has_supporting_study_result", "value": "%s", '
+    '"attributes": [{"attribute_type_id": "id", "value": "%s"}, '
+    '{"attribute_type_id": "tested_intervention", "value": "%s"}, '
+    '{"attribute_type_id": "phase", "value": "%s"}, '
+    '{"attribute_type_id": "status", "value": "%s"}, '
+    '{"attribute_type_id": "study_size", "value": %s}]}'
+)
+
+CTKP_PROVENANCE = "infores:biothings-multiomics-clinicaltrials"
+CTKP_AACT = "infores:aact"
+CTKP_CTGOV = "infores:clinicaltrials"
+CTKP_SOURCE_RECORD_URL = (
+    "https://db.systemsbiology.net/gestalt/cgi-pub/KGinfo.pl?id="
+)
+
+
+def ctkp_like(
+    spark: SparkSession, nodes_path: str, edges_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges).
+
+    Per-study TRAPI attributes (loadCTKP.py:157-187): the five parallel
+    comma-lists zip (shortest wins), tested_intervention is 'unsure' only
+    for mentioned_in_trials_for, unparseable enrollment becomes -1.
+    max_research_phase is str(float(max(phase))) over the zipped entries.
+    The provenance branch (loadCTKP.py:192-201): treats edges are KP-
+    primary with AACT aggregator and ctgov supporting data; everything
+    else is ctgov-primary with both as aggregators."""
+    nodes = read_tabular(spark, nodes_path, infer_schema=False).toDF(
+        "id", "name", "category"
+    )
+    raw = read_tabular(spark, edges_path, infer_schema=False).toDF(
+        *CTKP_EDGE_COLUMNS
+    )
+    split = lambda c: F.split(F.col(c), ",")  # noqa: E731
+    lists = [split(c) for c in
+             ["nctid", "phase", "overall_status", "enrollment",
+              "enrollment_type"]]
+    n = F.least(*[F.size(x) for x in lists])
+    zipped = F.slice(
+        F.arrays_zip(*[x.alias(a) for x, a in
+                       zip(lists, ["nct", "ph", "st", "en", "et"])]),
+        1, n,
+    )
+    tested = F.when(
+        F.col("predicate") == "biolink:mentioned_in_trials_for", F.lit("unsure")
+    ).otherwise(F.lit("yes"))
+    study = lambda z: F.format_string(  # noqa: E731
+        _CTKP_STUDY_FMT, z["nct"], z["nct"], tested, z["ph"], z["st"],
+        F.coalesce(z["en"].try_cast("int"), F.lit(-1)).cast("string"),
+    )
+    max_phase = F.aggregate(
+        zipped, F.lit(0.0),
+        lambda acc, z: F.greatest(acc, z["ph"].try_cast("double")),
+    )
+    is_treats = F.col("predicate") == "biolink:treats"
+    edges = raw.select(
+        "subject", "predicate", "object", "id",
+        F.when(is_treats, F.lit(CTKP_PROVENANCE))
+        .otherwise(F.lit(CTKP_CTGOV)).alias("primary_knowledge_source"),
+        F.when(is_treats, F.array(F.lit(CTKP_AACT)))
+        .otherwise(F.array(F.lit(CTKP_AACT), F.lit(CTKP_PROVENANCE)))
+        .alias("aggregator_knowledge_sources"),
+        F.when(is_treats, F.lit(CTKP_CTGOV)).alias("supporting_data_source"),
+        "knowledge_level", "agent_type",
+        max_phase.cast("string").alias("max_research_phase"),
+        F.lit(False).alias("elevate_to_prediction"),
+        F.array(
+            F.concat(F.lit(CTKP_SOURCE_RECORD_URL), F.col("id"))
+        ).alias("source_record_urls"),
+        F.transform(zipped, study).alias("attributes"),
+    )
+    return nodes, edges

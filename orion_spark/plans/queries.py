@@ -6072,3 +6072,121 @@ def panther_like_edges_q(spark, sf_dir):
     return edges.select(
         "subject", "predicate", "object", "knowledge_level", "agent_type"
     )
+
+
+def _ctkp_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic CTKP node/edge TSV pair from the nation dim: two
+    supporting studies per edge (second with blank enrollment -> -1),
+    predicate rotating treats / in_clinical_trials_for /
+    mentioned_in_trials_for to exercise both provenance branches and the
+    tested_intervention flag."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"ctkp_fixture_v1{slug}")
+    nodes_p = os.path.join(root, "nodes.tsv")
+    edges_p = os.path.join(root, "edges.tsv")
+    if os.path.exists(nodes_p):
+        return nodes_p, edges_p
+
+    preds = ["biolink:treats", "biolink:in_clinical_trials_for",
+             "biolink:mentioned_in_trials_for"]
+    n_lines = ["id\tname\tcategory"]
+    e_lines = ["\t".join(f"c{i}" for i in range(23))]
+    for k in ks:
+        n_lines.append(f"CHEBI:{k}\tchem{k}\tbiolink:SmallMolecule")
+        n_lines.append(f"MONDO:{k}\tdis{k}\tbiolink:Disease")
+        cells = [""] * 23
+        cells[0] = f"E{k}"
+        cells[1] = f"CHEBI:{k}"
+        cells[2] = preds[k % 3]
+        cells[3] = f"MONDO:{k}"
+        cells[7] = "knowledge_assertion"
+        cells[8] = "manual_agent"
+        cells[9] = f"NCT{k}a,NCT{k}b"
+        cells[10] = f"{k % 4},{k % 4 + 1}"
+        cells[14] = "recruiting,completed"
+        cells[16] = f"{10 * k},"
+        cells[17] = "actual,anticipated"
+        e_lines.append("\t".join(cells))
+    tmp = root + f".{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "nodes.tsv"), "w") as fh:
+        fh.write("\n".join(n_lines) + "\n")
+    with open(os.path.join(tmp, "edges.tsv"), "w") as fh:
+        fh.write("\n".join(e_lines) + "\n")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    return nodes_p, edges_p
+
+
+@query(
+    "ctkp_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    p AS (SELECT k, CASE k % 3 WHEN 0 THEN 'biolink:treats'
+                    WHEN 1 THEN 'biolink:in_clinical_trials_for'
+                    ELSE 'biolink:mentioned_in_trials_for' END AS predicate
+          FROM n),
+    s AS (SELECT k, predicate,
+          CASE WHEN predicate = 'biolink:mentioned_in_trials_for'
+               THEN 'unsure' ELSE 'yes' END AS ti FROM p)
+    SELECT 'CHEBI:' || k AS subject, predicate, 'MONDO:' || k AS object,
+           'E' || k AS edge_id,
+           CASE WHEN predicate = 'biolink:treats'
+                THEN 'infores:biothings-multiomics-clinicaltrials'
+                ELSE 'infores:clinicaltrials' END AS pks,
+           CASE WHEN predicate = 'biolink:treats' THEN 'infores:aact'
+                ELSE 'infores:aact|infores:biothings-multiomics-clinicaltrials'
+                END AS aggs,
+           CASE WHEN predicate = 'biolink:treats'
+                THEN 'infores:clinicaltrials' END AS supporting_data_source,
+           CAST(CAST(k % 4 + 1 AS DOUBLE) AS VARCHAR) AS max_research_phase,
+           '{"attribute_type_id": "has_supporting_study_result", "value": "NCT'
+           || k || 'a", "attributes": [{"attribute_type_id": "id", "value": '
+           || '"NCT' || k || 'a"}, {"attribute_type_id": '
+           || '"tested_intervention", "value": "' || ti || '"}, '
+           || '{"attribute_type_id": "phase", "value": "' || (k % 4)
+           || '"}, {"attribute_type_id": "status", "value": "recruiting"}, '
+           || '{"attribute_type_id": "study_size", "value": ' || (10 * k)
+           || '}]}~~'
+           || '{"attribute_type_id": "has_supporting_study_result", '
+           || '"value": "NCT' || k || 'b", "attributes": '
+           || '[{"attribute_type_id": "id", "value": "NCT' || k || 'b"}, '
+           || '{"attribute_type_id": "tested_intervention", "value": "'
+           || ti || '"}, {"attribute_type_id": "phase", "value": "'
+           || (k % 4 + 1)
+           || '"}, {"attribute_type_id": "status", "value": "completed"}, '
+           || '{"attribute_type_id": "study_size", "value": -1}]}'
+               AS attrs
+    FROM s
+    """,
+)
+def ctkp_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the ClinicalTrialsKP parallel comma-list family
+    (parsers/clinicaltrials/src/loadCTKP.py) — five-way list zip into
+    byte-identical json.dumps TRAPI supporting-study blobs, blank
+    enrollment -> -1, max_research_phase float formatting, provenance
+    branch by predicate. Fixture synthesized deterministically from the
+    nation dim; the oracle rebuilds every JSON blob closed-form."""
+    from orion_spark.plans.parsers import ctkp_like
+
+    nodes_p, edges_p = _ctkp_fixture(spark, sf_dir)
+    _, edges = ctkp_like(spark, nodes_p, edges_p)
+    return edges.select(
+        "subject", "predicate", "object", F.col("id").alias("edge_id"),
+        F.col("primary_knowledge_source").alias("pks"),
+        F.array_join("aggregator_knowledge_sources", "|").alias("aggs"),
+        "supporting_data_source", "max_research_phase",
+        F.array_join("attributes", "~~").alias("attrs"),
+    )

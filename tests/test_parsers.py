@@ -1171,3 +1171,56 @@ def test_panther_like_parser(spark, tmp_path):
     assert n["HGNC:10590"] == "HGNC:10590"  # 1-char gene_name falls back
     assert n["GO:0016301"] == "kinase activity"
     assert n["PANTHER.PATHWAY:P00006"] == "Apoptosis"
+
+
+def test_ctkp_like_parser(spark, tmp_path):
+    """loadCTKP.py semantics: five-list zip truncated to the shortest,
+    byte-identical json.dumps study blobs, enrollment -1 fallback,
+    max_research_phase float string, provenance branch, unsure flag."""
+    (tmp_path / "nodes.tsv").write_text(
+        "id\tname\tcategory\nCHEBI:1\taspirin\tbiolink:SmallMolecule\n"
+    )
+    hdr = "\t".join(f"c{i}" for i in range(23))
+    t = [""] * 23
+    t[0], t[1], t[2], t[3] = "E1", "CHEBI:1", "biolink:treats", "MONDO:5"
+    t[7], t[8] = "knowledge_assertion", "manual_agent"
+    t[9], t[10], t[14] = "NCT1,NCT2,NCT3", "2,4", "active,done"
+    t[16], t[17] = "50,oops", "actual,actual"
+    m = [""] * 23
+    m[0], m[1], m[2], m[3] = (
+        "E2", "CHEBI:1", "biolink:mentioned_in_trials_for", "MONDO:6")
+    m[7], m[8] = "not_provided", "text_mining_agent"
+    m[9], m[10], m[14], m[16], m[17] = "NCT9", "1", "done", "10", "actual"
+    (tmp_path / "edges.tsv").write_text(
+        hdr + "\n" + "\t".join(t) + "\n" + "\t".join(m) + "\n"
+    )
+    nodes, edges = PP.ctkp_like(
+        spark, str(tmp_path / "nodes.tsv"), str(tmp_path / "edges.tsv")
+    )
+    e = {r.id: r for r in edges.collect()}
+    tr = e["E1"]
+    # zip truncates to 2 entries (NCT3 dropped)
+    assert len(tr.attributes) == 2
+    assert json.loads(tr.attributes[0]) == {
+        "attribute_type_id": "has_supporting_study_result", "value": "NCT1",
+        "attributes": [
+            {"attribute_type_id": "id", "value": "NCT1"},
+            {"attribute_type_id": "tested_intervention", "value": "yes"},
+            {"attribute_type_id": "phase", "value": "2"},
+            {"attribute_type_id": "status", "value": "active"},
+            {"attribute_type_id": "study_size", "value": 50},
+        ],
+    }
+    # and the serialized text matches json.dumps byte-for-byte
+    assert tr.attributes[0] == json.dumps(json.loads(tr.attributes[0]))
+    assert json.loads(tr.attributes[1])["attributes"][4]["value"] == -1
+    assert tr.max_research_phase == "4.0"
+    assert tr.primary_knowledge_source == (
+        "infores:biothings-multiomics-clinicaltrials")
+    assert tr.aggregator_knowledge_sources == ["infores:aact"]
+    assert tr.supporting_data_source == "infores:clinicaltrials"
+    men = e["E2"]
+    assert men.primary_knowledge_source == "infores:clinicaltrials"
+    assert men.supporting_data_source is None
+    assert json.loads(men.attributes[0])["attributes"][1]["value"] == "unsure"
+    assert {r.id for r in nodes.collect()} == {"CHEBI:1"}
