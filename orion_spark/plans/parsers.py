@@ -2999,3 +2999,197 @@ def ctkp_like(
         F.transform(zipped, study).alias("attributes"),
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# MonarchKG-like: tar.gz-archived KGX edge JSONL with knowledge-source
+# remapping and an optional curation filter
+# (parsers/monarchkg/src/loadMonarchKG.py)
+# ---------------------------------------------------------------------------
+
+MONARCH_KS_MAPPING = {
+    "infores:alliancegenome": "infores:agrkb",
+    "infores:hgnc-ucl": "infores:hgnc",
+    "infores:go-central": "infores:go",
+}
+
+MONARCH_DESIRED_PREDICATES = [
+    "biolink:causes", "biolink:contributes_to", "biolink:has_phenotype",
+    "biolink:expressed_in",
+]
+
+MONARCH_KS_IGNORE = [
+    "infores:bgee", "infores:ctd", "infores:reactome", "infores:goa",
+    "infores:cafa", "infores:bhf-ucl", "infores:aruk-ucl",
+    "infores:parkinsonsuk-ucl", "infores:alzheimers-university-of-toronto",
+    "infores:agbase", "infores:dictybase", "infores:ntnu-sb", "infores:wb",
+]
+
+MONARCH_BAD_PREFIXES = [
+    "ZP", "phenopacket.store", "WB", "CLINVAR", "FYPO", "PomBase", "MMRRC",
+    "WBPhenotype", "CAID", "XPO", "CUREID",
+]
+
+_MONARCH_PROTECTED = [
+    "subject", "object", "predicate", "primary_knowledge_source",
+    "aggregator_knowledge_source", "knowledge_level", "agent_type",
+    "publications", "biolink:primary_knowledge_source",
+    "biolink:aggregator_knowledge_source", "qualifiers",
+]
+
+
+def extract_tar_member(tar_path: str, member: str, dest_dir: str) -> str:
+    """S9-style archive staging for tar(.gz): stream one member out
+    (loadMonarchKG.py:93-95's extractfile, but to disk so the scan
+    parallelizes) and return the path. Idempotent per tar mtime."""
+    import os
+    import shutil
+    import tarfile
+
+    os.makedirs(dest_dir, exist_ok=True)
+    out = os.path.join(dest_dir, os.path.basename(member))
+    marker = out + ".extracted"
+    stamp = str(os.path.getmtime(tar_path))
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out
+    with tarfile.open(tar_path) as tf:
+        with tf.extractfile(member) as src, open(out + ".tmp", "wb") as dst:
+            shutil.copyfileobj(src, dst)
+    os.replace(out + ".tmp", out)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+def monarchkg_like(
+    spark: SparkSession,
+    tar_path: str,
+    member: str = "monarch-kg_edges.jsonl",
+    staging_dir: str | None = None,
+    curated: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges). curated=True applies the ROBOKOP-subset
+    filter (loadMonarchKG.py:163-207): predicate whitelist, knowledge-
+    source ignore list over the REMAPPED primary and aggregators, and the
+    non-normalizable curie-prefix drop. curated=False is the Full loader
+    (no filtering). Both remap knowledge sources
+    (loadMonarchKG.py:36-40,102-113) and default KL/AT to not_provided;
+    non-protected truthy attributes pass through except 'qualifiers'."""
+    import tempfile
+
+    staged = extract_tar_member(
+        tar_path, member, staging_dir or tempfile.mkdtemp(prefix="monarch_")
+    )
+    raw = spark.read.json(staged)
+
+    def remap(col: Column) -> Column:
+        pairs = []
+        for k, v in MONARCH_KS_MAPPING.items():
+            pairs += [F.lit(k), F.lit(v)]
+        return F.coalesce(F.element_at(F.create_map(*pairs), col), col)
+
+    cols = set(raw.columns)
+    pks = remap(F.col("primary_knowledge_source"))
+    aggs = (
+        F.when(
+            F.size(F.coalesce(
+                F.col("aggregator_knowledge_source"),
+                F.array().cast("array<string>"),
+            )) > 0,
+            F.transform(F.col("aggregator_knowledge_source"), remap),
+        ).otherwise(F.array().cast("array<string>"))
+        if "aggregator_knowledge_source" in cols
+        else F.array().cast("array<string>")
+    )
+    good = (
+        F.nullif(F.col("subject"), F.lit("")).isNotNull()
+        & F.nullif(F.col("object"), F.lit("")).isNotNull()
+        & F.nullif(F.col("predicate"), F.lit("")).isNotNull()
+    )
+    base = raw.where(good).withColumn("_pks", pks).withColumn("_aggs", aggs)
+    if curated:
+        prefix = lambda c: F.substring_index(F.col(c), ":", 1)  # noqa: E731
+        keep = (
+            F.col("predicate").isin(*MONARCH_DESIRED_PREDICATES)
+            & ~F.col("_pks").isin(*MONARCH_KS_IGNORE)
+            & ~F.arrays_overlap(
+                F.col("_aggs"),
+                F.array(*[F.lit(x) for x in MONARCH_KS_IGNORE]),
+            )
+            & ~prefix("subject").isin(*MONARCH_BAD_PREFIXES)
+            & ~prefix("object").isin(*MONARCH_BAD_PREFIXES)
+        )
+        base = base.where(keep)
+
+    passthrough = [
+        c for c in raw.columns if c not in _MONARCH_PROTECTED
+    ]
+    edges = base.select(
+        "subject", "predicate", "object",
+        F.col("_pks").alias("primary_knowledge_source"),
+        F.when(F.size("_aggs") > 0, F.col("_aggs")).alias(
+            "aggregator_knowledge_sources"
+        ),
+        (
+            F.coalesce(F.col("knowledge_level"), F.lit("not_provided"))
+            if "knowledge_level" in cols else F.lit("not_provided")
+        ).alias("knowledge_level"),
+        (
+            F.coalesce(F.col("agent_type"), F.lit("not_provided"))
+            if "agent_type" in cols else F.lit("not_provided")
+        ).alias("agent_type"),
+        *(
+            [
+                F.when(F.size(F.coalesce(
+                    F.col("publications"), F.array().cast("array<string>")
+                )) > 0, F.col("publications")).alias("publications")
+            ]
+            if "publications" in cols else []
+        ),
+        *[F.col(c) for c in passthrough],
+    )
+    nodes = (
+        base.select(F.col("subject").alias("id"))
+        .unionAll(base.select(F.col("object").alias("id")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# COHD-like: pre-normalized KGX JSONL pair whose edges carry a TRAPI
+# sources array to pivot into role columns (parsers/cohd/src/loadCOHD.py)
+# ---------------------------------------------------------------------------
+
+
+def cohd_like(
+    spark: SparkSession, nodes_path: str, edges_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges). Nodes pass through unchanged
+    (write_normalized_node, loadCOHD.py:59-61). Each edge's `sources`
+    array of (resource_role, resource_id) becomes one column per role
+    (loadCOHD.py:63-68's pop-and-assign loop) via map_from_entries; the
+    role vocabulary is the frame's observed set, so unknown roles surface
+    as columns rather than vanishing."""
+    nodes = spark.read.json(nodes_path)
+    raw = spark.read.json(edges_path)
+    m = F.map_from_entries(
+        F.transform(
+            "sources",
+            lambda s: F.struct(
+                s["resource_role"].alias("k"), s["resource_id"].alias("v")
+            ),
+        )
+    )
+    roles = sorted(
+        set(
+            raw.select(
+                F.explode(F.col("sources.resource_role")).alias("r")
+            ).distinct().toPandas()["r"]
+        )
+    )
+    edges = raw.withColumn("_m", m).select(
+        *[c for c in raw.columns if c != "sources"],
+        *[F.element_at("_m", F.lit(r)).alias(r) for r in roles],
+    )
+    return nodes, edges

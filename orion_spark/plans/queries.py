@@ -6190,3 +6190,176 @@ def ctkp_like_edges_q(spark, sf_dir):
         "supporting_data_source", "max_research_phase",
         F.array_join("attributes", "~~").alias("attrs"),
     )
+
+
+def _monarch_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic Monarch-KG edge tarball from the nation dim. Per k:
+    predicate in the whitelist only for even k, ignored-source primary for
+    k%3==1, bad ZP subject prefix for k%5==0, ignored wb aggregator for
+    k%4==0 — so the curated survivor set is computable closed-form."""
+    import io
+    import json as _json
+    import os
+    import re as _re
+    import tarfile
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"monarch_fixture_v1{slug}.tar.gz"
+    )
+    if os.path.exists(path):
+        return path
+
+    lines = []
+    for k in ks:
+        lines.append(_json.dumps({
+            "subject": ("ZP:" if k % 5 == 0 else "MONDO:") + str(k),
+            "predicate":
+                "biolink:causes" if k % 2 == 0 else "biolink:related_to",
+            "object": f"HP:{k}",
+            "primary_knowledge_source": [
+                "infores:alliancegenome", "infores:ctd", "infores:mgi"
+            ][k % 3],
+            "aggregator_knowledge_source": (
+                ["infores:wb"] if k % 4 == 0 else ["infores:go-central"]
+            ),
+            "publications": [f"PMID:{k}"] if k % 2 == 0 else [],
+            "knowledge_level":
+                "logical_entailment" if k % 6 == 0 else None,
+            "frequency_qualifier": f"HP:004{k:04d}",
+        }))
+    payload = "\n".join(lines).encode()
+    tmp = path + f".{os.getpid()}.tmp"
+    with tarfile.open(tmp, "w:gz") as tf:
+        info = tarfile.TarInfo("monarch-kg_edges.jsonl")
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "monarchkg_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'MONDO:' || k AS subject, 'biolink:causes' AS predicate,
+           'HP:' || k AS object,
+           CASE k % 3 WHEN 0 THEN 'infores:agrkb' ELSE 'infores:mgi' END
+               AS pks,
+           'infores:go' AS aggs,
+           CASE WHEN k % 6 = 0 THEN 'logical_entailment'
+                ELSE 'not_provided' END AS knowledge_level,
+           'PMID:' || k AS pubs,
+           'HP:004' || lpad(CAST(k AS VARCHAR), 4, '0')
+               AS frequency_qualifier
+    FROM n
+    WHERE k % 2 = 0 AND k % 3 <> 1 AND k % 5 <> 0 AND k % 4 <> 0
+    """,
+)
+def monarchkg_like_edges_q(spark, sf_dir):
+    """S9+S1 source-to-KGX: the Monarch-KG curated-subset family
+    (parsers/monarchkg/src/loadMonarchKG.py) — tar-member staging, KGX
+    edge JSONL, knowledge-source remap, predicate/source/prefix curation
+    filter, KL default and attribute passthrough. Fixture synthesized
+    deterministically from the nation dim."""
+    import tempfile
+
+    from orion_spark.plans.parsers import monarchkg_like
+
+    path = _monarch_fixture(spark, sf_dir)
+    _, edges = monarchkg_like(
+        spark, path,
+        staging_dir=tempfile.gettempdir() + "/monarch_stage_q",
+    )
+    return edges.select(
+        "subject", "predicate", "object",
+        F.col("primary_knowledge_source").alias("pks"),
+        F.array_join("aggregator_knowledge_sources", "|").alias("aggs"),
+        "knowledge_level",
+        F.array_join("publications", "|").alias("pubs"),
+        "frequency_qualifier",
+    )
+
+
+def _cohd_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic COHD JSONL pair from the nation dim: per-edge TRAPI
+    sources arrays with a supporting_data_source entry on every third
+    edge."""
+    import json as _json
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"cohd_fixture_v1{slug}")
+    nodes_p = os.path.join(root, "nodes.jsonl")
+    edges_p = os.path.join(root, "edges.jsonl")
+    if os.path.exists(nodes_p):
+        return nodes_p, edges_p
+
+    n_lines, e_lines = [], []
+    for k in ks:
+        n_lines.append(_json.dumps(
+            {"id": f"MONDO:{k}", "name": f"d{k}",
+             "category": ["biolink:Disease"]}))
+        sources = [{"resource_role": "primary_knowledge_source",
+                    "resource_id": "infores:cohd"}]
+        if k % 3 == 0:
+            sources.append({"resource_role": "supporting_data_source",
+                            "resource_id": "infores:columbia-ehr"})
+        e_lines.append(_json.dumps({
+            "subject": f"MONDO:{k}", "predicate": "biolink:correlated_with",
+            "object": f"CHEBI:{k}", "chi_squared_p_value": (k + 1) / 1000.0,
+            "sources": sources,
+        }))
+    tmp = root + f".{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "nodes.jsonl"), "w") as fh:
+        fh.write("\n".join(n_lines) + "\n")
+    with open(os.path.join(tmp, "edges.jsonl"), "w") as fh:
+        fh.write("\n".join(e_lines) + "\n")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    return nodes_p, edges_p
+
+
+@query(
+    "cohd_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'MONDO:' || k AS subject, 'biolink:correlated_with' AS predicate,
+           'CHEBI:' || k AS object,
+           ROUND((k + 1) / 1000.0, 6) AS chi_squared_p_value,
+           'infores:cohd' AS primary_knowledge_source,
+           CASE WHEN k % 3 = 0 THEN 'infores:columbia-ehr' END
+               AS supporting_data_source
+    FROM n
+    """,
+)
+def cohd_like_edges_q(spark, sf_dir):
+    """S1 source-to-KGX: the COHD pre-normalized family
+    (parsers/cohd/src/loadCOHD.py) — JSONL passthrough with the TRAPI
+    sources array pivoted into per-role columns. Fixture synthesized
+    deterministically from the nation dim."""
+    from orion_spark.plans.parsers import cohd_like
+
+    nodes_p, edges_p = _cohd_fixture(spark, sf_dir)
+    _, edges = cohd_like(spark, nodes_p, edges_p)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.round("chi_squared_p_value", 6).alias("chi_squared_p_value"),
+        "primary_knowledge_source", "supporting_data_source",
+    )

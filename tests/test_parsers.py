@@ -1224,3 +1224,102 @@ def test_ctkp_like_parser(spark, tmp_path):
     assert men.supporting_data_source is None
     assert json.loads(men.attributes[0])["attributes"][1]["value"] == "unsure"
     assert {r.id for r in nodes.collect()} == {"CHEBI:1"}
+
+
+def test_monarchkg_like_parser(spark, tmp_path):
+    """loadMonarchKG.py semantics: tar-member staging, knowledge-source
+    remap (primary + aggregators), curated filter (predicate whitelist,
+    ignore list incl. aggregators, bad curie prefixes), KL/AT defaults,
+    publications-if-truthy, qualifiers excluded from passthrough, and the
+    Full variant's no-filtering behavior."""
+    import io
+    import tarfile
+
+    edges = [
+        {"subject": "MONDO:1", "predicate": "biolink:causes",
+         "object": "HP:2", "primary_knowledge_source": "infores:alliancegenome",
+         "aggregator_knowledge_source": ["infores:go-central"],
+         "publications": ["PMID:1"], "frequency_qualifier": "HP:0040280",
+         "qualifiers": ["dropme"]},
+        {"subject": "MONDO:3", "predicate": "biolink:related_to",
+         "object": "HP:4", "primary_knowledge_source": "infores:mgi",
+         "aggregator_knowledge_source": [], "publications": []},
+        {"subject": "ZP:5", "predicate": "biolink:causes", "object": "HP:6",
+         "primary_knowledge_source": "infores:mgi",
+         "aggregator_knowledge_source": [], "publications": []},
+        {"subject": "MONDO:7", "predicate": "biolink:causes", "object": "HP:8",
+         "primary_knowledge_source": "infores:mgi",
+         "aggregator_knowledge_source": ["infores:wb"], "publications": []},
+        {"subject": "", "predicate": "biolink:causes", "object": "HP:9",
+         "primary_knowledge_source": "infores:mgi",
+         "aggregator_knowledge_source": [], "publications": []},
+    ]
+    payload = "\n".join(json.dumps(e) for e in edges).encode()
+    tar_path = tmp_path / "monarch-kg.jsonl.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        info = tarfile.TarInfo("monarch-kg_edges.jsonl")
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+
+    nodes, kept = PP.monarchkg_like(
+        spark, str(tar_path), staging_dir=str(tmp_path / "stage")
+    )
+    rows = kept.collect()
+    assert len(rows) == 1  # related_to, ZP prefix, wb aggregator, bad all drop
+    r = rows[0]
+    assert r.subject == "MONDO:1"
+    assert r.primary_knowledge_source == "infores:agrkb"  # remapped
+    assert r.aggregator_knowledge_sources == ["infores:go"]
+    assert r.knowledge_level == "not_provided"
+    assert r.publications == ["PMID:1"]
+    assert r.frequency_qualifier == "HP:0040280"
+    assert "qualifiers" not in kept.columns
+
+    _, full = PP.monarchkg_like(
+        spark, str(tar_path), staging_dir=str(tmp_path / "stage2"),
+        curated=False,
+    )
+    frows = full.collect()
+    assert len(frows) == 4  # only the blank-subject row drops
+    mg = {r.subject: r for r in frows}["MONDO:3"]
+    assert mg.publications is None  # empty list is not truthy
+    assert mg.aggregator_knowledge_sources is None
+
+
+def test_cohd_like_parser(spark, tmp_path):
+    """loadCOHD.py semantics: node passthrough, sources array pivoted to
+    per-role columns, unknown roles surfacing as columns."""
+    (tmp_path / "nodes.jsonl").write_text(
+        json.dumps({"id": "MONDO:1", "name": "d", "category":
+                    ["biolink:Disease"]}) + "\n"
+    )
+    e1 = {"subject": "MONDO:1", "predicate": "biolink:correlated_with",
+          "object": "CHEBI:2", "chi_squared_p_value": 0.001,
+          "sources": [
+              {"resource_role": "primary_knowledge_source",
+               "resource_id": "infores:cohd"},
+              {"resource_role": "supporting_data_source",
+               "resource_id": "infores:columbia-ehr"},
+          ]}
+    e2 = {"subject": "MONDO:1", "predicate": "biolink:correlated_with",
+          "object": "CHEBI:3", "chi_squared_p_value": 0.2,
+          "sources": [
+              {"resource_role": "primary_knowledge_source",
+               "resource_id": "infores:cohd"},
+              {"resource_role": "weird_role", "resource_id": "infores:x"},
+          ]}
+    (tmp_path / "edges.jsonl").write_text(
+        json.dumps(e1) + "\n" + json.dumps(e2) + "\n"
+    )
+    nodes, edges = PP.cohd_like(
+        spark, str(tmp_path / "nodes.jsonl"), str(tmp_path / "edges.jsonl")
+    )
+    assert nodes.collect()[0].id == "MONDO:1"
+    e = {r.object: r for r in edges.collect()}
+    assert e["CHEBI:2"].primary_knowledge_source == "infores:cohd"
+    assert e["CHEBI:2"].supporting_data_source == "infores:columbia-ehr"
+    assert e["CHEBI:2"].weird_role is None
+    assert e["CHEBI:3"].weird_role == "infores:x"
+    assert e["CHEBI:3"].supporting_data_source is None
+    assert "sources" not in edges.columns
+    assert e["CHEBI:2"].chi_squared_p_value == 0.001
