@@ -3193,3 +3193,902 @@ def cohd_like(
         *[F.element_at("_m", F.lit(r)).alias(r) for r in roles],
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# CAM-KP-like: gzip triplet TSV with &&-packed repeated qualifiers
+# (parsers/camkp/src/loadCAMKP.py)
+# ---------------------------------------------------------------------------
+
+
+def camkp_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges). Node ids are de-quoted with the MGI:
+    double-prefix trim (loadCAMKP.py:148-152). A 6th column packs repeated
+    qualifiers as (biolink:key=value)&&(...); the reference splits them
+    into one edge per qualifier instance (loadCAMKP.py:100-128) — here an
+    explode over the parsed pairs, with a single empty-qualifier edge when
+    the column is absent. Non-anatomical qualifier keys fail loudly in
+    the reference; they surface here as a NULL-keyed row filtered out and
+    counted via observe."""
+    # a 6th column may or may not exist (loadCAMKP.py:103)
+    probe = spark.read.option("sep", "\t").option("quote", "").csv(path)
+    has_quals = len(probe.columns) >= 6
+    if has_quals:
+        raw = probe.toDF(
+            "subject_raw", "predicate", "object_raw", "prov_url", "prov_id",
+            "qualifiers",
+        )
+    else:
+        raw = probe.toDF(
+            "subject_raw", "predicate", "object_raw", "prov_url", "prov_id"
+        ).withColumn("qualifiers", F.lit(None).cast("string"))
+
+    def sanitize(col: Column) -> Column:
+        trimmed = F.regexp_replace(col, r'^"|"$', "")
+        return F.when(
+            trimmed.startswith("MGI:"), F.substring(trimmed, 5, 1_000_000)
+        ).otherwise(trimmed)
+
+    quals = F.when(
+        F.col("qualifiers").isNotNull(),
+        F.transform(
+            F.split("qualifiers", r"&&"),
+            lambda q: F.struct(
+                F.replace(
+                    F.substring_index(F.regexp_replace(q, r"^\(|\)$", ""), "=", 1),
+                    F.lit("biolink:"), F.lit(""),
+                ).alias("key"),
+                F.substring_index(
+                    F.regexp_replace(q, r"^\(|\)$", ""), "=", -1
+                ).alias("value"),
+            ),
+        ),
+    ).otherwise(F.array(F.struct(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("string").alias("value"),
+    )))
+
+    base = raw.select(
+        sanitize(F.col("subject_raw")).alias("subject"),
+        "predicate",
+        sanitize(F.col("object_raw")).alias("object"),
+        "prov_url", "prov_id",
+        F.explode(quals).alias("_q"),
+    ).observe(
+        "camkp_qualifier_coverage",
+        F.sum(
+            F.when(
+                F.col("_q.key").isNotNull()
+                & (F.col("_q.key") != "anatomical_context_qualifier"),
+                1,
+            ).otherwise(0)
+        ).alias("n_unsupported_qualifiers"),
+    ).where(
+        F.col("_q.key").isNull()
+        | (F.col("_q.key") == "anatomical_context_qualifier")
+    )
+    edges = base.select(
+        "subject", "predicate", "object",
+        F.col("prov_id").alias("primary_knowledge_source"),
+        F.array(F.lit("infores:cam-kp")).alias("aggregator_knowledge_sources"),
+        F.array(F.col("prov_url")).alias("xref"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+        F.col("_q.value").alias("anatomical_context_qualifier"),
+    )
+    nodes = (
+        base.select(F.col("subject").alias("id"))
+        .unionAll(base.select(F.col("object").alias("id")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Bgee-like: expression-call TSV with statistical gates and the
+# CL-intersection object split (parsers/Bgee/src/loadBgee.py)
+# ---------------------------------------------------------------------------
+
+BGEE_REQUIRED_COLUMNS = [
+    "gene_id", "gene_name", "anatomical_entity_id", "anatomical_entity_name",
+    "expression", "call_quality", "fdr", "expression_score",
+    "expression_rank",
+]
+
+
+def bgee_like(
+    spark: SparkSession,
+    path: str,
+    taxon_id: str,
+    fdr_threshold: float = 0.0001,
+    expression_score_threshold: float = 90.0,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (gene_nodes, anatomy_nodes, edges).
+
+    Row gates in reference order (loadBgee.py:110-133): any required
+    field empty/'NA' -> skip; Expression != 'present' -> skip; FDR above
+    threshold -> skip; score below threshold -> skip. Zero-valued floats
+    clamp to float_info.min (loadBgee.py:205-212). A 'CL:x ∩ UBERON:y'
+    object splits into object=CL + anatomical_context_qualifier=UBERON
+    with a blanked object name (loadBgee.py:223-231); gene ids gain an
+    ENSEMBL prefix when bare. Skip reasons are observed as metrics, the
+    declarative analogue of the reference's per-gate counters."""
+    import sys as _sys
+
+    raw = read_tabular(spark, path, infer_schema=False)
+    missing = F.exists(
+        F.array(*[F.coalesce(F.col(c), F.lit("")) for c in BGEE_REQUIRED_COLUMNS]),
+        lambda x: x.isin("", "NA"),
+    )
+    clamp = lambda c: F.when(  # noqa: E731
+        c.cast("double") == 0.0, F.lit(_sys.float_info.min)
+    ).otherwise(c.cast("double"))
+    fdr = clamp(F.col("fdr"))
+    score = clamp(F.col("expression_score"))
+
+    gated = (
+        raw.observe(
+            "bgee_gates",
+            F.sum(missing.cast("int")).alias("skipped_missing_required"),
+            F.sum(
+                (~missing & (F.col("expression") != "present")).cast("int")
+            ).alias("skipped_absent_expression"),
+        )
+        .where(~missing)
+        .where(F.col("expression") == "present")
+        .where(fdr <= F.lit(fdr_threshold))
+        .where(score >= F.lit(expression_score_threshold))
+    )
+    is_intersection = F.col("anatomical_entity_id").contains("∩")
+    object_id = F.when(
+        is_intersection,
+        F.trim(F.substring_index("anatomical_entity_id", "∩", 1)),
+    ).otherwise(F.col("anatomical_entity_id"))
+    context = F.when(
+        is_intersection,
+        F.trim(F.substring_index("anatomical_entity_id", "∩", -1)),
+    )
+    gene_id = F.when(
+        F.col("gene_id").contains(":"), F.col("gene_id")
+    ).otherwise(F.concat(F.lit("ENSEMBL:"), F.col("gene_id")))
+
+    resolved = gated.select(
+        gene_id.alias("subject"),
+        object_id.alias("object"),
+        context.alias("anatomical_context_qualifier"),
+        F.col("gene_name"),
+        F.when(is_intersection, F.lit("")).otherwise(
+            F.col("anatomical_entity_name")
+        ).alias("object_name"),
+        fdr.alias("adjusted_p_value"),
+        F.col("call_quality").alias("has_confidence_level"),
+        score.alias("has_confidence_score"),
+        clamp(F.col("expression_rank")).alias("bgee_expression_rank"),
+        F.col("gene_id").alias("original_subject"),
+        F.col("anatomical_entity_id").alias("original_object"),
+    )
+    edges = resolved.select(
+        "subject", F.lit("biolink:expressed_in").alias("predicate"), "object",
+        "adjusted_p_value", "has_confidence_level", "has_confidence_score",
+        "bgee_expression_rank", "anatomical_context_qualifier",
+        "original_subject", "original_object",
+        F.lit("observation").alias("knowledge_level"),
+        F.lit("data_pipeline").alias("agent_type"),
+        F.lit("infores:bgee").alias("primary_knowledge_source"),
+    )
+    gene_nodes = resolved.select(
+        F.col("subject").alias("id"), F.col("gene_name").alias("name"),
+        F.array(F.lit("biolink:Gene")).alias("category"),
+        F.lit(taxon_id).alias("taxon"),
+    ).dropDuplicates(["id"])
+    anatomy_nodes = resolved.select(
+        F.col("object").alias("id"), F.col("object_name").alias("name"),
+        F.when(
+            F.col("object").startswith("CL:"),
+            F.array(F.lit("biolink:Cell")),
+        ).otherwise(
+            F.array(F.lit("biolink:AnatomicalEntity"))
+        ).alias("category"),
+    ).dropDuplicates(["id"])
+    return gene_nodes, anatomy_nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# ClinGenDosageSensitivity-like: curation TSVs with leading metadata rows,
+# twin HI/TS edges per row and score->negation mapping
+# (parsers/ClinGenDosageSensitivity/src/loadClinGenDosageSensitivity.py)
+# ---------------------------------------------------------------------------
+
+CLINGEN_HUMAN_DISEASE = "MONDO:0700096"
+CLINGEN_DOSAGE_SKIP_ROWS = 5
+
+
+def _strip_leading_rows(path: str, n: int, dest_dir: str) -> str:
+    """Stage a copy of `path` without its first n metadata lines (the
+    reference's blind next() loop, loadClinGenDosageSensitivity.py:80-83)
+    so the header lands on row 1 for the CSV reader. Streamed, idempotent
+    per source mtime."""
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    out = os.path.join(dest_dir, os.path.basename(path))
+    marker = out + ".stripped"
+    stamp = str(os.path.getmtime(path))
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out
+    with open(path, "rt") as src, open(out + ".tmp", "wt") as dst:
+        for _ in range(n):
+            next(src)
+        for chunk in src:
+            dst.write(chunk)
+    os.replace(out + ".tmp", out)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+def _clingen_dosage_edges(
+    raw: DataFrame, subject: Column, predicate: str, kind: str,
+    tag: str = "",
+) -> DataFrame:
+    """One HI or TS edge per row (generator yields,
+    loadClinGenDosageSensitivity.py:85-119), with get_edge_properties'
+    score->negation table (:158-176): disease present -> int score
+    {2,3,30}: negated false; {0,1,40}: negated true; -1: negated true +
+    'Not planned to be evaluated'; unparseable: 'Not yet evaluated';
+    unexpected ints are dropped and observed (the reference raises).
+    No disease -> negated true with the human-disease fallback object."""
+    score = F.col(f"{kind}_score")
+    disease = F.coalesce(F.col(f"{kind}_disease_id"), F.lit(""))
+    int_score = score.try_cast("int")
+    has_disease = disease != ""
+    known = int_score.isin(2, 3, 30, 0, 1, 40, -1)
+    negated = (
+        F.when(~has_disease, F.lit(True))
+        .when(int_score.isNull(), F.lit(None).cast("boolean"))
+        .when(int_score.isin(2, 3, 30), F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    status = F.when(
+        has_disease & int_score.isNull(), F.lit("Not yet evaluated")
+    ).when(has_disease & (int_score == -1), F.lit("Not planned to be evaluated"))
+    out = (
+        raw.observe(
+            f"clingen_{kind}{tag}_coverage",
+            F.sum(
+                (has_disease & int_score.isNotNull() & ~known).cast("int")
+            ).alias("n_unexpected_scores"),
+        )
+        # null-safe: an empty score cell still yields (the reference's
+        # literal != check only filters the exact sentinel string)
+        .where(F.coalesce(score, F.lit("")) != "Not yet evaluated")
+        .where(~(has_disease & int_score.isNotNull() & ~known))
+    )
+    return out.select(
+        subject.alias("subject"),
+        F.lit(predicate).alias("predicate"),
+        F.when(disease != "", disease)
+        .otherwise(F.lit(CLINGEN_HUMAN_DISEASE)).alias("object"),
+        F.col(f"{kind}_description").alias(f"{kind}_description"),
+        score.alias(f"{kind}_score"),
+        negated.alias("negated"),
+        status.alias("status"),
+        F.lit("infores:clingen").alias("primary_knowledge_source"),
+    )
+
+
+def clingen_dosage_like(
+    spark: SparkSession,
+    genes_path: str,
+    regions_path: str,
+    staging_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (gene_edges, region_edges) — HI and TS unioned per file.
+    Gene subjects are NCBIGene-prefixed Gene IDs; region subjects are
+    ISCA ids with '-'->':' (loadClinGenDosageSensitivity.py:133-146)."""
+    import tempfile
+
+    stage = staging_dir or tempfile.mkdtemp(prefix="clingen_")
+    gene_cols = {
+        "gene_id": "Gene ID",
+    }
+
+    def load(path: str) -> DataFrame:
+        staged = _strip_leading_rows(path, CLINGEN_DOSAGE_SKIP_ROWS, stage)
+        df = read_tabular(spark, staged, infer_schema=False, comment="\0")
+        renames = {
+            "#ISCA ID": "isca_id", "Gene ID": "gene_id",
+            "Haploinsufficiency Disease ID": "haploinsufficiency_disease_id",
+            "Haploinsufficiency Description":
+                "haploinsufficiency_description",
+            "Haploinsufficiency Score": "haploinsufficiency_score",
+            "Triplosensitivity Disease ID": "triplosensitivity_disease_id",
+            "Triplosensitivity Description": "triplosensitivity_description",
+            "Triplosensitivity Score": "triplosensitivity_score",
+        }
+        for old, new in renames.items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        return df
+
+    genes = load(genes_path)
+    regions = load(regions_path)
+    gene_subject = F.concat(F.lit("NCBIGene:"), F.col("gene_id"))
+    region_subject = F.replace(F.col("isca_id"), F.lit("-"), F.lit(":"))
+
+    def both(raw: DataFrame, subject: Column, predicate: str,
+             tag: str) -> DataFrame:
+        hi = _clingen_dosage_edges(
+            raw, subject, predicate, "haploinsufficiency", tag)
+        ts = _clingen_dosage_edges(
+            raw, subject, predicate, "triplosensitivity", tag)
+        return hi.unionByName(ts, allowMissingColumns=True)
+
+    gene_edges = both(
+        genes, gene_subject, "gene associated with condition", "_genes")
+    region_edges = both(
+        regions, region_subject, "region associated with condition",
+        "_regions",
+    )
+    return gene_edges, region_edges
+
+
+# ---------------------------------------------------------------------------
+# GtoPdb-like: interactions + peptides TSVs with pipe-zipped gene lists,
+# a gene-symbol->HGNC broadcast map, and DGIdb predicate mapping
+# (parsers/gtopdb/src/loadGtoPdb.py)
+# ---------------------------------------------------------------------------
+
+GTOPDB_BAD_INTERACTION_TYPES = ["None", "Fusion protein"]
+
+
+def _gtp_strip_comments(path: str, dest_dir: str) -> str:
+    """GtoPdb files open with '"#'-prefixed comment lines ahead of the
+    header; the reference filters them before DictReader
+    (loadGtoPdb.py:154,225). Quoted data rows can legally start with '"',
+    so this can't be a CSV comment char — stage a stripped copy instead
+    (streamed, idempotent per mtime)."""
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    out = os.path.join(dest_dir, os.path.basename(path))
+    marker = out + ".stripped"
+    stamp = str(os.path.getmtime(path))
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out
+    with open(path, "rt", encoding="utf-8") as src, \
+            open(out + ".tmp", "wt", encoding="utf-8") as dst:
+        for line in src:
+            if not line.startswith('"#'):
+                dst.write(line)
+    os.replace(out + ".tmp", out)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+def _gtp_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read a comment-stripped GtoPdb TSV; spaced header names normalize
+    to snake_case."""
+    import tempfile
+
+    staged = _gtp_strip_comments(path, tempfile.mkdtemp(prefix="gtp_"))
+    df = (
+        spark.read.option("sep", "\t").option("header", True).csv(staged)
+    )
+    return df.toDF(*[c.strip().lower().replace(" ", "_") for c in df.columns])
+
+
+def _ascii_only(col: Column) -> Column:
+    """str.encode('ascii', errors='ignore') equivalent (loadGtoPdb.py:185)."""
+    return F.regexp_replace(col, r"[^\x00-\x7F]", "")
+
+
+def gtopdb_like(
+    spark: SparkSession,
+    interactions_path: str,
+    peptides_path: str,
+    gene_mapping_path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges) across the three GtoPdb passes.
+
+    interactions (loadGtoPdb.py:216-307): human-target rows with an
+    Ensembl id, bad interaction types skipped, snakify+DGIdb predicate
+    (unmapped logged+skipped -> observed+dropped here), pipe-zipped
+    Ensembl/symbol lists fanned out, affinity/publications/primaryTarget
+    props; peptide-ligand rows additionally emit HGNC gene->ligand
+    has_gene_product edges through the broadcast symbol map.
+    peptides (loadGtoPdb.py:163-213): human rows fan ligand->subunit
+    has_part edges over the pipe-zipped subunit lists."""
+    gene_map = F.broadcast(
+        _gtp_read(spark, gene_mapping_path).select(
+            F.col("hgnc_symbol").alias("_sym"), F.col("hgnc_id").alias("_hgnc")
+        )
+    )
+    inter = _gtp_read(spark, interactions_path)
+    rel = _pharos_snakify(F.col("type"))
+    human_target = (
+        F.col("target_species").contains("Human")
+        & (F.coalesce(F.col("target_ensembl_gene_id"), F.lit("")) != "")
+        & ~F.col("type").isin(*GTOPDB_BAD_INTERACTION_TYPES)
+    )
+    inter = inter.observe(
+        "gtopdb_predicate_coverage",
+        F.sum(
+            F.when(
+                human_target & ~rel.isin(*DGIDB_PREDICATE_MAPPING), 1
+            ).otherwise(0)
+        ).alias("n_unmapped_predicates"),
+    )
+    kept = inter.where(human_target & rel.isin(*DGIDB_PREDICATE_MAPPING))
+
+    ligand_id = F.concat(F.lit("GTOPDB:"), F.col("ligand_id"))
+    pubs = F.when(
+        F.coalesce(F.col("pubmed_id"), F.lit("")) != "",
+        F.transform(
+            F.split("pubmed_id", r"\|"),
+            lambda x: F.concat(F.lit("PMID:"), x),
+        ),
+    )
+    zipped_targets = F.arrays_zip(
+        F.split("target_ensembl_gene_id", r"\|").alias("gid"),
+        F.split("target_gene_symbol", r"\|").alias("sym"),
+    )
+    lig2gene = kept.select(
+        ligand_id.alias("subject"),
+        predicate_remap(rel, DGIDB_PREDICATE_MAPPING).alias("predicate"),
+        F.explode(zipped_targets).alias("_t"),
+        (F.col("primary_target") == "true").alias("primaryTarget"),
+        F.col("affinity_units").alias("affinity_parameter"),
+        (F.col("endogenous") == "true").alias("endogenous"),
+        F.when(
+            F.coalesce(F.col("affinity_median"), F.lit("")) != "",
+            F.col("affinity_median").cast("double"),
+        ).alias("affinity"),
+        pubs.alias("publications"),
+    ).select(
+        "subject", "predicate",
+        F.concat(F.lit("ENSEMBL:"), F.col("_t.gid")).alias("object"),
+        "primaryTarget", "affinity_parameter", "endogenous", "affinity",
+        "publications",
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+    )
+
+    pep_ligand = kept.where(
+        F.col("ligand_species").contains("Human")
+        & (F.coalesce(F.col("ligand_gene_symbol"), F.lit("")) != "")
+    ).select(
+        ligand_id.alias("_lig"),
+        F.explode(
+            F.split(F.upper("ligand_gene_symbol"), r"\|")
+        ).alias("_sym_u"),
+        pubs.alias("publications"),
+    )
+    gene2lig = pep_ligand.join(
+        gene_map, pep_ligand["_sym_u"] == gene_map["_sym"]
+    ).select(
+        F.concat(F.lit("HGNC:"), F.col("_hgnc")).alias("subject"),
+        F.lit("biolink:has_gene_product").alias("predicate"),
+        F.col("_lig").alias("object"),
+        F.lit(None).cast("boolean").alias("primaryTarget"),
+        F.lit(None).cast("string").alias("affinity_parameter"),
+        F.lit(None).cast("boolean").alias("endogenous"),
+        F.lit(None).cast("double").alias("affinity"),
+        "publications",
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+    )
+
+    pep = _gtp_read(spark, peptides_path)
+    pep_kept = pep.where(
+        F.col("species").contains("Human")
+        & (F.coalesce(F.col("subunit_ids"), F.lit("")) != "")
+    )
+    subunits = F.arrays_zip(
+        F.split("subunit_ids", r"\|").alias("sid"),
+        F.split("subunit_names", r"\|").alias("sname"),
+    )
+    has_part = pep_kept.select(
+        F.concat(F.lit("GTOPDB:"), F.col("ligand_id")).alias("subject"),
+        F.lit("biolink:has_part").alias("predicate"),
+        F.explode(subunits).alias("_s"),
+    ).select(
+        "subject", "predicate",
+        F.concat(F.lit("GTOPDB:"), F.col("_s.sid")).alias("object"),
+        F.lit(None).cast("boolean").alias("primaryTarget"),
+        F.lit(None).cast("string").alias("affinity_parameter"),
+        F.lit(None).cast("boolean").alias("endogenous"),
+        F.lit(None).cast("double").alias("affinity"),
+        F.lit(None).cast("array<string>").alias("publications"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+    )
+
+    edges = lig2gene.unionByName(gene2lig).unionByName(has_part)
+    name_pairs = [
+        kept.select(ligand_id.alias("id"),
+                    _ascii_only(F.col("ligand")).alias("name")),
+        kept.select(
+            F.explode(zipped_targets).alias("_t")
+        ).select(
+            F.concat(F.lit("ENSEMBL:"), F.col("_t.gid")).alias("id"),
+            _ascii_only(F.col("_t.sym")).alias("name"),
+        ),
+        pep_kept.select(
+            F.concat(F.lit("GTOPDB:"), F.col("ligand_id")).alias("id"),
+            _ascii_only(F.col("name")).alias("name"),
+        ),
+        pep_kept.select(F.explode(subunits).alias("_s")).select(
+            F.concat(F.lit("GTOPDB:"), F.col("_s.sid")).alias("id"),
+            _ascii_only(F.col("_s.sname")).alias("name"),
+        ),
+        gene2lig.select(
+            F.col("subject").alias("id"),
+            F.lit(None).cast("string").alias("name"),
+        ),
+    ]
+    nodes = name_pairs[0]
+    for p in name_pairs[1:]:
+        nodes = nodes.unionByName(p)
+    return nodes.dropDuplicates(["id"]), edges
+
+
+# ---------------------------------------------------------------------------
+# LitCoin-like: LLM-extraction JSONL -> entity edges + publication mentions
+# (parsers/LitCoin/src/loadLitCoin.py)
+#
+# The reference walks LLM output rows, joins each to its abstract, runs
+# entity "bagelization" and a predicate-mapping service with caches, and
+# emits an entity edge plus two publication-mentions edges
+# (loadLitCoin.py:183-325). Here the deterministic core is declarative:
+# the abstract lookup and the relationship->predicate map are broadcast
+# joins, and the pre-bagelized curie objects ({curie: {name,...}} or the
+# 'NA' sentinel) parse via from_json into single-entry maps. Live
+# bagel/predicate services drop in exactly like the normalization
+# providers in sources/service_map.py — the cached-results path the
+# reference also supports (loadLitCoin.py:226-237) is the one modeled.
+# ---------------------------------------------------------------------------
+
+LITCOIN_REQUIRED_FIELDS = [
+    "subject", "subject_type", "object", "object_type", "relationship",
+]
+LITCOIN_KG_EDGE_PROPERTIES = [
+    "abstract_id", "abstract_span", "assertion_id", "assertion_span",
+    "subject", "subject_type", "subject_qualifier", "object", "object_type",
+    "object_qualifier", "relationship", "statement_qualifier",
+]
+_LITCOIN_BAGEL_SCHEMA = "map<string, struct<name string, synonym_type string>>"
+LITCOIN_MENTIONS_PREDICATE = "IAO:0000142"
+
+
+def litcoin_like(
+    spark: SparkSession,
+    llm_jsonl_path: str,
+    abstracts_json_path: str,
+    predicate_mapping: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (entity_nodes, publication_nodes, edges).
+
+    `predicate_mapping` has columns (relationship, predicate, negated) —
+    the deterministic stand-in for call_pred_mapping's top_choice
+    (loadLitCoin.py:76-119); rows whose relationship misses the map are
+    skipped and counted, like the reference's failed predicate mapping.
+    Skips mirrored from the reference: missing/non-string required
+    fields, failed abstract lookup, 'NA' bagelization sentinels."""
+    import json as _json
+
+    with open(abstracts_json_path) as fh:
+        abstracts_raw = _json.load(fh)
+    abstracts = spark.createDataFrame(
+        [
+            (
+                a["pmid"], a.get("title"), a.get("abstract"),
+                a.get("journal_name"),
+            )
+            for a in abstracts_raw.values()
+        ],
+        "pmid string, title string, abstract string, journal_name string",
+    )
+
+    schema = ", ".join(
+        [f"{c} string" for c in LITCOIN_KG_EDGE_PROPERTIES]
+        + ["bagelized_subject string", "bagelized_object string"]
+    )
+    raw = spark.read.schema(schema).json(llm_jsonl_path)
+
+    required_ok = F.lit(True)
+    for c in LITCOIN_REQUIRED_FIELDS:
+        required_ok = required_ok & F.col(c).isNotNull()
+
+    sub_m = F.from_json("bagelized_subject", _LITCOIN_BAGEL_SCHEMA)
+    obj_m = F.from_json("bagelized_object", _LITCOIN_BAGEL_SCHEMA)
+
+    joined = (
+        raw.observe(
+            "litcoin_gates",
+            F.sum((~required_ok).cast("int")).alias("n_missing_required"),
+            F.sum(
+                (F.col("bagelized_subject") == "NA").cast("int")
+                + (F.col("bagelized_object") == "NA").cast("int")
+            ).alias("n_failed_bagelization"),
+        )
+        .where(required_ok)
+        .withColumn("_sub", sub_m)
+        .withColumn("_obj", obj_m)
+        .where(F.col("_sub").isNotNull() & F.col("_obj").isNotNull())
+        .join(
+            F.broadcast(abstracts),
+            F.col("abstract_id") == F.col("pmid"),
+            "inner",
+        )
+        .join(F.broadcast(predicate_mapping), "relationship", "inner")
+        .select(
+            "*",
+            F.map_keys("_sub")[0].alias("_sub_id"),
+            F.map_values("_sub")[0].alias("_sub_v"),
+            F.map_keys("_obj")[0].alias("_obj_id"),
+            F.map_values("_obj")[0].alias("_obj_v"),
+            F.concat(F.lit("PMID:"), F.col("abstract_id")).alias("_pmid"),
+        )
+    )
+
+    llm_props = [
+        F.col(p).alias(f"llm_{p}") for p in LITCOIN_KG_EDGE_PROPERTIES
+    ]
+    entity_edges = joined.select(
+        F.col("_sub_id").alias("subject"),
+        F.col("predicate"),
+        F.col("_obj_id").alias("object"),
+        *llm_props,
+        F.array(F.col("_pmid")).alias("publications"),
+        F.col("_sub_v.synonym_type").alias("bagel_subject_synonym_type"),
+        F.col("_obj_v.synonym_type").alias("bagel_object_synonym_type"),
+        F.col("title").alias("abstract_title"),
+        F.col("abstract").alias("abstract_text"),
+        F.col("negated").alias("negated"),
+    )
+    mentions = joined.select(
+        F.col("_pmid").alias("subject"),
+        F.lit(LITCOIN_MENTIONS_PREDICATE).alias("predicate"),
+        F.explode(
+            F.array(F.col("_sub_id"), F.col("_obj_id"))
+        ).alias("object"),
+    ).distinct()
+    edges = entity_edges.unionByName(mentions, allowMissingColumns=True)
+
+    entity_nodes = (
+        joined.select(
+            F.col("_sub_id").alias("id"), F.col("_sub_v.name").alias("name")
+        )
+        .unionAll(
+            joined.select(
+                F.col("_obj_id").alias("id"), F.col("_obj_v.name").alias("name")
+            )
+        )
+        .dropDuplicates(["id"])
+    )
+    publication_nodes = joined.select(
+        F.col("_pmid").alias("id"),
+        F.col("abstract").alias("abstract_text"),
+        F.col("journal_name").alias("journal"),
+    ).dropDuplicates(["id"])
+    return entity_nodes, publication_nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# CCIDB-like: cell-cell interaction table with two mapping dimensions and
+# a six-way qualified edge fan-out (parsers/CCIDB/src/loadCCIDB.py)
+#
+# The reference reads an xlsx plus two curated mapping CSVs into driver
+# dicts and emits up to six edge shapes per row with zip-broadcast rules
+# for the comma-list columns (loadCCIDB.py:118-334). Here the mappings
+# are broadcast joins, the list repair rules are pure array expressions,
+# and each edge shape is a declarative branch unioned at the end. The
+# source table is consumed as csv/tsv — the xlsx staging step is driver
+# I/O in the reference too.
+# ---------------------------------------------------------------------------
+
+
+def _ccidb_clean(col: Column) -> Column:
+    """sanitize_ccidb_data (loadCCIDB.py:333-334): NBSP -> space, trim."""
+    return F.trim(F.replace(col, F.lit(" "), F.lit(" ")))
+
+
+def _ccidb_list(col: Column, lower: bool) -> Column:
+    base = _ccidb_clean(col)
+    items = F.split(base, ",")
+    f = (lambda x: F.trim(F.lower(x))) if lower else (lambda x: F.trim(x))
+    return F.transform(items, f)
+
+
+def ccidb_like(
+    spark: SparkSession,
+    data_path: str,
+    gene_mapping: DataFrame,
+    term_mapping: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges).
+
+    `gene_mapping` has (gene, id); `term_mapping` has (combined, id,
+    specialization_qualifier, context_qualifier, form_or_variant_qualifier)
+    — the two curated sidecar CSVs. Rows with unmapped source/target
+    genes or cell terms are skipped and observed. List repair
+    (loadCCIDB.py:133-156): effector functions broadcast from length 1,
+    irreparable effector mismatches blank the effector lists but keep the
+    row; phenotype/mode mismatches broadcast from 1 (either side), else
+    drop the row. The disease-context qualifier prefers whichever side
+    has one, source winning ties (loadCCIDB.py:186-192)."""
+    raw = read_tabular(spark, data_path, infer_schema=False)
+
+    def gmap(alias: str) -> DataFrame:
+        return F.broadcast(gene_mapping.select(
+            F.col("gene").alias(f"_{alias}_gene"),
+            F.col("id").alias(f"_{alias}_id"),
+        ))
+
+    def tmap(alias: str) -> DataFrame:
+        return F.broadcast(term_mapping.select(
+            F.col("combined").alias(f"_{alias}_combined"),
+            F.col("id").alias(f"_{alias}_tid"),
+            F.nullif(F.col("specialization_qualifier"), F.lit(""))
+            .alias(f"_{alias}_spec"),
+            F.nullif(F.col("context_qualifier"), F.lit(""))
+            .alias(f"_{alias}_ctx"),
+            F.nullif(F.col("form_or_variant_qualifier"), F.lit(""))
+            .alias(f"_{alias}_fv"),
+        ))
+
+    combined = lambda cell, lit_cell: F.concat(  # noqa: E731
+        _ccidb_clean(F.col(cell)), F.lit(": "), _ccidb_clean(F.col(lit_cell))
+    )
+    joined = (
+        raw.join(
+            gmap("s"),
+            _ccidb_clean(F.col("source_gene")) == F.col("_s_gene"), "left"
+        )
+        .join(
+            gmap("t"),
+            _ccidb_clean(F.col("target_gene")) == F.col("_t_gene"), "left"
+        )
+        .join(
+            tmap("st"),
+            combined("source_cell", "literature_source_cell")
+            == F.col("_st_combined"),
+            "left",
+        )
+        .join(
+            tmap("tt"),
+            combined("target_cell", "literature_target_cell")
+            == F.col("_tt_combined"),
+            "left",
+        )
+    )
+    mapped = (
+        F.col("_s_id").isNotNull() & F.col("_t_id").isNotNull()
+        & F.col("_st_tid").isNotNull() & F.col("_tt_tid").isNotNull()
+    )
+
+    eff = _ccidb_list(F.col("effector"), lower=False)
+    eff_fn = _ccidb_list(F.col("effectors_function"), lower=True)
+    eff_fn = F.when(F.size(eff) == F.size(eff_fn), eff_fn).when(
+        F.size(eff_fn) == 1,
+        F.array_repeat(eff_fn[0], F.size(eff)),
+    )
+    # irreparable mismatch -> blank both (row survives, loadCCIDB.py:139-146)
+    eff_pairs = F.when(
+        eff_fn.isNotNull(),
+        F.arrays_zip(eff.alias("eff"), eff_fn.alias("fn")),
+    ).otherwise(F.array().cast("array<struct<eff:string,fn:string>>"))
+
+    ph = _ccidb_list(F.col("phenotype"), lower=True)
+    mo = _ccidb_list(F.col("mode_of_action"), lower=True)
+    mo = (
+        F.when(F.size(ph) == F.size(mo), mo)
+        .when(F.size(mo) == 1, F.array_repeat(mo[0], F.size(ph)))
+        .when(F.size(ph) == 1, F.slice(mo, 1, 1))
+    )
+    ph_ok = mo.isNotNull()
+
+    base = (
+        joined.observe(
+            "ccidb_gates",
+            F.sum((~mapped).cast("int")).alias("n_unmapped"),
+            F.sum((mapped & ~ph_ok).cast("int")).alias(
+                "n_phenotype_mismatch"
+            ),
+        )
+        .where(mapped & ph_ok)
+        .select(
+            F.col("_s_id").alias("sg"), F.col("_t_id").alias("tg"),
+            F.col("_st_tid").alias("st"), F.col("_tt_tid").alias("tt"),
+            F.col("_st_spec").alias("s_spec"), F.col("_tt_spec").alias("t_spec"),
+            F.col("_tt_fv").alias("t_fv"),
+            F.coalesce(F.col("_st_ctx"), F.col("_tt_ctx")).alias("d_ctx"),
+            F.array(
+                F.concat(F.lit("PMID:"), _ccidb_clean(F.col("pmid")))
+            ).alias("pubs"),
+            eff_pairs.alias("eff_pairs"),
+            F.arrays_zip(ph.alias("ph"), mo.alias("mo")).alias("ph_pairs"),
+        )
+    )
+
+    kl_at = [
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+        F.lit("infores:ccidb").alias("primary_knowledge_source"),
+    ]
+    null_s = F.lit(None).cast("string")
+
+    def shape(subject, predicate, obj, qp=None, aspect=None, cmq=None,
+              sctx=None, actx=None, s_spec=None, o_spec=None, d_ctx=None,
+              o_fv=None):
+        n = lambda c: c if c is not None else null_s  # noqa: E731
+        return [
+            subject.alias("subject"), F.lit(predicate).alias("predicate"),
+            obj.alias("object"),
+            n(qp).alias("qualified_predicate"),
+            n(aspect).alias("object_aspect_qualifier"),
+            n(cmq).alias("causal_mechanism_qualifier"),
+            n(sctx).alias("subject_context_qualifier"),
+            n(actx).alias("anatomical_context_qualifier"),
+            n(s_spec).alias("subject_specialization_qualifier"),
+            n(o_spec).alias("object_specialization_qualifier"),
+            n(d_ctx).alias("disease_context_qualifier"),
+            n(o_fv).alias("object_form_or_variant_qualifier"),
+            F.col("pubs").alias("publications"),
+            *kl_at,
+        ]
+
+    causes = F.lit("biolink:causes")
+    e1 = base.select(*shape(
+        F.col("sg"), "biolink:directly_physically_interacts_with",
+        F.col("tg"), s_spec=F.col("s_spec"), o_spec=F.col("t_spec"),
+        d_ctx=F.col("d_ctx"),
+    ))
+    ph_x = base.select("*", F.explode("ph_pairs").alias("_p"))
+    e2 = ph_x.select(*shape(
+        F.col("sg"), "biolink:affects", F.col("tt"), qp=causes,
+        aspect=F.col("_p.ph"), cmq=F.col("_p.mo"), sctx=F.col("tg"),
+        actx=F.col("st"), s_spec=F.col("s_spec"), o_spec=F.col("t_spec"),
+        d_ctx=F.col("d_ctx"), o_fv=F.col("t_fv"),
+    ))
+    e3 = ph_x.select(*shape(
+        F.col("tg"), "biolink:affects", F.col("tt"), qp=causes,
+        aspect=F.col("_p.ph"), cmq=F.col("_p.mo"), sctx=F.col("sg"),
+        actx=F.col("tt"), s_spec=F.col("t_spec"), o_spec=F.col("t_spec"),
+        d_ctx=F.col("d_ctx"), o_fv=F.col("t_fv"),
+    ))
+    eff_x = base.select("*", F.explode("eff_pairs").alias("_e")).join(
+        gmap("e"), F.col("_e.eff") == F.col("_e_gene"), "inner"
+    )
+    e4 = eff_x.select(*shape(
+        F.col("sg"), "biolink:affects", F.col("_e_id"), qp=causes,
+        aspect=F.col("_e.fn"), sctx=F.col("tg"), actx=F.col("st"),
+        s_spec=F.col("s_spec"),
+    ))
+    e5 = eff_x.select(*shape(
+        F.col("tg"), "biolink:affects", F.col("_e_id"), qp=causes,
+        aspect=F.col("_e.fn"), sctx=F.col("sg"), actx=F.col("tt"),
+        s_spec=F.col("t_spec"),
+    ))
+    e6 = eff_x.select(
+        "*", F.explode("ph_pairs").alias("_p2")
+    ).select(*shape(
+        F.col("_e_id"), "biolink:affects", F.col("tt"), qp=causes,
+        aspect=F.col("_p2.ph"), cmq=F.col("_p2.mo"),
+        o_spec=F.col("t_spec"), d_ctx=F.col("d_ctx"), o_fv=F.col("t_fv"),
+    ))
+    edges = e1
+    for e in [e2, e3, e4, e5, e6]:
+        edges = edges.unionByName(e)
+
+    nodes = (
+        base.select(F.col("sg").alias("id"))
+        .unionAll(base.select(F.col("tg").alias("id")))
+        .unionAll(base.select(F.col("st").alias("id")))
+        .unionAll(base.select(F.col("tt").alias("id")))
+        .unionAll(eff_x.select(F.col("_e_id").alias("id")))
+        .distinct()
+    )
+    return nodes, edges

@@ -6363,3 +6363,270 @@ def cohd_like_edges_q(spark, sf_dir):
         F.round("chi_squared_p_value", 6).alias("chi_squared_p_value"),
         "primary_knowledge_source", "supporting_data_source",
     )
+
+
+def _camkp_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic CAM-KP triplet TSV from the nation dim: ragged rows
+    (5 columns normally, 6 with &&-packed anatomical qualifiers every
+    third nation), quoted subjects, MGI double prefixes every fourth."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"camkp_fixture_v1{slug}.tsv")
+    if os.path.exists(path):
+        return path
+    lines = []
+    for k in ks:
+        obj = f"MGI:MGI:{k}" if k % 4 == 0 else f"GO:{k}"
+        cells = [f'"UniProtKB:P{k}"', "biolink:affects", obj,
+                 f"http://model.org/{k}", "infores:go-cam"]
+        if k % 3 == 0:
+            cells.append(
+                f"(biolink:anatomical_context_qualifier=GO:{k}001)&&"
+                f"(biolink:anatomical_context_qualifier=CL:{k}002)"
+            )
+        lines.append("\t".join(cells))
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "camkp_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    base AS (
+        SELECT k, 'UniProtKB:P' || k AS subject,
+               CASE WHEN k % 4 = 0 THEN 'MGI:' || k ELSE 'GO:' || k END
+                   AS object,
+               'http://model.org/' || k AS xref
+        FROM n)
+    SELECT subject, 'biolink:affects' AS predicate, object, xref,
+           'infores:go-cam' AS pks, 'infores:cam-kp' AS aggs,
+           ctx AS anatomical_context_qualifier
+    FROM base, LATERAL (SELECT unnest(['GO:' || base.k || '001',
+                                       'CL:' || base.k || '002']) AS ctx)
+    WHERE k % 3 = 0
+    UNION ALL
+    SELECT subject, 'biolink:affects', object, xref, 'infores:go-cam',
+           'infores:cam-kp', NULL
+    FROM base WHERE k % 3 <> 0
+    """,
+)
+def camkp_like_edges_q(spark, sf_dir):
+    """S3 source-to-KGX: the CAM-KP triplet family
+    (parsers/camkp/src/loadCAMKP.py) — ragged qualifier column,
+    per-instance edge split, quote/MGI trim. Fixture synthesized
+    deterministically from the nation dim."""
+    from orion_spark.plans.parsers import camkp_like
+
+    path = _camkp_fixture(spark, sf_dir)
+    _, edges = camkp_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("xref", "|").alias("xref"),
+        F.col("primary_knowledge_source").alias("pks"),
+        F.array_join("aggregator_knowledge_sources", "|").alias("aggs"),
+        "anatomical_context_qualifier",
+    )
+
+
+def _bgee_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic Bgee expression TSV from the nation dim with every
+    gate exercised: absent expression (k%5=0), FDR over threshold
+    (k%7=3), score under threshold (k%7=5), NA required field (k%7=6),
+    CL-intersection objects on even k, zero-FDR clamp on k%3=0."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"bgee_fixture_v1{slug}.tsv")
+    if os.path.exists(path):
+        return path
+    hdr = ("gene_id\tgene_name\tanatomical_entity_id\t"
+           "anatomical_entity_name\texpression\tcall_quality\tfdr\t"
+           "expression_score\texpression_rank")
+    lines = [hdr]
+    for k in ks:
+        expr = "absent" if k % 5 == 0 else "present"
+        fdr = "0.5" if k % 7 == 3 else ("0" if k % 3 == 0 else "0.00001")
+        score = "50" if k % 7 == 5 else str(90 + k % 10)
+        name = "NA" if k % 7 == 6 else f"gene{k}"
+        anat = (
+            f"CL:{k} ∩ UBERON:{k}" if k % 2 == 0 else f"UBERON:{k}"
+        )
+        lines.append(
+            f"ENSG{k:05d}\t{name}\t{anat}\tanat{k}\t{expr}\tgold\t{fdr}\t"
+            f"{score}\t{k}.5"
+        )
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "bgee_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    kept AS (
+        SELECT k FROM n
+        WHERE k % 5 <> 0 AND k % 7 NOT IN (3, 5, 6)),
+    e AS (
+        SELECT k,
+               'ENSEMBL:ENSG' || lpad(CAST(k AS VARCHAR), 5, '0') AS subject,
+               CASE WHEN k % 2 = 0 THEN 'CL:' || k
+                    ELSE 'UBERON:' || k END AS object,
+               CASE WHEN k % 2 = 0 THEN 'UBERON:' || k END
+                   AS anatomical_context_qualifier,
+               CASE WHEN k % 3 = 0 THEN 0.0 ELSE 0.00001 END
+                   AS adjusted_p_value,
+               CAST(90 + k % 10 AS DOUBLE) AS has_confidence_score,
+               k + 0.5 AS bgee_expression_rank
+        FROM kept)
+    SELECT subject, 'biolink:expressed_in' AS predicate, object,
+           anatomical_context_qualifier,
+           ROUND(adjusted_p_value, 6) AS adjusted_p_value,
+           has_confidence_score, bgee_expression_rank
+    FROM e
+    """,
+)
+def bgee_like_edges_q(spark, sf_dir):
+    """S3 source-to-KGX: the Bgee expression family
+    (parsers/Bgee/src/loadBgee.py) — four row gates, zero clamp,
+    intersection split, ENSEMBL prefixing. Fixture synthesized
+    deterministically from the nation dim (the clamped float_info.min
+    rounds to 0.0 on both engines)."""
+    from orion_spark.plans.parsers import bgee_like
+
+    path = _bgee_fixture(spark, sf_dir)
+    _, _, edges = bgee_like(spark, path, "NCBITaxon:9606")
+    return edges.select(
+        "subject", "predicate", "object", "anatomical_context_qualifier",
+        F.round("adjusted_p_value", 6).alias("adjusted_p_value"),
+        "has_confidence_score", "bgee_expression_rank",
+    )
+
+
+def _clingen_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic ClinGen dosage TSV pair from the nation dim: genes
+    file with per-k HI/TS score shapes, regions file with ISCA ids."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"clingen_fixture_v1{slug}")
+    genes_p = os.path.join(root, "genes.tsv")
+    regions_p = os.path.join(root, "regions.tsv")
+    if os.path.exists(genes_p):
+        return genes_p, regions_p
+
+    meta = "\n".join(f"#meta {i}" for i in range(5))
+    hdr = ("Gene Symbol\tGene ID\tHaploinsufficiency Score\t"
+           "Haploinsufficiency Description\tHaploinsufficiency Disease ID\t"
+           "Triplosensitivity Score\tTriplosensitivity Description\t"
+           "Triplosensitivity Disease ID")
+    g = [meta, hdr]
+    for k in ks:
+        hi_score = ["3", "0", "-1", "Not yet evaluated"][k % 4]
+        hi_dis = f"MONDO:{k}" if k % 3 != 0 else ""
+        ts_score = ["30", "40", "Not yet evaluated"][k % 3]
+        ts_dis = f"MONDO:9{k}"
+        g.append("\t".join([
+            f"G{k}", str(k), hi_score, f"hd{k}", hi_dis,
+            ts_score, f"td{k}", ts_dis,
+        ]))
+    r = [meta, hdr.replace("Gene Symbol\tGene ID", "#ISCA ID\tRegion Name")]
+    for k in ks:
+        r.append("\t".join([
+            f"ISCA-{k}", f"region{k}", "2", f"rd{k}", f"MONDO:5{k}",
+            "Not yet evaluated", "", "",
+        ]))
+    tmp = root + f".{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "genes.tsv"), "w") as fh:
+        fh.write("\n".join(g) + "\n")
+    with open(os.path.join(tmp, "regions.tsv"), "w") as fh:
+        fh.write("\n".join(r) + "\n")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    return genes_p, regions_p
+
+
+@query(
+    "clingen_dosage_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    hi AS (
+        SELECT k,
+               CASE k % 4 WHEN 0 THEN '3' WHEN 1 THEN '0'
+                          WHEN 2 THEN '-1' ELSE NULL END AS score,
+               CASE WHEN k % 3 <> 0 THEN 'MONDO:' || k ELSE '' END AS dis
+        FROM n),
+    hi_edges AS (
+        SELECT k,
+               CASE WHEN dis <> '' THEN dis ELSE 'MONDO:0700096' END
+                   AS object,
+               CASE WHEN dis = '' THEN TRUE
+                    WHEN score = '3' THEN FALSE ELSE TRUE END AS negated,
+               CASE WHEN dis <> '' AND score = '-1'
+                    THEN 'Not planned to be evaluated' END AS status,
+               score
+        FROM hi WHERE score IS NOT NULL),
+    ts_edges AS (
+        SELECT k, 'MONDO:9' || k AS object,
+               CASE k % 3 WHEN 0 THEN FALSE ELSE TRUE END AS negated,
+               CAST(NULL AS VARCHAR) AS status,
+               CASE k % 3 WHEN 0 THEN '30' ELSE '40' END AS score
+        FROM n WHERE k % 3 <> 2)
+    SELECT 'NCBIGene:' || k AS subject,
+           'gene associated with condition' AS predicate,
+           object, negated, status, score
+    FROM (SELECT * FROM hi_edges UNION ALL SELECT * FROM ts_edges)
+    UNION ALL
+    SELECT 'ISCA:' || k, 'region associated with condition',
+           'MONDO:5' || k, FALSE, NULL, '2'
+    FROM n
+    """,
+)
+def clingen_dosage_like_edges_q(spark, sf_dir):
+    """S3 source-to-KGX: the ClinGen dosage-sensitivity family
+    (parsers/ClinGenDosageSensitivity/src/loadClinGenDosageSensitivity.py)
+    — metadata-row strip, twin HI/TS edges, score->negation table with
+    fallback object, sentinel skip, ISCA id repair. Fixture synthesized
+    deterministically from the nation dim."""
+    from orion_spark.plans.parsers import clingen_dosage_like
+
+    genes_p, regions_p = _clingen_fixture(spark, sf_dir)
+    gene_edges, region_edges = clingen_dosage_like(spark, genes_p, regions_p)
+    both = gene_edges.unionByName(region_edges, allowMissingColumns=True)
+    score = F.coalesce(
+        F.col("haploinsufficiency_score"), F.col("triplosensitivity_score")
+    )
+    return both.select(
+        "subject", "predicate", "object", "negated", "status",
+        score.alias("score"),
+    )

@@ -1323,3 +1323,333 @@ def test_cohd_like_parser(spark, tmp_path):
     assert e["CHEBI:3"].supporting_data_source is None
     assert "sources" not in edges.columns
     assert e["CHEBI:2"].chi_squared_p_value == 0.001
+
+
+def test_camkp_like_parser(spark, tmp_path):
+    """loadCAMKP.py semantics: quote/MGI trim, &&-packed qualifier split
+    into one edge per instance, provenance url xref, unsupported
+    qualifier keys dropped (reference raises)."""
+    rows = [
+        "\t".join(['"UniProtKB:P1"', "biolink:affects", "MGI:MGI:88059",
+                   "http://model.org/1", "infores:go-cam",
+                   "(biolink:anatomical_context_qualifier=GO:0005634)&&"
+                   "(biolink:anatomical_context_qualifier=CL:0008019)"]),
+        "\t".join(["CHEBI:1", "biolink:related_to", "GO:2",
+                   "http://model.org/2", "infores:go-cam", ""]),
+        "\t".join(["CHEBI:9", "biolink:related_to", "GO:9",
+                   "http://model.org/3", "infores:go-cam",
+                   "(biolink:species_context_qualifier=NCBITaxon:9606)"]),
+    ]
+    p = tmp_path / "cam-kg.tsv"
+    p.write_text("\n".join(rows) + "\n")
+    nodes, edges = PP.camkp_like(spark, str(p))
+    e = edges.collect()
+    dup = [r for r in e if r.subject == "UniProtKB:P1"]
+    assert len(dup) == 2  # one edge per qualifier instance
+    assert {r.anatomical_context_qualifier for r in dup} == {
+        "GO:0005634", "CL:0008019"}
+    assert dup[0].object == "MGI:88059"  # double-prefix trim
+    assert dup[0].xref == ["http://model.org/1"]
+    assert dup[0].aggregator_knowledge_sources == ["infores:cam-kp"]
+    plain = [r for r in e if r.subject == "CHEBI:1"]
+    assert len(plain) == 1 and plain[0].anatomical_context_qualifier is None
+    assert not any(r.subject == "CHEBI:9" for r in e)  # unsupported key
+    assert {r.id for r in nodes.collect()} >= {"UniProtKB:P1", "MGI:88059"}
+
+
+def test_bgee_like_parser(spark, tmp_path):
+    """loadBgee.py semantics: required-field/'NA' gate, present-only,
+    FDR and score thresholds, zero-clamp to float_info.min, CL∩UBERON
+    split with blanked object name, ENSEMBL prefixing, node categories."""
+    import sys
+
+    hdr = ("gene_id\tgene_name\tanatomical_entity_id\t"
+           "anatomical_entity_name\texpression\tcall_quality\tfdr\t"
+           "expression_score\texpression_rank")
+    rows = [
+        hdr,
+        "ENSG01\tTP53\tUBERON:0002107\tliver\tpresent\tgold\t0.00001\t95.5\t12.0",
+        "ENSG02\tBRCA\tCL:0000066 ∩ UBERON:0002107\tx\tpresent\tgold\t0\t99.0\t1.0",
+        "ENSG03\tG3\tUBERON:1\ty\tabsent\tgold\t0.00001\t95.0\t1.0",
+        "ENSG04\tG4\tUBERON:2\tz\tpresent\tgold\t0.5\t95.0\t1.0",
+        "ENSG05\tG5\tUBERON:3\tw\tpresent\tgold\t0.00001\t10.0\t1.0",
+        "NA\tG6\tUBERON:4\tv\tpresent\tgold\t0.00001\t95.0\t1.0",
+        "HGNC:7\tG7\tUBERON:5\tu\tpresent\tsilver\t0.00001\t91.0\t3.5",
+    ]
+    p = tmp_path / "expr.tsv"
+    p.write_text("\n".join(rows) + "\n")
+    genes, anat, edges = PP.bgee_like(spark, str(p), "NCBITaxon:9606")
+    e = {r.subject: r for r in edges.collect()}
+    assert sorted(e) == ["ENSEMBL:ENSG01", "ENSEMBL:ENSG02", "HGNC:7"]
+    liver = e["ENSEMBL:ENSG01"]
+    assert liver.object == "UBERON:0002107"
+    assert liver.adjusted_p_value == 0.00001
+    assert liver.has_confidence_score == 95.5
+    assert liver.knowledge_level == "observation"
+    assert liver.original_subject == "ENSG01"
+    inter = e["ENSEMBL:ENSG02"]
+    assert inter.object == "CL:0000066"
+    assert inter.anatomical_context_qualifier == "UBERON:0002107"
+    assert inter.adjusted_p_value == sys.float_info.min  # zero clamp
+    g = {r.id: r for r in genes.collect()}
+    assert g["ENSEMBL:ENSG01"].taxon == "NCBITaxon:9606"
+    a = {r.id: r for r in anat.collect()}
+    assert a["CL:0000066"].category == ["biolink:Cell"]
+    assert a["CL:0000066"].name == ""  # blanked for intersections
+    assert a["UBERON:0002107"].category == ["biolink:AnatomicalEntity"]
+
+
+def test_clingen_dosage_like_parser(spark, tmp_path):
+    """loadClinGenDosageSensitivity.py semantics: 5 metadata rows
+    stripped, twin HI/TS edges, score->negation table, human-disease
+    fallback object, 'Not yet evaluated' skip, ISCA '-'->':'."""
+    meta = "\n".join(f"#meta {i}" for i in range(5))
+    gene_hdr = ("Gene Symbol\tGene ID\tHaploinsufficiency Score\t"
+                "Haploinsufficiency Description\t"
+                "Haploinsufficiency Disease ID\tTriplosensitivity Score\t"
+                "Triplosensitivity Description\tTriplosensitivity Disease ID")
+
+    def grow(sym, gid, hs, hd, hdid, ts, td, tsdid):
+        return "\t".join([sym, gid, hs, hd, hdid, ts, td, tsdid])
+
+    (tmp_path / "genes.tsv").write_text("\n".join([
+        meta, gene_hdr,
+        grow("A1", "1", "3", "sufficient", "MONDO:1", "40", "unlikely",
+             "MONDO:2"),
+        grow("A2", "2", "Not yet evaluated", "", "", "30", "recessive",
+             "MONDO:3"),
+        grow("A3", "3", "-1", "not planned", "MONDO:4", "1", "little", ""),
+        grow("A4", "4", "weird", "desc", "MONDO:5", "7", "bad", "MONDO:6"),
+    ]) + "\n")
+    region_hdr = gene_hdr.replace("Gene Symbol\tGene ID",
+                                  "#ISCA ID\tRegion Name")
+    (tmp_path / "regions.tsv").write_text("\n".join([
+        meta, region_hdr,
+        "\t".join(["ISCA-46295", "region x", "2", "some", "MONDO:7",
+                   "Not yet evaluated", "", ""]),
+    ]) + "\n")
+
+    gene_edges, region_edges = PP.clingen_dosage_like(
+        spark, str(tmp_path / "genes.tsv"), str(tmp_path / "regions.tsv"),
+        staging_dir=str(tmp_path / "stage"),
+    )
+    ge = gene_edges.collect()
+    by = {}
+    for r in ge:
+        by.setdefault(r.subject, []).append(r)
+    a1 = sorted(by["NCBIGene:1"], key=lambda r: r.object)
+    assert [(r.object, r.negated) for r in a1] == [
+        ("MONDO:1", False), ("MONDO:2", True)]
+    a2 = by["NCBIGene:2"]
+    assert len(a2) == 1  # HI 'Not yet evaluated' skipped
+    assert (a2[0].object, a2[0].negated) == ("MONDO:3", False)
+    a3 = sorted(by["NCBIGene:3"], key=lambda r: r.object)
+    # TS with score 1 and no disease -> human-disease fallback, negated
+    assert [(r.object, r.negated, r.status) for r in a3] == [
+        ("MONDO:0700096", True, None),
+        ("MONDO:4", True, "Not planned to be evaluated"),
+    ]
+    a4 = by["NCBIGene:4"]
+    # unparseable score -> Status row; unexpected int 7 dropped
+    assert [(r.object, r.negated, r.status) for r in a4] == [
+        ("MONDO:5", None, "Not yet evaluated")]
+    re_ = region_edges.collect()
+    assert len(re_) == 1
+    assert re_[0].subject == "ISCA:46295"
+    assert re_[0].predicate == "region associated with condition"
+
+
+def test_gtopdb_like_parser(spark, tmp_path):
+    """loadGtoPdb.py semantics: '"#' comment stripping, human/Ensembl
+    gates, bad-type and unmapped-predicate skips, pipe-zipped target
+    fan-out, affinity/publication props, peptide-ligand HGNC-map edges,
+    peptide subunit has_part edges, non-ascii name scrub."""
+    (tmp_path / "interactions.tsv").write_text(
+        '"# GtoPdb Version: 2024.1"\n'
+        "Ligand ID\tLigand\tLigand Species\tLigand Gene Symbol\t"
+        "Target Species\tTarget Ensembl Gene ID\tTarget Gene Symbol\t"
+        "Type\tPrimary Target\tAffinity Units\tAffinity Median\t"
+        "Endogenous\tPubMed ID\n"
+        "1\taspiriné\t\t\tHuman\tENSG01|ENSG02\tPTGS1|PTGS2\t"
+        "Inhibitor\ttrue\tpIC50\t5.2\tfalse\t111|222\n"
+        "2\tx\t\t\tHuman\tENSG03\tG3\tFusion protein\ttrue\t\t\tfalse\t\n"
+        "3\ty\t\t\tHuman\tENSG04\tG4\tWeirdtype\ttrue\t\t\tfalse\t\n"
+        "4\tz\t\t\tMouse\tENSG05\tG5\tInhibitor\ttrue\t\t\tfalse\t\n"
+        "5\tpeptide1\tHuman\tIns1|INS2\tHuman\tENSG06\tG6\tAgonist\t"
+        "false\t\t\ttrue\t333\n"
+    )
+    (tmp_path / "peptides.tsv").write_text(
+        '"# GtoPdb Version: 2024.1"\n'
+        "Ligand id\tName\tSpecies\tSubunit ids\tSubunit names\n"
+        "7\tcomplexü\tHuman\t8|9\tsub a|sub b\n"
+        "10\tmouse thing\tMouse\t11\tsub c\n"
+        "12\tno subunits\tHuman\t\t\n"
+    )
+    (tmp_path / "map.tsv").write_text(
+        "HGNC Symbol\tHGNC ID\nINS1\t6081\nOTHER\t1\n"
+    )
+    nodes, edges = PP.gtopdb_like(
+        spark, str(tmp_path / "interactions.tsv"),
+        str(tmp_path / "peptides.tsv"), str(tmp_path / "map.tsv"),
+    )
+    e = sorted(
+        ((r.subject, r.predicate, r.object) for r in edges.collect())
+    )
+    assert ("GTOPDB:1", "DGIdb:inhibitor", "ENSEMBL:ENSG01") in e
+    assert ("GTOPDB:1", "DGIdb:inhibitor", "ENSEMBL:ENSG02") in e
+    assert ("GTOPDB:5", "DGIdb:agonist", "ENSEMBL:ENSG06") in e
+    # peptide ligand gene symbol INS1 (uppercased) -> HGNC map hit; INS2 missed
+    assert ("HGNC:6081", "biolink:has_gene_product", "GTOPDB:5") in e
+    assert ("GTOPDB:7", "biolink:has_part", "GTOPDB:8") in e
+    assert ("GTOPDB:7", "biolink:has_part", "GTOPDB:9") in e
+    assert len(e) == 6  # fusion/unmapped/mouse rows all dropped
+    rich = [r for r in edges.collect() if r.object == "ENSEMBL:ENSG01"][0]
+    assert rich.affinity == 5.2 and rich.affinity_parameter == "pIC50"
+    assert rich.primaryTarget is True and rich.endogenous is False
+    assert rich.publications == ["PMID:111", "PMID:222"]
+    n = {r.id: r.name for r in nodes.collect()}
+    assert n["GTOPDB:1"] == "aspirin"  # non-ascii scrubbed
+    assert n["GTOPDB:7"] == "complex"
+    assert n["ENSEMBL:ENSG01"] == "PTGS1"
+    assert n["GTOPDB:8"] == "sub a"
+
+
+def test_litcoin_like_parser(spark, tmp_path):
+    """loadLitCoin.py semantics: required-field gate, abstract lookup
+    skip, 'NA' bagelization skip, single-entry bagel map unpack,
+    relationship->predicate map with negation, llm_* property carry,
+    publication node + mentions edges."""
+    abstracts = {
+        "a1": {"pmid": "123", "title": "T1", "abstract": "body one",
+               "journal_name": "J1"},
+        "a2": {"pmid": "456", "title": "T2", "abstract": "body two",
+               "journal_name": "J2"},
+    }
+    (tmp_path / "abstracts.json").write_text(json.dumps(abstracts))
+    edges = [
+        {"abstract_id": "123", "subject": "aspirin",
+         "subject_type": "chemical", "object": "COX-2",
+         "object_type": "protein", "relationship": "inhibits",
+         "assertion_id": "as1", "subject_qualifier": "low-dose",
+         "bagelized_subject": {"CHEBI:15365": {
+             "name": "acetylsalicylic acid", "synonym_type": "exact"}},
+         "bagelized_object": {"NCBIGene:5743": {
+             "name": "PTGS2", "synonym_type": "narrow"}}},
+        # missing required field object_type -> skipped
+        {"abstract_id": "123", "subject": "x", "subject_type": "chemical",
+         "object": "y", "relationship": "inhibits",
+         "bagelized_subject": {"C:1": {"name": "x", "synonym_type": "e"}},
+         "bagelized_object": {"C:2": {"name": "y", "synonym_type": "e"}}},
+        # bagelization NA -> skipped
+        {"abstract_id": "123", "subject": "x", "subject_type": "c",
+         "object": "y", "object_type": "p", "relationship": "inhibits",
+         "bagelized_subject": "NA",
+         "bagelized_object": {"C:2": {"name": "y", "synonym_type": "e"}}},
+        # abstract id not in abstracts -> skipped
+        {"abstract_id": "999", "subject": "x", "subject_type": "c",
+         "object": "y", "object_type": "p", "relationship": "inhibits",
+         "bagelized_subject": {"C:1": {"name": "x", "synonym_type": "e"}},
+         "bagelized_object": {"C:2": {"name": "y", "synonym_type": "e"}}},
+        # relationship not in mapping -> skipped
+        {"abstract_id": "456", "subject": "x", "subject_type": "c",
+         "object": "y", "object_type": "p", "relationship": "mystery",
+         "bagelized_subject": {"C:1": {"name": "x", "synonym_type": "e"}},
+         "bagelized_object": {"C:2": {"name": "y", "synonym_type": "e"}}},
+    ]
+    (tmp_path / "llm.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in edges) + "\n"
+    )
+    mapping = spark.createDataFrame(
+        [("inhibits", "biolink:inhibits", False)],
+        "relationship string, predicate string, negated boolean",
+    )
+    ents, pubs, out = PP.litcoin_like(
+        spark, str(tmp_path / "llm.jsonl"), str(tmp_path / "abstracts.json"),
+        mapping,
+    )
+    rows = out.collect()
+    main = [r for r in rows if r.predicate == "biolink:inhibits"]
+    assert len(main) == 1
+    m = main[0]
+    assert (m.subject, m.object) == ("CHEBI:15365", "NCBIGene:5743")
+    assert m.publications == ["PMID:123"]
+    assert m.llm_subject == "aspirin"
+    assert m.llm_subject_qualifier == "low-dose"
+    assert m.bagel_subject_synonym_type == "exact"
+    assert m.abstract_title == "T1" and m.abstract_text == "body one"
+    assert m.negated is False
+    mentions = sorted(
+        (r.subject, r.object) for r in rows
+        if r.predicate == "IAO:0000142"
+    )
+    assert mentions == [
+        ("PMID:123", "CHEBI:15365"), ("PMID:123", "NCBIGene:5743")]
+    en = {r.id: r.name for r in ents.collect()}
+    assert en == {"CHEBI:15365": "acetylsalicylic acid",
+                  "NCBIGene:5743": "PTGS2"}
+    pn = {r.id: r for r in pubs.collect()}
+    assert pn["PMID:123"].journal == "J1"
+
+
+def test_ccidb_like_parser(spark, tmp_path):
+    """loadCCIDB.py semantics: mapping joins, zip-broadcast repair rules,
+    six edge shapes with their qualifier layouts, disease-context
+    preference, unmapped-effector tolerance."""
+    (tmp_path / "cci.tsv").write_text(
+        "source_gene\ttarget_gene\tsource_cell\tliterature_source_cell\t"
+        "target_cell\tliterature_target_cell\teffector\t"
+        "effectors_function\tphenotype\tmode_of_action\tpmid\n"
+        # 2 phenotypes, 1 mode (broadcast); 2 effectors 1 function
+        # (broadcast), second effector unmapped
+        "TNF\tTNFR1\tmacrophage\tM1\ttumor cell\tTC\tIL6, GHOST\t"
+        "secretion\tapoptosis, necrosis\tparacrine\t111\n"
+        # phenotype/mode irreparable mismatch -> row dropped
+        "TNF\tTNFR1\tmacrophage\tM1\ttumor cell\tTC\t\t\ta, b, c\t"
+        "x, y\t222\n"
+        # unmapped source gene -> dropped
+        "NOPE\tTNFR1\tmacrophage\tM1\ttumor cell\tTC\t\t\tapoptosis\t"
+        "paracrine\t333\n"
+    )
+    genes = spark.createDataFrame(
+        [("TNF", "NCBIGene:7124"), ("TNFR1", "NCBIGene:7132"),
+         ("IL6", "NCBIGene:3569")],
+        "gene string, id string",
+    )
+    terms = spark.createDataFrame(
+        [("macrophage: M1", "CL:0000235", "M1-polarized", "MONDO:0005070",
+          ""),
+         ("tumor cell: TC", "CL:0001064", "", "", "neoplastic")],
+        "combined string, id string, specialization_qualifier string, "
+        "context_qualifier string, form_or_variant_qualifier string",
+    )
+    nodes, edges = PP.ccidb_like(
+        spark, str(tmp_path / "cci.tsv"), genes, terms
+    )
+    rows = edges.collect()
+    assert all(r.publications == ["PMID:111"] for r in rows)
+    e1 = [r for r in rows
+          if r.predicate == "biolink:directly_physically_interacts_with"]
+    assert len(e1) == 1
+    assert (e1[0].subject, e1[0].object) == ("NCBIGene:7124", "NCBIGene:7132")
+    assert e1[0].subject_specialization_qualifier == "M1-polarized"
+    assert e1[0].disease_context_qualifier == "MONDO:0005070"
+    aff = [r for r in rows if r.predicate == "biolink:affects"]
+    # e2+e3: 2 phenotypes x 2 = 4 ; e4+e5: 1 mapped effector x 2 = 2 ;
+    # e6: 1 effector x 2 phenotypes = 2
+    assert len(aff) == 8
+    e2 = [r for r in aff if r.subject == "NCBIGene:7124"
+          and r.object == "CL:0001064"]
+    assert {r.object_aspect_qualifier for r in e2} == {
+        "apoptosis", "necrosis"}
+    assert all(r.causal_mechanism_qualifier == "paracrine" for r in e2)
+    assert all(r.subject_context_qualifier == "NCBIGene:7132" for r in e2)
+    assert all(r.object_form_or_variant_qualifier == "neoplastic"
+               for r in e2)
+    e4 = [r for r in aff if r.object == "NCBIGene:3569"]
+    assert len(e4) == 2  # from source gene and target gene
+    assert all(r.object_aspect_qualifier == "secretion" for r in e4)
+    e6 = [r for r in aff if r.subject == "NCBIGene:3569"]
+    assert len(e6) == 2 and all(r.object == "CL:0001064" for r in e6)
+    ids = {r.id for r in nodes.collect()}
+    assert ids == {"NCBIGene:7124", "NCBIGene:7132", "NCBIGene:3569",
+                   "CL:0000235", "CL:0001064"}
