@@ -4092,3 +4092,271 @@ def ccidb_like(
         .distinct()
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# EHR-KP-like: pre-normalized edge CSV with per-class property coercion
+# (parsers/ehr/src/loadEHR.py)
+# ---------------------------------------------------------------------------
+
+EHR_IGNORED_PROPERTIES = ["subject_name", "object_name", "KG_type", "category"]
+EHR_JSON_PROPERTIES = ["log_odds_ratio_95_ci"]
+EHR_FLOAT_PROPERTIES = [
+    "auc_roc", "log_odds_ratio", "log_odds_ratio_95_ci_lower",
+    "log_odds_ratio_95_ci_upper", "adjusted_p_value",
+]
+EHR_INT_PROPERTIES = [
+    "positive_patient_count", "negative_patient_count", "total_sample_size",
+]
+
+
+def ehr_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges). The reference passes each CSV row through
+    as a normalized edge, dropping the ignore-list columns and coercing
+    the typed property classes, with per-row ValueError -> skip
+    (loadEHR.py:29-77). Here the coercion is column-typed casts; rows
+    where any declared numeric column fails to parse are skipped and
+    observed (the declarative analogue of the try/except skip)."""
+    raw = (
+        spark.read.option("header", True).option("quote", '"').csv(path)
+    )
+    keep = [c for c in raw.columns if c not in EHR_IGNORED_PROPERTIES and c]
+    bad = F.lit(False)
+    cols = []
+    for c in keep:
+        if c in EHR_JSON_PROPERTIES:
+            cols.append(F.from_json(c, "array<double>").alias(c))
+            bad = bad | (
+                F.col(c).isNotNull()
+                & F.from_json(c, "array<double>").isNull()
+            )
+        elif c in EHR_FLOAT_PROPERTIES:
+            cols.append(F.col(c).try_cast("double").alias(c))
+            bad = bad | (F.col(c).isNotNull() & F.col(c).try_cast("double").isNull())
+        elif c in EHR_INT_PROPERTIES:
+            cols.append(F.col(c).try_cast("int").alias(c))
+            bad = bad | (F.col(c).isNotNull() & F.col(c).try_cast("int").isNull())
+        else:
+            cols.append(F.col(c))
+    edges = (
+        raw.observe(
+            "ehr_gates", F.sum(bad.cast("int")).alias("n_unparseable_rows")
+        )
+        .where(~bad)
+        .select(*cols)
+    )
+    nodes = (
+        edges.select(F.col("subject").alias("id"))
+        .unionAll(edges.select(F.col("object").alias("id")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# MGI-like: genotype-phenotype report joined through a marker-type lookup
+# (parsers/MGI/src/loadMGI.py — MGIGenePhenotypes)
+# ---------------------------------------------------------------------------
+
+MGI_MOUSE_TAXON = "NCBITaxon:10090"
+
+
+def mgi_gene_phenotypes_like(
+    spark: SparkSession, gene_pheno_path: str, marker_list_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges).
+
+    The marker report is a broadcast lookup (loadMGI.py:163-184); only
+    markers whose type is exactly 'Gene' produce edges — missing and
+    non-gene marker ids are skipped and observed separately, matching
+    the reference's two counters (loadMGI.py:258-266). The headerless
+    8-column genotype report fans out over its pipe-list marker column;
+    rows with a column-count mismatch or no MP id are error-counted and
+    dropped (loadMGI.py:233-250). Genotype context fields ride the edge
+    as single-element lists, publications as PMID curies."""
+    markers = F.broadcast(
+        read_tabular(spark, marker_list_path).select(
+            F.col("mgi_accession_id").alias("_m_id"),
+            F.col("marker_symbol").alias("_m_symbol"),
+            F.col("marker_type").alias("_m_type"),
+        )
+    )
+    raw = (
+        spark.read.option("sep", "\t").option("header", False)
+        .csv(gene_pheno_path)
+    )
+    n_cols = len(raw.columns)
+    raw = raw.toDF(*[
+        "allelic_composition", "allele_symbols", "allele_ids",
+        "genetic_background", "mp_id", "pubmed_ids", "marker_ids",
+        "genotype_id",
+    ][:n_cols])
+    ok = F.coalesce(F.col("mp_id"), F.lit("")) != ""
+    exploded = (
+        raw.observe(
+            "mgi_gates",
+            F.sum((~ok).cast("int")).alias("n_missing_mp"),
+        )
+        .where(ok)
+        .select(
+            "*",
+            F.explode(F.split("marker_ids", r"\|")).alias("_marker"),
+        )
+        .join(markers, F.col("_marker") == F.col("_m_id"), "left")
+    )
+    exploded = exploded.observe(
+        "mgi_marker_coverage",
+        F.sum(F.col("_m_id").isNull().cast("int")).alias(
+            "n_missing_marker_ids"
+        ),
+        F.sum(
+            (F.col("_m_id").isNotNull() & (F.col("_m_type") != "Gene"))
+            .cast("int")
+        ).alias("n_non_gene_marker_ids"),
+    )
+    kept = exploded.where(F.col("_m_type") == "Gene")
+    single = lambda c: F.array(F.col(c))  # noqa: E731
+    edges = kept.select(
+        F.col("_marker").alias("subject"),
+        F.lit("biolink:has_phenotype").alias("predicate"),
+        F.col("mp_id").alias("object"),
+        single("allelic_composition").alias("mgi_allelic_composition"),
+        single("allele_symbols").alias("mgi_allele_symbols"),
+        single("allele_ids").alias("mgi_allele_ids"),
+        single("genetic_background").alias("mgi_genetic_background"),
+        single("genotype_id").alias("mgi_genotype_id"),
+        F.when(
+            F.coalesce(F.col("pubmed_ids"), F.lit("")) != "",
+            F.transform(
+                F.split("pubmed_ids", r"\|"),
+                lambda x: F.concat(F.lit("PMID:"), x),
+            ),
+        ).alias("publications"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("manual_agent").alias("agent_type"),
+        F.lit("infores:mgi").alias("primary_knowledge_source"),
+    )
+    gene_nodes = kept.select(
+        F.col("_marker").alias("id"), F.col("_m_symbol").alias("name"),
+        F.array(F.lit("biolink:Gene")).alias("category"),
+        F.lit(MGI_MOUSE_TAXON).alias("taxon"),
+    ).dropDuplicates(["id"])
+    mp_nodes = raw.where(ok).select(
+        F.col("mp_id").alias("id"), F.lit(None).cast("string").alias("name"),
+        F.array(F.lit("biolink:PhenotypicFeature")).alias("category"),
+        F.lit(None).cast("string").alias("taxon"),
+    ).dropDuplicates(["id"])
+    return gene_nodes.unionByName(mp_nodes), edges
+
+
+# ---------------------------------------------------------------------------
+# CFDE-config-like: config-driven multi-node-file union with original-id
+# edge repair (parsers/LINCS/src/loadLINCS.py and
+# parsers/MetabolomicsWorkbench/src/loadMetabolomicsWorkbench.py share
+# this loader shape, driven by cfde-config.yml)
+# ---------------------------------------------------------------------------
+
+
+def cfde_like(
+    spark: SparkSession, config: dict, data_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges). `config` is one parsed cfde-config.yml
+    entry: name, provenance_id, predicate_mapping, node_files
+    (each {node_file: {name, primary_id_column, secondary_id_column?,
+    type}}), edge_file. Mirrors the polars pipeline (loadLINCS.py:59-117):
+
+    - per node file: id = primary (secondary fills nulls), original_id =
+      the unnamed first column, name = label, category = row type or the
+      file-level default; PUBCHEM ids re-prefixed.
+    - rows with any null are the 'missing' set: they are dropped from
+      the node output, and edges whose endpoints map through them are
+      dropped (the replace-then-drop_nulls step).
+    - edge subject/object repair through original_id -> id, predicate
+      through the config map; unmatched values pass through unchanged
+      (polars replace semantics)."""
+    import os
+
+    node_parts = []
+    for entry in config["node_files"]:
+        nf = entry["node_file"]
+        df = (
+            spark.read.option("header", True).csv(
+                os.path.join(data_dir, nf["name"])
+            )
+        )
+        primary = F.col(nf["primary_id_column"])
+        raw_id = (
+            F.coalesce(primary, F.col(nf["secondary_id_column"]))
+            if nf.get("secondary_id_column") else primary
+        )
+        fixed_id = F.when(
+            raw_id.startswith("PUBCHEM"),
+            F.replace(raw_id, F.lit("PUBCHEM"), F.lit("PUBCHEM.COMPOUND")),
+        ).otherwise(raw_id)
+        # the unnamed first column holds the source-native id; Spark
+        # surfaces it as _c0 when the header cell is empty
+        orig_col = "_c0" if "_c0" in df.columns else df.columns[0]
+        node_parts.append(
+            df.select(
+                fixed_id.alias("id"),
+                F.col(orig_col).alias("original_id"),
+                F.col("label").alias("name"),
+                F.array(
+                    F.coalesce(F.col("type"), F.lit(nf["type"]))
+                ).alias("category"),
+            )
+        )
+    all_nodes = node_parts[0]
+    for p in node_parts[1:]:
+        all_nodes = all_nodes.unionByName(p)
+    is_missing = (
+        F.col("id").isNull() | F.col("original_id").isNull()
+        | F.col("name").isNull() | F.col("category")[0].isNull()
+    )
+    all_nodes = all_nodes.withColumn("_missing", is_missing)
+    nodes = all_nodes.where(~F.col("_missing")).drop("_missing", "original_id")
+
+    mapping = F.broadcast(
+        all_nodes.select(
+            F.col("original_id").alias("_orig"), F.col("id").alias("_id"),
+            F.col("_missing"),
+        ).where(F.col("_orig").isNotNull())
+        .dropDuplicates(["_orig"])
+    )
+    raw_edges = spark.read.option("header", True).csv(
+        os.path.join(data_dir, config["edge_file"])
+    )
+
+    def repair(df: DataFrame, col: str) -> DataFrame:
+        m = mapping.withColumnRenamed("_orig", f"_{col}_orig") \
+            .withColumnRenamed("_id", f"_{col}_id") \
+            .withColumnRenamed("_missing", f"_{col}_missing")
+        return (
+            df.join(m, F.col(col) == F.col(f"_{col}_orig"), "left")
+            # the missing-map replace makes the endpoint null when the
+            # matched node row was incomplete -> drop_nulls kills the edge
+            .where(
+                F.col(f"_{col}_missing").isNull()
+                | ~F.col(f"_{col}_missing")
+            )
+            .withColumn(col, F.coalesce(F.col(f"_{col}_id"), F.col(col)))
+            .drop(f"_{col}_orig", f"_{col}_id", f"_{col}_missing")
+        )
+
+    pred_map = config.get("predicate_mapping", {})
+    edges = repair(repair(raw_edges, "source"), "target").select(
+        F.col("source").alias("subject"),
+        predicate_remap(
+            F.col("relation"), pred_map, default=None
+        ).alias("_mapped") if pred_map else F.lit(None).alias("_mapped"),
+        F.col("relation"),
+        F.col("target").alias("object"),
+    ).select(
+        "subject",
+        F.coalesce(F.col("_mapped"), F.col("relation")).alias("predicate"),
+        "object",
+        F.lit(config["provenance_id"]).alias("primary_knowledge_source"),
+        F.lit("knowledge_assertion").alias("knowledge_level"),
+        F.lit("data_analysis_pipeline").alias("agent_type"),
+    )
+    return nodes, edges

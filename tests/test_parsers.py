@@ -1653,3 +1653,106 @@ def test_ccidb_like_parser(spark, tmp_path):
     ids = {r.id for r in nodes.collect()}
     assert ids == {"NCBIGene:7124", "NCBIGene:7132", "NCBIGene:3569",
                    "CL:0000235", "CL:0001064"}
+
+
+def test_ehr_like_parser(spark, tmp_path):
+    """loadEHR.py semantics: ignore-list drop, typed coercion (json list /
+    float / int), unparseable-row skip, passthrough of other props."""
+    (tmp_path / "edges.csv").write_text(
+        "subject,predicate,object,subject_name,auc_roc,"
+        "log_odds_ratio_95_ci,positive_patient_count,extra\n"
+        'CHEBI:1,biolink:may_treat,MONDO:1,aspirin,0.91,"[0.2, 0.8]",42,x\n'
+        "CHEBI:2,biolink:may_treat,MONDO:2,y,notafloat,\"[0.1, 0.2]\",7,y\n"
+    )
+    nodes, edges = PP.ehr_like(spark, str(tmp_path / "edges.csv"))
+    rows = edges.collect()
+    assert len(rows) == 1  # bad float row skipped
+    r = rows[0]
+    assert r.subject == "CHEBI:1" and r.object == "MONDO:1"
+    assert r.auc_roc == 0.91
+    assert r.log_odds_ratio_95_ci == [0.2, 0.8]
+    assert r.positive_patient_count == 42
+    assert r.extra == "x"
+    assert "subject_name" not in edges.columns
+    assert {n.id for n in nodes.collect()} == {"CHEBI:1", "MONDO:1"}
+
+
+def test_mgi_gene_phenotypes_like_parser(spark, tmp_path):
+    """loadMGI.py MGIGenePhenotypes semantics: marker-type lookup with
+    gene-only filter, pipe-list marker fan-out, missing-MP drop,
+    genotype context props as lists, PMID curies, mouse taxon."""
+    (tmp_path / "markers.tsv").write_text(
+        "mgi_accession_id\tmarker_symbol\tmarker_name\tmarker_type\n"
+        "MGI:97490\tPax6\tpaired box 6\tGene\n"
+        "MGI:999\tTg1\ttransgene\tTransgene\n"
+    )
+    (tmp_path / "genepheno.tsv").write_text(
+        "Pax6<+>/Pax6<->\tPax6\tMGI:A1\tB6\tMP:0001262\t111|222\t"
+        "MGI:97490|MGI:999|MGI:404\tMGI:G1\n"
+        "x\ty\tz\tbg\t\t\tMGI:97490\tMGI:G2\n"  # no MP id -> dropped
+    )
+    nodes, edges = PP.mgi_gene_phenotypes_like(
+        spark, str(tmp_path / "genepheno.tsv"), str(tmp_path / "markers.tsv")
+    )
+    e = edges.collect()
+    assert len(e) == 1  # transgene + unknown markers filtered
+    r = e[0]
+    assert (r.subject, r.object) == ("MGI:97490", "MP:0001262")
+    assert r.publications == ["PMID:111", "PMID:222"]
+    assert r.mgi_allelic_composition == ["Pax6<+>/Pax6<->"]
+    assert r.mgi_genotype_id == ["MGI:G1"]
+    n = {x.id: x for x in nodes.collect()}
+    assert n["MGI:97490"].name == "Pax6"
+    assert n["MGI:97490"].taxon == "NCBITaxon:10090"
+    assert n["MP:0001262"].category == ["biolink:PhenotypicFeature"]
+
+
+def test_cfde_like_parser(spark, tmp_path):
+    """loadLINCS.py / loadMetabolomicsWorkbench.py shared CFDE shape:
+    multi-node-file union with secondary-id fill, PUBCHEM re-prefix,
+    missing-row node drop + edge kill, original-id edge repair,
+    predicate map with passthrough."""
+    (tmp_path / "chems.csv").write_text(
+        ",primary,secondary,label,type\n"
+        "orig1,PUBCHEM123,,aspirin,biolink:SmallMolecule\n"
+        "orig2,,CHEBI:2,backup,\n"
+        "orig3,,,broken,biolink:SmallMolecule\n"
+    )
+    (tmp_path / "genes.csv").write_text(
+        ",gid,label,type\n"
+        "orig4,NCBIGene:4,TP53,\n"
+    )
+    (tmp_path / "edges.csv").write_text(
+        "source,relation,target\n"
+        "orig1,in_similarity_relationship_with,orig4\n"
+        "orig3,regulates,orig4\n"        # missing subject node -> dropped
+        "orig2,unmapped_rel,CURIE:KEPT\n"  # object passthrough
+    )
+    config = {
+        "name": "LINCS",
+        "provenance_id": "infores:lincs",
+        "predicate_mapping": {
+            "in_similarity_relationship_with":
+                "biolink:chemically_similar_to",
+        },
+        "node_files": [
+            {"node_file": {"name": "chems.csv", "primary_id_column":
+                "primary", "secondary_id_column": "secondary",
+                "type": "biolink:ChemicalEntity"}},
+            {"node_file": {"name": "genes.csv", "primary_id_column": "gid",
+                           "type": "biolink:Gene"}},
+        ],
+        "edge_file": "edges.csv",
+    }
+    nodes, edges = PP.cfde_like(spark, config, str(tmp_path))
+    n = {r.id: r for r in nodes.collect()}
+    assert n["PUBCHEM.COMPOUND123"].name == "aspirin"
+    assert n["CHEBI:2"].category == ["biolink:ChemicalEntity"]  # file default
+    assert n["NCBIGene:4"].category == ["biolink:Gene"]
+    assert len(n) == 3  # broken row dropped
+    e = sorted((r.subject, r.predicate, r.object) for r in edges.collect())
+    assert e == [
+        ("CHEBI:2", "unmapped_rel", "CURIE:KEPT"),
+        ("PUBCHEM.COMPOUND123", "biolink:chemically_similar_to",
+         "NCBIGene:4"),
+    ]
