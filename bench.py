@@ -38,6 +38,7 @@ HEADLINE = [
     "prune_unconnected_nodes",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_dedup_first",
     "text_stats_panel",
     "ann_cosine_topk",
     "events_hourly_rollup",

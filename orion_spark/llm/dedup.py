@@ -684,3 +684,76 @@ def ngram_contamination_oracle_sql(
                      THEN 1 ELSE 0 END AS INT) AS is_contaminated
     FROM train_sh GROUP BY doc_id
     """
+
+
+def minhash_lsh_pairs_dedup_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Output-identical to minhash_lsh_pairs, computed the way a
+    duplicate-heavy corpus demands at scale: collapse exact duplicates
+    first (one hash aggregate on md5(text) — the text itself never
+    shuffles), run LSH over the distinct representatives only, then
+    expand rep-level pairs across their duplicate groups and enumerate
+    the within-group pairs (jaccard exactly 1).
+
+    Why identical: docs with equal text have equal shingle sets, hence
+    equal signatures and buckets — the plain LSH would emit every
+    cross-group and within-group combination anyway, at quadratic cost
+    per duplicate group. Measured motivation: SCALE.md round-3 sf1 point,
+    where 10x exact copies made the direct path scale 17.6x."""
+    groups = (
+        df.select(
+            F.md5(F.col(text_col)).alias("_key"),
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+        )
+        .groupBy("_key")
+        .agg(
+            F.min("_id").alias("_rep"),
+            F.sort_array(F.collect_list("_id")).alias("_members"),
+            F.first("_text").alias("_text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.select(
+        F.col("_rep").alias(id_col), F.col("_text").alias(text_col)
+    )
+    rep_pairs = minhash_lsh_pairs(
+        reps, text_col, id_col, k, num_hashes, threshold
+    )
+    mem = groups.select(F.col("_rep"), F.explode("_members").alias("_m"))
+    cross = (
+        rep_pairs
+        .join(
+            mem.select(F.col("_rep").alias("doc_a"), F.col("_m").alias("_ma")),
+            "doc_a",
+        )
+        .join(
+            mem.select(F.col("_rep").alias("doc_b"), F.col("_m").alias("_mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    nonempty = groups.where(
+        (F.size("_members") > 1)
+        & (F.size(word_shingles(F.col("_text"), k)) > 0)
+    ).select("_rep", "_members")
+    within = (
+        nonempty.select(F.explode("_members").alias("_a"), "_rep", "_members")
+        .select("_a", F.explode("_members").alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("doc_a"), F.col("_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)

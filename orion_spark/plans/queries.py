@@ -6630,3 +6630,24 @@ def clingen_dosage_like_edges_q(spark, sf_dir):
         "subject", "predicate", "object", "negated", "status",
         score.alias("score"),
     )
+
+
+@query("dedup_minhash_lsh_dedup_first")
+def dedup_minhash_lsh_dedup_first_q(spark, sf_dir):
+    """The duplicate-heavy scale path for near-dup detection: exact
+    (md5) dedup first, LSH over distinct representatives, pair expansion
+    back over duplicate groups. Registered with the SAME oracle as
+    dedup_minhash_lsh — the driver's hash check IS the equivalence
+    proof. Motivated by the measured sf1 point (SCALE.md): 10x exact
+    copies turn per-bucket candidate pairs quadratic in the copy count
+    for the direct path; this path keeps LSH work at distinct-text
+    scale."""
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs_dedup_first(docs, threshold=0.5)
+
+
+from orion_spark.llm.dedup import minhash_lsh_oracle_sql as _mlo  # noqa: E402
+
+ORACLES["dedup_minhash_lsh_dedup_first"] = _mlo(k=5, threshold=0.5)

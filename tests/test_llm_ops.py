@@ -376,3 +376,34 @@ def test_c4_line_filter_property_random_pages(spark):
     }
     want = {n: py_panel(t) for n, t in pages}
     assert got == want
+
+
+def test_minhash_dedup_first_equivalence(spark):
+    """The dedup-first LSH path must emit exactly the direct path's pair
+    set on a duplicate-heavy corpus (cross-group, within-group, and
+    unique-doc pairs all covered)."""
+    from orion_spark.llm import dedup as DD
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "completely different words about graph engines and parquet",
+    ]
+    rows = []
+    i = 0
+    for copies, t in zip([3, 2, 1], texts):
+        for _ in range(copies):
+            rows.append((i, t))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    direct = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs(df, threshold=0.3).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs_dedup_first(df, threshold=0.3).collect()
+    }
+    assert direct == fast
+    # sanity: within-group pairs for the 3-copy group are present at 1.0
+    assert (0, 1, 1.0) in fast and (0, 2, 1.0) in fast and (1, 2, 1.0) in fast
