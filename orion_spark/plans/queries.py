@@ -6267,14 +6267,16 @@ def monarchkg_like_edges_q(spark, sf_dir):
     edge JSONL, knowledge-source remap, predicate/source/prefix curation
     filter, KL default and attribute passthrough. Fixture synthesized
     deterministically from the nation dim."""
+    import re as _re
     import tempfile
 
     from orion_spark.plans.parsers import monarchkg_like
 
     path = _monarch_fixture(spark, sf_dir)
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
     _, edges = monarchkg_like(
         spark, path,
-        staging_dir=tempfile.gettempdir() + "/monarch_stage_q",
+        staging_dir=f"{tempfile.gettempdir()}/monarch_stage_q{slug}",
     )
     return edges.select(
         "subject", "predicate", "object",
