@@ -4360,3 +4360,175 @@ def cfde_like(
         F.lit("data_analysis_pipeline").alias("agent_type"),
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Thin extract-spec variants: sources whose structure is already carried
+# by an existing family, promoted to named specs so every reference
+# parser directory has a runnable counterpart.
+# ---------------------------------------------------------------------------
+
+# parsers/KinAce/src/loadKinAce.py:31-35, 92-103
+KINACE_INFORES = {
+    "PhosphoSitePlus": "infores:psite-plus",
+    "EPSD": "infores:epsd",
+    "iPTMNet": "infores:iptmnet",
+}
+KINACE_KL_AT = {
+    "PhosphoSitePlus": ("knowledge_assertion", "manual_agent"),
+    "EPSD": ("not_provided", "not_provided"),
+    "iPTMNet": ("not_provided", "text_mining_agent"),
+}
+
+
+def kinace_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Kinase-substrate CSV -> phosphorylation-qualified affects edges
+    with per-source infores + KL/AT and ';'-split PMIDs ('NA' -> none)
+    (loadKinAce.py:80-131)."""
+    raw = read_tabular(spark, path, sep=",")
+    pubs = F.when(
+        ~F.coalesce(F.col("publications"), F.lit("")).isin("", "NA"),
+        F.filter(
+            F.transform(
+                F.split("publications", ";"),
+                lambda x: F.when(
+                    F.trim(x) != "", F.concat(F.lit("PMID:"), F.trim(x))
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    spec = ExtractSpec(
+        subject_id=F.concat(F.lit("UniProtKB:"), F.col("kinase")),
+        object_id=F.concat(F.lit("UniProtKB:"), F.col("substrate")),
+        predicates=[F.lit("biolink:affects")],
+        subject_categories=["biolink:Protein"],
+        object_categories=["biolink:Protein"],
+        edge_properties={
+            "qualified_predicate": F.lit("biolink:causes"),
+            "object_direction_qualifier": F.lit("increased"),
+            "object_aspect_qualifier": F.lit("phosphorylation"),
+            "phosphorylation_sites": F.array(F.col("p_site")),
+            "knowledge_level": predicate_remap(
+                F.col("primary_source"),
+                {k: v[0] for k, v in KINACE_KL_AT.items()},
+                default="not_provided",
+            ),
+            "agent_type": predicate_remap(
+                F.col("primary_source"),
+                {k: v[1] for k, v in KINACE_KL_AT.items()},
+                default="not_provided",
+            ),
+            "publications": pubs,
+            "_pks": predicate_remap(F.col("primary_source"), KINACE_INFORES),
+            "aggregator_knowledge_sources": F.array(F.lit("infores:kinace")),
+        },
+    )
+    subj, obj, edges = extract(raw, spec)
+    # per-row primary source overrides the spec constant (loadKinAce.py:121)
+    edges = edges.withColumn(
+        "primary_knowledge_source", F.col("_pks")
+    ).drop("_pks")
+    return subj, obj, edges
+
+
+def genome_alliance_like(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Alliance ortholog TSV: positional gene-pair columns with '_'
+    stripped from the curies (loadGenomeAlliance.py:12-17, 75-88)."""
+    raw = read_tabular(spark, path)
+    strip = lambda c: F.replace(F.col(c), F.lit("_"), F.lit(""))  # noqa: E731
+    spec = ExtractSpec(
+        subject_id=strip("gene_1_id"),
+        object_id=strip("gene_2_id"),
+        predicates=[F.lit("biolink:orthologous_to")],
+        subject_name=F.col("gene_1_label"),
+        object_name=F.col("gene_2_label"),
+        subject_categories=["biolink:Gene"],
+        object_categories=["biolink:Gene"],
+        primary_knowledge_source="infores:agrkb",
+    )
+    return extract(raw, spec)
+
+
+def cord19_like(
+    spark: SparkSession, scibite_path: str, scigraph_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """CORD-19 co-occurrence edge TSVs (loadCord19.py:149-184): scibite
+    edges strip '_' from curies and carry publication/enrichment stats;
+    scigraph edges carry their ids verbatim. Returns (nodes, edges)."""
+    sb = read_tabular(spark, scibite_path)
+    strip = lambda c: F.replace(F.col(c), F.lit("_"), F.lit(""))  # noqa: E731
+    sb_edges = sb.select(
+        strip("subject").alias("subject"),
+        F.lit("biolink:related_to").alias("predicate"),
+        strip("object").alias("object"),
+        F.col("effective_pubs").cast("double").alias("num_publications"),
+        F.col("enrichment_p").cast("double").alias("enrichment_p"),
+        F.lit("infores:cord19-scibite").alias("primary_knowledge_source"),
+    )
+    sg = read_tabular(spark, scigraph_path)
+    sg_edges = sg.select(
+        F.col("subject"),
+        F.lit("biolink:related_to").alias("predicate"),
+        F.col("object"),
+        F.col("num_publications").cast("double").alias("num_publications"),
+        F.lit(None).cast("double").alias("enrichment_p"),
+        F.lit("infores:cord19-scigraph").alias("primary_knowledge_source"),
+    )
+    edges = sb_edges.unionByName(sg_edges)
+    nodes = (
+        edges.select(F.col("subject").alias("id"))
+        .unionAll(edges.select(F.col("object").alias("id")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+# loadClinGenGeneDiseaseValidity.py:60-98 (moi_lookup, trimmed to the
+# modes the fixture space exercises; unmapped modes null out, logged by
+# the reference)
+CLINGEN_MOI_LOOKUP = {
+    "AD": ("Autosomal dominant inheritance", "HP:0000006"),
+    "AR": ("Autosomal recessive inheritance", "HP:0000007"),
+    "XL": ("X-linked inheritance", "HP:0001417"),
+    "SD": ("Semidominant inheritance", "HP:0032113"),
+}
+
+
+def clingen_validity_like(
+    spark: SparkSession, path: str, staging_dir: str | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Gene-disease validity CSV with 6 leading metadata rows
+    (loadClinGenGeneDiseaseValidity.py:113-157): classification +
+    report props, mode-of-inheritance normalized through the HPO lookup
+    (unmapped -> nulls)."""
+    import tempfile
+
+    staged = _strip_leading_rows(
+        path, 6, staging_dir or tempfile.mkdtemp(prefix="clingen_v_")
+    )
+    raw = read_tabular(spark, staged, sep=",")
+    moi_name = predicate_remap(
+        F.col("moi"), {k: v[0] for k, v in CLINGEN_MOI_LOOKUP.items()}
+    )
+    moi_hpo = predicate_remap(
+        F.col("moi"), {k: v[1] for k, v in CLINGEN_MOI_LOOKUP.items()}
+    )
+    spec = ExtractSpec(
+        subject_id=F.col("gene_id"),
+        object_id=F.col("disease_id"),
+        predicates=[F.lit("gene_associated_with_condition")],
+        subject_categories=["biolink:Gene"],
+        object_categories=["biolink:Disease"],
+        edge_properties={
+            "clingen_validity_classification": F.col("classification"),
+            "clingen_classification_date": F.col("classification_date"),
+            "clingen_classification_report": F.col("online_report"),
+            "normalized_mode_of_inheritance": moi_name,
+            "hpo_for_normalized_mode_of_inheritance": moi_hpo,
+            "primary_knowledge_source": F.lit("infores:clingen"),
+        },
+    )
+    return extract(raw, spec)

@@ -1756,3 +1756,78 @@ def test_cfde_like_parser(spark, tmp_path):
         ("PUBCHEM.COMPOUND123", "biolink:chemically_similar_to",
          "NCBIGene:4"),
     ]
+
+
+def test_kinace_like_parser(spark, tmp_path):
+    (tmp_path / "ksi.csv").write_text(
+        "kinase,substrate,p_site,primary_source,publications\n"
+        "P31749,Q9Y243,S473,PhosphoSitePlus,111; 222\n"
+        "P31749,P49841,T308,iPTMNet,NA\n"
+        "P00001,P00002,S1,EPSD,\n"
+    )
+    _, _, edges = PP.kinace_like(spark, str(tmp_path / "ksi.csv"))
+    e = {r.object: r for r in edges.collect()}
+    a = e["UniProtKB:Q9Y243"]
+    assert a.subject == "UniProtKB:P31749"
+    assert a.object_aspect_qualifier == "phosphorylation"
+    assert a.publications == ["PMID:111", "PMID:222"]
+    assert a.knowledge_level == "knowledge_assertion"
+    assert a.primary_knowledge_source == "infores:psite-plus"
+    b = e["UniProtKB:P49841"]
+    assert b.publications is None and b.agent_type == "text_mining_agent"
+    assert e["UniProtKB:P00002"].knowledge_level == "not_provided"
+
+
+def test_genome_alliance_like_parser(spark, tmp_path):
+    (tmp_path / "orth.tsv").write_text(
+        "gene_1_id\tgene_1_label\tx1\tx2\tgene_2_id\tgene_2_label\n"
+        "HGNC_:11998\tTP53\ta\tb\tMGI_:98834\tTrp53\n"
+    )
+    subj, obj, edges = PP.genome_alliance_like(
+        spark, str(tmp_path / "orth.tsv"))
+    r = edges.collect()[0]
+    assert (r.subject, r.predicate, r.object) == (
+        "HGNC:11998", "biolink:orthologous_to", "MGI:98834")
+    assert {x.id: x.name for x in subj.collect()} == {"HGNC:11998": "TP53"}
+
+
+def test_cord19_like_parser(spark, tmp_path):
+    (tmp_path / "sb.tsv").write_text(
+        "subject\tobject\teffective_pubs\tenrichment_p\n"
+        "CHEBI_:1\tGO_:2\t10.5\t0.001\n"
+    )
+    (tmp_path / "sg.tsv").write_text(
+        "subject\tobject\tnum_publications\n"
+        "MONDO:3\tHP:4\t7\n"
+    )
+    nodes, edges = PP.cord19_like(
+        spark, str(tmp_path / "sb.tsv"), str(tmp_path / "sg.tsv"))
+    e = {r.subject: r for r in edges.collect()}
+    assert e["CHEBI:1"].object == "GO:2"
+    assert e["CHEBI:1"].num_publications == 10.5
+    assert e["CHEBI:1"].enrichment_p == 0.001
+    assert e["MONDO:3"].enrichment_p is None
+    assert len({r.id for r in nodes.collect()}) == 4
+
+
+def test_clingen_validity_like_parser(spark, tmp_path):
+    meta = "\n".join(f"#m{i}" for i in range(6))
+    (tmp_path / "validity.csv").write_text(meta + "\n" + (
+        "gene_symbol,gene_id,disease_label,disease_id,moi,sop,"
+        "classification,online_report,classification_date\n"
+        "BRCA2,HGNC:1101,breast cancer,MONDO:0007254,AD,SOP7,Definitive,"
+        "http://r/1,2020-01-01\n"
+        "XY,HGNC:2,z,MONDO:2,WEIRD,SOP7,Limited,http://r/2,2021-02-02\n"
+    ))
+    _, _, edges = PP.clingen_validity_like(
+        spark, str(tmp_path / "validity.csv"),
+        staging_dir=str(tmp_path / "stage"))
+    e = {r.subject: r for r in edges.collect()}
+    a = e["HGNC:1101"]
+    assert a.object == "MONDO:0007254"
+    assert a.clingen_validity_classification == "Definitive"
+    assert a.normalized_mode_of_inheritance == (
+        "Autosomal dominant inheritance")
+    assert a.hpo_for_normalized_mode_of_inheritance == "HP:0000006"
+    b = e["HGNC:2"]
+    assert b.normalized_mode_of_inheritance is None  # unmapped moi
