@@ -4532,3 +4532,168 @@ def clingen_validity_like(
         },
     )
     return extract(raw, spec)
+
+
+# ---------------------------------------------------------------------------
+# UPheno-like: OBO stanza parsing + cross-species homology inference
+# (parsers/UPheno/src/loadUPheno.py)
+# ---------------------------------------------------------------------------
+
+
+def _obo_terms(spark: SparkSession, path: str) -> DataFrame:
+    """[Term] stanzas from an OBO file as (id, name, is_obsolete, is_a).
+    Ontology files are dimension-sized, so the wholetext read + stanza
+    split happens in one task; parsing is pure regexp (iter_obo_terms /
+    parse_obo_term semantics, loadUPheno.py:23-59)."""
+    raw = spark.read.text(path, wholetext=True)
+    stanzas = raw.select(
+        F.explode(F.split("value", r"(?m)^\[")).alias("_s")
+    ).where(F.col("_s").startswith("Term]"))
+    return stanzas.select(
+        F.nullif(
+            F.regexp_extract("_s", r"(?m)^id: (\S+)", 1), F.lit("")
+        ).alias("id"),
+        F.regexp_extract("_s", r"(?m)^name: (.*)", 1).alias("name"),
+        F.col("_s").rlike(r"(?m)^is_obsolete: true").alias("is_obsolete"),
+        F.regexp_extract_all(
+            "_s", F.lit(r"(?m)^is_a: (\S+)"), 1
+        ).alias("is_a"),
+    )
+
+
+def _has_prefix(col: Column, prefixes: tuple[str, ...]) -> Column:
+    return F.substring_index(col, ":", 1).isin(*prefixes)
+
+
+def upheno_like(
+    spark: SparkSession,
+    obo_path: str,
+    species_a_prefixes: tuple[str, ...],
+    species_b_prefixes: tuple[str, ...],
+    generic_prefixes: tuple[str, ...] = ("UPHENO",),
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, edges): species-A x species-B phenotype pairs that
+    directly subclass the same generic (UPHENO) parent, one edge per
+    pair carrying the sorted supporting-parent list
+    (loadUPheno.py:62-79, 110-168). Obsolete terms drop; names are kept
+    only for terms that reach an edge."""
+    terms = _obo_terms(spark, obo_path).where(
+        F.col("id").isNotNull() & ~F.col("is_obsolete")
+    ).localCheckpoint(eager=True)
+    parented = terms.select(
+        "id", "name", F.explode("is_a").alias("parent")
+    ).where(_has_prefix(F.col("parent"), generic_prefixes))
+
+    def side(prefixes: tuple[str, ...], tag: str) -> DataFrame:
+        return parented.where(_has_prefix(F.col("id"), prefixes)).select(
+            F.col("id").alias(f"{tag}_term"),
+            F.col("name").alias(f"{tag}_name"),
+            "parent",
+        )
+
+    a = side(species_a_prefixes, "a")
+    b = side(species_b_prefixes, "b")
+    pairs = (
+        a.join(b, "parent")
+        .groupBy("a_term", "b_term")
+        .agg(
+            F.array_sort(F.collect_set("parent")).alias(
+                "upheno_generic_parent"
+            ),
+            F.first("a_name").alias("_a_name"),
+            F.first("b_name").alias("_b_name"),
+        )
+    )
+    edges = pairs.select(
+        F.col("a_term").alias("subject"),
+        F.lit("biolink:homologous_to").alias("predicate"),
+        F.col("b_term").alias("object"),
+        "upheno_generic_parent",
+        F.lit("logical_entailment").alias("knowledge_level"),
+        F.lit("data_pipeline").alias("agent_type"),
+        F.lit("infores:upheno").alias("primary_knowledge_source"),
+    )
+    nodes = (
+        pairs.select(F.col("a_term").alias("id"), F.col("_a_name").alias("name"))
+        .unionAll(
+            pairs.select(F.col("b_term").alias("id"), F.col("_b_name").alias("name"))
+        )
+        .dropDuplicates(["id"])
+        .withColumn("category", F.array(F.lit("biolink:PhenotypicFeature")))
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# MONDOProperties-like: N-Quads scan -> low-IC superclass property flags
+# (parsers/MONDOProperties/src/loadMP.py)
+# ---------------------------------------------------------------------------
+
+
+def mondo_properties_like(
+    spark: SparkSession, nq_path: str, ic_cutoff: float = 70.0
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (nodes, flags). Terms whose normalizedInformationContent
+    is below the cutoff become boolean MONDO_SUPERCLASS_* properties on
+    their DIRECT subclasses (loadMP.py:98-157) — property names from the
+    label with whitespace/'/'/'-' -> '_' and ',' removed. nodes carries
+    the sorted flag list per MONDO id; flags is the long form."""
+    lines = spark.read.text(nq_path).where(F.length("value") > 0)
+    triple = lines.select(
+        F.regexp_extract("value", r"^<([^>]*)>", 1).alias("s"),
+        F.regexp_extract("value", r"^<[^>]*>\s+<([^>]*)>", 1).alias("p"),
+        F.regexp_extract(
+            "value", r"^<[^>]*>\s+<[^>]*>\s+(.*?)\s*(?:<[^>]*>)?\s*\.\s*$", 1
+        ).alias("o"),
+    )
+    bare = lambda c: F.regexp_replace(F.col(c), r"^<|>$", "")  # noqa: E731
+    mondo = lambda c: F.when(  # noqa: E731
+        F.col(c).contains("MONDO"),
+        F.replace(
+            F.substring_index(bare(c), "/", -1), F.lit("_"), F.lit(":")
+        ),
+    )
+    lit_val = F.regexp_extract("o", r'^"([^"]*)"', 1)
+    base = triple.withColumn("_subj", mondo("s")).where(
+        F.col("_subj").isNotNull()
+    ).localCheckpoint(eager=True)
+
+    low_ic = base.where(
+        F.col("p").contains("normalizedInformationContent")
+        & (lit_val.cast("double") < ic_cutoff)
+    ).select(F.col("_subj").alias("_prop_id"))
+    labels = base.where(F.col("p").contains("label")).select(
+        F.col("_subj").alias("_label_id"), lit_val.alias("_label")
+    )
+    prop_terms = F.broadcast(
+        low_ic.join(
+            labels, F.col("_prop_id") == F.col("_label_id")
+        ).select(
+            "_prop_id",
+            F.concat(
+                F.lit("MONDO_SUPERCLASS_"),
+                F.replace(
+                    F.replace(
+                        F.replace(
+                            F.regexp_replace(F.trim("_label"), r"\s+", "_"),
+                            F.lit(","), F.lit(""),
+                        ),
+                        F.lit("/"), F.lit("_"),
+                    ),
+                    F.lit("-"), F.lit("_"),
+                ),
+            ).alias("property_name"),
+        ).dropDuplicates(["_prop_id"])
+    )
+    subclass = base.where(
+        F.col("p").contains("subClassOf") & mondo("o").isNotNull()
+    ).select(F.col("_subj").alias("id"), mondo("o").alias("_parent"))
+    flags = subclass.join(
+        prop_terms, F.col("_parent") == F.col("_prop_id")
+    ).select("id", "property_name").distinct()
+    nodes = flags.groupBy("id").agg(
+        F.array_sort(F.collect_set("property_name")).alias(
+            "mondo_superclass_flags"
+        )
+    )
+    return nodes, flags

@@ -1831,3 +1831,68 @@ def test_clingen_validity_like_parser(spark, tmp_path):
     assert a.hpo_for_normalized_mode_of_inheritance == "HP:0000006"
     b = e["HGNC:2"]
     assert b.normalized_mode_of_inheritance is None  # unmapped moi
+
+
+def test_upheno_like_parser(spark, tmp_path):
+    """loadUPheno.py semantics: OBO stanza parse, obsolete drop, generic-
+    parent gating, cross-species pair inference with sorted supporting
+    parents, phenotype node emission with names."""
+    (tmp_path / "upheno.obo").write_text(
+        "format-version: 1.2\n\n"
+        "[Term]\nid: UPHENO:1\nname: generic seizure\n\n"
+        "[Term]\nid: UPHENO:2\nname: generic tremor\n\n"
+        "[Term]\nid: HP:10\nname: human seizure\nis_a: UPHENO:1 ! g\n"
+        "is_a: UPHENO:2 ! g2\n\n"
+        "[Term]\nid: MP:20\nname: mouse seizure\nis_a: UPHENO:1 ! g\n"
+        "is_a: UPHENO:2 ! g2\n\n"
+        "[Term]\nid: MP:21\nname: obsolete mouse thing\nis_a: UPHENO:1 ! g\n"
+        "is_obsolete: true\n\n"
+        "[Term]\nid: HP:11\nname: no generic parent\nis_a: HP:10 ! h\n\n"
+        "[Typedef]\nid: part_of\n"
+    )
+    nodes, edges = PP.upheno_like(
+        spark, str(tmp_path / "upheno.obo"), ("HP",), ("MP",)
+    )
+    e = edges.collect()
+    assert len(e) == 1
+    r = e[0]
+    assert (r.subject, r.predicate, r.object) == (
+        "HP:10", "biolink:homologous_to", "MP:20")
+    assert r.upheno_generic_parent == ["UPHENO:1", "UPHENO:2"]
+    assert r.knowledge_level == "logical_entailment"
+    n = {x.id: x.name for x in nodes.collect()}
+    assert n == {"HP:10": "human seizure", "MP:20": "mouse seizure"}
+
+
+def test_mondo_properties_like_parser(spark, tmp_path):
+    """loadMP.py semantics: N-Quads scan, IC cutoff property terms,
+    direct-superclass flag propagation, label fixups, non-MONDO skip."""
+    P = "http://purl.obolibrary.org/obo"
+    NIC = "http://example.org/normalizedInformationContent"
+    LBL = "http://www.w3.org/2000/01/rdf-schema#label"
+    SCO = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    G = "<http://g>"
+    lines = [
+        f'<{P}/MONDO_0000001> <{NIC}> "50.5" {G} .',
+        f'<{P}/MONDO_0000001> <{LBL}> "infectious disease, viral/fungal-x" {G} .',
+        f'<{P}/MONDO_0000002> <{NIC}> "95.0" {G} .',
+        f'<{P}/MONDO_0000002> <{LBL}> "too specific" {G} .',
+        f'<{P}/MONDO_0000009> <{SCO}> <{P}/MONDO_0000001> {G} .',
+        f'<{P}/MONDO_0000009> <{SCO}> <{P}/MONDO_0000002> {G} .',
+        f'<{P}/MONDO_0000010> <{SCO}> <{P}/MONDO_0000009> {G} .',
+        f'<{P}/HP_0000118> <{SCO}> <{P}/MONDO_0000001> {G} .',
+        f'<{P}/MONDO_0000011> <{SCO}> <{P}/HP_0000118> {G} .',
+    ]
+    (tmp_path / "mondo.nq").write_text("\n".join(lines) + "\n")
+    nodes, flags = PP.mondo_properties_like(
+        spark, str(tmp_path / "mondo.nq"), ic_cutoff=70.0
+    )
+    f = {(r.id, r.property_name) for r in flags.collect()}
+    # only the low-IC labeled superclass generates a flag; commas removed,
+    # '/' and '-' -> '_'
+    assert f == {
+        ("MONDO:0000009",
+         "MONDO_SUPERCLASS_infectious_disease_viral_fungal_x"),
+    }
+    n = nodes.collect()
+    assert len(n) == 1 and n[0].id == "MONDO:0000009"
