@@ -4697,3 +4697,233 @@ def mondo_properties_like(
         )
     )
     return nodes, flags
+
+
+# ---------------------------------------------------------------------------
+# CEBS-like: evidence-gated carcinogenicity rows with IRI->curie priority
+# resolution for morphology objects (parsers/CEBS/src/loadCEBS.py)
+# ---------------------------------------------------------------------------
+
+CEBS_DEFAULT_IRI_PREFIXES = {
+    "http://purl.obolibrary.org/obo/MONDO_": "MONDO",
+    "http://purl.obolibrary.org/obo/NCIT_": "NCIT",
+    "http://purl.obolibrary.org/obo/MPATH_": "MPATH",
+    "http://purl.obolibrary.org/obo/UBERON_": "UBERON",
+    "http://purl.obolibrary.org/obo/NCBITaxon_": "NCBITaxon",
+}
+
+
+def _cebs_compress(col: Column, prefixes: dict[str, str]) -> Column:
+    out = F.lit(None).cast("string")
+    for iri, curie in sorted(prefixes.items()):
+        out = F.when(
+            col.startswith(iri),
+            F.concat(F.lit(curie), F.lit(":"),
+                     F.substring(col, len(iri) + 1, 1_000_000)),
+        ).otherwise(out)
+    return out
+
+
+def cebs_like(
+    spark: SparkSession, path: str,
+    iri_prefixes: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Evidence-level predicate gate ('Clear Evidence' ->
+    associated_with_increased_likelihood_of + knowledge_assertion, 'Some
+    Evidence' -> associated_with_likelihood_of + observation, anything
+    else dropped) and the reference's morphology scan (loadCEBS.py:81-106):
+    first MONDO wins, else first compressible non-MPATH curie (NCIT
+    included), else the LAST element's compression as fallback. Tissue
+    takes the first ';'-element compressed; TR publication ids lose
+    internal spaces. The source xlsx is consumed as csv/tsv — sheet
+    staging is driver I/O in the reference too."""
+    prefixes = iri_prefixes or CEBS_DEFAULT_IRI_PREFIXES
+    raw = read_tabular(spark, path)
+    comp = lambda c: _cebs_compress(c, prefixes)  # noqa: E731
+    morphs = F.transform(F.split("morphology", ";"), lambda m: F.trim(m))
+    resolved = F.transform(
+        morphs,
+        lambda m: F.when(m.contains("MONDO:"), m).otherwise(comp(m)),
+    )
+    first_good = F.try_element_at(
+        F.filter(
+            F.zip_with(
+                morphs, resolved,
+                lambda m, r: F.when(
+                    m.contains("MONDO:")
+                    | (r.isNotNull() & ~r.contains("MPATH")),
+                    r,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        F.lit(1),
+    )
+    fallback = F.try_element_at(resolved, F.lit(-1))
+    object_id = F.coalesce(first_good, fallback)
+    evidence = F.col("evidence_level")
+    spec = ExtractSpec(
+        subject_id=F.concat(F.lit("INCHIKEY:"), F.col("inchikey")),
+        object_id=object_id,
+        predicates=[
+            F.when(
+                evidence == "Clear Evidence",
+                F.lit("biolink:associated_with_increased_likelihood_of"),
+            ).when(
+                evidence == "Some Evidence",
+                F.lit("biolink:associated_with_likelihood_of"),
+            )
+        ],
+        subject_categories=["biolink:ChemicalEntity"],
+        object_categories=["biolink:DiseaseOrPhenotypicFeature"],
+        edge_properties={
+            "knowledge_level": F.when(
+                evidence == "Clear Evidence", F.lit("knowledge_assertion")
+            ).otherwise(F.lit("observation")),
+            "agent_type": F.lit("manual_agent"),
+            "publications": F.array(
+                F.concat(
+                    F.lit("TR:"),
+                    F.replace(F.col("publication_number"), F.lit(" "), F.lit("")),
+                )
+            ),
+            "anatomical_context_qualifier": comp(
+                F.trim(F.split(F.col("tissue"), ";")[0])
+            ),
+            "sex_qualifier": F.lower("sex"),
+            "species_context_qualifier": comp(F.col("species_iri")),
+            "population_context_qualifier": F.col("strain"),
+            "primary_knowledge_source": F.lit("infores:cebs"),
+        },
+    )
+    return extract(raw, spec)
+
+
+# ---------------------------------------------------------------------------
+# OHD-Carolina-like: zip-archived pre-normalized edge CSV with typed
+# statistical props (parsers/ohd_carolina/src/loadOHD.py)
+# ---------------------------------------------------------------------------
+
+
+def ohd_like(
+    spark: SparkSession, zip_path: str, member: str = "edges.csv",
+    staging_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Zip-member staging + typed passthrough (loadOHD.py:68-103): float
+    p/log-odds, JSON CI list, int sample size, per-row primary source,
+    statistical_association/data_pipeline KL-AT."""
+    import tempfile
+
+    staged = extract_zip_member(
+        zip_path, member, staging_dir or tempfile.mkdtemp(prefix="ohd_")
+    )
+    raw = read_tabular(spark, staged, sep=",", infer_schema=False)
+    edges = raw.select(
+        F.col("subject_id").alias("subject"),
+        F.col("predicate"),
+        F.col("object_id").alias("object"),
+        F.col("score"),
+        F.col("chi_squared_p_value").cast("double").alias("p_value"),
+        F.col("log_odds_ratio").cast("double").alias("log_odds_ratio"),
+        F.from_json("log_odds_ratio_95_ci", "array<double>").alias(
+            "log_odds_ratio_95_ci"
+        ),
+        F.col("total_sample_size").cast("int").alias("total_sample_size"),
+        F.col("primary_knowledge_source"),
+        F.lit("statistical_association").alias("knowledge_level"),
+        F.lit("data_pipeline").alias("agent_type"),
+    )
+    nodes = (
+        raw.select(F.col("subject_id").alias("id"),
+                   F.col("subject_name").alias("name"))
+        .unionAll(
+            raw.select(F.col("object_id").alias("id"),
+                       F.col("object_name").alias("name"))
+        )
+        .dropDuplicates(["id"])
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# FooDB-like: food/content/compound relational join -> contains edges
+# (parsers/FooDB/src/loadFDB.py, FoodSQL.lookup_food)
+# ---------------------------------------------------------------------------
+
+
+def foodb_like(
+    spark: SparkSession, food_path: str, content_path: str,
+    compound_path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The lookup_food join (FoodSQL.py:28-44) as three broadcast-eligible
+    scans: foods need a taxonomy id and a name
+    (scientific-name-preferred); compounds resolve INCHIKEY ('='-suffix)
+    first, SMILES second, else the row is skipped (loadFDB.py:230-259).
+    One RO:0001019 edge per content row with ascii-scrubbed unit and
+    orig_max amount ('' when absent)."""
+    food = read_tabular(spark, food_path, sep=",").select(
+        F.col("id").alias("_food_id"),
+        F.coalesce(F.col("name_scientific"), F.col("name")).alias("_food_name"),
+        F.col("ncbi_taxonomy_id").cast("long").alias("_taxon"),
+    ).where(
+        F.col("_taxon").isNotNull() & F.col("_food_name").isNotNull()
+    )
+    content = read_tabular(spark, content_path, sep=",").select(
+        F.col("food_id").alias("_c_food"),
+        F.col("source_id").alias("_c_source"),
+        F.col("orig_unit").alias("_unit"),
+        F.col("orig_max").alias("_amount"),
+    )
+    compound = read_tabular(spark, compound_path, sep=",").select(
+        F.col("id").alias("_cm_id"),
+        F.col("name").alias("_cm_name"),
+        F.col("moldb_inchikey").alias("_inchikey"),
+        F.col("moldb_smiles").alias("_smiles"),
+    )
+    joined = (
+        content.join(food, F.col("_c_food") == F.col("_food_id"))
+        .join(compound, F.col("_c_source") == F.col("_cm_id"))
+        .withColumn(
+            "_compound_curie",
+            F.coalesce(
+                F.when(
+                    F.col("_inchikey").isNotNull(),
+                    F.concat(
+                        F.lit("INCHIKEY:"),
+                        F.substring_index("_inchikey", "=", -1),
+                    ),
+                ),
+                F.when(
+                    F.col("_smiles").isNotNull(),
+                    F.concat(F.lit("SMILES:"), F.col("_smiles")),
+                ),
+            ),
+        )
+        .where(F.col("_compound_curie").isNotNull())
+        .withColumn("_food_curie", F.concat(F.lit("NCBITaxon:"), F.col("_taxon")))
+    )
+    edges = joined.select(
+        F.col("_food_curie").alias("subject"),
+        F.lit("RO:0001019").alias("predicate"),
+        F.col("_compound_curie").alias("object"),
+        F.coalesce(
+            F.regexp_replace("_unit", r"[^\x00-\x7F]", ""), F.lit("")
+        ).alias("unit"),
+        F.coalesce(F.col("_amount").cast("string"), F.lit("")).alias("amount"),
+        F.lit("infores:foodb").alias("primary_knowledge_source"),
+    )
+    nodes = (
+        joined.select(
+            F.col("_food_curie").alias("id"), F.col("_food_name").alias("name"),
+            F.lit("food").alias("content_type"),
+        )
+        .unionAll(
+            joined.select(
+                F.col("_compound_curie").alias("id"),
+                F.col("_cm_name").alias("name"),
+                F.lit("compound").alias("content_type"),
+            )
+        )
+        .dropDuplicates(["id"])
+    )
+    return nodes, edges

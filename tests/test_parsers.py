@@ -1896,3 +1896,94 @@ def test_mondo_properties_like_parser(spark, tmp_path):
     }
     n = nodes.collect()
     assert len(n) == 1 and n[0].id == "MONDO:0000009"
+
+
+def test_cebs_like_parser(spark, tmp_path):
+    """loadCEBS.py semantics: evidence gate/predicate split, morphology
+    priority scan (MONDO > compressible non-MPATH > last-element
+    fallback), tissue first-element compression, TR space strip."""
+    P = "http://purl.obolibrary.org/obo/"
+    (tmp_path / "cebs.tsv").write_text(
+        "inchikey\tevidence_level\tpublication_number\tspecies_iri\t"
+        "strain\tsex\ttissue\tmorphology\n"
+        f"AAA\tClear Evidence\tTR 123\t{P}NCBITaxon_10116\tF344/N\tMale\t"
+        f"{P}UBERON_0002107;{P}CL_1\t{P}MPATH_268;{P}NCIT_C3271\n"
+        f"BBB\tSome Evidence\tTR 9\t{P}NCBITaxon_10090\tB6C3F1\tFemale\t"
+        f"{P}UBERON_0002048\thttp://x/unknown;{P}MPATH_99\n"
+        f"CCC\tEquivocal Evidence\tTR 5\t{P}NCBITaxon_1\ts\tMale\t\tMONDO:1\n"
+    )
+    _, _, edges = PP.cebs_like(spark, str(tmp_path / "cebs.tsv"))
+    e = {r.subject: r for r in edges.collect()}
+    assert len(e) == 2  # equivocal row gated out
+    a = e["INCHIKEY:AAA"]
+    assert a.predicate == "biolink:associated_with_increased_likelihood_of"
+    assert a.object == "NCIT:C3271"  # MPATH skipped, NCIT taken
+    assert a.knowledge_level == "knowledge_assertion"
+    assert a.publications == ["TR:TR123"]
+    assert a.anatomical_context_qualifier == "UBERON:0002107"
+    assert a.species_context_qualifier == "NCBITaxon:10116"
+    assert a.sex_qualifier == "male"
+    b = e["INCHIKEY:BBB"]
+    assert b.predicate == "biolink:associated_with_likelihood_of"
+    assert b.object == "MPATH:99"  # nothing better -> last-element fallback
+    assert b.knowledge_level == "observation"
+
+
+def test_ohd_like_parser(spark, tmp_path):
+    import zipfile
+
+    csv = (
+        "subject_id,subject_name,predicate,object_id,object_name,score,"
+        "chi_squared_p_value,log_odds_ratio,log_odds_ratio_95_ci,"
+        "total_sample_size,primary_knowledge_source\n"
+        'SNOMED:1,tooth decay,biolink:correlated_with,MONDO:2,gum disease,'
+        '0.9,0.001,1.5,"[1.1, 1.9]",5000,infores:ohd\n'
+    )
+    zp = tmp_path / "ohd.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("edges.csv", csv)
+    nodes, edges = PP.ohd_like(
+        spark, str(zp), staging_dir=str(tmp_path / "stage"))
+    r = edges.collect()[0]
+    assert (r.subject, r.object) == ("SNOMED:1", "MONDO:2")
+    assert r.p_value == 0.001 and r.log_odds_ratio == 1.5
+    assert r.log_odds_ratio_95_ci == [1.1, 1.9]
+    assert r.total_sample_size == 5000
+    assert r.primary_knowledge_source == "infores:ohd"
+    assert {n.id: n.name for n in nodes.collect()}["SNOMED:1"] == "tooth decay"
+
+
+def test_foodb_like_parser(spark, tmp_path):
+    (tmp_path / "Food.csv").write_text(
+        "id,name,name_scientific,ncbi_taxonomy_id\n"
+        "1,Apple,Malus domestica,3750\n"
+        "2,Mystery,,\n"          # no taxon -> food dropped
+    )
+    (tmp_path / "Content.csv").write_text(
+        "food_id,source_id,orig_unit,orig_max\n"
+        "1,10,mg/100é g,4.5\n"
+        "1,11,,\n"
+        "1,12,g,1.0\n"
+        "2,10,g,1.0\n"
+    )
+    (tmp_path / "Compound.csv").write_text(
+        "id,name,moldb_inchikey,moldb_smiles\n"
+        "10,Quercetin,InChIKey=REFJWTPEDVJJIY-UHFFFAOYSA-N,O=C1\n"
+        "11,NoKey,,C1CC1\n"
+        "12,Nothing,,\n"        # no identifiers -> skipped
+    )
+    nodes, edges = PP.foodb_like(
+        spark, str(tmp_path / "Food.csv"), str(tmp_path / "Content.csv"),
+        str(tmp_path / "Compound.csv"))
+    e = {r.object: r for r in edges.collect()}
+    assert len(e) == 2
+    q = e["INCHIKEY:REFJWTPEDVJJIY-UHFFFAOYSA-N"]
+    assert q.subject == "NCBITaxon:3750"
+    assert q.predicate == "RO:0001019"
+    assert q.unit == "mg/100 g"  # non-ascii scrubbed
+    assert q.amount == "4.5"
+    s = e["SMILES:C1CC1"]
+    assert s.unit == "" and s.amount == ""
+    n = {x.id: x for x in nodes.collect()}
+    assert n["NCBITaxon:3750"].name == "Malus domestica"
+    assert n["SMILES:C1CC1"].content_type == "compound"
