@@ -4927,3 +4927,150 @@ def foodb_like(
         .dropDuplicates(["id"])
     )
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# ClinGenVariantPathogenicity-like: retraction-gated variant-disease
+# assertions with direction/negation mapping
+# (parsers/ClinGenVariantPathogenicity/src/loadClinGenVariantPathogenicity.py)
+# ---------------------------------------------------------------------------
+
+
+def clingen_variant_pathogenicity_like(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """CAID variant -> MONDO edges, dropped when Retracted != 'false';
+    assertion -> (direction, negated, status) per the reference table
+    (loadClinGenVariantPathogenicity.py:140-152)."""
+    raw = read_tabular(spark, path)
+    assertion = F.col("assertion")
+    benign = assertion.isin("Benign", "Likely Benign")
+    patho = assertion.isin("Likely Pathogenic", "Pathogenic")
+    vus = assertion == "Uncertain Significance"
+    spec = ExtractSpec(
+        subject_id=F.concat(F.lit("CAID:"), F.col("allele_registry_id")),
+        object_id=F.col("mondo_id"),
+        predicates=[F.when(F.col("retracted") == "false", F.lit("causes"))],
+        subject_categories=["biolink:SequenceVariant"],
+        object_categories=["biolink:Disease"],
+        subject_properties={
+            "variation": F.col("variation"),
+            "hgnc_gene_symbol": F.col("hgnc_gene_symbol"),
+        },
+        edge_properties={
+            "assertion": assertion,
+            "direction": F.when(benign, F.lit("Contradicts"))
+            .when(patho, F.lit("Supports"))
+            .otherwise(F.lit("Inconclusive")),
+            "negated": ~patho,
+            "status": F.when(
+                ~(benign | patho | vus), F.lit("Not evaluated")
+            ),
+            "primary_knowledge_source": F.lit("infores:clingen"),
+        },
+    )
+    return extract(raw, spec)
+
+
+# ---------------------------------------------------------------------------
+# Scent-like: multi-file odorant/descriptor union with a cosine-distance
+# row gate (parsers/scent/src/loadScent.py)
+# ---------------------------------------------------------------------------
+
+
+def scent_like(
+    spark: SparkSession,
+    human_edges_path: str,
+    cos_dist_edges_path: str,
+    cos_dist_threshold: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Human-curated odorant->verbal-scent-descriptor edges pass through;
+    model-weighted edges keep rows at or under the cosine-distance
+    threshold and carry the distance (loadScent.py:139-168). Descriptor
+    ids are SCENT:-prefixed with spaces underscored."""
+    scent_id = lambda c: F.concat(  # noqa: E731
+        F.lit("SCENT:"), F.replace(F.col(c), F.lit(" "), F.lit("_"))
+    )
+
+    def load(path: str, with_distance: bool) -> DataFrame:
+        raw = read_tabular(spark, path, sep=",")
+        df = raw.select(
+            F.col("drug_id").alias("subject"),
+            F.col("predicate"),
+            scent_id("verbal_scent").alias("object"),
+            F.col("verbal_scent").alias("_vs_name"),
+            *(
+                [F.col("distance").cast("double").alias("cosine_distance")]
+                if with_distance
+                else [F.lit(None).cast("double").alias("cosine_distance")]
+            ),
+        )
+        if with_distance:
+            df = df.where(F.col("cosine_distance") <= cos_dist_threshold)
+        return df
+
+    human = load(human_edges_path, with_distance=False)
+    weighted = load(cos_dist_edges_path, with_distance=True)
+    edges = human.unionByName(weighted)
+    nodes = (
+        edges.select(
+            F.col("subject").alias("id"), F.lit(None).cast("string").alias("name"),
+            F.array(
+                F.lit("odorant"), F.lit("biolink:ChemicalEntity")
+            ).alias("category"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("object").alias("id"), F.col("_vs_name").alias("name"),
+                F.array(F.lit("verbal_scent_descriptor")).alias("category"),
+            )
+        )
+        .dropDuplicates(["id"])
+    )
+    return nodes, edges.drop("_vs_name")
+
+
+# ---------------------------------------------------------------------------
+# MolePro-like: header-driven biolink-property projection of KGX TSVs
+# (parsers/molepro/src/loadMolePro.py)
+# ---------------------------------------------------------------------------
+
+MOLEPRO_LIST_PROPERTIES = [
+    "category", "equivalent_identifiers", "publications",
+    "aggregator_knowledge_source", "xref", "same_as",
+]
+
+
+def molepro_like(
+    spark: SparkSession,
+    nodes_path: str,
+    edges_path: str,
+    node_properties: list[str],
+    edge_properties: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Project only the declared biolink properties out of whatever
+    columns the file carries — matching with and without the biolink:
+    prefix, last match winning — and split the list-typed ones on '|'
+    (loadMolePro.py:61-121). Unknown columns are dropped, empty cells
+    null out."""
+
+    def project(path: str, wanted: list[str]) -> DataFrame:
+        raw = read_tabular(spark, path)
+        cols = []
+        for prop in wanted:
+            src = None
+            for candidate in (prop, f"biolink:{prop}"):
+                if candidate in raw.columns:
+                    src = candidate
+            if src is None:
+                continue
+            c = F.nullif(F.col(f"`{src}`"), F.lit(""))
+            if prop in MOLEPRO_LIST_PROPERTIES:
+                c = F.when(c.isNotNull(), F.split(c, r"\|"))
+            cols.append(c.alias(prop))
+        return raw.select(*cols)
+
+    return (
+        project(nodes_path, node_properties),
+        project(edges_path, edge_properties),
+    )

@@ -1987,3 +1987,73 @@ def test_foodb_like_parser(spark, tmp_path):
     n = {x.id: x for x in nodes.collect()}
     assert n["NCBITaxon:3750"].name == "Malus domestica"
     assert n["SMILES:C1CC1"].content_type == "compound"
+
+
+def test_clingen_variant_pathogenicity_like_parser(spark, tmp_path):
+    (tmp_path / "vp.tsv").write_text(
+        "variation\tallele_registry_id\thgnc_gene_symbol\tmondo_id\t"
+        "assertion\tretracted\n"
+        "NM_1:c.100A>G\tCA1\tBRCA2\tMONDO:1\tPathogenic\tfalse\n"
+        "NM_2:c.2T>C\tCA2\tTP53\tMONDO:2\tBenign\tfalse\n"
+        "NM_3:c.3G>A\tCA3\tMLH1\tMONDO:3\tUncertain Significance\tfalse\n"
+        "NM_4:c.4C>T\tCA4\tAPC\tMONDO:4\tWhatever\tfalse\n"
+        "NM_5:c.5A>C\tCA5\tRET\tMONDO:5\tPathogenic\ttrue\n"
+    )
+    subj, _, edges = PP.clingen_variant_pathogenicity_like(
+        spark, str(tmp_path / "vp.tsv"))
+    e = {r.subject: r for r in edges.collect()}
+    assert len(e) == 4  # retracted row dropped
+    assert (e["CAID:CA1"].direction, e["CAID:CA1"].negated) == (
+        "Supports", False)
+    assert (e["CAID:CA2"].direction, e["CAID:CA2"].negated) == (
+        "Contradicts", True)
+    assert e["CAID:CA3"].direction == "Inconclusive"
+    assert e["CAID:CA3"].status is None
+    assert e["CAID:CA4"].status == "Not evaluated"
+    s = {r.id: r for r in subj.collect()}
+    assert s["CAID:CA1"].variation == "NM_1:c.100A>G"
+
+
+def test_scent_like_parser(spark, tmp_path):
+    (tmp_path / "human.csv").write_text(
+        "drug_id,verbal_scent,predicate\n"
+        "PUBCHEM.COMPOUND:177,sweet vanilla,biolink:has_scent\n"
+    )
+    (tmp_path / "weighted.csv").write_text(
+        "drug_id,verbal_scent,predicate,distance\n"
+        "PUBCHEM.COMPOUND:177,floral,biolink:has_scent,0.4\n"
+        "PUBCHEM.COMPOUND:178,burnt,biolink:has_scent,1.7\n"
+    )
+    nodes, edges = PP.scent_like(
+        spark, str(tmp_path / "human.csv"), str(tmp_path / "weighted.csv"))
+    e = {(r.subject, r.object): r for r in edges.collect()}
+    assert len(e) == 2  # over-threshold row dropped
+    assert e[("PUBCHEM.COMPOUND:177", "SCENT:sweet_vanilla")].cosine_distance is None
+    assert e[("PUBCHEM.COMPOUND:177", "SCENT:floral")].cosine_distance == 0.4
+    n = {x.id: x for x in nodes.collect()}
+    assert n["SCENT:sweet_vanilla"].name == "sweet vanilla"
+    assert n["PUBCHEM.COMPOUND:177"].category == [
+        "odorant", "biolink:ChemicalEntity"]
+
+
+def test_molepro_like_parser(spark, tmp_path):
+    (tmp_path / "nodes.tsv").write_text(
+        "id\tbiolink:category\tname\tignored_col\n"
+        "CHEBI:1\tbiolink:SmallMolecule|biolink:ChemicalEntity\taspirin\tx\n"
+    )
+    (tmp_path / "edges.tsv").write_text(
+        "subject\tpredicate\tobject\tpublications\tnonsense\n"
+        "CHEBI:1\tbiolink:affects\tNCBIGene:2\tPMID:1|PMID:2\ty\n"
+        "CHEBI:1\tbiolink:related_to\tNCBIGene:3\t\tz\n"
+    )
+    nodes, edges = PP.molepro_like(
+        spark, str(tmp_path / "nodes.tsv"), str(tmp_path / "edges.tsv"),
+        node_properties=["id", "category", "name"],
+        edge_properties=["subject", "predicate", "object", "publications"],
+    )
+    n = nodes.collect()[0]
+    assert n.category == ["biolink:SmallMolecule", "biolink:ChemicalEntity"]
+    assert "ignored_col" not in nodes.columns
+    e = {r.object: r for r in edges.collect()}
+    assert e["NCBIGene:2"].publications == ["PMID:1", "PMID:2"]
+    assert e["NCBIGene:3"].publications is None
