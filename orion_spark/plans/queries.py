@@ -6653,3 +6653,146 @@ def dedup_minhash_lsh_dedup_first_q(spark, sf_dir):
 from orion_spark.llm.dedup import minhash_lsh_oracle_sql as _mlo  # noqa: E402
 
 ORACLES["dedup_minhash_lsh_dedup_first"] = _mlo(k=5, threshold=0.5)
+
+
+def _upheno_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic UPheno OBO from the nation dim: per k a generic
+    UPHENO parent with one HP and one MP child (every third nation adds a
+    second shared parent; every fifth nation's MP term is obsolete)."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"upheno_fixture_v1{slug}.obo")
+    if os.path.exists(path):
+        return path
+    out = ["format-version: 1.2", ""]
+    for k in ks:
+        out += [f"[Term]", f"id: UPHENO:{k}", f"name: generic {k}", ""]
+        extra = [f"is_a: UPHENO:{k}X ! x"] if k % 3 == 0 else []
+        if k % 3 == 0:
+            out += [f"[Term]", f"id: UPHENO:{k}X", f"name: generic {k}x", ""]
+        out += [f"[Term]", f"id: HP:{k}", f"name: human {k}",
+                f"is_a: UPHENO:{k} ! g", *extra, ""]
+        mp = [f"[Term]", f"id: MP:{k}", f"name: mouse {k}",
+              f"is_a: UPHENO:{k} ! g", *extra]
+        if k % 5 == 0:
+            mp.append("is_obsolete: true")
+        out += mp + [""]
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "upheno_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'HP:' || k AS subject, 'biolink:homologous_to' AS predicate,
+           'MP:' || k AS object,
+           CASE WHEN k % 3 = 0
+                THEN 'UPHENO:' || k || '|UPHENO:' || k || 'X'
+                ELSE 'UPHENO:' || k END AS parents
+    FROM n WHERE k % 5 <> 0
+    """,
+)
+def upheno_like_edges_q(spark, sf_dir):
+    """§2.5 source-to-KGX: the UPheno OBO-homology family
+    (parsers/UPheno/src/loadUPheno.py) — stanza parse, obsolete drop,
+    generic-parent gating, cross-species pair inference with sorted
+    supporting parents. Fixture synthesized deterministically from the
+    nation dim."""
+    from orion_spark.plans.parsers import upheno_like
+
+    path = _upheno_fixture(spark, sf_dir)
+    _, edges = upheno_like(spark, path, ("HP",), ("MP",))
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("upheno_generic_parent", "|").alias("parents"),
+    )
+
+
+def _foodb_fixture(spark: SparkSession, sf_dir: str):
+    """Deterministic FooDB CSV triple from the nation dim: per k one food
+    (scientific name preferred, every fifth nation lacks a taxon and
+    drops) with two content rows — an inchikey compound and a
+    smiles-only compound (every third nation's second compound has no
+    identifiers and drops)."""
+    import os
+    import re as _re
+    import tempfile
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"foodb_fixture_v1{slug}")
+    paths = {n: os.path.join(root, f"{n}.csv")
+             for n in ["Food", "Content", "Compound"]}
+    if os.path.exists(paths["Food"]):
+        return paths["Food"], paths["Content"], paths["Compound"]
+
+    food = ["id,name,name_scientific,ncbi_taxonomy_id"]
+    content = ["food_id,source_id,orig_unit,orig_max"]
+    compound = ["id,name,moldb_inchikey,moldb_smiles"]
+    for k in ks:
+        taxon = "" if k % 5 == 0 else str(3000 + k)
+        food.append(f"{k},common{k},Scientificus {k},{taxon}")
+        content.append(f"{k},{100 + k},mg,{k}.5")
+        content.append(f"{k},{200 + k},,")
+        compound.append(
+            f"{100 + k},cmp{k},InChIKey=KEY{k},C{k}"
+        )
+        if k % 3 == 0:
+            compound.append(f"{200 + k},dead{k},,")
+        else:
+            compound.append(f"{200 + k},alt{k},,S{k}")
+    tmp = root + f".{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for name, lines in [("Food", food), ("Content", content),
+                        ("Compound", compound)]:
+        with open(os.path.join(tmp, f"{name}.csv"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    return paths["Food"], paths["Content"], paths["Compound"]
+
+
+@query(
+    "foodb_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    kept AS (SELECT k FROM n WHERE k % 5 <> 0)
+    SELECT 'NCBITaxon:' || (3000 + k) AS subject, 'RO:0001019' AS predicate,
+           'INCHIKEY:KEY' || k AS object, 'mg' AS unit,
+           CAST(k AS VARCHAR) || '.5' AS amount
+    FROM kept
+    UNION ALL
+    SELECT 'NCBITaxon:' || (3000 + k), 'RO:0001019', 'SMILES:S' || k,
+           '', ''
+    FROM kept WHERE k % 3 <> 0
+    """,
+)
+def foodb_like_edges_q(spark, sf_dir):
+    """S4-shape source-to-KGX: the FooDB relational family
+    (parsers/FooDB/src/loadFDB.py) — three-way join, identifier
+    priority (inchikey '='-suffix > smiles > skip), taxon/name gates,
+    ''-defaulted unit/amount. Fixture synthesized deterministically from
+    the nation dim."""
+    from orion_spark.plans.parsers import foodb_like
+
+    f, c, cm = _foodb_fixture(spark, sf_dir)
+    _, edges = foodb_like(spark, f, c, cm)
+    return edges.select("subject", "predicate", "object", "unit", "amount")
