@@ -56,6 +56,40 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _fixture_dir() -> str:
+    """Root for synthesized parser fixtures: a repo-local, gitignored
+    directory rather than the shared system tempdir. On a multi-user host
+    a predictable /tmp path could be pre-created by another user and
+    silently trusted as fixture input; a path under the repo is owned by
+    whoever checked it out. Cache-invalidation discipline (round-3
+    advice): any edit to a fixture generator MUST bump its `_vN` name
+    suffix — the existence check below is the only staleness guard."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".fixtures")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _promote_fixture(tmp: str, dest: str) -> None:
+    """Atomically promote a fully-written fixture staging path to its
+    final location. A failed rename is only benign when a concurrent
+    generator won the race and the complete destination already exists;
+    any other failure (cross-device link, permissions) must surface
+    instead of letting the caller return paths to files that don't exist
+    (round-3 advice)."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        if not os.path.exists(dest):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _dec(col, p=12, s=2):
     return F.col(col).cast(f"decimal({p},{s})")
 
@@ -1772,7 +1806,7 @@ def _uniref_fixture(spark: SparkSession, sf_dir: str) -> str:
     # reference iterates both, loadUniRef.py:332-340) with a disjoint
     # closed-form taxon (+7 clears the k%3 range) so the oracle separates
     # the two member families exactly
-    path = os.path.join(tempfile.gettempdir(), f"uniref_fixture_v2{slug}.xml")
+    path = os.path.join(_fixture_dir(), f"uniref_fixture_v2{slug}.xml")
     ents = []
     for k, name, r in rows:
         taxon = r * 100 + k % 3
@@ -5152,7 +5186,7 @@ def _gtex_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    root = os.path.join(tempfile.gettempdir(), f"gtex_fixture_v1{slug}")
+    root = os.path.join(_fixture_dir(), f"gtex_fixture_v1{slug}")
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
         return os.path.join(root, "eqtl"), os.path.join(root, "sqtl")
@@ -5207,10 +5241,7 @@ def _gtex_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             )
     with open(os.path.join(tmp, "_DONE"), "w") as fh:
         fh.write("v1")
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        _shutil.rmtree(tmp)  # concurrent run won the race; theirs is complete
+    _promote_fixture(tmp, root)
     return os.path.join(root, "eqtl"), os.path.join(root, "sqtl")
 
 
@@ -5296,7 +5327,7 @@ def _intact_fixture(spark: SparkSession, sf_dir: str) -> str:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"intact_fixture_v1{slug}.zip")
+    path = os.path.join(_fixture_dir(), f"intact_fixture_v1{slug}.zip")
     if os.path.exists(path):
         return path
 
@@ -5543,7 +5574,7 @@ def _drugmechdb_fixture(spark: SparkSession, sf_dir: str):
     node_mapping = {f"MESH:DIS{k}": f"MONDO:{k}" for k in ks if k % 5 == 0}
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
     path = os.path.join(
-        tempfile.gettempdir(), f"drugmechdb_fixture_v1{slug}.json"
+        _fixture_dir(), f"drugmechdb_fixture_v1{slug}.json"
     )
     if os.path.exists(path):
         return path, node_mapping
@@ -5683,7 +5714,7 @@ def _tmkp_fixture(spark: SparkSession, sf_dir: str) -> str:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"tmkp_fixture_v1{slug}.tsv")
+    path = os.path.join(_fixture_dir(), f"tmkp_fixture_v1{slug}.tsv")
     if os.path.exists(path):
         return path
 
@@ -5800,7 +5831,7 @@ def _chebi_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    root = os.path.join(tempfile.gettempdir(), f"chebi_fixture_v1{slug}")
+    root = os.path.join(_fixture_dir(), f"chebi_fixture_v1{slug}")
     compounds = os.path.join(root, "compounds.tsv")
     relation = os.path.join(root, "relation.tsv")
     if os.path.exists(compounds) and os.path.exists(relation):
@@ -5838,12 +5869,7 @@ def _chebi_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         fh.write("\n".join(comp_lines) + "\n")
     with open(os.path.join(tmp, "relation.tsv"), "w") as fh:
         fh.write("\n".join(rel_lines) + "\n")
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp)
+    _promote_fixture(tmp, root)
     return compounds, relation
 
 
@@ -5894,7 +5920,7 @@ def _signor_fixture(spark: SparkSession, sf_dir: str):
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    root = os.path.join(tempfile.gettempdir(), f"signor_fixture_v1{slug}")
+    root = os.path.join(_fixture_dir(), f"signor_fixture_v1{slug}")
     main = os.path.join(root, "signor.tsv")
     phen = os.path.join(root, "phen.csv")
     stim = os.path.join(root, "stim.csv")
@@ -5948,12 +5974,7 @@ def _signor_fixture(spark: SparkSession, sf_dir: str):
         fh.write("\n".join(phen_lines) + "\n")
     with open(os.path.join(tmp, "stim.csv"), "w") as fh:
         fh.write("SIGNOR ID;NAME;DESCRIPTION\n")
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp)
+    _promote_fixture(tmp, root)
     return main, phen, stim
 
 
@@ -6021,7 +6042,7 @@ def _panther_fixture(spark: SparkSession, sf_dir: str) -> str:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"panther_fixture_v1{slug}.tsv")
+    path = os.path.join(_fixture_dir(), f"panther_fixture_v1{slug}.tsv")
     if os.path.exists(path):
         return path
 
@@ -6111,7 +6132,7 @@ def _ctkp_fixture(spark: SparkSession, sf_dir: str):
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    root = os.path.join(tempfile.gettempdir(), f"ctkp_fixture_v1{slug}")
+    root = os.path.join(_fixture_dir(), f"ctkp_fixture_v1{slug}")
     nodes_p = os.path.join(root, "nodes.tsv")
     edges_p = os.path.join(root, "edges.tsv")
     if os.path.exists(nodes_p):
@@ -6143,12 +6164,7 @@ def _ctkp_fixture(spark: SparkSession, sf_dir: str):
         fh.write("\n".join(n_lines) + "\n")
     with open(os.path.join(tmp, "edges.tsv"), "w") as fh:
         fh.write("\n".join(e_lines) + "\n")
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp)
+    _promote_fixture(tmp, root)
     return nodes_p, edges_p
 
 
@@ -6232,7 +6248,7 @@ def _monarch_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
     path = os.path.join(
-        tempfile.gettempdir(), f"monarch_fixture_v1{slug}.tar.gz"
+        _fixture_dir(), f"monarch_fixture_v1{slug}.tar.gz"
     )
     if os.path.exists(path):
         return path
@@ -6298,7 +6314,7 @@ def monarchkg_like_edges_q(spark, sf_dir):
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
     _, edges = monarchkg_like(
         spark, path,
-        staging_dir=f"{tempfile.gettempdir()}/monarch_stage_q{slug}",
+        staging_dir=f"{_fixture_dir()}/monarch_stage_q{slug}",
     )
     return edges.select(
         "subject", "predicate", "object",
@@ -6324,7 +6340,7 @@ def _cohd_fixture(spark: SparkSession, sf_dir: str):
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    root = os.path.join(tempfile.gettempdir(), f"cohd_fixture_v1{slug}")
+    root = os.path.join(_fixture_dir(), f"cohd_fixture_v1{slug}")
     nodes_p = os.path.join(root, "nodes.jsonl")
     edges_p = os.path.join(root, "edges.jsonl")
     if os.path.exists(nodes_p):
@@ -6351,12 +6367,7 @@ def _cohd_fixture(spark: SparkSession, sf_dir: str):
         fh.write("\n".join(n_lines) + "\n")
     with open(os.path.join(tmp, "edges.jsonl"), "w") as fh:
         fh.write("\n".join(e_lines) + "\n")
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp)
+    _promote_fixture(tmp, root)
     return nodes_p, edges_p
 
 
@@ -6402,7 +6413,7 @@ def _camkp_fixture(spark: SparkSession, sf_dir: str) -> str:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"camkp_fixture_v1{slug}.tsv")
+    path = os.path.join(_fixture_dir(), f"camkp_fixture_v1{slug}.tsv")
     if os.path.exists(path):
         return path
     lines = []
@@ -6477,7 +6488,7 @@ def _bgee_fixture(spark: SparkSession, sf_dir: str) -> str:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"bgee_fixture_v1{slug}.tsv")
+    path = os.path.join(_fixture_dir(), f"bgee_fixture_v1{slug}.tsv")
     if os.path.exists(path):
         return path
     hdr = ("gene_id\tgene_name\tanatomical_entity_id\t"
@@ -6558,7 +6569,7 @@ def _clingen_fixture(spark: SparkSession, sf_dir: str):
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    root = os.path.join(tempfile.gettempdir(), f"clingen_fixture_v1{slug}")
+    root = os.path.join(_fixture_dir(), f"clingen_fixture_v1{slug}")
     genes_p = os.path.join(root, "genes.tsv")
     regions_p = os.path.join(root, "regions.tsv")
     if os.path.exists(genes_p):
@@ -6591,12 +6602,7 @@ def _clingen_fixture(spark: SparkSession, sf_dir: str):
         fh.write("\n".join(g) + "\n")
     with open(os.path.join(tmp, "regions.tsv"), "w") as fh:
         fh.write("\n".join(r) + "\n")
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp)
+    _promote_fixture(tmp, root)
     return genes_p, regions_p
 
 
@@ -6690,7 +6696,7 @@ def _upheno_fixture(spark: SparkSession, sf_dir: str) -> str:
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"upheno_fixture_v1{slug}.obo")
+    path = os.path.join(_fixture_dir(), f"upheno_fixture_v1{slug}.obo")
     if os.path.exists(path):
         return path
     out = ["format-version: 1.2", ""]
@@ -6756,7 +6762,7 @@ def _foodb_fixture(spark: SparkSession, sf_dir: str):
         for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
     )
     slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    root = os.path.join(tempfile.gettempdir(), f"foodb_fixture_v1{slug}")
+    root = os.path.join(_fixture_dir(), f"foodb_fixture_v1{slug}")
     paths = {n: os.path.join(root, f"{n}.csv")
              for n in ["Food", "Content", "Compound"]}
     if os.path.exists(paths["Food"]):
@@ -6783,12 +6789,7 @@ def _foodb_fixture(spark: SparkSession, sf_dir: str):
                         ("Compound", compound)]:
         with open(os.path.join(tmp, f"{name}.csv"), "w") as fh:
             fh.write("\n".join(lines) + "\n")
-    try:
-        os.rename(tmp, root)
-    except OSError:
-        import shutil as _shutil
-
-        _shutil.rmtree(tmp)
+    _promote_fixture(tmp, root)
     return paths["Food"], paths["Content"], paths["Compound"]
 
 
