@@ -57,6 +57,64 @@ def point_interval_join(
     return joined.drop(iv[chrom_col]).drop("_bin", "_lo", "_hi")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bin_size: int,
+    chrom_col: str = "chrom",
+    right_chrom_col: str = "r_chrom",
+    left_bounds: tuple[str, str] = ("start", "end"),
+    right_bounds: tuple[str, str] = ("r_start", "r_end"),
+) -> DataFrame:
+    """Inner-join intervals from two relations that overlap (CLOSED
+    semantics: l.start <= r.end AND r.start <= l.end) within the same
+    chromosome/block. Two-sided sibling of interval_self_overlap: both
+    sides replicate to every bin they span, the join is an equi-join on
+    (chrom, bin), and a pair survives only in its owner bin — the bin of
+    the later start, which any overlapping pair's two intervals both
+    cover — so each pair appears exactly once with no distinct.
+
+    Replaces the reference's per-chromosome pandas masks for histone
+    window→gene mapping (parsers/yeast/src/loadHistoneMap.py:319-335),
+    which are O(windows × genes) per chromosome on the driver. The caller
+    must pre-alias the right side's chrom/bounds columns to names that
+    don't collide with the left's."""
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    lb = left.withColumn(
+        "_lbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(ls).cast("double") / bin_size),
+                F.floor(F.col(le).cast("double") / bin_size),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_rbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(rs).cast("double") / bin_size),
+                F.floor(F.col(re_).cast("double") / bin_size),
+            )
+        ),
+    )
+    owner = F.floor(F.greatest(F.col(ls), F.col(rs)).cast("double") / bin_size)
+    return (
+        lb.join(
+            rb,
+            (F.col(chrom_col) == F.col(right_chrom_col))
+            & (F.col("_lbin") == F.col("_rbin")),
+        )
+        .where(
+            (F.col("_lbin") == owner)
+            & (F.col(ls) <= F.col(re_))
+            & (F.col(rs) <= F.col(le))
+        )
+        .drop("_lbin", "_rbin")
+    )
+
+
 def interval_self_overlap(
     intervals: DataFrame,
     bin_size: int,

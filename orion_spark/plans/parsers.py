@@ -5074,3 +5074,560 @@ def molepro_like(
         project(nodes_path, node_properties),
         project(edges_path, edge_properties),
     )
+
+
+# ---------------------------------------------------------------------------
+# SGD-like: yeastmine multi-file CSV family (parsers/SGD/src/loadSGD.py)
+# Six positional CSVs -> gene/pathway/phenotype/complex/GO nodes and five
+# edge types, unioned. Column access is positional (the reference indexes
+# by IntEnum over the retriever's header row) so headers only set arity.
+# ---------------------------------------------------------------------------
+
+SGD_PROVENANCE = "infores:sgd"
+
+# loadSGD.py:68-77 — the two GO qualifiers that need pre-normalization
+# mapping; every other qualifier passes through for edge normalization.
+SGD_GO_QUALIFIER_PREDICATES = {
+    "involved in": "biolink:actively_involved_in",
+    "is active in": "biolink:active_in",
+}
+
+
+def _pos(raw: DataFrame):
+    """Positional column accessor (the reference reads these CSVs by
+    integer index; header names vary by retriever version)."""
+    cols = raw.columns
+    return lambda i: F.col(f"`{cols[i]}`").cast("string")
+
+
+def _sgd_pubs(pmid: Column) -> Column:
+    """'?'-sentinel publications gate (loadSGD.py:182-183): a real pmid
+    becomes a one-element PMID: list, the sentinel an empty list."""
+    return F.when(
+        (pmid == "?") | pmid.isNull(), F.array().cast("array<string>")
+    ).otherwise(F.array(F.concat(F.lit("PMID:"), pmid)))
+
+
+def sgd_like(
+    spark: SparkSession,
+    genes_path: str,
+    gene2go_path: str,
+    gene2pathway_path: str,
+    gene2phenotype_path: str,
+    gene2complex_path: str,
+    complex2go_path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The SGD six-file family (parsers/SGD/src/loadSGD.py:138-278):
+
+    - gene nodes from SGDAllGenes.csv — id spaces underscored, name
+      falls back to the secondary id when the symbol is '?'
+      (loadSGD.py:151-157), chromosomeLocation assembled from four
+      columns;
+    - gene->GO edges with qualifier->predicate mapping and '?'-gated
+      publications (loadSGD.py:170-188);
+    - gene->pathway participates_in edges carrying Pathway object nodes
+      (loadSGD.py:190-206);
+    - gene->phenotype genetic_association edges, phenotype ids
+      space-underscored (loadSGD.py:208-235);
+    - gene->complex in_complex_with edges, CPX:-prefixed complex object
+      nodes (loadSGD.py:237-260);
+    - complex->GO edges with the file's own predicate column
+      (loadSGD.py:262-276).
+
+    Returns (nodes, edges). Edges carry subject/predicate/object, the
+    provenance constant, the publications list, and type-specific
+    properties in a props map (the KGX sink writes map entries as
+    first-class properties)."""
+    empty_pubs = F.array().cast("array<string>")
+
+    def edges_of(df: DataFrame, subject: Column, predicate: Column,
+                 obj: Column, pubs: Column, props: dict[str, Column]) -> DataFrame:
+        pairs = []
+        for k in sorted(props):
+            pairs += [F.lit(k), props[k]]
+        return df.select(
+            subject.alias("subject"),
+            predicate.alias("predicate"),
+            obj.alias("object"),
+            pubs.alias("publications"),
+            F.lit(SGD_PROVENANCE).alias("primary_knowledge_source"),
+            (F.create_map(*pairs) if pairs
+             else F.create_map().cast("map<string,string>")).alias("props"),
+        ).where(
+            F.col("subject").isNotNull()
+            & F.col("object").isNotNull()
+            & F.col("predicate").isNotNull()
+        )
+
+    def node_frame(df: DataFrame, nid: Column, name: Column,
+                   categories: list[str], props: dict[str, Column]) -> DataFrame:
+        pairs = []
+        for k in sorted(props):
+            pairs += [F.lit(k), props[k]]
+        return df.select(
+            nid.alias("id"),
+            name.alias("name"),
+            F.array(*[F.lit(c) for c in categories]).alias("category"),
+            (F.create_map(*pairs) if pairs
+             else F.create_map().cast("map<string,string>")).alias("props"),
+        ).where(F.col("id").isNotNull()).dropDuplicates(["id"])
+
+    # --- gene nodes (SGDAllGenes.csv) ---
+    genes_raw = read_tabular(spark, genes_path, sep=",")
+    g = _pos(genes_raw)
+    gene_nodes = node_frame(
+        genes_raw,
+        F.replace(F.trim(g(0)), F.lit(" "), F.lit("_")),
+        F.when(g(2) == "?", g(1)).otherwise(g(2)),
+        ["biolink:Gene"],
+        {
+            "secondaryID": g(1),
+            "namesake": g(3),
+            "protein": g(4),
+            "description": g(5),
+            "organism": g(10),
+            "featureType": g(11),
+            "chromosomeLocation": F.concat(
+                g(6), F.lit(":"), g(7), F.lit("-"), g(8),
+                F.lit(", strand: "), g(9)),
+            "referenceLink": g(12),
+        },
+    )
+
+    # --- gene -> GO term ---
+    go_raw = read_tabular(spark, gene2go_path, sep=",")
+    c = _pos(go_raw)
+    qualifier = c(9)
+    go_predicate = qualifier
+    for raw_q, mapped in SGD_GO_QUALIFIER_PREDICATES.items():
+        go_predicate = F.when(qualifier == raw_q, mapped).otherwise(go_predicate)
+    gene_go_edges = edges_of(
+        go_raw, c(0), go_predicate, c(5), _sgd_pubs(c(15)),
+        {"evidenceCode": c(8), "evidenceCodeText": c(10),
+         "annotationType": c(12)},
+    )
+    go_nodes = node_frame(go_raw, c(5), c(6), [], {})
+
+    # --- gene -> pathway ---
+    pw_raw = read_tabular(spark, gene2pathway_path, sep=",")
+    p = _pos(pw_raw)
+    gene_pathway_edges = edges_of(
+        pw_raw, p(0), F.lit("biolink:participates_in"), p(2), empty_pubs, {},
+    )
+    pathway_nodes = node_frame(
+        pw_raw, p(2), p(3), ["biolink:Pathway"],
+        # the reference writes this one taxon with an underscored prefix
+        # unlike its siblings (loadSGD.py:200 vs 218) — kept verbatim
+        {"taxon": F.lit("NCBI_Taxon:559292"), "organism": p(1),
+         "referenceLink": p(4)},
+    )
+
+    # --- gene -> phenotype ---
+    ph_raw = read_tabular(spark, gene2phenotype_path, sep=",")
+    h = _pos(ph_raw)
+    phen_id = F.replace(h(18), F.lit(" "), F.lit("_"))
+    gene_phenotype_edges = edges_of(
+        ph_raw, h(0), F.lit("biolink:genetic_association"), phen_id,
+        _sgd_pubs(h(15)),
+        {"effectOnPhenotype": h(8), "phenotypeDetails": h(14),
+         "experimentType": h(5), "mutantType": h(6), "geneAllele": h(9),
+         "alleleDescription": h(10), "yeastStrainBackground": h(11),
+         "chemicalExposure": h(12), "experimentalCondition": h(13)},
+    )
+    phenotype_nodes = node_frame(
+        ph_raw, phen_id, h(7), ["biolink:PhenotypicFeature"],
+        {"taxon": F.lit("NCBITaxon:559292"),
+         "organism": F.lit("S. cerevisiae"), "referenceLink": h(19)},
+    )
+
+    # --- gene -> complex ---
+    cx_raw = read_tabular(spark, gene2complex_path, sep=",")
+    x = _pos(cx_raw)
+    cpx_id = F.concat(F.lit("CPX:"), x(10))
+    gene_complex_edges = edges_of(
+        cx_raw, x(11), F.lit("biolink:in_complex_with"), cpx_id, empty_pubs,
+        {"geneBiologicalRole": x(5), "geneStoichiometry": x(6),
+         "interactorType": x(7)},
+    )
+    complex_nodes = node_frame(
+        cx_raw, cpx_id, x(0), ["biolink:MacromolecularComplexMixin"],
+        {"function": x(1), "systematicName": x(2), "properties": x(9),
+         "SGDAccessionID": x(10), "taxon": F.lit("NCBITaxon:559292"),
+         "organism": F.lit("S. cerevisiae"),
+         "referenceLink": F.concat(
+             F.lit("https://www.yeastgenome.org/complex/"), x(10))},
+    )
+
+    # --- complex -> GO term ---
+    cg_raw = read_tabular(spark, complex2go_path, sep=",")
+    q = _pos(cg_raw)
+    complex_go_edges = edges_of(
+        cg_raw, F.concat(F.lit("CPX:"), q(0)), q(3), q(1), empty_pubs, {},
+    )
+
+    nodes = gene_nodes
+    for extra in (go_nodes, pathway_nodes, phenotype_nodes, complex_nodes):
+        nodes = nodes.unionByName(extra)
+    nodes = nodes.dropDuplicates(["id"])
+    edges = gene_go_edges
+    for extra in (gene_pathway_edges, gene_phenotype_edges,
+                  gene_complex_edges, complex_go_edges):
+        edges = edges.unionByName(extra)
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Yeast multi-loader family (parsers/yeast/src/): generative histone
+# windows + interval-binned gene mapping, Costanza genetic interactions,
+# Gasch diamide expression, GSE61888 nucleosome ChIP-seq.
+# ---------------------------------------------------------------------------
+
+# Public knowledge: S. cerevisiae chromosome lengths from the SGD
+# systematic sequencing table (cited by loadHistoneMap.py:179-185).
+YEAST_CHROMOSOME_LENGTHS = {
+    "chrI": 230218, "chrII": 813184, "chrIII": 316620, "chrIV": 1531933,
+    "chrV": 576874, "chrVI": 270161, "chrVII": 1090940, "chrVIII": 562643,
+    "chrIX": 439888, "chrX": 745751, "chrXI": 666816, "chrXII": 1078177,
+    "chrXIII": 924431, "chrXIV": 784333, "chrXV": 1091291,
+    "chrXVI": 948066, "chrmt": 85779,
+}
+
+YEAST_HISTONE_PTMS = [
+    "H2AK5ac", "H2AS129ph", "H3K14ac", "H3K18ac", "H3K23ac", "H3K27ac",
+    "H3K36me", "H3K36me2", "H3K36me3", "H3K4ac", "H3K4me", "H3K4me2",
+    "H3K4me3", "H3K56ac", "H3K79me", "H3K79me3", "H3K9ac", "H3S10ph",
+    "H4K12ac", "H4K16ac", "H4K20me", "H4K5ac", "H4K8ac", "H4R3me",
+    "H4R3me2s", "HTZ1",
+]
+
+YEAST_GENOME_RESOLUTION = 150
+
+YEAST_PTM_TIMEPOINTS = (0, 4, 8, 15, 30, 60)
+
+_ROMAN = [(1000, "M"), (900, "CM"), (500, "D"), (400, "CD"), (100, "C"),
+          (90, "XC"), (50, "L"), (40, "XL"), (10, "X"), (9, "IX"),
+          (5, "V"), (4, "IV"), (1, "I")]
+
+
+def int_to_roman(n: int) -> str:
+    """Chromosome-number -> roman numeral (orion/utils.py int_to_roman_numeral
+    counterpart, used by loadYeastNucleosomesGSE61888.py:263)."""
+    out = []
+    for val, sym in _ROMAN:
+        while n >= val:
+            out.append(sym)
+            n -= val
+    return "".join(out)
+
+
+def _default_genome(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(YEAST_CHROMOSOME_LENGTHS.items()), "chrom string, length bigint"
+    )
+
+
+def yeast_histone_bins(
+    spark: SparkSession,
+    genome: DataFrame | None = None,
+    ptms: list[str] | None = None,
+    resolution: int = YEAST_GENOME_RESOLUTION,
+) -> DataFrame:
+    """Generative operator: the sliding-window histone-PTM loci table the
+    reference builds with a per-position python loop
+    (loadHistoneMap.py:280-305). A window ends at every multiple of the
+    resolution up to length-1 and spans [end-resolution+1, end]; each
+    chromosome also gets the reference's tail window starting at
+    ((length // 9) * 9) + 1 — the 9 is hardcoded in the reference
+    (loadHistoneMap.py:297; with the default resolution of 150 this
+    leaves a short gap before the tail), reproduced verbatim for parity.
+    Every window crosses the PTM list (a broadcastable constant).
+
+    Spark-first: windows come from one explode(sequence(...)) over the
+    17-row genome dim — no per-base loop, no driver materialization; the
+    result streams at any genome size."""
+    genome = genome if genome is not None else _default_genome(spark)
+    ptms = ptms if ptms is not None else YEAST_HISTONE_PTMS
+    ptm_df = spark.createDataFrame([(p,) for p in ptms], "histone_mod string")
+    m = F.col("length")
+    regular = genome.select(
+        "chrom",
+        F.explode(
+            F.when(
+                m - 1 >= resolution,
+                F.sequence(
+                    F.lit(resolution).cast("bigint"),
+                    ((m - 1) / resolution).cast("bigint") * resolution,
+                    F.lit(resolution).cast("bigint"),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("end"),
+    ).select("chrom", (F.col("end") - (resolution - 1)).alias("start"), "end")
+    tail = genome.select(
+        "chrom",
+        ((m / 9).cast("bigint") * 9 + 1).alias("start"),
+        m.alias("end"),
+    )
+    windows = regular.unionByName(tail)
+    loci = F.concat(F.col("chrom"), F.lit("("), F.col("start"), F.lit("-"),
+                    F.col("end"), F.lit(")"))
+    return windows.crossJoin(F.broadcast(ptm_df)).select(
+        F.concat(F.lit("BinHisPTM:"), F.col("chrom"), F.lit("("),
+                 F.col("start"), F.lit("-"), F.col("end"), F.lit(")"),
+                 F.lit(";"), F.col("histone_mod")).alias("his_ptm_id"),
+        F.col("chrom").alias("chromosome_id"),
+        "start", "end",
+        loci.alias("loci"),
+        "histone_mod",
+    )
+
+
+def yeast_histone_map_like(
+    spark: SparkSession,
+    genes: DataFrame,
+    genome: DataFrame | None = None,
+    ptms: list[str] | None = None,
+    resolution: int = YEAST_GENOME_RESOLUTION,
+    bin_size: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The YeastHistoneMap family (parsers/yeast/src/loadHistoneMap.py):
+    binned-PTM nodes (:101-115), window->gene biolink:located_in edges
+    for every gene whose span overlaps the window — closed-interval
+    semantics per loadHistoneMap.py:322-324 — and BinHisPTM->HisPTM
+    biolink:subclass_of edges (:133-147).
+
+    ``genes`` must carry (gene_id, chrom, gene_start, gene_end). The
+    overlap is a bin-bucketed interval join (operators/range_join.py),
+    not the reference's per-chromosome O(windows x genes) pandas mask."""
+    from orion_spark.operators.range_join import interval_overlap_join
+
+    bins = yeast_histone_bins(spark, genome=genome, ptms=ptms,
+                              resolution=resolution)
+    nodes = bins.select(
+        F.col("his_ptm_id").alias("id"),
+        F.concat(F.col("histone_mod"), F.lit(" ("), F.col("chromosome_id"),
+                 F.lit(":"), F.col("start"), F.lit("-"), F.col("end"),
+                 F.lit(")")).alias("name"),
+        F.array(F.lit("biolink:NucleosomeModification"),
+                F.lit("biolink:PosttranslationalModification")).alias("category"),
+        F.col("histone_mod").alias("histone_modification"),
+        F.col("loci").alias("chromosome_location"),
+    ).dropDuplicates(["id"])
+    subclass_edges = bins.select(
+        F.col("his_ptm_id").alias("subject"),
+        F.lit("biolink:subclass_of").alias("predicate"),
+        F.concat(F.lit("HisPTM:"), F.col("histone_mod")).alias("object"),
+    ).dropDuplicates()
+    g = genes.select(
+        F.col("gene_id"),
+        F.col("chrom").alias("_g_chrom"),
+        F.col("gene_start").cast("bigint").alias("gene_start"),
+        F.col("gene_end").cast("bigint").alias("gene_end"),
+    )
+    gene_edges = interval_overlap_join(
+        bins, g, bin_size=bin_size,
+        chrom_col="chromosome_id", right_chrom_col="_g_chrom",
+        left_bounds=("start", "end"), right_bounds=("gene_start", "gene_end"),
+    ).select(
+        F.col("his_ptm_id").alias("subject"),
+        F.lit("biolink:located_in").alias("predicate"),
+        F.col("gene_id").alias("object"),
+    )
+    edges = gene_edges.unionByName(subclass_edges).withColumn(
+        "primary_knowledge_source", F.lit("infores:yeasthistones")
+    )
+    return nodes, edges
+
+
+# loadCostanza2016.py:175-182 — detection-method -> predicate; anything
+# else drops the fitness edge (None predicate).
+COSTANZA_METHOD_PREDICATES = {
+    "Negative Genetic": "biolink:negatively_correlated_with",
+    "Positive Genetic": "biolink:positively_correlated_with",
+}
+
+COSTANZA_FITNESS_APO = "APO:0000216"
+COSTANZA_PROVENANCE = "CostanzaGeneticInteractions"
+
+
+def costanza_like(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Costanza-2016 genetic-interaction family
+    (parsers/yeast/src/loadCostanza2016.py:112-182): each row yields a
+    synthetic SGD:gene1-gene2 genotype node, one genotype->fitness edge
+    whose predicate comes from the detection method (rows with unmapped
+    methods drop THAT edge only), and two genotype->gene has_part edges
+    that are emitted regardless of the method. Positional columns per
+    COSTANZA_GENEINTERACTIONS. One scan, three projections, one union —
+    versus the reference's three full file re-reads."""
+    raw = read_tabular(spark, path, sep=",")
+    c = _pos(raw)
+    genotype = F.concat(F.lit("SGD:"), c(0), F.lit("-"), c(21))
+    pubs = F.array(F.concat(F.lit("PMID:"), c(8)))
+    method = c(14)
+    predicate = F.lit(None).cast("string")
+    for raw_m, mapped in COSTANZA_METHOD_PREDICATES.items():
+        predicate = F.when(method == raw_m, mapped).otherwise(predicate)
+
+    fitness = raw.select(
+        genotype.alias("subject"),
+        predicate.alias("predicate"),
+        F.lit(COSTANZA_FITNESS_APO).alias("object"),
+        c(17).alias("p_value"),
+        c(18).alias("sga_score"),
+        pubs.alias("publications"),
+    ).where(F.col("predicate").isNotNull())
+    gene1 = raw.select(
+        genotype.alias("subject"),
+        F.lit("biolink:has_part").alias("predicate"),
+        F.concat(F.lit("SGD:"), c(0)).alias("object"),
+        F.lit(None).cast("string").alias("p_value"),
+        F.lit(None).cast("string").alias("sga_score"),
+        pubs.alias("publications"),
+    )
+    gene2 = raw.select(
+        genotype.alias("subject"),
+        F.lit("biolink:has_part").alias("predicate"),
+        F.concat(F.lit("SGD:"), c(21)).alias("object"),
+        F.lit(None).cast("string").alias("p_value"),
+        F.lit(None).cast("string").alias("sga_score"),
+        pubs.alias("publications"),
+    )
+    edges = fitness.unionByName(gene1).unionByName(gene2).withColumn(
+        "primary_knowledge_source", F.lit(COSTANZA_PROVENANCE)
+    )
+    nodes = raw.select(
+        genotype.alias("id"),
+        F.concat(c(19), F.lit("-"), c(20)).alias("name"),
+        F.array(F.lit("biolink:Genotype")).alias("category"),
+        c(19).alias("gene1_allele"),
+        c(20).alias("gene2_allele"),
+    ).dropDuplicates(["id"])
+    return nodes, edges
+
+
+GASCH_DIAMIDE_SUBJECT = "PUBCHEM.COMPOUND:5353800"
+
+
+def gasch_like(
+    spark: SparkSession, expression_path: str, genes_path: str
+) -> DataFrame:
+    """Gasch diamide gene-expression family
+    (parsers/yeast/src/loadYeastGeneExpressionGasch.py): the raw
+    expression table (YORF + 8 log2FC timepoints at columns 3..10) inner-
+    joins SGDAllGenes on YORF == secondaryIdentifier (:97), the mean of
+    the 8 timepoints picks increases/decreases_expression_of by strict
+    positivity (:119), and the time series rides along as an array edge
+    property. The driver-side pandas row loop that computed the means
+    (:94-96) is a single JVM expression here; summation is the same
+    left-to-right order so means are bit-identical."""
+    expr_raw = read_tabular(spark, expression_path, sep=",")
+    e = _pos(expr_raw)
+    ts_cols = [e(i).cast("double") for i in range(3, 11)]
+    mean = ts_cols[0]
+    for t in ts_cols[1:]:
+        mean = mean + t
+    mean = mean / 8.0
+    genes_raw = read_tabular(spark, genes_path, sep=",")
+    g = _pos(genes_raw)
+    genes = genes_raw.select(
+        g(0).alias("_primary_id"), g(1).alias("_secondary_id")
+    )
+    scored = expr_raw.select(
+        e(0).alias("_yorf"),
+        mean.alias("mean_expression"),
+        F.array(*ts_cols).alias("expression_time_series"),
+    )
+    return (
+        scored.join(genes, scored["_yorf"] == genes["_secondary_id"], "inner")
+        .select(
+            F.lit(GASCH_DIAMIDE_SUBJECT).alias("subject"),
+            F.when(F.col("mean_expression") > 0,
+                   "biolink:increases_expression_of")
+            .otherwise("biolink:decreases_expression_of").alias("predicate"),
+            F.col("_primary_id").alias("object"),
+            "mean_expression",
+            "expression_time_series",
+            F.lit("GaschGeneExpression").alias("primary_knowledge_source"),
+        )
+    )
+
+
+def gse61888_like(
+    spark: SparkSession,
+    chipseq_path: str,
+    genome: DataFrame | None = None,
+    ptms: list[str] | None = None,
+    resolution: int = YEAST_GENOME_RESOLUTION,
+    bin_size: int = 10_000,
+) -> DataFrame:
+    """GSE61888 nucleosome ChIP-seq family
+    (parsers/yeast/src/loadYeastNucleosomesGSE61888.py): nucleosome rows
+    (integer chr, center position, coverage, then 6 timepoint columns per
+    PTM) map into the binned histone loci — integer chromosome converted
+    to chrI.. roman form (:260-267), center-in-[start,end] bin assignment
+    taking the FIRST (lowest-start) matching window (:280-287, `.values[0]`)
+    — then cross the PTM list via the bins table, one edge per
+    (nucleosome, PTM) with the matching PTM's 6-point time series
+    (:318-357). Unmapped centers drop (:291).
+
+    The reference's per-row pandas scan over every window is a
+    bin-bucketed point-interval join + min-by aggregate here."""
+    from orion_spark.operators.range_join import point_interval_join
+
+    ptms = ptms if ptms is not None else YEAST_HISTONE_PTMS
+    raw = read_tabular(spark, chipseq_path, sep=",")
+    c = _pos(raw)
+    roman_map = {i: f"chr{int_to_roman(i)}" for i in range(1, 40)}
+    chrom = F.col("_chr_num").cast("int")
+    roman = F.lit(None).cast("string")
+    for num, name in roman_map.items():
+        roman = F.when(chrom == num, name).otherwise(roman)
+    ts_arrays = {
+        p: F.array(*[F.col(f"`{p}_{t}`").cast("double")
+                     for t in YEAST_PTM_TIMEPOINTS])
+        for p in ptms
+    }
+    nucs = raw.select(
+        c(0).alias("nuc_id"),
+        c(1).alias("_chr_num"),
+        c(2).cast("bigint").alias("center"),
+        c(3).cast("double").alias("coverage"),
+        *[ts_arrays[p].alias(f"_ts_{p}") for p in ptms],
+    ).withColumn("chrom", roman).where(F.col("chrom").isNotNull())
+
+    # distinct windows (PTM-independent), center-in-window, first match =
+    # lowest window start (the reference takes .values[0] of an
+    # ascending-start frame)
+    windows = yeast_histone_bins(
+        spark, genome=genome, ptms=["_w"], resolution=resolution
+    ).select(F.col("chromosome_id").alias("chrom"), "start", "end", "loci")
+    hits = point_interval_join(
+        nucs, windows, bin_size=bin_size,
+        chrom_col="chrom", pos_col="center",
+        start_col="start", end_col="end",
+    )
+    first_hit = (
+        hits.groupBy("nuc_id")
+        .agg(F.min_by(F.struct("loci", "start"), F.col("start")).alias("_w"))
+        .select("nuc_id", F.col("_w.loci").alias("loci"))
+    )
+    mapped = nucs.join(first_hit, "nuc_id")
+
+    bins = yeast_histone_bins(spark, genome=genome, ptms=ptms,
+                              resolution=resolution)
+    ts = F.lit(None).cast("array<double>")
+    for p in ptms:
+        ts = F.when(F.col("histone_mod") == p, F.col(f"_ts_{p}")).otherwise(ts)
+    return (
+        mapped.join(bins, "loci")
+        .select(
+            F.lit(GASCH_DIAMIDE_SUBJECT).alias("subject"),
+            F.lit("biolink:affects_molecular_modification_of").alias("predicate"),
+            F.col("his_ptm_id").alias("object"),
+            F.lit("GSE61888").alias("dataset"),
+            "nuc_id",
+            "coverage",
+            F.col("histone_mod").alias("histone_mod"),
+            ts.alias("time_series"),
+            F.lit("WeinerEpigenomics").alias("primary_knowledge_source"),
+        )
+    )

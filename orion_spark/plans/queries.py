@@ -6819,3 +6819,453 @@ def foodb_like_edges_q(spark, sf_dir):
     f, c, cm = _foodb_fixture(spark, sf_dir)
     _, edges = foodb_like(spark, f, c, cm)
     return edges.select("subject", "predicate", "object", "unit", "amount")
+
+
+# ===========================================================================
+# SGD + yeast families (round 4): the last two reference parser dirs
+# (parsers/SGD/, parsers/yeast/) get dedicated, oracle-checked families.
+# ===========================================================================
+
+def _sgd_fixture(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Deterministic six-CSV SGD bundle from the nation dim. Per nation
+    key k: one gene (symbol '?' every 7th -> name falls back to the
+    secondary id), one GO annotation (qualifier cycles the two mapped
+    values plus a passthrough; pmid '?'-gated every 4th), a pathway row
+    every 2nd k, a phenotype row (space-bearing observable, pmid gate
+    every 5th), and complex membership + complex GO rows every 3rd k."""
+    import os
+    import re as _re
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    root = os.path.join(_fixture_dir(), f"sgd_fixture_v1{slug}")
+    names = ["genes", "gene2go", "gene2pathway", "gene2phenotype",
+             "gene2complex", "complex2go"]
+    paths = {n: os.path.join(root, f"{n}.csv") for n in names}
+    if os.path.exists(os.path.join(root, "_DONE")):
+        return paths
+
+    gid = lambda k: f"SGD:S{k:06d}"  # noqa: E731
+    genes = ["primaryIdentifier,secondaryIdentifier,symbol,namesake,protein,"
+             "description,chrom,start,end,strand,organism,featureType,link"]
+    gene2go = [",".join(f"c{i}" for i in range(17))]
+    gene2pathway = [",".join(f"c{i}" for i in range(5))]
+    gene2phenotype = [",".join(f"c{i}" for i in range(20))]
+    gene2complex = [",".join(f"c{i}" for i in range(12))]
+    complex2go = [",".join(f"c{i}" for i in range(4))]
+    for k in ks:
+        sym = "?" if k % 7 == 0 else f"GENE{k}"
+        genes.append(
+            f"{gid(k)},Y{k}W,{sym},NS{k},P{k},desc {k},chrC{k % 5},"
+            f"{100 * k + 1},{100 * k + 90},{1 if k % 2 == 0 else -1},"
+            f"S. cerevisiae,ORF,http://ex/{k}"
+        )
+        qual = ["involved in", "is active in", "part of"][k % 3]
+        pmid = "?" if k % 4 == 0 else str(10000 + k)
+        row = [""] * 17
+        row[0] = gid(k); row[5] = f"GO:{7000 + k}"; row[6] = f"goname {k}"
+        row[8] = "IDA"; row[9] = qual; row[10] = f"evtext{k}"
+        row[12] = "manually curated"; row[15] = pmid
+        gene2go.append(",".join(row))
+        if k % 2 == 0:
+            gene2pathway.append(
+                f"{gid(k)},S. cerevisiae,PW:{k},pathway {k},plink{k}")
+        row = [""] * 20
+        row[0] = gid(k); row[5] = f"exp{k}"; row[6] = f"mut{k}"
+        row[7] = f"phname {k}"; row[8] = f"qual{k}"; row[9] = f"allele{k}"
+        row[10] = f"adesc{k}"; row[11] = f"bg{k}"; row[12] = f"chem{k}"
+        row[13] = f"cond{k}"; row[14] = f"details{k}"
+        row[15] = "?" if k % 5 == 0 else str(20000 + k)
+        row[18] = f"apo pheno {k}"; row[19] = f"phlink{k}"
+        gene2phenotype.append(",".join(row))
+        if k % 3 == 0:
+            row = [""] * 12
+            row[0] = f"cname{k}"; row[1] = f"fn{k}"; row[2] = f"sys{k}"
+            row[5] = f"role{k}"; row[6] = str(k); row[7] = "protein"
+            row[9] = f"cprops{k}"; row[10] = f"CPLX{k}"; row[11] = gid(k)
+            gene2complex.append(",".join(row))
+            complex2go.append(
+                f"CPLX{k},GO:{8000 + k},cname{k},biolink:enables")
+    tmp = root + f".{os.getpid()}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    for n, lines in zip(names, [genes, gene2go, gene2pathway,
+                                gene2phenotype, gene2complex, complex2go]):
+        with open(os.path.join(tmp, f"{n}.csv"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(tmp, "_DONE"), "w") as fh:
+        fh.write("v1")
+    _promote_fixture(tmp, root)
+    return paths
+
+
+_SGD_GID_SQL = "'SGD:S' || lpad(CAST(k AS VARCHAR), 6, '0')"
+
+@query(
+    "sgd_like_edges",
+    f"""
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT {_SGD_GID_SQL} AS subject,
+           CASE WHEN k % 3 = 0 THEN 'biolink:actively_involved_in'
+                WHEN k % 3 = 1 THEN 'biolink:active_in'
+                ELSE 'part of' END AS predicate,
+           'GO:' || (7000 + k) AS object,
+           CASE WHEN k % 4 = 0 THEN ''
+                ELSE 'PMID:' || (10000 + k) END AS pubs,
+           'infores:sgd' AS pks
+    FROM n
+    UNION ALL
+    SELECT {_SGD_GID_SQL}, 'biolink:participates_in', 'PW:' || k,
+           '', 'infores:sgd'
+    FROM n WHERE k % 2 = 0
+    UNION ALL
+    SELECT {_SGD_GID_SQL}, 'biolink:genetic_association',
+           'apo_pheno_' || k,
+           CASE WHEN k % 5 = 0 THEN '' ELSE 'PMID:' || (20000 + k) END,
+           'infores:sgd'
+    FROM n
+    UNION ALL
+    SELECT {_SGD_GID_SQL}, 'biolink:in_complex_with', 'CPX:CPLX' || k,
+           '', 'infores:sgd'
+    FROM n WHERE k % 3 = 0
+    UNION ALL
+    SELECT 'CPX:CPLX' || k, 'biolink:enables', 'GO:' || (8000 + k),
+           '', 'infores:sgd'
+    FROM n WHERE k % 3 = 0
+    """,
+)
+def sgd_like_edges_q(spark, sf_dir):
+    """§2.5 source-to-KGX: the SGD six-file family
+    (parsers/SGD/src/loadSGD.py) — five edge types over one union'd
+    contract: GO-qualifier predicate mapping, '?'-gated publications,
+    space-underscored phenotype ids, CPX:-prefixed complexes."""
+    from orion_spark.plans.parsers import sgd_like
+
+    p = _sgd_fixture(spark, sf_dir)
+    _, edges = sgd_like(
+        spark, p["genes"], p["gene2go"], p["gene2pathway"],
+        p["gene2phenotype"], p["gene2complex"], p["complex2go"],
+    )
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("publications", "|").alias("pubs"),
+        F.col("primary_knowledge_source").alias("pks"),
+    )
+
+
+def _costanza_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic Costanza-2016 CSV from the nation dim: 22 positional
+    columns; detection method cycles Negative/Positive/unmapped so every
+    third row drops its fitness edge but keeps both has_part edges."""
+    import os
+    import re as _re
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(_fixture_dir(), f"costanza_fixture_v2{slug}.csv")
+    if os.path.exists(path):
+        return path
+    lines = [",".join(f"c{i}" for i in range(22))]
+    for k in ks:
+        method = ["Negative Genetic", "Positive Genetic",
+                  "Dosage Rescue"][k % 3]
+        row = [""] * 22
+        row[0] = f"S{k:06d}A"; row[21] = f"S{k:06d}B"
+        row[8] = str(30000 + k); row[14] = method
+        row[17] = f"{k}.25"; row[18] = f"{k}.5"
+        row[19] = f"al{k}a"; row[20] = f"al{k}b"
+        lines.append(",".join(row))
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "costanza_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    geno AS (SELECT k,
+                    'SGD:S' || lpad(CAST(k AS VARCHAR), 6, '0') || 'A-S'
+                         || lpad(CAST(k AS VARCHAR), 6, '0') || 'B' AS gt,
+                    'PMID:' || (30000 + k) AS pub
+             FROM n)
+    SELECT gt AS subject,
+           CASE WHEN k % 3 = 0 THEN 'biolink:negatively_correlated_with'
+                ELSE 'biolink:positively_correlated_with' END AS predicate,
+           'APO:0000216' AS object,
+           CAST(k AS VARCHAR) || '.25' AS p_value,
+           CAST(k AS VARCHAR) || '.5' AS sga_score,
+           pub AS pubs
+    FROM geno WHERE k % 3 < 2
+    UNION ALL
+    SELECT gt, 'biolink:has_part',
+           'SGD:S' || lpad(CAST(k AS VARCHAR), 6, '0') || 'A', '', '', pub
+    FROM geno
+    UNION ALL
+    SELECT gt, 'biolink:has_part',
+           'SGD:S' || lpad(CAST(k AS VARCHAR), 6, '0') || 'B', '', '', pub
+    FROM geno
+    """,
+)
+def costanza_like_edges_q(spark, sf_dir):
+    """§2.5 source-to-KGX: the Costanza genetic-interaction family
+    (parsers/yeast/src/loadCostanza2016.py) — method-gated fitness
+    predicate (unmapped methods drop only that edge), synthetic genotype
+    ids, two unconditional has_part edges per row."""
+    from orion_spark.plans.parsers import costanza_like
+
+    path = _costanza_fixture(spark, sf_dir)
+    _, edges = costanza_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.coalesce("p_value", F.lit("")).alias("p_value"),
+        F.coalesce("sga_score", F.lit("")).alias("sga_score"),
+        F.array_join("publications", "|").alias("pubs"),
+    )
+
+
+# Shared synthetic genome for the yeast window families: 5 chromosomes,
+# deliberately small so windows stay bounded; lengths exercise both the
+# regular sliding windows and the reference's hardcoded-9 tail quirk.
+_YEAST_Q_GENOME = [(j, 700 + 211 * j) for j in range(5)]
+
+_YEAST_Q_PTMS = ["H3K4me", "H3K9ac", "HTZ1"]
+
+_YEAST_WINS_SQL = """
+    chrom AS (SELECT j, 'chrC' || j AS chrom, 700 + 211 * j AS m
+              FROM range(0, 5) t(j)),
+    regular AS (
+        SELECT chrom, i * 150 - 149 AS s, i * 150 AS e
+        FROM chrom, range(1, 100) t2(i)
+        WHERE i * 150 <= m - 1),
+    tail AS (SELECT chrom, (m // 9) * 9 + 1 AS s, m AS e FROM chrom),
+    wins AS (SELECT * FROM regular UNION ALL SELECT * FROM tail),
+    ptm AS (SELECT unnest(['H3K4me', 'H3K9ac', 'HTZ1']) AS p),
+    bins AS (
+        SELECT 'BinHisPTM:' || chrom || '(' || s || '-' || e || ')'
+                   || ';' || p AS his_ptm_id,
+               chrom, s, e, p
+        FROM wins, ptm)
+"""
+
+
+@query(
+    "yeast_histone_gene_edges",
+    f"""
+    WITH {_YEAST_WINS_SQL},
+    genes AS (
+        SELECT 'SGD:S' || lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS gid,
+               'chrC' || (n_nationkey % 5) AS chrom,
+               100 * n_nationkey + 1 AS gs, 100 * n_nationkey + 90 AS ge
+        FROM nation)
+    SELECT b.his_ptm_id AS subject, 'biolink:located_in' AS predicate,
+           g.gid AS object
+    FROM bins b JOIN genes g
+      ON b.chrom = g.chrom AND b.s <= g.ge AND g.gs <= b.e
+    UNION ALL
+    SELECT his_ptm_id, 'biolink:subclass_of', 'HisPTM:' || p FROM bins
+    """,
+)
+def yeast_histone_gene_edges_q(spark, sf_dir):
+    """§2.5 + J8: the YeastHistoneMap generative family
+    (parsers/yeast/src/loadHistoneMap.py) — sliding-window PTM loci
+    (including the reference's hardcoded-9 tail window, reproduced for
+    parity), bin-bucketed window-gene interval overlap, subclass edges.
+    Synthetic 5-chromosome genome; genes derived from the nation dim."""
+    from orion_spark.plans.parsers import yeast_histone_map_like
+
+    genome = spark.createDataFrame(
+        [(f"chrC{j}", m) for j, m in _YEAST_Q_GENOME],
+        "chrom string, length bigint",
+    )
+    genes = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("SGD:S"),
+                 F.lpad(F.col("n_nationkey").cast("string"), 6, "0")
+                 ).alias("gene_id"),
+        F.concat(F.lit("chrC"), F.col("n_nationkey") % 5).alias("chrom"),
+        (F.col("n_nationkey") * 100 + 1).alias("gene_start"),
+        (F.col("n_nationkey") * 100 + 90).alias("gene_end"),
+    )
+    _, edges = yeast_histone_map_like(
+        spark, genes, genome=genome, ptms=_YEAST_Q_PTMS, resolution=150,
+        bin_size=500,
+    )
+    return edges.select("subject", "predicate", "object")
+
+
+def _gasch_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic Gasch diamide expression CSV from the nation dim:
+    YORF matches the SGD fixture's secondary ids; every 6th k adds an
+    orphan YORF that the inner join must drop. Timepoint values are
+    exact quarters so means are bit-identical across engines."""
+    import os
+    import re as _re
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(_fixture_dir(), f"gasch_fixture_v1{slug}.csv")
+    if os.path.exists(path):
+        return path
+    lines = ["YORF,NAME,GWEIGHT,m5,m10,m20,m30,m40,m50,m60,m90"]
+    val = lambda k, t: ((k * 3 + t * 5) % 11 - 5) * 0.25  # noqa: E731
+    for k in ks:
+        ts = ",".join(str(val(k, t)) for t in range(8))
+        lines.append(f"Y{k}W,name{k},1,{ts}")
+        if k % 6 == 0:
+            lines.append(f"YX{k}W,orphan{k},1,{ts}")
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "gasch_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    m AS (SELECT k,
+                 list_sum([((k * 3 + t * 5) % 11 - 5) * 0.25
+                           for t in range(0, 8)]) / 8.0 AS mean_exp
+          FROM n)
+    SELECT 'PUBCHEM.COMPOUND:5353800' AS subject,
+           CASE WHEN mean_exp > 0 THEN 'biolink:increases_expression_of'
+                ELSE 'biolink:decreases_expression_of' END AS predicate,
+           'SGD:S' || lpad(CAST(k AS VARCHAR), 6, '0') AS object,
+           round(mean_exp, 6) AS mean_expression
+    FROM m
+    """,
+)
+def gasch_like_edges_q(spark, sf_dir):
+    """§2.5 source-to-KGX: the Gasch diamide expression family
+    (parsers/yeast/src/loadYeastGeneExpressionGasch.py) — 8-timepoint
+    mean with sign-picked predicate, inner join to SGD genes on the
+    secondary id (orphan YORFs drop)."""
+    from orion_spark.plans.parsers import gasch_like
+
+    p = _sgd_fixture(spark, sf_dir)
+    edges = gasch_like(spark, _gasch_fixture(spark, sf_dir), p["genes"])
+    return edges.select(
+        "subject", "predicate", "object",
+        F.round("mean_expression", 6).alias("mean_expression"),
+    )
+
+
+def _gse61888_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic GSE61888 nucleosome CSV from the nation dim: integer
+    chromosome (roman conversion exercised), centers spread so some fall
+    in the gap before the tail window and drop; PTM timepoint values are
+    exact halves keyed by (k, ptm index, timepoint index)."""
+    import os
+    import re as _re
+
+    from orion_spark.plans.parsers import YEAST_PTM_TIMEPOINTS
+
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(_fixture_dir(), f"gse61888_fixture_v1{slug}.csv")
+    if os.path.exists(path):
+        return path
+    hdr = ["nuc_id", "chr", "center", "coverage_rpm", "gene", "acc",
+           "gene_pos"]
+    for p in _YEAST_Q_PTMS:
+        hdr += [f"{p}_{t}" for t in YEAST_PTM_TIMEPOINTS]
+    lines = [",".join(hdr)]
+    for k in ks:
+        vals = []
+        for pi in range(len(_YEAST_Q_PTMS)):
+            for ti in range(6):
+                vals.append(str(((k + pi * 2 + ti * 3) % 9 - 4) * 0.5))
+        lines.append(
+            f"N{k},{k % 5 + 1},{(37 * k * 17) % 1544},{k / 10},g,a,p,"
+            + ",".join(vals)
+        )
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "gse61888_like_edges",
+    """
+    WITH chrom AS (
+        SELECT j,
+               'chr' || CASE j WHEN 0 THEN 'I' WHEN 1 THEN 'II'
+                               WHEN 2 THEN 'III' WHEN 3 THEN 'IV'
+                               ELSE 'V' END AS chrom,
+               700 + 211 * j AS m
+        FROM range(0, 5) t(j)),
+    regular AS (
+        SELECT chrom, i * 150 - 149 AS s, i * 150 AS e
+        FROM chrom, range(1, 100) t2(i)
+        WHERE i * 150 <= m - 1),
+    tail AS (SELECT chrom, (m // 9) * 9 + 1 AS s, m AS e FROM chrom),
+    wins AS (SELECT chrom, s, e,
+                    chrom || '(' || s || '-' || e || ')' AS loci
+             FROM (SELECT * FROM regular UNION ALL SELECT * FROM tail)),
+    nucs AS (
+        SELECT n_nationkey AS k, 'N' || n_nationkey AS nuc_id,
+               'chr' || CASE n_nationkey % 5 WHEN 0 THEN 'I' WHEN 1 THEN 'II'
+                        WHEN 2 THEN 'III' WHEN 3 THEN 'IV' ELSE 'V' END
+                   AS chrom,
+               (37 * n_nationkey * 17) % 1544 AS center,
+               n_nationkey / 10.0 AS coverage
+        FROM nation),
+    hit AS (
+        SELECT nuc.k, nuc.nuc_id, nuc.chrom, nuc.coverage,
+               arg_min(w.loci, w.s) AS loci
+        FROM nucs nuc JOIN wins w
+          ON w.chrom = nuc.chrom AND nuc.center >= w.s AND nuc.center <= w.e
+        GROUP BY nuc.k, nuc.nuc_id, nuc.chrom, nuc.coverage),
+    ptm AS (SELECT unnest(['H3K4me', 'H3K9ac', 'HTZ1']) AS p,
+                   unnest([0, 1, 2]) AS pi)
+    SELECT 'PUBCHEM.COMPOUND:5353800' AS subject,
+           'biolink:affects_molecular_modification_of' AS predicate,
+           'BinHisPTM:' || h.loci || ';' || ptm.p AS object,
+           h.nuc_id AS nuc_id,
+           round(h.coverage, 6) AS coverage,
+           ptm.p AS histone_mod,
+           round(list_sum([((h.k + ptm.pi * 2 + ti * 3) % 9 - 4) * 0.5
+                           for ti in range(0, 6)]), 6) AS ts_sum
+    FROM hit h, ptm
+    """,
+)
+def gse61888_like_edges_q(spark, sf_dir):
+    """§2.5 + J8: the GSE61888 nucleosome family
+    (parsers/yeast/src/loadYeastNucleosomesGSE61888.py) — roman-numeral
+    chromosome mapping, first-match (lowest-start) window assignment via
+    a bin-bucketed point-interval join, per-PTM time-series selection.
+    Unmapped centers drop. The time-series check hashes the series sum
+    (exact halves, order-free)."""
+    from orion_spark.plans.parsers import gse61888_like, int_to_roman
+
+    genome = spark.createDataFrame(
+        [(f"chr{int_to_roman(j + 1)}", m) for j, m in _YEAST_Q_GENOME],
+        "chrom string, length bigint",
+    )
+    edges = gse61888_like(
+        spark, _gse61888_fixture(spark, sf_dir), genome=genome,
+        ptms=_YEAST_Q_PTMS, resolution=150, bin_size=500,
+    )
+    return edges.select(
+        "subject", "predicate", "object", "nuc_id",
+        F.round("coverage", 6).alias("coverage"),
+        "histone_mod",
+        F.round(F.aggregate("time_series", F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("ts_sum"),
+    )
