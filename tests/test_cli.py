@@ -159,3 +159,44 @@ def test_cli_neo4j_dump(spark, tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["success"] and os.path.exists(os.path.join(out_dir, "neo4j.dump"))
+
+
+def test_cli_memgraph_dump(spark, tmp_path, capsys):
+    bundle = str(tmp_path / "b_mg")
+    _bundle(spark, bundle)
+    out_dir = str(tmp_path / "mg_out")
+    rc = cli.main(["memgraph-dump", "--bundle", bundle, "--out", out_dir,
+                   "--graph-id", "g1", "--release-version", "v2"])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(manifest["nodes_csv"])
+    assert os.path.exists(manifest["indexes_cypher"])
+    assert manifest["edge_csvs"]
+    assert "g1" in os.path.basename(manifest["nodes_csv"])
+
+
+def test_cli_neo4j_verify(spark, tmp_path, capsys):
+    import stat
+    import sys
+
+    bundle = str(tmp_path / "b_ver")
+    _bundle(spark, bundle)
+    shell = tmp_path / "shell.py"
+    shell.write_text(
+        f"#!{sys.executable}\nimport sys\n"
+        "q = open(sys.argv[sys.argv.index('-f') + 1]).read()\n"
+        "if 'UNWIND labels' in q:\n"
+        "    print('triple')\n"
+        "    print('biolink:Gene|biolink:related_to|biolink:Disease')\n"
+        "elif 'biolink:Gene' in q:\n"
+        "    print('pre'); print('A')\n"
+        "else:\n"
+        "    print('pre'); print('B')\n"
+    )
+    shell.chmod(shell.stat().st_mode | stat.S_IEXEC)
+    rc = cli.main(["neo4j-verify", "--bundle", bundle,
+                   "--workspace", str(tmp_path / "ws"),
+                   "--cypher-shell", str(shell)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    assert report["ok"]

@@ -422,3 +422,89 @@ def test_memgraph_dump_files_and_load_orchestration(spark, tmp_path):
 
     with _pytest.raises(MD.MemgraphDumpError, match="ExitCode 3.*refused"):
         MD.load_memgraph_dump(manifest, mgconsole=[str(bad)])
+
+
+def test_neo4j_meta_kg_verification(spark, tmp_path):
+    """orion/neo4j_meta_kg.py counterpart: the post-dump check extracts
+    the meta-KG from the loaded instance via an injectable cypher-shell
+    and diffs it against the build frames — a faithful instance passes,
+    one with a dropped edge type / spurious label / wrong prefixes is
+    detected."""
+    import stat
+    import sys
+
+    from orion_spark.sinks import neo4j_meta_kg as MK
+
+    nodes = spark.createDataFrame(
+        [
+            Row(id="HGNC:1", category=["biolink:Gene", "biolink:NamedThing"]),
+            Row(id="NCBIGene:7", category=["biolink:Gene", "biolink:NamedThing"]),
+            Row(id="MONDO:5", category=["biolink:Disease", "biolink:NamedThing"]),
+        ]
+    )
+    edges = spark.createDataFrame(
+        [
+            Row(subject="HGNC:1", predicate="biolink:related_to", object="MONDO:5"),
+            Row(subject="NCBIGene:7", predicate="biolink:affects", object="MONDO:5"),
+        ]
+    )
+    expected_triples = [
+        "biolink:Gene|biolink:related_to|biolink:Disease",
+        "biolink:Gene|biolink:affects|biolink:Disease",
+    ]
+    assert MK.expected_schema_triples(nodes, edges) == set(expected_triples)
+    assert MK.expected_label_prefixes(nodes) == {
+        "biolink:Gene": {"HGNC", "NCBIGene"},
+        "biolink:Disease": {"MONDO"},
+    }
+
+    def fake_shell(name, triples, gene_prefixes, disease_prefixes):
+        body = (
+            f"#!{sys.executable}\n"
+            "import sys\n"
+            "q = open(sys.argv[sys.argv.index('-f') + 1]).read()\n"
+            "if 'UNWIND labels' in q:\n"
+            "    print('triple')\n"
+            f"    [print(t) for t in {triples!r}]\n"
+            "elif 'biolink:Gene' in q:\n"
+            "    print('pre')\n"
+            f"    [print(p) for p in {gene_prefixes!r}]\n"
+            "else:\n"
+            "    print('pre')\n"
+            f"    [print(p) for p in {disease_prefixes!r}]\n"
+        )
+        p = tmp_path / name
+        p.write_text(body)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+        return [str(p)]
+
+    good = fake_shell(
+        "good_shell.py", expected_triples, ["HGNC", "NCBIGene"], ["MONDO"])
+    report = MK.verify_dump_meta_kg(nodes, edges, good, str(tmp_path / "w1"))
+    assert report["ok"] and not report["prefix_mismatches"]
+
+    # instance lost the affects edge type, grew a bogus one, and reports a
+    # wrong prefix set for Gene
+    bad = fake_shell(
+        "bad_shell.py",
+        ["biolink:Gene|biolink:related_to|biolink:Disease",
+         "biolink:Gene|biolink:bogus|biolink:Gene"],
+        ["HGNC"], ["MONDO"],
+    )
+    report = MK.verify_dump_meta_kg(nodes, edges, bad, str(tmp_path / "w2"))
+    assert not report["ok"]
+    assert report["schema_missing_in_db"] == [
+        "biolink:Gene|biolink:affects|biolink:Disease"]
+    assert report["schema_unexpected_in_db"] == [
+        "biolink:Gene|biolink:bogus|biolink:Gene"]
+    assert report["prefix_mismatches"] == {
+        "biolink:Gene": {"expected": ["HGNC", "NCBIGene"], "db": ["HGNC"]}}
+
+    # a failing shell surfaces, not silently passes
+    import pytest as _pytest
+
+    err = tmp_path / "err_shell.py"
+    err.write_text(f"#!{sys.executable}\nimport sys\nsys.exit(3)\n")
+    err.chmod(err.stat().st_mode | 0o111)
+    with _pytest.raises(MK.MetaKGVerifyError, match="ExitCode 3"):
+        MK.run_cypher([str(err)], MK.SCHEMA_QUERY, str(tmp_path / "w3"), "q")
