@@ -106,6 +106,34 @@ def merge_upsert_sink(bundle_path: str, checkpoint: str):
     return _process
 
 
+def merge_upsert_sink_incremental(bundle_path: str, n_shards: int = 64):
+    """foreachBatch sink over a hash-sharded bundle
+    (sinks/incremental.py): each micro-batch rewrites only the shard
+    partitions its subjects touch — O(delta), not O(bundle), per batch.
+    This is the production form of merge_upsert_sink; the first batch
+    bootstraps the sharded layout."""
+    import os
+
+    from orion_spark.sinks.incremental import (
+        upsert_sharded_edges,
+        write_sharded_bundle,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from orion_spark.operators.merge import merge_edges
+
+        spark = batch_df.sparkSession
+        delta = batch_df.drop("ts")
+        if not os.path.isdir(bundle_path):
+            write_sharded_bundle(
+                merge_edges(delta), bundle_path, ["subject"], n_shards
+            )
+            return
+        upsert_sharded_edges(spark, delta, bundle_path, n_shards=n_shards)
+
+    return _process
+
+
 def run_windowed_counts_to_memory(
     spark: SparkSession, source_path: str, table_name: str = "windowed_counts",
 ) -> None:
