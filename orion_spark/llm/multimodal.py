@@ -102,17 +102,130 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
     return w, h, vals
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
+    """Baseline PNG via stdlib zlib (round-4 verdict ask #7): 8-bit
+    truecolor (color type 2) and truecolor+alpha (type 6), non-interlaced.
+    Chunk walk -> IHDR dims -> concatenated-IDAT inflate -> per-row
+    unfilter (None/Sub/Up/Average/Paeth per the PNG spec §9). Returns
+    (width, height, flat channel values — 3 or 4 per pixel)."""
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    i, w = 8, None
+    h = bit_depth = color_type = interlace = None
+    idat = b""
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={bit_depth} color={color_type} "
+            f"interlace={interlace}"
+        )
+    nch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for x in range(nch, stride):
+                row[x] = (row[x] + row[x - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = row[x - nch] if x >= nch else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return w, h, list(out)
+
+
+def jpeg_header(payload: bytes) -> tuple[int, int, int]:
+    """JPEG metadata WITHOUT a codec: walk the marker stream to the first
+    SOF0/1/2 frame header and return (width, height, n_components).
+    Full baseline-JPEG pixel decode needs huffman+IDCT — that path is
+    behind the optional PIL dependency in decode_image; the header parse
+    keeps metadata pipelines (size filters, aspect buckets) codec-free."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack_from(">HH", payload, i + 5)
+            ncomp = payload[i + 9]
+            return w, h, ncomp
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        i += 2 + seg_len
+    raise ValueError("JPEG frame header (SOF) not found")
+
+
 def decode_image(payload: bytes) -> tuple[str, int, int, list[int]]:
-    """Dispatch on magic bytes. Compressed formats need a codec library
-    this environment doesn't ship — fail loudly, never guess."""
+    """Dispatch on magic bytes. PPM/BMP/PNG decode with zero external
+    dependencies; JPEG pixel decode requires PIL (documented optional
+    dependency) and degrades to a loud error naming the metadata-only
+    jpeg_header alternative."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
     if payload[:2] == b"P6":
         return ("ppm", *decode_ppm(payload))
     if payload[:2] == b"BM":
         return ("bmp", *decode_bmp(payload))
+    if payload[:8] == PNG_SIGNATURE:
+        return ("png", *decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        try:
+            from PIL import Image  # optional dependency, not shipped here
+        except ImportError:
+            raise NotImplementedError(
+                "JPEG pixel decode needs PIL (optional dependency); "
+                "jpeg_header() extracts width/height/components without it"
+            ) from None
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return ("jpeg", img.width, img.height,
+                [v for px in img.getdata() for v in px])
     raise NotImplementedError(
-        f"no codec for magic {payload[:2]!r} (JPEG/PNG need an image library)"
+        f"no codec for magic {payload[:2]!r}"
     )
 
 
@@ -137,6 +250,44 @@ def encode_bmp(w: int, h: int, vals: list[int]) -> bytes:
             row += bytes((b, g, rr))
         body += bytes(row) + pad
     return header + body
+
+
+def encode_png(w: int, h: int, vals: list[int]) -> bytes:
+    """Inverse of decode_png for RGB, used by tests and fixture synthesis.
+    Rows cycle filter types None/Sub/Up (r % 3) so round-trip tests
+    exercise the unfilter paths, not just the trivial one."""
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = bytes(vals[r * stride : (r + 1) * stride])
+        ft = r % 3
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
+                for x in range(stride)
+            )
+        else:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_features(
@@ -199,6 +350,65 @@ def decode_features(
             chunks.append(row)
         return w, h, b"".join(chunks)
 
+    def _png(payload: bytes):
+        import zlib as _zlib
+
+        i = 8
+        w = h = bit_depth = color_type = interlace = None
+        idat = b""
+        while i + 8 <= len(payload):
+            (length,) = _struct.unpack_from(">I", payload, i)
+            ctype = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + length]
+            if ctype == b"IHDR":
+                w, h, bit_depth, color_type, _, _, interlace = _struct.unpack(
+                    ">IIBBBBB", body
+                )
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            i += 12 + length
+        if w is None:
+            raise ValueError("PNG missing IHDR")
+        if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+            raise ValueError("unsupported PNG variant")
+        nch = 3 if color_type == 2 else 4
+        raw = _zlib.decompress(idat)
+        stride = w * nch
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("truncated PNG pixel data")
+        out = bytearray()
+        prev = bytearray(stride)
+        for r in range(h):
+            ft = raw[r * (stride + 1)]
+            row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+            if ft == 1:
+                for x in range(nch, stride):
+                    row[x] = (row[x] + row[x - nch]) & 0xFF
+            elif ft == 2:
+                for x in range(stride):
+                    row[x] = (row[x] + prev[x]) & 0xFF
+            elif ft == 3:
+                for x in range(stride):
+                    left = row[x - nch] if x >= nch else 0
+                    row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+            elif ft == 4:
+                for x in range(stride):
+                    a = row[x - nch] if x >= nch else 0
+                    b = prev[x]
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    row[x] = (row[x] + pred) & 0xFF
+            elif ft != 0:
+                raise ValueError("unknown PNG filter type")
+            out += row
+            prev = row
+        return w, h, bytes(out)
+
     def _decode(payload: bytes):
         if payload is None or len(payload) < 2:
             raise ValueError("empty payload")
@@ -206,8 +416,10 @@ def decode_features(
             return ("ppm", *_ppm(payload))
         if payload[:2] == b"BM":
             return ("bmp", *_bmp(payload))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return ("png", *_png(payload))
         raise NotImplementedError(
-            "no codec for magic %r (JPEG/PNG need an image library)"
+            "no codec for magic %r (JPEG pixel decode needs PIL)"
             % (payload[:2],)
         )
 
@@ -238,7 +450,8 @@ def synthesize_media(
     df: DataFrame, id_col: str = "media_id", max_dim: int = 8
 ) -> DataFrame:
     """Deterministic real-image fixture generator: for each id, builds an
-    actual PPM (even ids) or BMP (odd ids) byte payload with
+    actual binary-PPM (id % 3 == 0), 24-bit BMP (id % 3 == 1) or RGB PNG
+    (id % 3 == 2, rows cycling None/Sub/Up filters) byte payload with
     width = 1 + id % max_dim, height = 1 + (id // max_dim) % max_dim and
     channel value stream v_i = (id * 31 + i) % 256 — closed-form enough
     for a SQL oracle to recompute every decoded feature analytically.
@@ -268,6 +481,38 @@ def synthesize_media(
             body += bytes(row) + pad
         return header + body
 
+    def _png_bytes(w, h, vals):
+        import zlib as _zlib
+
+        def chunk(ctype, body):
+            return (
+                _struct.pack(">I", len(body)) + ctype + body
+                + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        stride = w * 3
+        raw = bytearray()
+        prev = bytes(stride)
+        for r in range(h):
+            row = bytes(vals[r * stride : (r + 1) * stride])
+            ft = r % 3
+            raw.append(ft)
+            if ft == 0:
+                raw += row
+            elif ft == 1:
+                raw += bytes(
+                    (row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
+                    for x in range(stride)
+                )
+            else:
+                raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+            prev = row
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
@@ -276,9 +521,8 @@ def synthesize_media(
                 w = 1 + mid % md
                 h = 1 + (mid // md) % md
                 vals = [(mid * 31 + i) % 256 for i in range(w * h * 3)]
-                payloads.append(
-                    _ppm_bytes(w, h, vals) if mid % 2 == 0 else _bmp_bytes(w, h, vals)
-                )
+                enc = (_ppm_bytes, _bmp_bytes, _png_bytes)[mid % 3]
+                payloads.append(enc(w, h, vals))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     return df.select(id_col).mapInPandas(

@@ -2193,7 +2193,8 @@ def dedup_simhash_q(spark, sf_dir):
                1 + (doc_id // 8) % 8 AS height
         FROM documents)
     SELECT media_id,
-           CASE WHEN media_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+           CASE media_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                ELSE 'png' END AS format,
            width, height,
            width * height * 3 AS n_channel_bytes,
            CAST(list_sum(list_transform(range(0, width * height * 3),
@@ -2204,14 +2205,16 @@ def dedup_simhash_q(spark, sf_dir):
 )
 def multimodal_decode_features_q(spark, sf_dir):
     """Multimodal decode end-to-end over REAL image bytes: a deterministic
-    fixture stage builds an actual binary-PPM (even ids) or 24-bit BMP
-    (odd ids) payload per document id, then the Arrow-batched mapInPandas
-    decode stage parses the format for real — header tokenization, BMP
-    bottom-up rows, stride padding, BGR order — and emits width/height/
-    channel stats. Because the synthesized pixel stream is closed-form
+    fixture stage builds an actual binary-PPM (id%3==0), 24-bit BMP
+    (id%3==1) or zlib-compressed RGB PNG (id%3==2, rows cycling
+    None/Sub/Up filters) payload per document id, then the Arrow-batched
+    mapInPandas decode stage parses the format for real — header
+    tokenization, BMP bottom-up rows and stride padding, PNG chunk walk +
+    inflate + per-row unfiltering — and emits width/height/channel stats.
+    Because the synthesized pixel stream is closed-form
     ((id*31 + i) % 256), the DuckDB oracle recomputes every decoded
     feature analytically: any parsing slip (padding counted in the sum,
-    rows misordered, header off-by-one) hash-mismatches (reference has no
+    rows misordered, a wrong unfilter) hash-mismatches (reference has no
     multimodal surface; north-star extension)."""
     from orion_spark.llm import multimodal as MM
 

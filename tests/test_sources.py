@@ -124,12 +124,80 @@ def test_decode_rejects_unknown_magic():
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG\r\n")
+        MM.decode_image(b"GIF89a....")
+
+
+def test_png_roundtrip_all_encoder_filters():
+    """PNG codec (stdlib zlib): encode→decode identity; the encoder cycles
+    None/Sub/Up row filters so unfiltering is exercised, and a hand-built
+    Paeth/Average-filtered image checks the remaining two paths."""
+    import struct
+    import zlib
+
+    from orion_spark.llm import multimodal as MM
+
+    vals = [(i * 11) % 256 for i in range(4 * 5 * 3)]
+    payload = MM.encode_png(4, 5, vals)
+    assert payload[:8] == MM.PNG_SIGNATURE
+    assert MM.decode_png(payload) == (4, 5, vals)
+    assert MM.decode_image(payload)[0] == "png"
+
+    # hand-build rows with filter 3 (Average) and 4 (Paeth)
+    w, h, stride = 2, 2, 6
+    rows = [bytes(vals[r * stride:(r + 1) * stride]) for r in range(h)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, row in enumerate(rows):
+        ft = 3 if r == 0 else 4
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    payload = (MM.PNG_SIGNATURE
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert MM.decode_png(payload) == (w, h, vals[:w * h * 3])
+
+
+def test_jpeg_header_parse_without_codec():
+    import struct
+
+    from orion_spark.llm import multimodal as MM
+    import pytest as _pytest
+
+    # minimal marker stream: SOI, APP0, SOF0 (h=10, w=20, 3 components)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, 10, 20, 3)
+    payload = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+    assert MM.jpeg_header(payload) == (20, 10, 3)
+    # pixel decode without PIL names the metadata alternative
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with _pytest.raises(NotImplementedError, match="jpeg_header"):
+            MM.decode_image(payload)
 
 
 def test_multimodal_real_decode_distributed(spark):
-    """End-to-end over the Spark stage: synthesized PPM/BMP payloads decode
-    to the analytically-known features."""
+    """End-to-end over the Spark stage: synthesized PPM/BMP/PNG payloads
+    decode to the analytically-known features."""
     from orion_spark.llm import multimodal as MM
 
     ids = spark.createDataFrame([(i,) for i in range(20)], "media_id bigint")
@@ -141,7 +209,7 @@ def test_multimodal_real_decode_distributed(spark):
         w, h = 1 + mid % 8, 1 + (mid // 8) % 8
         r = feats[mid]
         assert (r.format, r.width, r.height) == (
-            "ppm" if mid % 2 == 0 else "bmp", w, h,
+            ("ppm", "bmp", "png")[mid % 3], w, h,
         )
         assert r.pixel_sum == sum((mid * 31 + i) % 256 for i in range(w * h * 3))
 
