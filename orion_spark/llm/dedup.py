@@ -705,7 +705,24 @@ def minhash_lsh_pairs_dedup_first(
     equal signatures and buckets — the plain LSH would emit every
     cross-group and within-group combination anyway, at quadratic cost
     per duplicate group. Measured motivation: SCALE.md round-3 sf1 point,
-    where 10x exact copies made the direct path scale 17.6x."""
+    where 10x exact copies made the direct path scale 17.6x.
+
+    Contract notes (round-3 advice):
+    - the within-group shortcut emits jaccard 1.0 pairs directly, which
+      is only equivalent for threshold <= 1.0 — asserted below so the
+      output-identity claim holds for every accepted parameter;
+    - the exact-dedup key is md5 of the RAW text while shingling
+      normalizes via lower/trim, deliberately: normalization-equal (but
+      byte-different) texts can have jaccard < 1 shingle sets when
+      k-shingle boundaries shift, so keying the pre-pass on normalized
+      text would break output identity. The cost is that such documents
+      stay separate representatives and pair through LSH — correctness
+      is unaffected, only the collapse is less aggressive."""
+    if not threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be <= 1.0 (got {threshold}): within-group "
+            "pairs carry jaccard exactly 1.0"
+        )
     groups = (
         df.select(
             F.md5(F.col(text_col)).alias("_key"),
