@@ -3181,6 +3181,13 @@ def cohd_like(
             ),
         )
     )
+    # BOUNDEDNESS ASSUMPTION (round-3 verdict): resource_role is the TRAPI
+    # retrieval-source role vocabulary — a handful of fixed values
+    # (primary/aggregator/supporting), never data-scaled — so this distinct
+    # collect is a manifest-sized driver read that parameterizes the output
+    # SCHEMA (one column per role). An adversarial input with unbounded
+    # role cardinality would widen the schema driver-side; the cap below
+    # turns that into a loud failure instead of an OOM-by-columns.
     roles = sorted(
         set(
             raw.select(
@@ -3188,6 +3195,11 @@ def cohd_like(
             ).distinct().toPandas()["r"]
         )
     )
+    if len(roles) > 64:
+        raise ValueError(
+            f"{len(roles)} distinct resource_role values — expected a "
+            "bounded TRAPI role vocabulary; refusing to widen the schema"
+        )
     edges = raw.withColumn("_m", m).select(
         *[c for c in raw.columns if c != "sources"],
         *[F.element_at("_m", F.lit(r)).alias(r) for r in roles],
