@@ -28,6 +28,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 WHITELIST: dict[str, dict[str, str]] = {
     "BroadcastNestedLoopJoin": {
         "ann_cosine_topk": "by design: every (candidate, query) pair is scored; the query side is broadcast",
+        "ann_cosine_topk_fixed_batch": "same exact-scoring contract with a fixed 64-query broadcast batch — one candidate scan, O(|C|) per batch",
+        "yeast_histone_gene_edges": "deliberate crossJoin of windows x 3-row broadcast PTM dim (yeast_histone_bins); the gene overlap itself is the bin-bucketed equi-join",
+        "gse61888_like_edges": "same windows x PTM broadcast cross as yeast_histone_gene_edges; window assignment is the bin-bucketed point-interval equi-join",
         "ann_lsh_topk": "bucket-limited pair scoring after LSH blocking",
         "ann_ivf_topk": "probe-list-limited pair scoring after IVF routing",
         "dedup_embedding_cosine_exact": "exact variant scores all pairs (dedup_embedding_cosine is the LSH-banded scale path, no BNLJ)",
