@@ -7272,3 +7272,45 @@ def gse61888_like_edges_q(spark, sf_dir):
         F.round(F.aggregate("time_series", F.lit(0.0),
                             lambda a, x: a + x), 6).alias("ts_sum"),
     )
+
+
+@query("incremental_upsert_merged_edges")
+def incremental_upsert_merged_edges_q(spark, sf_dir):
+    """Round-4 incremental-upsert equivalence, oracle-checked: lineitem
+    edges split by line number — lines 1-3 are merged and persisted as a
+    hash-sharded bundle, lines 4+ arrive as the delta and are upserted
+    (sinks/incremental.py: only touched shard partitions rewritten via
+    dynamic partition overwrite). Because the upsert keeps bundle rows at
+    ordinal 0 and shifts the delta's own ordinals above it, the result is
+    EXACTLY the from-scratch merge of all rows — so this query registers
+    the SAME DuckDB oracle as kgx_merge_edges (assigned below): the
+    driver's hash match IS the equivalence proof, the same pattern as
+    dedup_minhash_lsh_dedup_first."""
+    import os
+    import re as _re
+
+    from orion_spark.sinks import incremental as INC
+
+    edges = G.lineitem_edges(spark, sf_dir)
+    base = edges.where(F.col("_source_ordinal") < 4000)
+    delta = edges.where(F.col("_source_ordinal") >= 4000)
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    # pid-scoped scratch: the bundle is MUTATED by the upsert, so unlike
+    # the read-only fixtures it is rebuilt from scratch every invocation
+    path = os.path.join(
+        _fixture_dir(), f"upsert_bundle_v1{slug}_{os.getpid()}"
+    )
+    INC.write_sharded_bundle(
+        M.merge_edges(base), path, ["subject"], n_shards=16
+    )
+    INC.upsert_sharded_edges(spark, delta, path, n_shards=16)
+    merged = INC.read_sharded_bundle(spark, path)
+    return merged.select(
+        "id", "subject", "predicate", "object", "primary_knowledge_source",
+        "object_aspect_qualifier", "object_direction_qualifier",
+        F.array_join("publications", ",").alias("publications"),
+        "quantity",
+    )
+
+
+ORACLES["incremental_upsert_merged_edges"] = ORACLES["kgx_merge_edges"]

@@ -65,16 +65,27 @@ def upsert_sharded_bundle(
 ) -> list[int]:
     """Merge *delta* into the sharded bundle at *path*, rewriting only the
     shard partitions the delta touches. Existing bundle rows get ordinal 0
-    and the delta ordinal 1, so on scalar conflicts the persisted value
-    wins (the reference's first-truthy-by-source-order rule with the
-    bundle as the earlier source). Returns the touched shard ids."""
+    so on scalar conflicts the persisted value wins (the reference's
+    first-truthy-by-source-order rule with the bundle as the earlier
+    source); delta rows keep their own relative order shifted above the
+    bundle (ordinal+1 if the delta carries one, else 1) — with that, an
+    upsert is EXACTLY equivalent to a from-scratch merge of
+    bundle-sources-then-delta, which the registry query
+    incremental_upsert_merged_edges hash-checks against the
+    kgx_merge_edges oracle. Returns the touched shard ids."""
+    if ordinal_col in delta.columns:
+        delta = delta.withColumn(
+            ordinal_col, F.col(ordinal_col).cast("long") + 1
+        )
+    else:
+        delta = delta.withColumn(ordinal_col, F.lit(1).cast("long"))
     delta = delta.withColumn(SHARD_COL, shard_of(key_cols, n_shards))
     touched = sorted(
         r[SHARD_COL] for r in delta.select(SHARD_COL).distinct().collect()
     )
     existing = spark.read.parquet(path).where(F.col(SHARD_COL).isin(touched))
-    combined = existing.withColumn(ordinal_col, F.lit(0)).unionByName(
-        delta.withColumn(ordinal_col, F.lit(1)), allowMissingColumns=True
+    combined = existing.withColumn(ordinal_col, F.lit(0).cast("long")).unionByName(
+        delta, allowMissingColumns=True
     )
     merged = merge(combined).withColumn(SHARD_COL, shard_of(key_cols, n_shards))
 
