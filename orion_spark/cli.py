@@ -214,6 +214,31 @@ def cmd_neo4j_verify(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_submit_build(args) -> int:
+    """Producer side of the reference's Celery dispatch
+    (celery_worker.py): enqueue a graph build on the file-spool queue."""
+    from orion_spark.plans.worker import submit_task
+
+    task_id = submit_task(args.spool, args.graph_id, args.spec_filename)
+    print(json.dumps({"task_id": task_id, "spool": args.spool}))
+    return 0
+
+
+def cmd_worker(args) -> int:
+    """Consumer side: drain the spool, one in-process Spark build per
+    claimed task, results to done//failed/."""
+    from orion_spark.plans.worker import run_worker
+
+    spark = _spark()
+    bundles = dict(kv.split("=", 1) for kv in args.source_bundle)
+    results = run_worker(
+        spark, args.spool, args.shared_dir, args.storage, bundles,
+        worker_id=args.worker_id, max_tasks=args.max_tasks,
+    )
+    print(json.dumps(results))
+    return 0 if all(r["status"] == "success" for r in results) else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -299,6 +324,22 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument("--release-version", default="")
     md.add_argument("--format", default="parquet")
     md.set_defaults(fn=cmd_memgraph_dump)
+
+    sb = sub.add_parser("submit-build")
+    sb.add_argument("--spool", required=True)
+    sb.add_argument("--graph-id", required=True)
+    sb.add_argument("--spec-filename", required=True)
+    sb.set_defaults(fn=cmd_submit_build)
+
+    wk = sub.add_parser("worker")
+    wk.add_argument("--spool", required=True)
+    wk.add_argument("--shared-dir", required=True)
+    wk.add_argument("--storage", required=True)
+    wk.add_argument("--source-bundle", action="append", default=[],
+                    help="source_id=path, repeatable")
+    wk.add_argument("--worker-id")
+    wk.add_argument("--max-tasks", type=int)
+    wk.set_defaults(fn=cmd_worker)
 
     nv = sub.add_parser("neo4j-verify")
     nv.add_argument("--bundle", required=True)

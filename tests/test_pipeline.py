@@ -585,3 +585,46 @@ def test_http_graph_registry_client_protocol(tmp_path):
             client.download_file("g1", "x", str(tmp_path / "x"), {})
     finally:
         srv.shutdown()
+
+
+def test_build_worker_file_spool_queue(spark, tmp_path):
+    """celery_worker.py counterpart: submit -> atomic claim -> in-process
+    build -> done/failed records; a bad task is recorded to failed/ and
+    the worker keeps draining; a claimed task can't be double-claimed."""
+    from orion_spark.plans import worker as W
+
+    bundles = _sources(spark, tmp_path)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    (shared / "graphs.yaml").write_text(SPEC_YAML)
+    spool = str(tmp_path / "spool")
+    storage = str(tmp_path / "storage")
+
+    t1 = W.submit_task(spool, "test_graph", "graphs.yaml")
+    t2 = W.submit_task(spool, "no_such_graph", "graphs.yaml")
+    W.submit_task(spool, "test_graph", "missing.yaml", task_id="t3")
+
+    results = W.run_worker(spark, spool, str(shared), storage, bundles)
+    by_id = {r["task_id"]: r for r in results}
+    assert len(results) == 3
+    assert by_id[t1]["status"] == "success"
+    assert os.path.isdir(by_id[t1]["path"])
+    assert by_id[t2]["status"] == "failure" and "no_such_graph" in by_id[t2]["error"]
+    assert by_id["t3"]["status"] == "failure"
+    # result records landed in the right outcome dirs; queue is drained
+    assert len(os.listdir(os.path.join(spool, "done"))) == 1
+    assert len(os.listdir(os.path.join(spool, "failed"))) == 2
+    assert os.listdir(os.path.join(spool, "pending")) == []
+    assert W.claim_next(spool, "w2") is None
+
+    # claim atomicity: a second worker can't steal a claimed task
+    t4 = W.submit_task(spool, "test_graph", "graphs.yaml")
+    claim = W.claim_next(spool, "w1")
+    assert claim is not None and claim[1]["task_id"] == t4
+    assert W.claim_next(spool, "w2") is None
+
+    # missing shared dir is a hard error (celery_worker.py:29-31)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="shared data dir"):
+        W.run_claimed_task(spark, claim[1], "", storage, bundles)
