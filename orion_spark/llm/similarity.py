@@ -326,3 +326,132 @@ def lsh_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_topk_fixed_centroids(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroid table
+    is the first n_clusters candidate vectors by id (a valid
+    sampled-centroid quantizer, the degenerate one-iteration case of
+    k-means|| initialization). Everything downstream is the standard IVF
+    contract — assign each candidate to its nearest list, probe the
+    n_probe nearest lists per query — but with no trained model the whole
+    operator is a pure function of the data, so it is fully
+    hash-checkable cross-engine (ivf_topk_fixed_oracle_sql), unlike the
+    KMeans-backed ivf_topk whose centroids are engine-specific.
+
+    Scale shape is identical to real IVF: centroids broadcast; candidate
+    assignment is one narrow scan x n_clusters expression work + one
+    min_by aggregate; query-side probing touches n_probe/n_clusters of
+    the corpus. Assignment and ranking order on the 6-decimal-rounded
+    cosine with id tie-breaks so results are stable across engines."""
+    from pyspark.sql import Window
+
+    cent = F.broadcast(
+        candidates.where(F.col(id_col) < n_clusters).select(
+            F.col(id_col).alias("_list"),
+            F.col(vec_col).cast("array<double>").alias("_centroid"),
+        )
+    )
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    # nearest list per candidate: min_by over (neg rounded cosine, list id)
+    scored_assign = cand.join(cent, how="cross").select(
+        "neighbor_id", "_cv", "_list",
+        F.round(cosine(F.col("_cv"), F.col("_centroid")), 6).alias("_ac"),
+    )
+    assigned = scored_assign.groupBy("neighbor_id").agg(
+        F.min_by(
+            F.struct("_list", "_cv"),
+            F.struct((-F.col("_ac")).alias("nc"), F.col("_list").alias("l")),
+        ).alias("_a")
+    ).select("neighbor_id", F.col("_a._list").alias("_list"), F.col("_a._cv").alias("_cv"))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("_qv"), F.col("_centroid")), 6)),
+        F.asc("_list"),
+    )
+    probes = (
+        F.broadcast(q).join(cent, how="cross")
+        .withColumn("_crk", F.row_number().over(wq))
+        .where(F.col("_crk") <= n_probe)
+        .select("query_id", "_qv", "_list")
+    )
+    pairs = F.broadcast(probes).join(assigned, "_list").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivf_topk_fixed_oracle_sql(
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    query_filter: str = "vec_id < 64",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB ground truth for ivf_topk_fixed_centroids: identical
+    centroid choice, rounded-cosine assignment with the same tie-breaks,
+    probe ranking and final top-k."""
+    cos = (
+        "round(list_sum([av[i] * bv[i] for i in range(1, len(av) + 1)]) / "
+        "(sqrt(list_sum([av[i] * av[i] for i in range(1, len(av) + 1)])) * "
+        "sqrt(list_sum([bv[i] * bv[i] for i in range(1, len(bv) + 1)]))), 6)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM {table}),
+    cent AS (SELECT vec_id AS list_id, ev AS cv FROM v
+             WHERE vec_id < {n_clusters}),
+    assign_scored AS (
+        SELECT v.vec_id AS neighbor_id, v.ev, cent.list_id,
+               {cos.replace('av', 'v.ev').replace('bv', 'cent.cv')} AS ac
+        FROM v, cent),
+    assigned AS (
+        SELECT neighbor_id, ev, list_id FROM (
+            SELECT neighbor_id, ev, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                      ORDER BY ac DESC, list_id) AS arn
+            FROM assign_scored) WHERE arn = 1),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE {query_filter}),
+    probe_scored AS (
+        SELECT q.query_id, q.qv, cent.list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {cos.replace('av', 'q.qv').replace('bv', 'cent.cv')}
+                       DESC, cent.list_id) AS crk
+        FROM q, cent),
+    probes AS (SELECT query_id, qv, list_id FROM probe_scored
+               WHERE crk <= {n_probe}),
+    pairs AS (
+        SELECT p.query_id, a.neighbor_id,
+               {cos.replace('av', 'p.qv').replace('bv', 'a.ev')} AS cosine
+        FROM probes p JOIN assigned a USING (list_id)
+        WHERE p.query_id <> a.neighbor_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM pairs)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """

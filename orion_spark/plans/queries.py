@@ -2566,6 +2566,33 @@ def ann_cosine_topk_fixed_batch_q(spark, sf_dir):
     return S.brute_force_topk(queries_df, emb, k=10)
 
 
+def _register_ann_ivf_fixed():
+    from orion_spark.llm.similarity import ivf_topk_fixed_oracle_sql
+
+    @query(
+        "ann_ivf_topk_fixed",
+        ivf_topk_fixed_oracle_sql(k=10, n_clusters=16, n_probe=3,
+                                  query_filter="vec_id < 64"),
+    )
+    def ann_ivf_topk_fixed_q(spark, sf_dir):
+        """IVF top-k with the deterministic sampled-centroid quantizer —
+        the fully hash-checkable sibling of the KMeans-backed
+        ann_ivf_topk (which stays registered rows-only because trained
+        centroids are engine-specific). Same IVF cost shape: broadcast
+        centroids, one assignment scan, n_probe/n_clusters of the corpus
+        scored per query."""
+        from orion_spark.llm import similarity as S
+
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 64)
+        return S.ivf_topk_fixed_centroids(
+            queries_df, emb, k=10, n_clusters=16, n_probe=3
+        )
+
+
+_register_ann_ivf_fixed()
+
+
 @query("ann_ivf_topk")
 def ann_ivf_topk_q(spark, sf_dir):
     from orion_spark.llm import similarity as S
