@@ -44,6 +44,9 @@ HEADLINE = [
     # unbounded vec_id%100 variant stays registered as the scoring oracle
     # but scaled O(|Q|x|C|) with the fixture and distorted the sf1 suite
     "ann_cosine_topk_fixed_batch",
+    # the sublinear ANN scale path (deterministic IVF: broadcast centroids,
+    # n_probe/n_clusters of the corpus scored per query)
+    "ann_ivf_topk_fixed",
     "events_hourly_rollup",
     "events_sessionize",
     "events_value_percentiles",

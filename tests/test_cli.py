@@ -200,3 +200,38 @@ def test_cli_neo4j_verify(spark, tmp_path, capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip())
     assert report["ok"]
+
+
+def test_cli_build_worker_queue(spark, tmp_path, capsys):
+    """submit-build enqueues; worker drains the spool and reports."""
+    import yaml  # noqa: F401  (spec is plain text; yaml just documents intent)
+
+    from orion_spark.sources.kgx import write_bundle as _wb
+
+    nodes = spark.createDataFrame(
+        [Row(id="A:1", name="a", category=["biolink:Gene"],
+             publications=["PMID:1"])])
+    edges = spark.createDataFrame(
+        [Row(subject="A:1", predicate="biolink:related_to", object="A:1",
+             primary_knowledge_source="infores:x",
+             publications=["PMID:2"])])
+    src = str(tmp_path / "only_src")
+    _wb(nodes, edges, src)
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    (shared / "g.yaml").write_text(
+        "graphs:\n  - graph_id: g1\n    sources:\n      - source_id: only_src\n")
+    spool = str(tmp_path / "spool")
+
+    rc = cli.main(["submit-build", "--spool", spool, "--graph-id", "g1",
+                   "--spec-filename", "g.yaml"])
+    assert rc == 0
+    task = json.loads(capsys.readouterr().out.strip())
+    rc = cli.main(["worker", "--spool", spool, "--shared-dir", str(shared),
+                   "--storage", str(tmp_path / "storage"),
+                   "--source-bundle", f"only_src={src}"])
+    assert rc == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert results[0]["task_id"] == task["task_id"]
+    assert results[0]["status"] == "success"
+    assert os.path.isdir(results[0]["path"])
