@@ -2,11 +2,13 @@
 
 Images/audio/video ride as opaque BINARY columns with typed metadata
 structs; decode/resize/frame-sample are Arrow-batched mapInPandas stages.
-The decode step is REAL for the two uncompressed formats that need no
-external libraries — binary PPM (P6) and uncompressed 24-bit BMP — and
-raises a clear error for formats that would need a codec library (JPEG,
-PNG, audio, video); swapping in PIL/ffmpeg later changes only the inner
-per-payload function.
+The decode step is REAL for every format decodable with the stdlib —
+binary PPM (P6), uncompressed 24-bit BMP, zlib-inflated 8-bit PNG
+(full None/Sub/Up/Average/Paeth unfiltering), and RIFF/WAVE PCM16
+audio — plus a codec-free JPEG header parser; formats that genuinely
+need a codec library (JPEG pixels, compressed audio, video) raise a
+clear error naming the optional dependency. Swapping in PIL/ffmpeg
+changes only the inner per-payload function.
 
 Scale notes: binary payloads make rows wide, so these stages run on
 repartitioned inputs sized by `target_rows_per_batch` (Arrow batch memory =
@@ -548,4 +550,177 @@ def frame_sample_plan(
                 F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM16 — the third real, dependency-free codec family.
+# Compressed audio (mp3/ogg/flac) stays behind the loud-error boundary the
+# same way JPEG does for images.
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """RIFF/WAVE, PCM (format tag 1), 16-bit samples. Chunk walk to fmt
+    and data (chunks are word-aligned: odd-sized chunks carry a pad
+    byte). Returns (n_channels, sample_rate, interleaved samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    n_channels = sample_rate = bits = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # word alignment pad
+    if n_channels is None or data is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported WAVE bit depth {bits}")
+    if len(data) % 2:
+        raise ValueError("truncated WAVE sample data")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return n_channels, sample_rate, samples
+
+
+def encode_wav(
+    samples: list[int], n_channels: int = 1, sample_rate: int = 16000
+) -> bytes:
+    """Inverse of decode_wav (PCM16) — tests and fixture synthesis."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_audio(payload: bytes) -> tuple[str, int, int, list[int]]:
+    """Dispatch on magic bytes; compressed codecs fail loudly."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("empty payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return ("wav", *decode_wav(payload))
+    raise NotImplementedError(
+        f"no audio codec for magic {payload[:4]!r} (compressed audio "
+        "needs an external library)"
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """mapInPandas audio decode/feature stage: parses PCM16 WAV payloads
+    and emits (n_channels, sample_rate, n_samples, duration_ms,
+    sample_sum, peak). Same Arrow-batch shape rules as decode_features."""
+    out_schema = (
+        f"{id_col} bigint, format string, n_channels int, sample_rate int, "
+        "n_samples int, duration_ms int, sample_sum bigint, peak int"
+    )
+    import struct as _struct
+
+    def _wav(payload: bytes):
+        i = 12
+        n_channels = sample_rate = bits = None
+        data = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (size,) = _struct.unpack_from("<I", payload, i + 4)
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                fmt_tag, n_channels, sample_rate = _struct.unpack_from(
+                    "<HHI", body, 0
+                )
+                (bits,) = _struct.unpack_from("<H", body, 14)
+                if fmt_tag != 1:
+                    raise ValueError("unsupported WAVE format tag")
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if n_channels is None or data is None or bits != 16:
+            raise ValueError("unsupported or truncated WAVE")
+        return n_channels, sample_rate, _struct.unpack(
+            f"<{len(data) // 2}h", data
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col].values,
+                "format": [], "n_channels": [], "sample_rate": [],
+                "n_samples": [], "duration_ms": [], "sample_sum": [],
+                "peak": [],
+            }
+            for p in pdf[payload_col]:
+                payload = bytes(p)
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        "no audio codec for magic %r" % (payload[:4],)
+                    )
+                nch, rate, samples = _wav(payload)
+                frames = len(samples) // nch
+                out["format"].append("wav")
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(frames * 1000 // rate)
+                out["sample_sum"].append(int(sum(samples)))
+                out["peak"].append(max(abs(s) for s in samples) if samples else 0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+def synthesize_audio(
+    df: DataFrame, id_col: str = "media_id", max_frames: int = 64
+) -> DataFrame:
+    """Deterministic real-audio fixture generator: per id a PCM16 WAV with
+    n_channels = 1 + id % 2, sample_rate 8000/16000 by id % 2, and
+    frames = 1 + id % max_frames of closed-form samples
+    s_i = ((id * 7 + i * 13) % 4001) - 2000 — analytic enough for a SQL
+    oracle to recompute every decoded feature."""
+    import struct as _struct
+
+    mf = max_frames
+
+    def _wav_bytes(samples, nch, rate):
+        data = _struct.pack(f"<{len(samples)}h", *samples)
+        byte_rate = rate * nch * 2
+        fmt = _struct.pack("<HHIIHH", 1, nch, rate, byte_rate, nch * 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b"")
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nch = 1 + mid % 2
+                rate = 8000 if mid % 2 == 0 else 16000
+                n = (1 + mid % mf) * nch
+                samples = [((mid * 7 + i * 13) % 4001) - 2000 for i in range(n)]
+                payloads.append(_wav_bytes(samples, nch, rate))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, payload binary"
     )

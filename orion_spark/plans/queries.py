@@ -7341,3 +7341,43 @@ def incremental_upsert_merged_edges_q(spark, sf_dir):
 
 
 ORACLES["incremental_upsert_merged_edges"] = ORACLES["kgx_merge_edges"]
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               1 + doc_id % 2 AS n_channels,
+               CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+               (1 + doc_id % 64) * (1 + doc_id % 2) AS n,
+               1 + doc_id % 64 AS frames
+        FROM documents)
+    SELECT media_id, 'wav' AS format,
+           CAST(n_channels AS INTEGER) AS n_channels,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(frames * 1000 // sample_rate AS INTEGER) AS duration_ms,
+           CAST(list_sum([(media_id * 7 + i * 13) % 4001 - 2000
+                          for i in range(0, n)]) AS BIGINT) AS sample_sum,
+           CAST(list_max([abs((media_id * 7 + i * 13) % 4001 - 2000)
+                          for i in range(0, n)]) AS INTEGER) AS peak
+    FROM dims
+    """,
+)
+def multimodal_audio_features_q(spark, sf_dir):
+    """Multimodal AUDIO decode end-to-end over real bytes: a deterministic
+    fixture stage builds an actual RIFF/WAVE PCM16 payload per document
+    id (mono/stereo and 8/16 kHz alternating, closed-form samples), then
+    the Arrow-batched mapInPandas stage parses the container for real —
+    RIFF chunk walk, word-alignment padding, fmt-tag/bit-depth gates,
+    little-endian PCM16 unpack — and emits channel/rate/duration/sum/peak
+    features the DuckDB oracle recomputes analytically (reference has no
+    multimodal surface; north-star extension)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = MM.synthesize_audio(docs)
+    return MM.audio_features(media)

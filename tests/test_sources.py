@@ -285,3 +285,55 @@ def test_read_jdbc_embedded_derby(spark, tmp_path):
     assert out.rdd.getNumPartitions() == 2  # parallel read path exercised
     rows = {r.ID: r.NAME for r in out.collect()}
     assert rows == {0: "aspirin", 1: "ibuprofen"}
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """RIFF/WAVE PCM16 codec: encode→decode identity (mono + stereo, odd
+    sample count exercising the word-alignment pad), extra chunks before
+    data are skipped, non-PCM and non-16-bit variants rejected."""
+    import struct
+
+    from orion_spark.llm import multimodal as MM
+    import pytest as _pytest
+
+    mono = [0, 100, -100, 32767, -32768]
+    payload = MM.encode_wav(mono, n_channels=1, sample_rate=8000)
+    assert MM.decode_wav(payload) == (1, 8000, mono)
+    assert MM.decode_audio(payload)[0] == "wav"
+
+    stereo = [1, -1, 2, -2, 3, -3]
+    payload = MM.encode_wav(stereo, n_channels=2, sample_rate=44100)
+    assert MM.decode_wav(payload) == (2, 44100, stereo)
+
+    # insert a LIST chunk between fmt and data: the walk must skip it
+    base = MM.encode_wav(mono, 1, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = base[:fmt_end] + extra + base[fmt_end:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert MM.decode_wav(patched) == (1, 8000, mono)
+
+    with _pytest.raises(NotImplementedError):
+        MM.decode_audio(b"ID3\x04" + b"\x00" * 20)  # mp3-ish
+    ieee = bytearray(MM.encode_wav(mono, 1, 8000))
+    ieee[20:22] = struct.pack("<H", 3)  # IEEE float tag
+    with _pytest.raises(ValueError, match="format tag"):
+        MM.decode_wav(bytes(ieee))
+
+
+def test_multimodal_audio_distributed(spark):
+    from orion_spark.llm import multimodal as MM
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "media_id bigint")
+    feats = {r.media_id: r for r in MM.audio_features(
+        MM.synthesize_audio(ids)).collect()}
+    for mid in range(10):
+        nch = 1 + mid % 2
+        rate = 8000 if mid % 2 == 0 else 16000
+        n = (1 + mid % 64) * nch
+        samples = [((mid * 7 + i * 13) % 4001) - 2000 for i in range(n)]
+        r = feats[mid]
+        assert (r.n_channels, r.sample_rate, r.n_samples) == (nch, rate, n)
+        assert r.sample_sum == sum(samples)
+        assert r.peak == max(abs(s) for s in samples)
+        assert r.duration_ms == (n // nch) * 1000 // rate
