@@ -292,24 +292,13 @@ def encode_png(w: int, h: int, vals: list[int]) -> bytes:
     )
 
 
-def decode_features(
-    df: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "media_id",
-    target_rows_per_batch: int = 256,
-) -> DataFrame:
-    """mapInPandas decode/feature-extract stage over real image bytes:
-    parses PPM (P6) and 24-bit BMP payloads and emits
-    (format, width, height, n_channel_bytes, pixel_sum). Output schema is
-    fixed and engine-typed; the inner decode is the only swappable piece —
-    a PIL-backed decoder would slot into `_decode` unchanged."""
-    out_schema = (
-        f"{id_col} bigint, format string, width int, height int, "
-        "n_channel_bytes int, pixel_sum bigint"
-    )
-
-    # decoders redefined INSIDE the closure (pickled by value — workers
-    # can't import orion_spark under the external driver's session)
+def _by_value_image_decoder():
+    """Factory returning the pure-Python image decoder as a CLOSURE:
+    functions defined in function scope are pickled by value, so the
+    mapInPandas stages that capture the returned callable ship it to
+    executors without requiring orion_spark to be importable there
+    (the external driver's session makes no such guarantee). Module-level
+    twins (decode_ppm/decode_bmp/decode_png) exist for unit tests."""
     import struct as _struct
 
     def _ppm(payload: bytes):
@@ -335,22 +324,29 @@ def decode_features(
         return w, h, data
 
     def _bmp(payload: bytes):
+        # row-major top-down RGB, like the module-level decode_bmp: rows
+        # un-reversed (bottom-up storage), BGR swapped. Positional
+        # consumers (resize) need this; sum-only features can't tell.
         (data_off,) = _struct.unpack_from("<I", payload, 10)
         w, h = _struct.unpack_from("<ii", payload, 18)
         (bpp,) = _struct.unpack_from("<H", payload, 28)
         (compression,) = _struct.unpack_from("<I", payload, 30)
         if bpp != 24 or compression != 0:
             raise ValueError("unsupported BMP variant")
+        top_down = h < 0
         h = abs(h)
         row_bytes = (w * 3 + 3) & ~3
-        chunks = []
-        for r in range(h):
+        out = bytearray()
+        rows = range(h) if top_down else range(h - 1, -1, -1)
+        for r in rows:
             base = data_off + r * row_bytes
             row = payload[base : base + w * 3]
             if len(row) != w * 3:
                 raise ValueError("truncated BMP pixel data")
-            chunks.append(row)
-        return w, h, b"".join(chunks)
+            for px in range(w):
+                b, g, rr = row[px * 3 : px * 3 + 3]
+                out += bytes((rr, g, b))
+        return w, h, bytes(out)
 
     def _png(payload: bytes):
         import zlib as _zlib
@@ -424,6 +420,27 @@ def decode_features(
             "no codec for magic %r (JPEG pixel decode needs PIL)"
             % (payload[:2],)
         )
+
+    return _decode
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """mapInPandas decode/feature-extract stage over real image bytes:
+    parses PPM (P6) and 24-bit BMP payloads and emits
+    (format, width, height, n_channel_bytes, pixel_sum). Output schema is
+    fixed and engine-typed; the inner decode is the only swappable piece —
+    a PIL-backed decoder would slot into `_decode` unchanged."""
+    out_schema = (
+        f"{id_col} bigint, format string, width int, height int, "
+        "n_channel_bytes int, pixel_sum bigint"
+    )
+
+    _decode = _by_value_image_decoder()
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -724,3 +741,52 @@ def synthesize_audio(
     return df.select(id_col).mapInPandas(
         gen, schema=f"{id_col} bigint, payload binary"
     )
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Nearest-neighbor image resize — the canonical thumbnail/normalize
+    stage of a multimodal curation pipeline: decode (PPM/BMP/PNG via the
+    by-value decoder), sample output pixel (x, y) from source pixel
+    (x * src_w // out_w, y * src_h // out_h), re-encode as binary PPM.
+    Integer arithmetic only, so an analytic SQL oracle can recompute the
+    resized stream exactly; RGBA sources keep their first three channels.
+    Emits (id, width, height, payload, pixel_sum)."""
+    out_schema = (
+        f"{id_col} bigint, width int, height int, payload binary, "
+        "pixel_sum bigint"
+    )
+    _decode = _by_value_image_decoder()
+    ow, oh = out_w, out_h
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, sums = [], []
+            for p in pdf[payload_col]:
+                _, w, h, data = _decode(bytes(p))
+                nch = len(data) // (w * h)
+                resized = bytearray()
+                for y in range(oh):
+                    sy = y * h // oh
+                    for x in range(ow):
+                        sx = x * w // ow
+                        base = (sy * w + sx) * nch
+                        resized += data[base : base + 3]
+                payloads.append(b"P6\n%d %d\n255\n" % (ow, oh) + bytes(resized))
+                sums.append(sum(resized))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": [ow] * len(payloads),
+                    "height": [oh] * len(payloads),
+                    "payload": payloads,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)

@@ -7381,3 +7381,39 @@ def multimodal_audio_features_q(spark, sf_dir):
     )
     media = MM.synthesize_audio(docs)
     return MM.audio_features(media)
+
+
+@query(
+    "multimodal_resize_images",
+    """
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               1 + doc_id % 8 AS w0,
+               1 + (doc_id // 8) % 8 AS h0
+        FROM documents)
+    SELECT media_id, 4 AS width, 4 AS height,
+           CAST(list_sum([
+               (media_id * 31 +
+                (((i // 12) * h0 // 4) * w0 + ((i // 3) % 4) * w0 // 4) * 3
+                + i % 3) % 256
+               for i in range(0, 48)]) AS BIGINT) AS pixel_sum
+    FROM dims
+    """,
+)
+def multimodal_resize_images_q(spark, sf_dir):
+    """Multimodal RESIZE end-to-end over real bytes: synthesized
+    PPM/BMP/PNG payloads (closed-form pixel stream) pass through the
+    nearest-neighbor 4x4 thumbnail stage; the DuckDB oracle recomputes
+    the resized stream analytically (output pixel (x,y,c) samples source
+    index ((y*h0//4)*w0 + x*w0//4)*3 + c). Any slip in the sampling
+    arithmetic, channel handling, or decode path hash-mismatches
+    (reference has no multimodal surface; north-star extension)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = MM.synthesize_media(docs)
+    return MM.resize_images(media, 4, 4).select(
+        "media_id", "width", "height", "pixel_sum"
+    )

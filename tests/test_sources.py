@@ -337,3 +337,32 @@ def test_multimodal_audio_distributed(spark):
         assert r.sample_sum == sum(samples)
         assert r.peak == max(abs(s) for s in samples)
         assert r.duration_ms == (n // nch) * 1000 // rate
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """4x4 nearest-neighbor thumbnails over PPM, BMP and PNG sources:
+    sampled positions (not just sums) must match the analytic mapping —
+    this is the test that catches orientation/channel-order slips the
+    sum-only features can't see — and the emitted payload is a valid PPM
+    that round-trips through the local decoder."""
+    from orion_spark.llm import multimodal as MM
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(9, 15)], "media_id bigint")  # covers all 3 fmts
+    media = MM.synthesize_media(ids)
+    out = {r.media_id: r for r in MM.resize_images(media, 4, 4).collect()}
+    for mid in range(9, 15):
+        w0, h0 = 1 + mid % 8, 1 + (mid // 8) % 8
+        vals = [(mid * 31 + i) % 256 for i in range(w0 * h0 * 3)]
+        expected = []
+        for y in range(4):
+            sy = y * h0 // 4
+            for x in range(4):
+                sx = x * w0 // 4
+                base = (sy * w0 + sx) * 3
+                expected += vals[base:base + 3]
+        r = out[mid]
+        w, h, got = MM.decode_ppm(bytes(r.payload))
+        assert (w, h) == (4, 4)
+        assert got == expected
+        assert r.pixel_sum == sum(expected)
