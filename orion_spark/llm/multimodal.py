@@ -790,3 +790,233 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Video: ISO-BMFF (MP4) box-tree metadata — the codec-free video
+# counterpart of jpeg_header. Frame pixel decode needs ffmpeg-class
+# machinery and stays behind the loud-error boundary; container metadata
+# (duration, timescale, track count, display dims) is what curation
+# pipelines filter on, and parses with stdlib struct alone.
+# ---------------------------------------------------------------------------
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Walk the ISO-BMFF box tree: moov/mvhd gives timescale+duration
+    (version 0 and 1 layouts), each moov/trak/tkhd contributes a track
+    and its 16.16 fixed-point display width/height. Returns
+    {timescale, duration, duration_ms, n_tracks, width, height} with
+    dims from the first video-sized track (width > 0)."""
+    if len(payload) < 8 or payload[4:8] not in (b"ftyp", b"moov", b"mdat"):
+        raise ValueError("not an ISO-BMFF (MP4) stream")
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, i)
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize: 16-byte header
+                (size,) = struct.unpack_from(">Q", buf, i + 8)
+                hdr = 16
+            if size < hdr:
+                raise ValueError("malformed MP4 box size")
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    out = {"timescale": None, "duration": None, "n_tracks": 0,
+           "width": 0, "height": 0}
+    for btype, s, e in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in boxes(payload, s, e):
+            if ctype == b"mvhd":
+                version = payload[cs]
+                if version == 1:
+                    out["timescale"], out["duration"] = struct.unpack_from(
+                        ">IQ", payload, cs + 4 + 8 + 8
+                    )
+                else:
+                    out["timescale"], out["duration"] = struct.unpack_from(
+                        ">II", payload, cs + 4 + 4 + 4
+                    )
+            elif ctype == b"trak":
+                out["n_tracks"] += 1
+                for ttype, ts, te in boxes(payload, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    version = payload[ts]
+                    # offset to the 16.16 width/height pair from the
+                    # end of the version/flags word (ISO 14496-12 §8.3.2)
+                    base = ts + 4 + (8 + 8 + 4 + 4 + 8 if version == 1
+                                     else 4 + 4 + 4 + 4 + 4)
+                    base += 8 + 2 + 2 + 2 + 2 + 36
+                    w_fx, h_fx = struct.unpack_from(">II", payload, base)
+                    if w_fx > 0 and out["width"] == 0:
+                        out["width"] = w_fx >> 16
+                        out["height"] = h_fx >> 16
+    if out["timescale"] is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    out["duration_ms"] = out["duration"] * 1000 // out["timescale"]
+    return out
+
+
+def encode_mp4_stub(
+    duration: int, timescale: int, tracks: list[tuple[int, int]]
+) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd v0 + one trak/tkhd per
+    (width, height)). Fixture synthesis and tests only — carries no
+    media data."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1),
+    )
+    traks = b""
+    for i, (w, h) in enumerate(tracks):
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">BxxxIIIxxxxI", 0, 0, 0, i + 1, duration)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        traks += box(b"trak", tkhd)
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def video_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """mapInPandas MP4 metadata stage: (timescale, duration_ms, n_tracks,
+    width, height) per payload — the filterable columns a video-curation
+    pipeline needs before any (external) frame decode runs."""
+    out_schema = (
+        f"{id_col} bigint, format string, timescale int, duration_ms bigint, "
+        "n_tracks int, width int, height int"
+    )
+    import struct as _struct
+
+    def _meta(payload: bytes):
+        def boxes(buf, start, end):
+            i = start
+            while i + 8 <= end:
+                (size,) = _struct.unpack_from(">I", buf, i)
+                btype = buf[i + 4 : i + 8]
+                hdr = 8
+                if size == 1:
+                    (size,) = _struct.unpack_from(">Q", buf, i + 8)
+                    hdr = 16
+                if size < hdr:
+                    raise ValueError("malformed MP4 box size")
+                yield btype, i + hdr, min(i + size, end)
+                i += size
+
+        timescale = duration = None
+        n_tracks, width, height = 0, 0, 0
+        for btype, s, e in boxes(payload, 0, len(payload)):
+            if btype != b"moov":
+                continue
+            for ctype, cs, ce in boxes(payload, s, e):
+                if ctype == b"mvhd":
+                    version = payload[cs]
+                    if version == 1:
+                        timescale, duration = _struct.unpack_from(
+                            ">IQ", payload, cs + 20)
+                    else:
+                        timescale, duration = _struct.unpack_from(
+                            ">II", payload, cs + 12)
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for ttype, ts, te in boxes(payload, cs, ce):
+                        if ttype != b"tkhd":
+                            continue
+                        version = payload[ts]
+                        base = ts + 4 + (32 if version == 1 else 20)
+                        base += 8 + 2 + 2 + 2 + 2 + 36
+                        w_fx, h_fx = _struct.unpack_from(">II", payload, base)
+                        if w_fx > 0 and width == 0:
+                            width, height = w_fx >> 16, h_fx >> 16
+        if timescale is None:
+            raise ValueError("MP4 missing moov/mvhd")
+        return timescale, duration * 1000 // timescale, n_tracks, width, height
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: pdf[id_col].values, "format": [], "timescale": [],
+                   "duration_ms": [], "n_tracks": [], "width": [], "height": []}
+            for p in pdf[payload_col]:
+                payload = bytes(p)
+                if len(payload) < 8 or payload[4:8] not in (
+                    b"ftyp", b"moov", b"mdat"
+                ):
+                    raise NotImplementedError(
+                        "no video container parser for %r" % (payload[4:8],)
+                    )
+                ts, dms, nt, w, h = _meta(payload)
+                out["format"].append("mp4")
+                out["timescale"].append(ts)
+                out["duration_ms"].append(dms)
+                out["n_tracks"].append(nt)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+def synthesize_video(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic MP4 fixture generator: per id an ISO-BMFF stub with
+    timescale 600/1000 by parity, duration (1 + id % 100) * timescale / 2
+    (i.e. always (1 + id % 100) * 500 ms), 1 + id % 2 tracks of
+    16*(1 + id % 4) x 16*(1 + (id // 4) % 4) display size."""
+    import struct as _struct
+
+    def _stub(duration, timescale, tracks):
+        def box(btype, body):
+            return _struct.pack(">I", 8 + len(body)) + btype + body
+
+        ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2")
+        mvhd = box(
+            b"mvhd",
+            _struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+            + _struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+            + _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                           0x40000000)
+            + b"\x00" * 24 + _struct.pack(">I", len(tracks) + 1),
+        )
+        traks = b""
+        for i, (w, h) in enumerate(tracks):
+            tkhd = box(
+                b"tkhd",
+                _struct.pack(">BxxxIIIxxxxI", 0, 0, 0, i + 1, duration)
+                + b"\x00" * 8 + _struct.pack(">HHHH", 0, 0, 0, 0)
+                + _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                + _struct.pack(">II", w << 16, h << 16),
+            )
+            traks += box(b"trak", tkhd)
+        return ftyp + box(b"moov", mvhd + traks)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                timescale = 600 if mid % 2 == 0 else 1000
+                duration = (1 + mid % 100) * timescale // 2
+                w = 16 * (1 + mid % 4)
+                h = 16 * (1 + (mid // 4) % 4)
+                tracks = [(w, h)] * (1 + mid % 2)
+                payloads.append(_stub(duration, timescale, tracks))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, payload binary"
+    )

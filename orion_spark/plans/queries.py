@@ -7417,3 +7417,34 @@ def multimodal_resize_images_q(spark, sf_dir):
     return MM.resize_images(media, 4, 4).select(
         "media_id", "width", "height", "pixel_sum"
     )
+
+
+@query(
+    "multimodal_video_metadata",
+    """
+    SELECT doc_id AS media_id, 'mp4' AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END
+                AS INTEGER) AS timescale,
+           CAST((1 + doc_id % 100) * 500 AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+           CAST(16 * (1 + doc_id % 4) AS INTEGER) AS width,
+           CAST(16 * (1 + (doc_id // 4) % 4) AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_video_metadata_q(spark, sf_dir):
+    """Multimodal VIDEO metadata end-to-end over real container bytes:
+    synthesized ISO-BMFF stubs (ftyp + moov/mvhd + trak/tkhd boxes) are
+    parsed by the codec-free box-tree walk — 32/64-bit box sizes, mvhd
+    v0/v1 layouts, 16.16 fixed-point display dims — and the DuckDB
+    oracle recomputes every field analytically. Frame pixel decode
+    stays behind the external-codec boundary by design; these are the
+    filterable columns a video curation pipeline needs first (reference
+    has no multimodal surface; north-star extension)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = MM.synthesize_video(docs)
+    return MM.video_metadata(media)

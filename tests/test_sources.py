@@ -366,3 +366,45 @@ def test_resize_images_nearest_neighbor(spark):
         assert (w, h) == (4, 4)
         assert got == expected
         assert r.pixel_sum == sum(expected)
+
+
+def test_mp4_metadata_box_walk():
+    """ISO-BMFF parsing: v0 stub round-trip, multi-track with a
+    dimensionless (audio) track, 64-bit largesize boxes, and loud
+    rejection of non-BMFF payloads."""
+    import struct
+
+    from orion_spark.llm import multimodal as MM
+    import pytest as _pytest
+
+    p = MM.encode_mp4_stub(3000, 600, [(0, 0), (320, 240)])
+    meta = MM.mp4_metadata(p)
+    assert meta["duration_ms"] == 5000
+    assert meta["n_tracks"] == 2
+    # dims come from the first track WITH dimensions
+    assert (meta["width"], meta["height"]) == (320, 240)
+
+    # wrap the moov in a 64-bit largesize box shell: still parses
+    base = MM.encode_mp4_stub(1000, 1000, [(64, 32)])
+    ftyp_size = struct.unpack_from(">I", base, 0)[0]
+    moov = base[ftyp_size:]
+    large = struct.pack(">I", 1) + moov[4:8] + struct.pack(
+        ">Q", len(moov) + 8) + moov[8:]
+    assert MM.mp4_metadata(base[:ftyp_size] + large)["duration_ms"] == 1000
+
+    with _pytest.raises(ValueError, match="ISO-BMFF"):
+        MM.mp4_metadata(b"\x00" * 16)
+
+
+def test_multimodal_video_distributed(spark):
+    from orion_spark.llm import multimodal as MM
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "media_id bigint")
+    got = {r.media_id: r for r in MM.video_metadata(
+        MM.synthesize_video(ids)).collect()}
+    for mid in range(8):
+        r = got[mid]
+        assert r.duration_ms == (1 + mid % 100) * 500
+        assert r.n_tracks == 1 + mid % 2
+        assert r.width == 16 * (1 + mid % 4)
+        assert r.timescale == (600 if mid % 2 == 0 else 1000)

@@ -52,6 +52,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "multimodal_frame_sample": "frame sampling over binary payloads — same boundary",
         "multimodal_audio_features": "real RIFF/WAVE PCM16 byte decode is a declared mapInPandas boundary",
         "multimodal_resize_images": "nearest-neighbor thumbnail over real image bytes — same declared boundary",
+        "multimodal_video_metadata": "ISO-BMFF box-tree metadata parse — same declared boundary",
     },
     "BatchEvalPython": {},
     "CartesianProduct": {},
