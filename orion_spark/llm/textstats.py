@@ -245,3 +245,79 @@ def source_mixing_weights(
         F.round(q, 6).alias("tempered_share"),
         F.round(q / p, 6).alias("mix_weight"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking with overlap — the standard pre-training /
+    RAG document splitter: whitespace tokens, windows of `chunk_tokens`
+    advancing by `chunk_tokens - overlap`, last window shorter, every
+    chunk guaranteed at least one token not in its predecessor (the
+    chunk count is ceil((n - overlap) / stride), min 1, so no trailing
+    window that is a pure suffix of the previous one).
+
+    Pure JVM expressions: split -> explode(sequence(0, n_chunks-1)) ->
+    slice/array_join, so the fan-out stays in whole-stage codegen and
+    Catalyst sizes the downstream stage by chunks, not documents. At
+    100 TB this is a narrow map — no shuffle at all."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(tokens)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            tokens.alias("_toks"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1,
+                        chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(
+    chunk_tokens: int = 128, overlap: int = 16, table: str = "documents"
+) -> str:
+    """DuckDB equivalent: identical tokenization, window arithmetic and
+    join — chunk text compared via md5 so the hash stays compact."""
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM {table}),
+    c AS (
+        SELECT doc_id, toks, n,
+               greatest(1, CAST(ceil((n - {overlap}) / {stride}.0) AS INTEGER))
+                   AS n_chunks
+        FROM t)
+    SELECT doc_id, i AS chunk_id,
+           md5(array_to_string(
+               toks[i * {stride} + 1 : i * {stride} + {chunk_tokens}], ' '))
+               AS chunk_md5,
+           least({chunk_tokens}, n - i * {stride}) AS n_chunk_tokens
+    FROM c, range(0, 1000) r(i)
+    WHERE i < n_chunks
+    """

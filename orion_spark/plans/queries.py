@@ -7448,3 +7448,28 @@ def multimodal_video_metadata_q(spark, sf_dir):
     )
     media = MM.synthesize_video(docs)
     return MM.video_metadata(media)
+
+
+def _register_text_chunking():
+    from orion_spark.llm.textstats import chunk_documents_oracle_sql
+
+    @query("text_chunking", chunk_documents_oracle_sql(chunk_tokens=32, overlap=8))
+    def text_chunking_q(spark, sf_dir):
+        """Context-window document chunking (32-token windows, 8-token
+        overlap): the standard pre-training/RAG splitter as a pure
+        narrow JVM fan-out — split -> explode(sequence) -> slice — with
+        the chunk-count rule ceil((n-overlap)/stride) min 1, so every
+        chunk carries at least one new token. Chunk text hashes via md5
+        in both engines."""
+        from orion_spark.llm.textstats import chunk_documents
+
+        docs = _t(spark, sf_dir, "documents")
+        ch = chunk_documents(docs, chunk_tokens=32, overlap=8)
+        return ch.select(
+            "doc_id", "chunk_id",
+            F.md5("chunk_text").alias("chunk_md5"),
+            "n_chunk_tokens",
+        )
+
+
+_register_text_chunking()

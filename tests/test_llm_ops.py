@@ -407,3 +407,38 @@ def test_minhash_dedup_first_equivalence(spark):
     assert direct == fast
     # sanity: within-group pairs for the 3-copy group are present at 1.0
     assert (0, 1, 1.0) in fast and (0, 2, 1.0) in fast and (1, 2, 1.0) in fast
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    """Chunking contract: stride = chunk - overlap, last chunk short,
+    sub-chunk-size docs give exactly one chunk, every chunk starts
+    overlap tokens before the previous one ends, no pure-suffix tail."""
+    import pytest as _pytest
+
+    from orion_spark.llm.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(25))),   # 25 toks
+         (2, "a b c"),                                 # 3 toks -> 1 chunk
+         (3, " ".join(f"x{i}" for i in range(12)))],   # exactly n-ov==stride
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(docs, chunk_tokens=10, overlap=2).collect()
+    )
+    d1 = [o for o in out if o[0] == 1]
+    # 25 tokens, stride 8 -> ceil(23/8) = 3 chunks: [0..9], [8..17], [16..24]
+    assert [o[1] for o in d1] == [0, 1, 2]
+    assert d1[0][2].split() == [f"w{i}" for i in range(10)]
+    assert d1[1][2].split() == [f"w{i}" for i in range(8, 18)]
+    assert d1[2][2].split() == [f"w{i}" for i in range(16, 25)]
+    assert [o[3] for o in d1] == [10, 10, 9]
+    d2 = [o for o in out if o[0] == 2]
+    assert len(d2) == 1 and d2[0][3] == 3
+    # 12 tokens: ceil(10/8) = 2 chunks; second carries 4 fresh tokens
+    d3 = [o for o in out if o[0] == 3]
+    assert len(d3) == 2 and d3[1][2].split()[0] == "x8"
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
