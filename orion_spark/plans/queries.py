@@ -7473,3 +7473,76 @@ def _register_text_chunking():
 
 
 _register_text_chunking()
+
+
+@query(
+    "text_chunk_pack_plan",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents),
+    c AS (
+        SELECT doc_id, n,
+               greatest(1, CAST(ceil((n - 8) / 24.0) AS INTEGER)) AS n_chunks
+        FROM t),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               least(32, n - i * 24) AS n_chunk_tokens
+        FROM c, range(0, 1000) r(i) WHERE i < n_chunks),
+    packed AS (
+        SELECT n_chunk_tokens,
+               SUM(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+                                         ROWS UNBOUNDED PRECEDING)
+                   - n_chunk_tokens AS start_off
+        FROM chunks)
+    SELECT CAST(start_off // 128 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1
+    """,
+)
+def text_chunk_pack_plan_q(spark, sf_dir):
+    """Chunk→pack composition — the full training-data layout chain:
+    overlapping 32-token context windows (chunk_documents) laid out in
+    (doc_id, chunk_id) order and packed into 128-token training
+    sequences by start offset. The global prefix sum uses the SAME
+    two-phase scalable cumsum as documents_sequence_packing (per-bucket
+    subtotals window over the tiny bucket dim + within-bucket parallel
+    window) — no single-partition pass over the chunk stream."""
+    from orion_spark.llm.textstats import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).select("doc_id", "chunk_id", "n_chunk_tokens")
+    bucketed = chunks.withColumn("_bkt", F.floor(F.col("doc_id") / 64))
+    per_bucket = bucketed.groupBy("_bkt").agg(
+        F.sum("n_chunk_tokens").alias("_bt")
+    )
+    wb = (
+        Window.partitionBy(F.col("_bkt") % 1)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_base")
+    )
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = bucketed.join(F.broadcast(bases), "_bkt").select(
+        "n_chunk_tokens",
+        (
+            F.col("_base")
+            + F.coalesce(F.sum("n_chunk_tokens").over(ww), F.lit(0))
+        ).alias("offset"),
+    )
+    return packed.groupBy(
+        F.floor(F.col("offset") / 128).cast("bigint").alias("seq_id")
+    ).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("total_tokens"),
+    )
