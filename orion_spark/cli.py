@@ -239,6 +239,20 @@ def cmd_worker(args) -> int:
     return 0 if all(r["status"] == "success" for r in results) else 1
 
 
+def cmd_worker_reclaim(args) -> int:
+    """Requeue abandoned claims (dead-worker recovery): running/*/ tasks
+    whose heartbeat is older than --ttl, or all claims of --worker-id,
+    go back to pending/. The file-spool counterpart of Celery's
+    visibility-timeout redelivery."""
+    from orion_spark.plans.worker import reclaim_stale
+
+    requeued = reclaim_stale(
+        args.spool, ttl_seconds=args.ttl, worker_id=args.worker_id
+    )
+    print(json.dumps({"requeued": requeued}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -340,6 +354,14 @@ def main(argv: list[str] | None = None) -> int:
     wk.add_argument("--worker-id")
     wk.add_argument("--max-tasks", type=int)
     wk.set_defaults(fn=cmd_worker)
+
+    wr = sub.add_parser("worker-reclaim")
+    wr.add_argument("--spool", required=True)
+    wr.add_argument("--ttl", type=float, default=1800.0,
+                    help="seconds since last heartbeat before a claim is stale")
+    wr.add_argument("--worker-id",
+                    help="requeue ALL claims of this worker regardless of age")
+    wr.set_defaults(fn=cmd_worker_reclaim)
 
     nv = sub.add_parser("neo4j-verify")
     nv.add_argument("--bundle", required=True)

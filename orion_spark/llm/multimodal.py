@@ -185,9 +185,17 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
-    while i + 4 <= len(payload):
+    n = len(payload)
+    while i + 1 < n:
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # 0xFF fill bytes are legal padding before any marker (ITU T.81
+        # B.1.1.2) — skip runs of them so the marker byte is the first
+        # non-FF byte.
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            break
         marker = payload[i + 1]
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             h, w = struct.unpack_from(">HH", payload, i + 5)
@@ -195,7 +203,14 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
             return w, h, ncomp
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn:
+            i += 2  # standalone markers carry no length segment
+            continue
+        if i + 4 > n:
+            break
         (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        if seg_len < 2:
+            raise ValueError("JPEG segment length below minimum")
         i += 2 + seg_len
     raise ValueError("JPEG frame header (SOF) not found")
 

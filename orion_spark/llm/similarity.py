@@ -338,7 +338,7 @@ def ivf_topk_fixed_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF top-k with a DETERMINISTIC coarse quantizer: the centroid table
-    is the first n_clusters candidate vectors by id (a valid
+    is the first n_clusters candidate vectors ORDERED BY id (a valid
     sampled-centroid quantizer, the degenerate one-iteration case of
     k-means|| initialization). Everything downstream is the standard IVF
     contract — assign each candidate to its nearest list, probe the
@@ -347,6 +347,13 @@ def ivf_topk_fixed_centroids(
     hash-checkable cross-engine (ivf_topk_fixed_oracle_sql), unlike the
     KMeans-backed ivf_topk whose centroids are engine-specific.
 
+    Centroid selection is orderBy(id).limit(n) — Spark plans this as
+    TakeOrderedAndProject, no global sort — so sparse or offset id
+    spaces still yield exactly n_clusters centroids (an `id < n` filter
+    would silently shrink the table); too few candidates is a hard
+    ValueError, not a degraded result. The list label stays the original
+    id so tie-break ordering is engine-independent.
+
     Scale shape is identical to real IVF: centroids broadcast; candidate
     assignment is one narrow scan x n_clusters expression work + one
     min_by aggregate; query-side probing touches n_probe/n_clusters of
@@ -354,12 +361,20 @@ def ivf_topk_fixed_centroids(
     cosine with id tie-breaks so results are stable across engines."""
     from pyspark.sql import Window
 
-    cent = F.broadcast(
-        candidates.where(F.col(id_col) < n_clusters).select(
+    cent_rows = (
+        candidates.select(
             F.col(id_col).alias("_list"),
             F.col(vec_col).cast("array<double>").alias("_centroid"),
         )
+        .orderBy("_list")
+        .limit(n_clusters)
     )
+    if cent_rows.count() < n_clusters:
+        raise ValueError(
+            f"ivf_topk_fixed_centroids needs >= {n_clusters} candidate "
+            "vectors to seed the centroid table"
+        )
+    cent = F.broadcast(cent_rows)
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -423,7 +438,7 @@ def ivf_topk_fixed_oracle_sql(
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM {table}),
     cent AS (SELECT vec_id AS list_id, ev AS cv FROM v
-             WHERE vec_id < {n_clusters}),
+             ORDER BY vec_id LIMIT {n_clusters}),
     assign_scored AS (
         SELECT v.vec_id AS neighbor_id, v.ev, cent.list_id,
                {cos.replace('av', 'v.ev').replace('bv', 'cent.cv')} AS ac

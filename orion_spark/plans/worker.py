@@ -19,7 +19,15 @@ Redis/Celery dependency, nothing to operate beyond a shared filesystem
   here the build is already a Spark job, so the session is the
   executor fleet) and the outcome lands in <spool>/done/ or
   <spool>/failed/ with the error text — Celery's result backend +
-  task_track_started, as files.
+  task_track_started, as files;
+- a live worker HEARTBEATS its claim (touches the claimed file's mtime
+  every HEARTBEAT_SECONDS from a daemon thread) and `reclaim_stale`
+  sweeps running/*/ for claims whose heartbeat is older than a TTL,
+  renaming them back into pending/ — the file-spool equivalent of
+  Celery's visibility-timeout redelivery, so a worker that dies
+  mid-build strands its task for at most one TTL instead of forever.
+  Rename is atomic, so a sweep racing a just-finishing worker loses
+  cleanly (the worker's _finish already removed the claim).
 
 Scale posture: this queue sequences whole-graph BUILDS, a low-rate
 control plane (tens of tasks, not data rows) — the data plane inside
@@ -32,12 +40,19 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import traceback
 
 from pyspark.sql import SparkSession
 
 PENDING, RUNNING, DONE, FAILED = "pending", "running", "done", "failed"
+
+# A claim whose file mtime is older than this is considered abandoned by
+# reclaim_stale. Heartbeats run 60x faster than the default TTL, so a
+# healthy worker can miss many beats before a sweep could steal its task.
+DEFAULT_CLAIM_TTL_SECONDS = 1800.0
+HEARTBEAT_SECONDS = 30.0
 
 
 def _ensure_spool(spool: str) -> None:
@@ -91,6 +106,80 @@ def claim_next(spool: str, worker_id: str) -> tuple[str, dict] | None:
     return None
 
 
+class _Heartbeat:
+    """Touch the claimed file's mtime every *interval* seconds from a
+    daemon thread while the build runs. The mtime IS the lease: a claim
+    that stops beating becomes eligible for reclaim_stale after the TTL."""
+
+    def __init__(self, claimed_path: str, interval: float = HEARTBEAT_SECONDS):
+        self._path = claimed_path
+        self._interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._beat, daemon=True)
+
+    def _beat(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                os.utime(self._path, None)
+            except OSError:
+                return  # claim finished or was reclaimed — stop beating
+
+    def __enter__(self) -> "_Heartbeat":
+        try:
+            os.utime(self._path, None)  # a fresh lease the instant we claim
+        except OSError:
+            pass
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+
+def reclaim_stale(
+    spool: str,
+    ttl_seconds: float = DEFAULT_CLAIM_TTL_SECONDS,
+    worker_id: str | None = None,
+) -> list[str]:
+    """Requeue abandoned claims: every task file under running/*/ whose
+    heartbeat (mtime) is older than *ttl_seconds* — or, with *worker_id*,
+    every claim of that known-dead worker regardless of age — is renamed
+    back into pending/. Returns the requeued task file names.
+
+    Safe to run concurrently with live workers: a worker that finishes
+    between our scan and our rename has already removed the claim, so
+    the rename fails with OSError and is skipped; a worker heartbeating
+    normally keeps its mtime fresh and is never touched. Mirrors the
+    broker redelivery Celery provides via visibility timeouts."""
+    _ensure_spool(spool)
+    running_root = os.path.join(spool, RUNNING)
+    now = time.time()
+    requeued = []
+    for wid in sorted(os.listdir(running_root)):
+        if worker_id is not None and wid != worker_id:
+            continue
+        wdir = os.path.join(running_root, wid)
+        if not os.path.isdir(wdir):
+            continue
+        for name in sorted(os.listdir(wdir)):
+            if not name.endswith(".json"):
+                continue
+            src = os.path.join(wdir, name)
+            try:
+                age = now - os.path.getmtime(src)
+            except OSError:
+                continue  # finished while we scanned
+            if worker_id is None and age < ttl_seconds:
+                continue
+            try:
+                os.rename(src, os.path.join(spool, PENDING, name))
+            except OSError:
+                continue  # the worker beat us to _finish
+            requeued.append(name)
+    return requeued
+
+
 def _finish(spool: str, claimed_path: str, result: dict) -> None:
     outcome = DONE if result.get("status") == "success" else FAILED
     out = os.path.join(
@@ -100,7 +189,14 @@ def _finish(spool: str, claimed_path: str, result: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(result, fh, indent=2)
     os.rename(tmp, out)
-    os.remove(claimed_path)
+    try:
+        os.remove(claimed_path)
+    except OSError:
+        # A reclaim sweep requeued this claim while we were finishing
+        # (worker paused past the TTL). The queue is at-least-once in
+        # that corner — same contract as Celery redelivery — and the
+        # result recorded above stands.
+        pass
 
 
 def run_claimed_task(
@@ -157,17 +253,18 @@ def run_worker(
         if claim is None:
             break
         claimed_path, task = claim
-        try:
-            result = run_claimed_task(
-                spark, task, shared_data_dir, storage_dir, source_bundles
-            )
-        except Exception as exc:  # recorded, not fatal to the worker
-            result = {
-                "task_id": task.get("task_id"),
-                "status": "failure",
-                "error": f"{type(exc).__name__}: {exc}",
-                "traceback": traceback.format_exc(),
-            }
+        with _Heartbeat(claimed_path):
+            try:
+                result = run_claimed_task(
+                    spark, task, shared_data_dir, storage_dir, source_bundles
+                )
+            except Exception as exc:  # recorded, not fatal to the worker
+                result = {
+                    "task_id": task.get("task_id"),
+                    "status": "failure",
+                    "error": f"{type(exc).__name__}: {exc}",
+                    "traceback": traceback.format_exc(),
+                }
         _finish(spool, claimed_path, result)
         results.append(result)
     return results

@@ -139,3 +139,129 @@ def test_streaming_incremental_sink(spark, tmp_path):
     assert out.count() == 20  # merged into the existing group
     row = [r for r in out.collect() if r.subject == "G:0"][0]
     assert "PMID:x" in row.publications
+
+
+def test_upsert_lock_excludes_concurrent_writer(spark, tmp_path):
+    """Single-writer is enforced, not documented: a held lock turns a
+    second upsert into ConcurrentUpsertError instead of a silent race."""
+    import pytest
+
+    path = str(tmp_path / "locked_bundle")
+    base = merge_edges(_edges(spark, _base_rows()[:20]))
+    INC.write_sharded_bundle(base, path, ["subject"], n_shards=8)
+
+    with open(os.path.join(path, INC.LOCK_NAME), "w") as fh:
+        fh.write('{"pid": 99999}')
+    delta = _edges(spark, [_base_rows()[0]])
+    with pytest.raises(INC.ConcurrentUpsertError, match="locked"):
+        INC.upsert_sharded_edges(spark, delta, path, n_shards=8)
+
+    # clearing the stale lock unblocks the writer
+    assert INC.break_upsert_lock(path)
+    INC.upsert_sharded_edges(spark, delta, path, n_shards=8)
+    assert not os.path.exists(os.path.join(path, INC.LOCK_NAME))
+
+
+def test_upsert_crash_after_commit_point_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """A crash after the journal rename (the commit point) — including
+    halfway through the per-shard swaps — is completed by
+    recover_sharded_bundle, and the result equals a from-scratch merge."""
+    import pytest
+
+    path = str(tmp_path / "crash_bundle")
+    base = merge_edges(_edges(spark, _base_rows()))
+    INC.write_sharded_bundle(base, path, ["subject"], n_shards=16)
+
+    delta = _edges(spark, [
+        Row(subject="G:3", predicate="biolink:related_to", object="D:3",
+            primary_knowledge_source="infores:a",
+            publications=["PMID:999"], score=0.0),
+        Row(subject="G:new", predicate="biolink:related_to", object="D:1",
+            primary_knowledge_source="infores:b",
+            publications=["PMID:7"], score=9.0),
+    ])
+
+    seen = {}
+
+    def crash(p, txid, shards):
+        seen["txid"], seen["shards"] = txid, shards
+        raise RuntimeError("simulated crash at the commit point")
+
+    monkeypatch.setattr(INC, "_commit_staged", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        INC.upsert_sharded_edges(spark, delta, path, n_shards=16)
+    monkeypatch.undo()
+
+    # the crash state: journal + full staging present, live untouched; a
+    # real kill -9 would also leave the lock file behind — recreate it
+    assert os.path.exists(os.path.join(path, INC.JOURNAL_NAME))
+    staging = os.path.join(path, INC.STAGING_DIR, seen["txid"])
+    assert os.path.isdir(staging)
+    with open(os.path.join(path, INC.LOCK_NAME), "w") as fh:
+        fh.write("{}")
+
+    # go one step further: hand-complete the swap for ONE shard so
+    # recovery must handle the mixed already-committed/still-staged state
+    s0 = seen["shards"][0]
+    live0 = os.path.join(path, f"{INC.SHARD_COL}={s0}")
+    bak_root = os.path.join(path, INC.BACKUP_DIR, seen["txid"])
+    os.makedirs(bak_root, exist_ok=True)
+    if os.path.isdir(live0):
+        os.rename(live0, os.path.join(bak_root, f"{INC.SHARD_COL}={s0}"))
+    os.rename(os.path.join(staging, f"{INC.SHARD_COL}={s0}"), live0)
+
+    assert INC.recover_sharded_bundle(path) == "rolled_forward"
+    for leftover in (INC.JOURNAL_NAME, INC.LOCK_NAME,
+                     INC.STAGING_DIR, INC.BACKUP_DIR):
+        assert not os.path.exists(os.path.join(path, leftover))
+
+    full = merge_edges(
+        _edges(spark, _base_rows()).withColumn("_source_ordinal", F.lit(0))
+        .unionByName(delta.withColumn("_source_ordinal", F.lit(1)))
+    )
+    assert _canon(INC.read_sharded_bundle(spark, path)) == _canon(full)
+    # recovery is idempotent
+    assert INC.recover_sharded_bundle(path) == "clean"
+
+
+def test_upsert_crash_before_commit_point_rolls_back(spark, tmp_path):
+    """Staging debris with NO journal means the upsert never committed:
+    recovery discards it and the live bundle is untouched."""
+    path = str(tmp_path / "rollback_bundle")
+    base = merge_edges(_edges(spark, _base_rows()[:30]))
+    INC.write_sharded_bundle(base, path, ["subject"], n_shards=8)
+    before = _canon(INC.read_sharded_bundle(spark, path))
+
+    debris = os.path.join(path, INC.STAGING_DIR, "tx-dead", "_shard=0")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    with open(os.path.join(path, INC.LOCK_NAME), "w") as fh:
+        fh.write("{}")
+
+    assert INC.recover_sharded_bundle(path) == "rolled_back"
+    assert not os.path.exists(os.path.join(path, INC.STAGING_DIR))
+    assert not os.path.exists(os.path.join(path, INC.LOCK_NAME))
+    assert _canon(INC.read_sharded_bundle(spark, path)) == before
+    assert INC.recover_sharded_bundle(path) == "clean"
+
+
+def test_upsert_staging_invisible_to_readers(spark, tmp_path):
+    """Dot-prefixed staging/backup dirs and the underscore journal are
+    ignored by parquet readers of the bundle path — a reader racing the
+    stage phase sees only the committed bundle."""
+    path = str(tmp_path / "vis_bundle")
+    base = merge_edges(_edges(spark, _base_rows()[:30]))
+    INC.write_sharded_bundle(base, path, ["subject"], n_shards=8)
+    n = INC.read_sharded_bundle(spark, path).count()
+
+    extra = merge_edges(_edges(spark, _base_rows()[30:60]))
+    staged = os.path.join(path, INC.STAGING_DIR, "tx-live")
+    extra.withColumn(INC.SHARD_COL, INC.shard_of(["subject"], 8)) \
+        .write.partitionBy(INC.SHARD_COL).parquet(staged)
+    with open(os.path.join(path, INC.JOURNAL_NAME), "w") as fh:
+        fh.write('{"txid": "tx-live", "shards": []}')
+
+    assert INC.read_sharded_bundle(spark, path).count() == n

@@ -442,3 +442,35 @@ def test_chunk_documents_window_arithmetic(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_ivf_fixed_centroids_sparse_id_space(spark):
+    """Round-4 advisor fix: centroid seeding is first-n BY ID ORDER, so
+    an offset/sparse id space yields the same geometry (results shift by
+    the id offset, nothing degrades); too few candidates is a hard error
+    instead of a silently empty centroid table."""
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = emb.where(F.col("vec_id") < 64)
+    base = S.ivf_topk_fixed_centroids(
+        small.where(F.col("vec_id") % 8 == 0), small,
+        k=5, n_clusters=4, n_probe=2,
+    ).collect()
+    assert base  # sanity: the dense-id run produces neighbors
+
+    OFF = 10_000
+    shifted = small.withColumn("vec_id", F.col("vec_id") + OFF)
+    got = S.ivf_topk_fixed_centroids(
+        shifted.where((F.col("vec_id") - OFF) % 8 == 0), shifted,
+        k=5, n_clusters=4, n_probe=2,
+    ).collect()
+    canon = lambda rows, off: sorted(
+        (r.query_id - off, r.neighbor_id - off, r.cosine, r.rk) for r in rows
+    )
+    assert canon(got, OFF) == canon(base, 0)
+
+    with pytest.raises(ValueError, match="needs >= 16"):
+        S.ivf_topk_fixed_centroids(
+            small, small.where(F.col("vec_id") < 8), k=5, n_clusters=16
+        ).collect()

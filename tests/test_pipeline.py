@@ -628,3 +628,62 @@ def test_build_worker_file_spool_queue(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="shared data dir"):
         W.run_claimed_task(spark, claim[1], "", storage, bundles)
+
+
+def test_worker_reclaim_stale_claims(tmp_path):
+    """Dead-worker recovery (round-4 verdict gap #2): a claim whose
+    heartbeat went stale is requeued to pending/; a fresh claim is not;
+    --worker-id reclaims regardless of age; the heartbeat thread keeps a
+    live claim's lease fresh."""
+    import time as _time
+
+    from orion_spark.plans import worker as W
+
+    spool = str(tmp_path / "spool")
+    t1 = W.submit_task(spool, "g1", "graphs.yaml", task_id="a-stale-task")
+    t2 = W.submit_task(spool, "g2", "graphs.yaml", task_id="b-fresh-task")
+    p1, _ = W.claim_next(spool, "dead-worker")
+    p2, _ = W.claim_next(spool, "live-worker")
+    assert W.claim_next(spool, "w3") is None
+
+    # backdate the dead worker's lease past the TTL; the live one is fresh
+    os.utime(p1, (_time.time() - 3600, _time.time() - 3600))
+    requeued = W.reclaim_stale(spool, ttl_seconds=600)
+    assert requeued == [f"{t1}.json"]
+    assert os.path.exists(os.path.join(spool, "pending", f"{t1}.json"))
+    assert os.path.exists(p2)  # fresh claim untouched
+
+    # the requeued task is claimable again
+    p1b, task = W.claim_next(spool, "w3")
+    assert task["task_id"] == t1
+
+    # worker-id mode: requeue everything that worker holds, age ignored
+    assert W.reclaim_stale(spool, worker_id="live-worker") == [f"{t2}.json"]
+    assert not os.path.exists(p2)
+
+    # heartbeat keeps the lease fresh: backdate, beat, then a TTL sweep
+    # must NOT steal the claim
+    os.utime(p1b, (_time.time() - 3600, _time.time() - 3600))
+    with W._Heartbeat(p1b, interval=0.05):
+        _time.sleep(0.3)
+        assert W.reclaim_stale(spool, ttl_seconds=600) == []
+    assert os.path.exists(p1b)
+
+
+def test_cli_worker_reclaim(tmp_path, capsys):
+    """worker-reclaim CLI requeues a stale claim and reports it."""
+    import json as _json
+    import time as _time
+
+    from orion_spark import cli
+    from orion_spark.plans import worker as W
+
+    spool = str(tmp_path / "spool")
+    tid = W.submit_task(spool, "g1", "graphs.yaml", task_id="cli-task")
+    p, _ = W.claim_next(spool, "w1")
+    os.utime(p, (_time.time() - 3600, _time.time() - 3600))
+    rc = cli.main(["worker-reclaim", "--spool", spool, "--ttl", "600"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["requeued"] == [f"{tid}.json"]
+    assert os.path.exists(os.path.join(spool, "pending", f"{tid}.json"))
