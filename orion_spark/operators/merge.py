@@ -220,8 +220,19 @@ def pre_merge_id_mapping(
 def merge_retrieval_sources(col: Column) -> Column:
     """A3 tail: dedup a merged `sources` array (retrieval-source structs) by
     (resource_id, resource_role), unioning upstream_resource_ids within each
-    key group (orion/merging.py:49-59 custom key fn + 117-133 recursive
-    dict merge, specialized to the depth the data actually has).
+    key group (orion/merging.py:49-59 custom key fn + 117-183 recursive
+    dict merge, specialized to the depth the data actually has). Output
+    groups keep first-occurrence order (list(grouped.values()) in the
+    reference); a group whose every member has NULL upstreams yields NULL
+    — an absent property stays absent — while any present list (even
+    empty) yields the sorted-distinct union, exactly the reference's
+    None/[] asymmetry. Two deliberate divergences from the reference,
+    both strictly safer: the key is the (resource_id, resource_role)
+    PAIR, not their string concatenation (the reference's `id + role` key
+    would collide ("a","bc") with ("ab","c")), and NULL key fields group
+    null-safely instead of raising. The differential hypothesis fuzz
+    (tests/test_merge_properties_hypothesis.py) checks this column
+    against an independent Python oracle of the reference semantics.
 
     Pure nested higher-order functions — per-row n is tiny (a handful of
     retrieval sources per edge), so the quadratic inner filter is free and
@@ -232,30 +243,36 @@ def merge_retrieval_sources(col: Column) -> Column:
             col, lambda s: F.struct(s["resource_id"], s["resource_role"])
         )
     )
-    return F.transform(
-        keys,
-        lambda k: F.struct(
-            k["resource_id"].alias("resource_id"),
-            k["resource_role"].alias("resource_role"),
-            F.array_sort(
-                F.array_distinct(
-                    F.flatten(
-                        F.transform(
-                            F.filter(
-                                col,
-                                lambda s: (s["resource_id"] == k["resource_id"])
-                                & (s["resource_role"] == k["resource_role"]),
-                            ),
-                            lambda s: F.coalesce(
-                                s["upstream_resource_ids"],
-                                F.array().cast("array<string>"),
-                            ),
-                        )
+
+    def entry(k: Column) -> Column:
+        group = F.filter(
+            col,
+            lambda s: s["resource_id"].eqNullSafe(k["resource_id"])
+            & s["resource_role"].eqNullSafe(k["resource_role"]),
+        )
+        ups = F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        group,
+                        lambda s: F.coalesce(
+                            s["upstream_resource_ids"],
+                            F.array().cast("array<string>"),
+                        ),
                     )
                 )
-            ).alias("upstream_resource_ids"),
-        ),
-    )
+            )
+        )
+        has_any = F.exists(
+            group, lambda s: s["upstream_resource_ids"].isNotNull()
+        )
+        return F.struct(
+            k["resource_id"].alias("resource_id"),
+            k["resource_role"].alias("resource_role"),
+            F.when(has_any, ups).alias("upstream_resource_ids"),
+        )
+
+    return F.transform(keys, entry)
 
 
 # ---------------------------------------------------------------------------

@@ -158,4 +158,6 @@ def test_merge_retrieval_sources(spark):
     assert primary.resource_id == "infores:a"
     assert primary.upstream_resource_ids == ["infores:x", "infores:y"]
     agg = [s for s in out if s.resource_role == "aggregator"][0]
-    assert agg.upstream_resource_ids == []
+    # every member of the group had NULL upstreams -> the property stays
+    # absent (reference None), not [] (orion/merging.py:137-146)
+    assert agg.upstream_resource_ids is None

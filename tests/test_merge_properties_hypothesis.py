@@ -47,3 +47,89 @@ def test_merge_is_order_and_partition_invariant(spark_rows, rng):
     shuffled = rows[:]
     rng.shuffle(shuffled)
     assert run(rows, 1) == run(shuffled, 7)
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz of the nested `sources` tail (round-4 verdict note #1):
+# merge_retrieval_sources vs an INDEPENDENT Python oracle of the
+# reference's grouped recursive merge (orion/merging.py:49-59 key fn,
+# 117-183 entity_merging_function folded over a concatenated list).
+# Two documented divergences, normalized in the comparison:
+#  - keys are (resource_id, resource_role) PAIRS (the reference's string
+#    concatenation collides ("a","bc") with ("ab","c"); the oracle uses
+#    the pair key, matching the safer repo semantics);
+#  - upstream lists of NEVER-MERGED items are canonicalized (sorted,
+#    deduped) by the repo but left untouched by the reference; upstream
+#    id order/multiplicity carry no meaning (the reference itself
+#    sorted-set-normalizes on any merge), so the oracle canonicalizes
+#    too and the None/non-None distinction is compared STRICTLY.
+# ---------------------------------------------------------------------------
+
+RES_IDS = [None, "a", "ab", "b"]
+ROLES = [None, "", "c", "bc", "primary"]
+UPSTREAMS = [None, [], ["u1"], ["u2", "u1"], ["u1", "u1", "u3"]]
+
+source_st = st.tuples(
+    st.sampled_from(RES_IDS), st.sampled_from(ROLES), st.sampled_from(UPSTREAMS)
+)
+
+
+def _oracle_merge_sources(items):
+    """Reference semantics, independently re-derived from
+    orion/merging.py:160-183: group by key in first-occurrence order;
+    within a group fold upstream lists pairwise — None contributes
+    nothing, the first non-None list replaces None, two lists union —
+    normalizing to sorted(set()) at every touch. A group whose members
+    are all None stays None."""
+    grouped, order = {}, []
+    for rid, role, ups in items:
+        k = (rid, role)
+        if k not in order:
+            order.append(k)
+            grouped[k] = None if ups is None else sorted(set(ups))
+        else:
+            cur = grouped[k]
+            if ups is None:
+                pass
+            elif cur is None:
+                grouped[k] = sorted(set(ups))
+            else:
+                grouped[k] = sorted(set(cur) | set(ups))
+    return [(k[0], k[1], grouped[k]) for k in order]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(source_st, max_size=8), min_size=1, max_size=12))
+def test_merge_retrieval_sources_differential(source_lists):
+    from pyspark.sql import Row, functions as F
+
+    from orion_spark.operators.merge import merge_retrieval_sources
+    from orion_spark.session import get_spark
+
+    spark = get_spark(app_name="hypothesis-merge", shuffle_partitions=8)
+    schema = (
+        "row_id int, sources array<struct<resource_id:string,"
+        "resource_role:string,upstream_resource_ids:array<string>>>"
+    )
+    rows = [
+        Row(row_id=i, sources=[
+            {"resource_id": rid, "resource_role": role,
+             "upstream_resource_ids": ups}
+            for rid, role, ups in lst
+        ])
+        for i, lst in enumerate(source_lists)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.row_id: [
+            (s.resource_id, s.resource_role,
+             None if s.upstream_resource_ids is None
+             else list(s.upstream_resource_ids))
+            for s in (r.s or [])
+        ]
+        for r in df.select(
+            "row_id", merge_retrieval_sources(F.col("sources")).alias("s")
+        ).collect()
+    }
+    for i, lst in enumerate(source_lists):
+        assert got[i] == _oracle_merge_sources(lst), f"row {i}: {lst}"
