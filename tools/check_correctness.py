@@ -4,10 +4,20 @@ query on Spark AND its oracle SQL on DuckDB, compare row count + columns +
 order-insensitive values.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+--json additionally writes a driver-CORRECTNESS-style record per query
+({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err})
+so scale-point sweeps (e.g. sf0.1) leave an auditable committed artifact.
+--rows-only NAME (repeatable) demotes NAME to a rows-only check: the
+Spark side still runs and is recorded, but the oracle is skipped — for
+queries whose DuckDB ground truth (not the Spark plan) blows up at the
+target scale, e.g. recursive-CTE reachability at sf0.1.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -35,8 +45,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    force_rows_only: set[str] = set()
+    while argv and argv[0] in ("--json", "--rows-only"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+        else:
+            force_rows_only.add(argv[1])
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from orion_spark.plans.queries import ORACLES, QUERIES
     from orion_spark.session import get_spark
@@ -49,6 +68,13 @@ def main() -> int:
         )
 
     failures, passed, no_oracle = [], [], []
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows=None, orows=None, rm=None, sm=None, hm=None, err=None):
+        records[name] = {
+            "rows_match": rm, "schema_match": sm, "hash_match": hm,
+            "spark_rows": rows, "oracle_rows": orows, "err": err,
+        }
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -58,26 +84,39 @@ def main() -> int:
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            record(name, err=f"spark: {str(e)[:300]}")
             continue
         if name not in ORACLES:
             no_oracle.append(name)
             print(f"SKIP  {name}: no oracle ({len(sdf)} rows, rows-only check)")
+            record(name, rows=len(sdf), err="rows-only by design (no oracle)")
+            continue
+        if name in force_rows_only:
+            no_oracle.append(name)
+            print(f"SKIP  {name}: oracle demoted to rows-only at this scale "
+                  f"({len(sdf)} rows)")
+            record(name, rows=len(sdf),
+                   err="rows-only at this scale (oracle-side cost; "
+                       "hash-checked at sf0.01)")
             continue
         try:
             odf = con.execute(ORACLES[name]).df()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            record(name, rows=len(sdf), err=f"oracle: {str(e)[:300]}")
             continue
         if len(sdf) != len(odf):
             failures.append((name, f"rowcount {len(sdf)} vs {len(odf)}"))
             print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            record(name, rows=len(sdf), orows=len(odf), rm=False)
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(
                 (name, f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             )
             print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            record(name, rows=len(sdf), orows=len(odf), rm=True, sm=False)
             continue
         cs, co = canon(sdf), canon(odf)
         if not cs.equals(co):
@@ -87,14 +126,20 @@ def main() -> int:
             )
             failures.append((name, "value mismatch"))
             print(f"FAIL  {name}: value mismatch; sample:\n{sample}")
+            record(name, rows=len(sdf), orows=len(odf), rm=True, sm=True, hm=False)
             continue
         passed.append(name)
         print(f"PASS  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+        record(name, rows=len(sdf), orows=len(odf), rm=True, sm=True, hm=True)
 
     print(
         f"\n== {len(passed)} passed, {len(failures)} failed, "
         f"{len(no_oracle)} rows-only =="
     )
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": records}, fh, indent=2)
+        print(f"wrote {json_out} ({len(records)} records)")
     return 1 if failures else 0
 
 
