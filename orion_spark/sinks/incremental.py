@@ -91,7 +91,16 @@ def write_sharded_bundle(
 
 
 def read_sharded_bundle(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop(SHARD_COL)
+    """Read the bundle with footer-merged schema: after an upsert whose
+    delta added columns, touched shards are wider than untouched ones,
+    and Spark's default single-file schema pick would surface or drop
+    the new columns depending on file listing order. mergeSchema makes
+    the union schema deterministic (new columns null on old shards) for
+    the cost of a distributed footer-read job — O(files) metadata, no
+    data scan."""
+    return (
+        spark.read.option("mergeSchema", "true").parquet(path).drop(SHARD_COL)
+    )
 
 
 class _UpsertLock:
@@ -234,7 +243,10 @@ def upsert_sharded_bundle(
         touched = sorted(
             r[SHARD_COL] for r in delta.select(SHARD_COL).distinct().collect()
         )
-        existing = spark.read.parquet(path).where(
+        # mergeSchema: an earlier upsert may have widened some shards —
+        # the arbitrary single-file schema pick would otherwise silently
+        # drop those columns from this merge (see read_sharded_bundle)
+        existing = spark.read.option("mergeSchema", "true").parquet(path).where(
             F.col(SHARD_COL).isin(touched)
         )
         combined = existing.withColumn(

@@ -265,3 +265,34 @@ def test_upsert_staging_invisible_to_readers(spark, tmp_path):
         fh.write('{"txid": "tx-live", "shards": []}')
 
     assert INC.read_sharded_bundle(spark, path).count() == n
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """A delta that adds a column widens only the touched shards; reads
+    merge footers so the new column is surfaced deterministically (null
+    on untouched shards) regardless of file listing order, and a SECOND
+    upsert against an un-touched shard still sees the widened schema."""
+    path = str(tmp_path / "evolve_bundle")
+    from orion_spark.operators.merge import merge_nodes
+
+    nodes = spark.createDataFrame(
+        [Row(id=f"N:{i}", name=f"n{i}") for i in range(50)]
+    )
+    INC.write_sharded_bundle(merge_nodes(nodes), path, ["id"], n_shards=8)
+
+    delta1 = spark.createDataFrame([Row(id="N:1", name="x", extra_prop="NEW")])
+    INC.upsert_sharded_nodes(spark, delta1, path, n_shards=8)
+    out = INC.read_sharded_bundle(spark, path)
+    assert "extra_prop" in out.columns
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == 50
+    assert got["N:1"].extra_prop == "NEW"
+    assert got["N:2"].extra_prop is None
+
+    # second upsert touching a DIFFERENT node: the widened column must
+    # survive the read-merge-rewrite cycle of its shard
+    delta2 = spark.createDataFrame([Row(id="N:2", name="y")])
+    INC.upsert_sharded_nodes(spark, delta2, path, n_shards=8)
+    out2 = {r.id: r for r in INC.read_sharded_bundle(spark, path).collect()}
+    assert out2["N:1"].extra_prop == "NEW"
+    assert out2["N:2"].name == "n2"  # persisted truthy scalar still wins
