@@ -774,3 +774,100 @@ def minhash_lsh_pairs_dedup_first(
         )
     )
     return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph-granular) dedup — the C4/RefinedWeb-style rule
+# "drop a document when too many of its chunks appear elsewhere".
+# ---------------------------------------------------------------------------
+
+def chunk_dup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-chunk panel: split each document into
+    NON-overlapping `chunk_tokens`-token windows (chunk_documents with
+    overlap=0), hash each chunk, and count how many of a document's
+    chunks also occur in at least one OTHER document. Returns
+    (doc_id, n_chunks, n_dup_chunks, dup_fraction, drop_flag) where
+    drop_flag marks dup_fraction >= threshold — the sub-document dedup
+    rule production corpora apply between exact dedup (whole-doc) and
+    MinHash (near-whole-doc): it catches boilerplate-heavy pages and
+    partially-copied documents neither of those sees.
+
+    Scale shape: chunking is a narrow map; then ONE hash aggregate on
+    the chunk hash (count_distinct docs — partial-aggregatable), a join
+    back on the same hash key (co-partitioned with the aggregate's
+    shuffle, so AQE reuses the exchange), and one aggregate on doc_id.
+    Three key-hashed shuffles total, no all-pairs anywhere — the same
+    100 TB-safe shape as exact dedup, applied at chunk granularity.
+    """
+    from orion_spark.llm.textstats import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=0,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        F.col(id_col), "chunk_id", F.md5("chunk_text").alias("_h")
+    )
+    cross = chunks.groupBy("_h").agg(
+        F.count_distinct(id_col).alias("_ndocs")
+    )
+    ratio = F.col("n_dup_chunks") / F.col("n_chunks")
+    return (
+        chunks.join(cross, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum((F.col("_ndocs") >= 2).cast("int")).cast("bigint").alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            id_col, "n_chunks", "n_dup_chunks",
+            F.round(ratio, 6).alias("dup_fraction"),
+            (ratio >= threshold).cast("int").alias("drop_flag"),
+        )
+    )
+
+
+def chunk_dup_stats_oracle_sql(
+    chunk_tokens: int = 32,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB ground truth: identical tokenization, window arithmetic,
+    chunk hashing and cross-document counting."""
+    ct = chunk_tokens
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM {table}),
+    c AS (
+        SELECT doc_id, toks, n,
+               greatest(1, CAST(ceil(n / {ct}.0) AS INTEGER)) AS n_chunks
+        FROM t),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               md5(array_to_string(
+                   toks[i * {ct} + 1 : i * {ct} + {ct}], ' ')) AS h
+        FROM c, range(0, 1000) r(i) WHERE i < n_chunks),
+    cross_counts AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY h)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction,
+           CAST(CASE WHEN SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)
+                          / CAST(COUNT(*) AS DOUBLE) >= {threshold}
+                     THEN 1 ELSE 0 END AS INT) AS drop_flag
+    FROM chunks JOIN cross_counts USING (h)
+    GROUP BY doc_id
+    """

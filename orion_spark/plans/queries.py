@@ -7475,6 +7475,27 @@ def _register_text_chunking():
 _register_text_chunking()
 
 
+def _register_chunk_dedup():
+    from orion_spark.llm.dedup import chunk_dup_stats, chunk_dup_stats_oracle_sql
+
+    @query("dedup_chunk_level", chunk_dup_stats_oracle_sql(chunk_tokens=32))
+    def dedup_chunk_level_q(spark, sf_dir):
+        """Chunk-level (paragraph-granular) dedup panel — the
+        C4/RefinedWeb rule between exact whole-doc dedup and MinHash:
+        non-overlapping 32-token chunks, one hash aggregate on the chunk
+        hash, join back on the same key, per-doc duplicated-chunk
+        fraction with a 0.5 drop threshold. Three key-hashed shuffles,
+        no all-pairs — exact-dedup's 100 TB shape at sub-document
+        granularity (reference has no document surface; north-star
+        extension)."""
+        return chunk_dup_stats(
+            _t(spark, sf_dir, "documents"), chunk_tokens=32, threshold=0.5
+        )
+
+
+_register_chunk_dedup()
+
+
 @query(
     "text_chunk_pack_plan",
     """

@@ -474,3 +474,27 @@ def test_ivf_fixed_centroids_sparse_id_space(spark):
         S.ivf_topk_fixed_centroids(
             small, small.where(F.col("vec_id") < 8), k=5, n_clusters=16
         ).collect()
+
+
+def test_chunk_dup_stats_cross_doc_only(spark):
+    """Chunk-level dedup: only chunks shared ACROSS documents count as
+    duplicated (within-doc repetition is repetition, not duplication);
+    drop_flag trips at the threshold."""
+    from orion_spark.llm.dedup import chunk_dup_stats
+
+    # chunk_tokens=2, so chunks are word pairs
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f"),        # chunks: "a b","c d","e f"
+        Row(doc_id=2, text="a b c d x y"),        # shares 2/3 with doc 1
+        Row(doc_id=3, text="p q p q p q"),        # self-repeats only
+        Row(doc_id=4, text="z z"),                # unique single chunk
+    ])
+    out = {r.doc_id: r for r in
+           chunk_dup_stats(docs, chunk_tokens=2, threshold=0.5).collect()}
+    assert out[1].n_chunks == 3 and out[1].n_dup_chunks == 2
+    assert abs(out[1].dup_fraction - 0.666667) < 1e-6
+    assert out[1].drop_flag == 1
+    assert out[2].n_dup_chunks == 2 and out[2].drop_flag == 1
+    # doc 3's "p q" appears 3x but only within itself -> not duplicated
+    assert out[3].n_dup_chunks == 0 and out[3].drop_flag == 0
+    assert out[4].n_chunks == 1 and out[4].drop_flag == 0
