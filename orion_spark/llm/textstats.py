@@ -321,3 +321,135 @@ def chunk_documents_oracle_sql(
     FROM c, range(0, 1000) r(i)
     WHERE i < n_chunks
     """
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (word-frequency algorithm)
+# ---------------------------------------------------------------------------
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first *n_merges* BPE merge rules from a corpus — the
+    tokenizer-training step of a pre-training pipeline, distributed the
+    way production trainers (HF tokenizers) do it: collapse the corpus
+    to a DISTINCT-WORD frequency table first (one big shuffle over
+    pretokens; everything after operates on the vastly smaller word
+    table), then per round (a) count adjacent symbol pairs weighted by
+    word frequency, (b) take the argmax pair with a total-order
+    tie-break (count desc, then lexicographic), (c) greedily merge that
+    pair left-to-right in every word. Rounds are inherently sequential
+    (round r+1's counts depend on round r's merge) — each round is one
+    small-table aggregate + a 1-row collect + a narrow map, so k merges
+    cost k small shuffles regardless of corpus size.
+
+    Words are pretokenized with BPE_ISH_PATTERN (leading spaces become
+    the GPT-2-style 'Ġ' marker) and symbolized as single-space-wrapped,
+    double-space-joined character strings: pair (l, r) occurs as
+    ' l  r ' and merges to ' lr ' via LITERAL left-to-right
+    non-overlapping replace — the exact greedy-merge semantics, shared
+    byte-for-byte with the unrolled DuckDB oracle
+    (bpe_train_merges_oracle_sql), which makes an ITERATIVE training
+    algorithm fully value-checkable cross-engine.
+
+    Returns (rank, lhs, rhs, merged, pair_count) — the merge table.
+    """
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("w")
+    ).where(F.length("w") > 0)
+    words = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    chars = F.regexp_extract_all(
+        F.regexp_replace(F.col("w"), " ", "Ġ"), F.lit("."), 0
+    )
+    wdf = words.select(
+        "cnt",
+        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pair_structs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i + 1).alias("lhs"),
+                    F.element_at(syms, i + 2).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        best = (
+            wdf.select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word is a single symbol — nothing left to merge
+        lhs, rhs, c = best[0].lhs, best[0].rhs, best[0].c
+        merges.append((rank, lhs, rhs, lhs + rhs, int(c)))
+        wdf = wdf.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def bpe_train_merges_oracle_sql(
+    n_merges: int = 6, table: str = "documents", max_word_syms: int = 200
+) -> str:
+    """DuckDB ground truth: the identical algorithm with the k rounds
+    UNROLLED as chained CTEs (the label-propagation oracle treatment
+    applied to an argmax-per-round loop). Same symbolization, same
+    literal-replace greedy merge, same (count desc, lhs, rhs) total
+    order; an exhausted round (no pairs) degrades to a no-op via an
+    impossible chr(7) replace pattern."""
+    pat = BPE_ISH_PATTERN.replace("\\", "\\\\")
+    ctes = [f"""
+    toks AS (
+        SELECT unnest(regexp_extract_all(text, '{pat}')) AS w FROM {table}),
+    wf AS (SELECT w, COUNT(*) AS cnt FROM toks WHERE len(w) > 0 GROUP BY w),
+    w0 AS (
+        SELECT cnt,
+               ' ' || array_to_string(
+                   regexp_extract_all(replace(w, ' ', chr(288)), '.'), '  ')
+               || ' ' AS s
+        FROM wf)"""]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""
+    p{r} AS (
+        SELECT l, r2, SUM(cnt) AS c FROM (
+            SELECT syms[i + 1] AS l, syms[i + 2] AS r2, cnt
+            FROM (SELECT cnt, string_split(trim(s), '  ') AS syms
+                  FROM w{r - 1}),
+                 range(0, {max_word_syms}) t(i)
+            WHERE i < len(syms) - 1)
+        GROUP BY l, r2),
+    b{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1),
+    w{r} AS (
+        SELECT cnt,
+               replace(s,
+                   coalesce((SELECT ' ' || l || '  ' || r2 || ' ' FROM b{r}),
+                            chr(7)),
+                   coalesce((SELECT ' ' || l || r2 || ' ' FROM b{r}), '')) AS s
+        FROM w{r - 1})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS lhs, r2 AS rhs, l || r2 AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {','.join(ctes)} {finals}"

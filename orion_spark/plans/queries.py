@@ -7496,6 +7496,29 @@ def _register_chunk_dedup():
 _register_chunk_dedup()
 
 
+def _register_bpe_training():
+    from orion_spark.llm.textstats import (
+        bpe_train_merges,
+        bpe_train_merges_oracle_sql,
+    )
+
+    @query("text_bpe_train_merges", bpe_train_merges_oracle_sql(n_merges=6))
+    def text_bpe_train_merges_q(spark, sf_dir):
+        """Distributed BPE tokenizer training — learn the first 6 merge
+        rules from the documents corpus via the word-frequency
+        algorithm: one corpus-scale shuffle builds the distinct-word
+        table, then each round is a small-table pair-count aggregate +
+        a 1-row argmax collect + a narrow literal-replace merge. An
+        ITERATIVE training loop with a full value oracle: the DuckDB
+        side unrolls the same rounds as chained CTEs over the identical
+        double-space symbol encoding (reference has no tokenizer
+        surface; north-star extension)."""
+        return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
+_register_bpe_training()
+
+
 @query(
     "text_chunk_pack_plan",
     """

@@ -498,3 +498,50 @@ def test_chunk_dup_stats_cross_doc_only(spark):
     # doc 3's "p q" appears 3x but only within itself -> not duplicated
     assert out[3].n_dup_chunks == 0 and out[3].drop_flag == 0
     assert out[4].n_chunks == 1 and out[4].drop_flag == 0
+
+
+def test_bpe_train_merges_hand_corpus(spark):
+    """BPE merge learning on a hand-computable corpus: frequency-weighted
+    argmax, deterministic tie-break, greedy left-to-right merge (the
+    'aaa' adjacency corner), and the GPT-2-style leading-space marker."""
+    from orion_spark.llm.textstats import bpe_train_merges
+
+    #  corpus pretokens: 'low' x4, ' low' x3 (-> Ġlow), 'aaa' x2
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="low low low low aaa"),
+         Row(doc_id=2, text="low low aaa")]
+    )
+    # NOTE the pretokenizer keeps leading spaces: "low low low" yields
+    # tokens low, ' low', ' low' -> 1x 'low' + rest 'Ġlow'
+    out = bpe_train_merges(docs, n_merges=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # pair counts round 1: (l,o) 6, (o,w) 6, (Ġ,l) 4, (a,a) 2x2=4
+    # tie (l,o) vs (o,w) at 6 -> lexicographic: 'l' < 'o'
+    r1 = out[0]
+    assert (r1.lhs, r1.rhs, r1.merged, r1.pair_count) == ("l", "o", "lo", 6)
+    # round 2: (lo,w) 6 wins
+    r2 = out[1]
+    assert (r2.lhs, r2.rhs, r2.merged, r2.pair_count) == ("lo", "w", "low", 6)
+    # round 3: (Ġ,low) 4 vs (a,a) 4 -> 'a' < 'Ġ' (U+0120) lexicographic
+    r3 = out[2]
+    assert (r3.lhs, r3.rhs, r3.merged) == ("a", "a", "aa")
+    # greedy left-to-right: 'aaa' contributes TWO overlapping (a,a)
+    # positions to the count ...
+    assert r3.pair_count == 4
+
+
+def test_bpe_merge_greedy_nonoverlap(spark):
+    """After merging (a,a), 'aaaa' must re-segment as [aa, aa] and
+    'aaa' as [aa, a] — literal replace implements greedy non-overlap."""
+    from orion_spark.llm.textstats import bpe_train_merges
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="aaaa aaa aaaa")])
+    out = bpe_train_merges(docs, n_merges=2).collect()
+    # round 1: (a,a) with count 2*3 + 1*2 = 8
+    assert (out[0].lhs, out[0].rhs, out[0].pair_count) == ("a", "a", 8)
+    # round 2 counts on re-segmented words: 'aaaa'->[aa,aa] (x2 words),
+    # 'aaa'->[aa,a]: pairs (aa,aa) 2, (aa,a) 1, (Ġ,aa)... wait, the
+    # second/third tokens carry the space marker: ' aaa'->[Ġ,aa,a],
+    # ' aaaa'->[Ġ,aa,aa]; pairs: (aa,aa): 1+1=2, (Ġ,aa): 2, (aa,a): 1
+    # tie at 2: (aa,aa) vs (Ġ,aa) -> 'aa' < 'Ġ'
+    assert (out[1].lhs, out[1].rhs, out[1].pair_count) == ("aa", "aa", 2)
