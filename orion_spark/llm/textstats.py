@@ -356,6 +356,16 @@ def bpe_train_merges(
 
     Returns (rank, lhs, rhs, merged, pair_count) — the merge table.
     """
+    wdf = _bpe_word_table(df, text_col)
+    merges, _ = _bpe_learn(wdf, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt, s): distinct pretokens with corpus frequency and the
+    double-space symbol encoding (see bpe_train_merges)."""
     toks = df.select(
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
@@ -365,12 +375,17 @@ def bpe_train_merges(
     chars = F.regexp_extract_all(
         F.regexp_replace(F.col("w"), " ", "Ġ"), F.lit("."), 0
     )
-    wdf = words.select(
-        "cnt",
+    return words.select(
+        "w", "cnt",
         F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("s"),
     ).localCheckpoint(eager=True)
 
-    spark = df.sparkSession
+
+def _bpe_learn(
+    wdf: DataFrame, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """The training rounds: returns (merge table rows, word table with
+    all learned merges applied to the symbol encoding)."""
     merges = []
     for rank in range(1, n_merges + 1):
         syms = F.split(F.trim(F.col("s")), "  ")
@@ -404,8 +419,44 @@ def bpe_train_merges(
                 F.lit(f" {lhs}{rhs} "),
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    return merges, wdf
+
+
+def bpe_encoded_token_counts(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ENCODE side of the learned tokenizer: train n_merges rules
+    (bpe_train_merges), apply them to the distinct-word table, then
+    count tokens per document under the learned segmentation — the
+    token-accounting pass every pre-training data pipeline runs before
+    mixing/packing. Returns (doc_id, n_words, n_tokens).
+
+    Scale shape: encoding reuses the DISTINCT-WORD table the trainer
+    already built (the merges were applied there — k narrow replaces,
+    no per-document work), so the encode step is just the per-doc token
+    explode joined to the word map on `w` and one aggregate on the doc
+    id. No new scaling term beyond exact dedup's."""
+    wdf = _bpe_word_table(df, text_col)
+    _, encoded = _bpe_learn(wdf, n_merges)
+    wordmap = encoded.select(
+        "w", F.size(F.split(F.trim(F.col("s")), "  ")).alias("_nsyms")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("w"),
+    ).where(F.length("w") > 0)
+    return (
+        toks.join(wordmap, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("_nsyms").cast("bigint").alias("n_tokens"),
+        )
     )
 
 
@@ -418,13 +469,37 @@ def bpe_train_merges_oracle_sql(
     literal-replace greedy merge, same (count desc, lhs, rhs) total
     order; an exhausted round (no pairs) degrades to a no-op via an
     impossible chr(7) replace pattern."""
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, l AS lhs, r2 AS rhs, l || r2 AS merged, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_oracle_ctes(n_merges, table, max_word_syms)} {finals}"
+
+
+def bpe_encoded_token_counts_oracle_sql(
+    n_merges: int = 6, table: str = "documents", max_word_syms: int = 200
+) -> str:
+    """DuckDB ground truth for the encode side: the same unrolled
+    training chain, then per-doc token counts via the word map join."""
+    return f"""WITH {_bpe_oracle_ctes(n_merges, table, max_word_syms)}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT) AS n_tokens
+    FROM toks JOIN w{n_merges} USING (w)
+    GROUP BY doc_id
+    """
+
+
+def _bpe_oracle_ctes(n_merges: int, table: str, max_word_syms: int) -> str:
     pat = BPE_ISH_PATTERN.replace("\\", "\\\\")
     ctes = [f"""
     toks AS (
-        SELECT unnest(regexp_extract_all(text, '{pat}')) AS w FROM {table}),
+        SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS w
+        FROM {table}),
     wf AS (SELECT w, COUNT(*) AS cnt FROM toks WHERE len(w) > 0 GROUP BY w),
     w0 AS (
-        SELECT cnt,
+        SELECT w, cnt,
                ' ' || array_to_string(
                    regexp_extract_all(replace(w, ' ', chr(288)), '.'), '  ')
                || ' ' AS s
@@ -441,15 +516,10 @@ def bpe_train_merges_oracle_sql(
         GROUP BY l, r2),
     b{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1),
     w{r} AS (
-        SELECT cnt,
+        SELECT w, cnt,
                replace(s,
                    coalesce((SELECT ' ' || l || '  ' || r2 || ' ' FROM b{r}),
                             chr(7)),
                    coalesce((SELECT ' ' || l || r2 || ' ' FROM b{r}), '')) AS s
         FROM w{r - 1})""")
-    finals = " UNION ALL ".join(
-        f"SELECT {r} AS rank, l AS lhs, r2 AS rhs, l || r2 AS merged, "
-        f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return f"WITH {','.join(ctes)} {finals}"
+    return ",".join(ctes)

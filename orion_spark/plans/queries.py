@@ -7515,6 +7515,26 @@ def _register_bpe_training():
         surface; north-star extension)."""
         return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=6)
 
+    from orion_spark.llm.textstats import (
+        bpe_encoded_token_counts,
+        bpe_encoded_token_counts_oracle_sql,
+    )
+
+    @query(
+        "text_bpe_token_counts", bpe_encoded_token_counts_oracle_sql(n_merges=6)
+    )
+    def text_bpe_token_counts_q(spark, sf_dir):
+        """The ENCODE side of the learned tokenizer: per-document token
+        counts under the 6 learned merge rules — the token-accounting
+        pass a pre-training pipeline runs before mixing/packing. The
+        merges apply on the distinct-word table (k narrow replaces),
+        then per-doc counts are a token explode + word-map join + one
+        aggregate; the oracle reuses the identical unrolled training
+        chain plus the join."""
+        return bpe_encoded_token_counts(
+            _t(spark, sf_dir, "documents"), n_merges=6
+        )
+
 
 _register_bpe_training()
 

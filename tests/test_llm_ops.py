@@ -545,3 +545,18 @@ def test_bpe_merge_greedy_nonoverlap(spark):
     # ' aaaa'->[Ġ,aa,aa]; pairs: (aa,aa): 1+1=2, (Ġ,aa): 2, (aa,a): 1
     # tie at 2: (aa,aa) vs (Ġ,aa) -> 'aa' < 'Ġ'
     assert (out[1].lhs, out[1].rhs, out[1].pair_count) == ("aa", "aa", 2)
+
+
+def test_bpe_encoded_token_counts_hand_corpus(spark):
+    """Encode-side token accounting under the learned merges: after
+    (l,o), (lo,w), (a,a), 'low'=1 token, 'Ġlow'=2, 'Ġaaa'=3."""
+    from orion_spark.llm.textstats import bpe_encoded_token_counts
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="low low low low aaa"),
+         Row(doc_id=2, text="low low aaa")]
+    )
+    out = {r.doc_id: r for r in
+           bpe_encoded_token_counts(docs, n_merges=3).collect()}
+    assert (out[1].n_words, out[1].n_tokens) == (5, 10)
+    assert (out[2].n_words, out[2].n_tokens) == (3, 6)
