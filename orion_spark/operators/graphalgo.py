@@ -515,3 +515,131 @@ def ktruss_oracle_sql(pairs_cte: str, k: int = 3, rounds: int = 2) -> str:
     {",".join(chain)}
     SELECT a, b, support FROM final
     """
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic random-walk corpus generation — the sampling pass of
+    DeepWalk/node2vec-style graph-embedding training, made fully
+    value-checkable cross-engine by replacing RNG with a keyed hash: at
+    step t, walk w moves from node u to neighbor with index
+    md5(w, t, seed) mod outdeg(u), neighbors ranked by (dst) within each
+    src. Same "derandomize with a hash, unroll the rounds in SQL"
+    treatment as the deterministic IVF and the BPE trainer.
+
+    `edges` needs src/dst (directed; symmetrize first for undirected
+    walks). `starts` defaults to every distinct src; one walk per start,
+    walk_id = start node. A walk reaching a node with no out-edges
+    simply ends (inner join), mirroring DeepWalk's early termination.
+
+    Scale shape: the ranked adjacency (row_number within src — one
+    shuffle) and the out-degree table are built once and persisted
+    pre-partitioned on the join key; each of the `walk_length` rounds
+    then shuffles only the walk frontier (|starts| rows) against them —
+    label_propagation_min's reuse discipline. k steps = k bounded
+    frontier joins, no per-round growth.
+
+    Returns (walk_id, step, node) with step 0 = the start node.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("_idx", F.row_number().over(w) - 1)
+        .repartition("src")
+        .persist()
+    )
+    deg = (
+        adj.groupBy("src").agg(F.count("*").alias("_outdeg"))
+        # rename away from adj's lineage: deg derives from adj, so an
+        # un-aliased `src` would be ambiguous in the per-step double join
+        .select(F.col("src").alias("_dsrc"), "_outdeg")
+        .repartition("_dsrc")
+        .persist()
+    )
+    if starts is None:
+        starts = adj.select("src").distinct()
+    frontier = starts.select(
+        F.col("src").cast("string").alias("walk_id"),
+        F.col("src").alias("_cur"),
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("_cur").alias("node")
+    )
+    for t in range(1, walk_length + 1):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("walk_id"),
+                            F.lit(str(t)), F.lit(str(seed)),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.col("_outdeg"),
+        )
+        # alias-qualified joins: frontier's _cur carries adj.dst's
+        # attribute id from the previous round, so unqualified refs are
+        # ambiguous against adj's own columns
+        frontier = (
+            frontier.alias("f")
+            .join(deg.alias("d"), F.col("f._cur") == F.col("d._dsrc"))
+            .withColumn("_pick", pick)
+            .join(
+                adj.alias("a"),
+                (F.col("f._cur") == F.col("a.src"))
+                & (F.col("_pick") == F.col("a._idx")),
+            )
+            .select("f.walk_id", F.col("a.dst").alias("_cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).alias("step"), F.col("_cur").alias("node")
+            )
+        )
+    adj.unpersist()
+    deg.unpersist()
+    return out
+
+
+def random_walks_oracle_sql(
+    edges_cte: str, walk_length: int = 4, seed: int = 42,
+    starts_sql: str | None = None,
+) -> str:
+    """DuckDB ground truth: identical ranked adjacency, hash pick and
+    unrolled steps. `edges_cte` must define a CTE `edges` with src/dst;
+    `starts_sql` a query yielding a `src` column (defaults to all srcs)."""
+    starts = starts_sql or "SELECT DISTINCT src FROM adj"
+    ctes = [f"""{edges_cte},
+    adj AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        FROM (SELECT DISTINCT src, dst FROM edges)),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src),
+    f0 AS (SELECT CAST(src AS VARCHAR) AS walk_id, src AS cur
+           FROM ({starts}))"""]
+    for t in range(1, walk_length + 1):
+        ctes.append(f"""
+    f{t} AS (
+        SELECT f.walk_id, a.dst AS cur
+        FROM f{t - 1} f
+        JOIN deg d ON f.cur = d.src
+        JOIN adj a ON f.cur = a.src
+                  AND a.idx = ('0x' || substr(md5(f.walk_id || '|{t}|{seed}'),
+                                              1, 15))::BIGINT % d.outdeg)""")
+    finals = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS node FROM f{t}"
+        for t in range(0, walk_length + 1)
+    )
+    return f"WITH {','.join(ctes)} {finals}"

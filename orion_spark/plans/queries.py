@@ -3581,6 +3581,63 @@ from orion_spark.operators.graphalgo import (  # noqa: E402
 )
 
 
+_WALK_EDGES_SQL = """
+    e0 AS (SELECT DISTINCT 'O:' || l_orderkey AS a, 'P:' || l_partkey AS b
+           FROM lineitem),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0)
+"""
+_WALK_STARTS_SQL = (
+    "SELECT DISTINCT 'O:' || l_orderkey AS src FROM lineitem "
+    "WHERE l_orderkey % 199 = 0"
+)
+
+
+def _register_random_walks():
+    from orion_spark.operators.graphalgo import (
+        random_walks,
+        random_walks_oracle_sql,
+    )
+
+    @query(
+        "graph_random_walks",
+        random_walks_oracle_sql(
+            _WALK_EDGES_SQL.strip(), walk_length=4, seed=42,
+            starts_sql=_WALK_STARTS_SQL,
+        ),
+    )
+    def graph_random_walks_q(spark, sf_dir):
+        """Deterministic random-walk corpus over the symmetrized
+        order-part bipartite graph — the DeepWalk/node2vec sampling pass
+        with the RNG replaced by a keyed md5 pick, so an inherently
+        randomized training-data generator is value-checked
+        cross-engine. Ranked adjacency + degree tables are built once
+        and persisted pre-partitioned on the join key; each of the 4
+        steps shuffles only the walk frontier (reference has no graph-ML
+        surface; north-star extension)."""
+        li = _t(spark, sf_dir, "lineitem")
+        e0 = li.select(
+            F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("a"),
+            F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("b"),
+        ).distinct()
+        edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        starts = (
+            li.where(F.col("l_orderkey") % 199 == 0)
+            .select(
+                F.concat(
+                    F.lit("O:"), F.col("l_orderkey").cast("string")
+                ).alias("src")
+            )
+            .distinct()
+        )
+        return random_walks(edges, walk_length=4, seed=42, starts=starts)
+
+
+_register_random_walks()
+
+
 @query("graph_triangle_count", triangle_count_oracle_sql(_TRI_PAIRS_SQL.strip()))
 def graph_triangle_count_q(spark, sf_dir):
     """Triangle counting on the part co-occurrence graph (parts sharing an

@@ -189,7 +189,12 @@ def recover_sharded_bundle(path: str) -> str:
     'clean' (nothing to do), 'rolled_back' (staging discarded — the
     crash predates the journal, so the upsert never committed), or
     'rolled_forward' (journal present — the staged shards were swapped
-    in to completion)."""
+    in to completion).
+
+    Only run this once the crashed writer is KNOWN dead: it clears the
+    bundle lock, so invoking it while a live upsert is mid-flight would
+    let a second writer in (the same precondition as any lock-breaking
+    recovery, e.g. the reference's manual release-dir cleanup)."""
     journal = os.path.join(path, JOURNAL_NAME)
     if os.path.exists(journal):
         with open(journal) as fh:

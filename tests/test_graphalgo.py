@@ -207,3 +207,41 @@ def test_no_cache_pinned_after_multi_branch_ops(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "an operator left a DataFrame cache registered after its action"
     )
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walks follow real edges, are reproducible (keyed hash, no RNG),
+    differ by seed, and end early at dead ends on a directed graph."""
+    from pyspark.sql import Row
+
+    from orion_spark.operators.graphalgo import random_walks
+
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="a", dst="c"), Row(src="b", dst="c"),
+         Row(src="c", dst="a"), Row(src="c", dst="b"), Row(src="b", dst="a"),
+         Row(src="d", dst="x")],  # x is a dead end
+        "src string, dst string",
+    )
+    adj = {("a"): {"b", "c"}, ("b"): {"a", "c"}, ("c"): {"a", "b"},
+           ("d"): {"x"}}
+
+    out1 = random_walks(edges, walk_length=3, seed=1).collect()
+    out2 = random_walks(edges, walk_length=3, seed=1).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # reproducible
+
+    walks = {}
+    for r in sorted(out1, key=lambda r: (r.walk_id, r.step)):
+        walks.setdefault(r.walk_id, []).append(r.node)
+    # every step is a real out-edge of the previous node
+    for wid, path in walks.items():
+        assert path[0] == wid
+        for u, v in zip(path, path[1:]):
+            assert v in adj[u], f"walk {wid} took non-edge {u}->{v}"
+    # the d-walk dies at x (no out-edges): steps 0,1 only
+    assert walks["d"] == ["d", "x"]
+    # a,b,c walks run the full length
+    for wid in "abc":
+        assert len(walks[wid]) == 4
+
+    out3 = random_walks(edges, walk_length=3, seed=2).collect()
+    assert sorted(map(tuple, out1)) != sorted(map(tuple, out3))  # seed matters
