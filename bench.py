@@ -39,6 +39,11 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_dedup_first",
+    # round-5 additions: chunk-granular dedup, iterative BPE training,
+    # and the walk->skip-gram graph-embedding corpus chain
+    "dedup_chunk_level",
+    "text_bpe_train_merges",
+    "graph_walk_skipgrams",
     "text_stats_panel",
     # fixed 64-query batch — the production exact-scoring contract; the
     # unbounded vec_id%100 variant stays registered as the scoring oracle

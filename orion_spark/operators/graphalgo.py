@@ -643,3 +643,46 @@ def random_walks_oracle_sql(
         for t in range(0, walk_length + 1)
     )
     return f"WITH {','.join(ctes)} {finals}"
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair extraction over walk sequences —
+    the step between random_walks and an embedding trainer: every
+    ordered pair of nodes within `window` steps of each other on the
+    same walk, weighted by occurrence count. A self-join on walk_id
+    bounded by the step distance; walks are short (walk_length+1 rows),
+    so the join is equi on walk_id with a tiny bounded fan-out per key —
+    at corpus scale this shuffles on walk_id once per side and nothing
+    else. Returns (center, context, pair_count)."""
+    a = walks.select(
+        F.col("walk_id").alias("_w"), F.col("step").alias("_s"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("walk_id").alias("_w2"), F.col("step").alias("_s2"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, (F.col("_w") == F.col("_w2")))
+        .where(
+            (F.abs(F.col("_s") - F.col("_s2")) <= window)
+            & (F.col("_s") != F.col("_s2"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("bigint").alias("pair_count"))
+    )
+
+
+def walk_skipgrams_oracle_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB ground truth over the same walks query (`walks_sql` must
+    yield walk_id, step, node)."""
+    return f"""
+    WITH walks AS ({walks_sql})
+    SELECT x.node AS center, y.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM walks x JOIN walks y
+      ON x.walk_id = y.walk_id
+     AND abs(x.step - y.step) <= {window}
+     AND x.step <> y.step
+    GROUP BY x.node, y.node
+    """

@@ -3638,6 +3638,54 @@ def _register_random_walks():
 _register_random_walks()
 
 
+def _register_walk_skipgrams():
+    from orion_spark.operators.graphalgo import (
+        random_walks,
+        random_walks_oracle_sql,
+        walk_skipgrams,
+        walk_skipgrams_oracle_sql,
+    )
+
+    walks_sql = random_walks_oracle_sql(
+        _WALK_EDGES_SQL.strip(), walk_length=4, seed=42,
+        starts_sql=_WALK_STARTS_SQL,
+    )
+
+    @query(
+        "graph_walk_skipgrams",
+        walk_skipgrams_oracle_sql(walks_sql, window=2),
+    )
+    def graph_walk_skipgrams_q(spark, sf_dir):
+        """Skip-gram (center, context, count) pairs within a 2-step
+        window over the deterministic walks — the full
+        walk->training-pairs chain of a DeepWalk pipeline, value-checked
+        end to end. The pair join is equi on walk_id with bounded
+        fan-out (walks are walk_length+1 rows), then one count
+        aggregate."""
+        li = _t(spark, sf_dir, "lineitem")
+        e0 = li.select(
+            F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("a"),
+            F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("b"),
+        ).distinct()
+        edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        starts = (
+            li.where(F.col("l_orderkey") % 199 == 0)
+            .select(
+                F.concat(
+                    F.lit("O:"), F.col("l_orderkey").cast("string")
+                ).alias("src")
+            )
+            .distinct()
+        )
+        walks = random_walks(edges, walk_length=4, seed=42, starts=starts)
+        return walk_skipgrams(walks, window=2)
+
+
+_register_walk_skipgrams()
+
+
 @query("graph_triangle_count", triangle_count_oracle_sql(_TRI_PAIRS_SQL.strip()))
 def graph_triangle_count_q(spark, sf_dir):
     """Triangle counting on the part co-occurrence graph (parts sharing an
