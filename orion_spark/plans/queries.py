@@ -44,6 +44,10 @@ def query(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
+        if name in QUERIES:
+            # a silent overwrite would replace an already-verified query's
+            # semantics (and its oracle) under the same registry name
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -7626,9 +7630,9 @@ def _register_bpe_training():
     )
 
     @query(
-        "text_bpe_token_counts", bpe_encoded_token_counts_oracle_sql(n_merges=6)
+        "text_bpe_encode_counts", bpe_encoded_token_counts_oracle_sql(n_merges=6)
     )
-    def text_bpe_token_counts_q(spark, sf_dir):
+    def text_bpe_encode_counts_q(spark, sf_dir):
         """The ENCODE side of the learned tokenizer: per-document token
         counts under the 6 learned merge rules — the token-accounting
         pass a pre-training pipeline runs before mixing/packing. The
