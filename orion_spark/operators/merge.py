@@ -113,9 +113,70 @@ def _truthy(col: Column, dtype: T.DataType) -> Column:
     return col.isNotNull() & (col != F.lit(0))
 
 
+def _value_truthy(v: Column, vtype: T.DataType) -> Column:
+    """Null-safe truthiness for values INSIDE a container (map values),
+    where the column-level _truthy can't apply."""
+    return F.coalesce(_truthy(v, vtype), F.lit(False))
+
+
+def _merge_map_expr(name: str, dtype: T.MapType, ordinal: Column) -> Column:
+    """PER-KEY map merge with the reference's dict semantics
+    (orion/merging.py:117-133): fold the group's maps in source-ordinal
+    order; for each key the first TRUTHY value wins, a falsy-valued key
+    is upgraded by a later truthy value, new keys are copied, and two
+    differing truthy values keep the earlier one (the reference's
+    keep-entity-1 rule). Wholesale keep-first-map (the scalar rule)
+    would silently drop every key the winning source didn't carry —
+    exactly what the map-tail schema policy (model.fold_property_tail,
+    SURVEY §7.4.4) must not do at 100 TB.
+
+    One aggregate: sorted collect_list of (ordinal, map) folded with a
+    HOF — the map fold itself is per-group JVM expression work, and the
+    collect_list combines partially like every other A3 aggregate. An
+    all-null group stays NULL (absent property stays absent)."""
+    col = F.col(name)
+    vt = dtype.valueType
+    # comparator on the ordinal alone: maps are not orderable, so the
+    # default struct comparison would be rejected by the analyzer
+    sorted_maps = F.array_sort(
+        F.collect_list(
+            F.when(col.isNotNull(), F.struct(ordinal.alias("o"), col.alias("m")))
+        ),
+        lambda l, r: F.when(l["o"] < r["o"], -1)
+        .when(l["o"] > r["o"], 1)
+        .otherwise(0),
+    )
+    empty = F.create_map().cast(dtype)
+
+    def step(acc: Column, x: Column) -> Column:
+        m = x["m"]
+        keep_acc = F.map_filter(
+            acc,
+            lambda k, v: _value_truthy(v, vt)
+            | ~(
+                F.map_contains_key(m, k)
+                & _value_truthy(F.element_at(m, k), vt)
+            ),
+        )
+        take_new = F.map_filter(
+            m,
+            lambda k, v: ~F.map_contains_key(acc, k)
+            | (
+                ~_value_truthy(F.element_at(acc, k), vt)
+                & _value_truthy(v, vt)
+            ),
+        )
+        return F.map_concat(keep_acc, take_new)
+
+    folded = F.aggregate(sorted_maps, empty, step)
+    return F.when(F.size(sorted_maps) > 0, folded).alias(name)
+
+
 def _merge_expr(name: str, dtype: T.DataType, ordinal: Column) -> Column:
     """Aggregate expression merging one property column within a group."""
     col = F.col(name)
+    if isinstance(dtype, T.MapType):
+        return _merge_map_expr(name, dtype, ordinal)
     if isinstance(dtype, T.ArrayType):
         merged = F.array_distinct(F.flatten(F.collect_list(col)))
         if not isinstance(dtype.elementType, (T.StructType, T.MapType, T.ArrayType)):

@@ -161,3 +161,44 @@ def test_merge_retrieval_sources(spark):
     # every member of the group had NULL upstreams -> the property stays
     # absent (reference None), not [] (orion/merging.py:137-146)
     assert agg.upstream_resource_ids is None
+
+
+def test_merge_map_tail_per_key(spark):
+    """MAP property columns (the fold_property_tail 100 TB schema policy)
+    merge PER KEY with the reference dict semantics
+    (orion/merging.py:117-133): first truthy value per key wins, falsy
+    values are upgraded by later truthy ones, new keys are copied —
+    NOT wholesale keep-first-map, which would drop every key the winning
+    source lacks."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # ordinal 0: the persisted/earlier source
+        ("N:1", 0, {"color": "red", "size": "", "shape": "round"}),
+        # ordinal 1: later source — new key, upgrade for falsy `size`,
+        # conflicting truthy `color` loses
+        ("N:1", 1, {"color": "blue", "size": "XL", "weight": "3"}),
+        ("N:2", 0, None),
+        ("N:2", 1, {"a": "1"}),
+        ("N:3", 0, None),  # all-null group stays null
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, _source_ordinal int, properties map<string,string>"
+    )
+    out = {r.id: r.properties for r in M.merge_nodes(df).collect()}
+    assert out["N:1"] == {
+        "color": "red",      # earlier truthy wins the conflict
+        "size": "XL",        # falsy '' upgraded by later truthy
+        "shape": "round",    # only in source 0
+        "weight": "3",       # only in source 1 -> copied
+    }
+    assert out["N:2"] == {"a": "1"}  # null map contributes nothing
+    assert out["N:3"] is None
+
+    # ordinal order, not row order, decides: reversed input, same result
+    df_rev = spark.createDataFrame(
+        list(reversed(rows)),
+        "id string, _source_ordinal int, properties map<string,string>",
+    ).repartition(5)
+    out_rev = {r.id: r.properties for r in M.merge_nodes(df_rev).collect()}
+    assert out_rev == out

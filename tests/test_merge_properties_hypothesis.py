@@ -133,3 +133,68 @@ def test_merge_retrieval_sources_differential(source_lists):
     }
     for i, lst in enumerate(source_lists):
         assert got[i] == _oracle_merge_sources(lst), f"row {i}: {lst}"
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz of the MAP-tail per-key merge (round-5): merge_nodes
+# over a map<string,string> property vs an independent Python oracle of
+# the reference's dict merge (orion/merging.py:117-133), plus order/
+# partition invariance. Map values are non-null by contract
+# (model.fold_property_tail filters nulls): for non-null values of one
+# type, the reference's "falsy replaced by any later value" collapses to
+# "falsy upgraded by first truthy" because all falsy non-null strings
+# are '' — the oracle implements exactly that.
+# ---------------------------------------------------------------------------
+
+MAP_KEYS = ["k1", "k2", "k3"]
+MAP_VALS = ["", "a", "b"]
+
+map_st = st.one_of(
+    st.none(),
+    st.dictionaries(st.sampled_from(MAP_KEYS), st.sampled_from(MAP_VALS),
+                    max_size=3),
+)
+maprow_st = st.tuples(st.sampled_from(["A", "B"]), map_st)
+
+
+def _oracle_map_merge(maps_in_ordinal_order):
+    entries = [m for m in maps_in_ordinal_order if m is not None]
+    if not entries:
+        return None
+    acc = {}
+    for m in entries:
+        for k, v in m.items():
+            if k not in acc:
+                acc[k] = v
+            elif acc[k] == "" and v != "":
+                acc[k] = v
+    return acc
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(maprow_st, min_size=1, max_size=12), st.randoms())
+def test_map_merge_differential_and_invariant(rows_in, rng):
+    from orion_spark.operators.merge import merge_nodes
+    from orion_spark.session import get_spark
+
+    spark = get_spark(app_name="hypothesis-merge", shuffle_partitions=8)
+    rows = [(rid, i, m) for i, (rid, m) in enumerate(rows_in)]
+    schema = "id string, _source_ordinal int, properties map<string,string>"
+
+    def run(rs, n_parts):
+        df = spark.createDataFrame(rs, schema).repartition(n_parts)
+        return {
+            r.id: (dict(r.properties) if r.properties is not None else None)
+            for r in merge_nodes(df).collect()
+        }
+
+    got = run(rows, 1)
+    for rid in {r[0] for r in rows}:
+        expect = _oracle_map_merge(
+            [m for (i, m) in sorted((r[1], r[2]) for r in rows if r[0] == rid)]
+        )
+        assert got[rid] == expect, f"{rid}: {got[rid]} != {expect}"
+
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    assert run(shuffled, 7) == got
