@@ -797,6 +797,49 @@ def kgx_merge_nodes(spark, sf_dir):
     )
 
 
+@query(
+    "kgx_merge_map_tail",
+    """
+    WITH kv AS (
+        SELECT 'N:' || c_nationkey AS id, c_custkey AS ord, k.key,
+               CASE k.key
+                   WHEN 'segment' THEN
+                       CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_mktsegment END
+                   ELSE c_name END AS value
+        FROM customer, (VALUES ('segment'), ('name')) k(key)),
+    ranked AS (
+        SELECT id, key, value,
+               ROW_NUMBER() OVER (PARTITION BY id, key
+                                  ORDER BY (value = ''), ord) AS rn
+        FROM kv)
+    SELECT id, key, value FROM ranked WHERE rn = 1
+    """,
+)
+def kgx_merge_map_tail_q(spark, sf_dir):
+    """The map-tail A3 path (fold_property_tail schema policy) under the
+    oracle gate: customers fold a 2-key property map (with every third
+    segment blanked so the falsy-upgrade rule is exercised), merge by
+    nation with c_custkey as the source ordinal, output exploded
+    (id, key, value). The oracle states the per-key contract directly:
+    first truthy value by ordinal, else first value
+    (orion/merging.py:117-133)."""
+    cust = _t(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.concat(F.lit("N:"), F.col("c_nationkey").cast("string")).alias("id"),
+        F.col("c_custkey").alias("_source_ordinal"),
+        F.create_map(
+            F.lit("segment"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(
+                F.col("c_mktsegment")
+            ),
+            F.lit("name"),
+            F.col("c_name"),
+        ).alias("properties"),
+    )
+    merged = M.merge_nodes(nodes)
+    return merged.select("id", F.explode("properties").alias("key", "value"))
+
+
 _EDGE_KEY_SQL = (
     "md5(concat_ws('|', subject, predicate, object, primary_knowledge_source, "
     "'object_aspect_qualifier=' || object_aspect_qualifier || "
