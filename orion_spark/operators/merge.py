@@ -119,57 +119,91 @@ def _value_truthy(v: Column, vtype: T.DataType) -> Column:
     return F.coalesce(_truthy(v, vtype), F.lit(False))
 
 
+def _map_entries(m: Column, ordinal: Column, vtype: T.DataType) -> Column:
+    """Annotate each map entry with its merge rank: (t = 0 truthy / 1
+    falsy, o = source ordinal, v = value). The per-key winner under
+    lexicographic (t, o) is exactly the reference rule — first truthy
+    value by source order, else first value — and argmin is ASSOCIATIVE,
+    so the same fold serves the plain aggregate and the two-phase salted
+    aggregate (operators/skew.py) with bit-identical results."""
+    return F.transform_values(
+        m,
+        lambda k, v: F.struct(
+            F.when(_value_truthy(v, vtype), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("t"),
+            ordinal.cast("long").alias("o"),
+            v.alias("v"),
+        ),
+    )
+
+
+def _entry_lt(a: Column, b: Column) -> Column:
+    return (a["t"] < b["t"]) | ((a["t"] == b["t"]) & (a["o"] < b["o"]))
+
+
+def _combine_entry_maps(acc: Column, em: Column) -> Column:
+    """Per-key argmin of two entry maps; disjoint by construction so
+    map_concat never sees a duplicate key."""
+    keep_acc = F.map_filter(
+        acc,
+        lambda k, s: ~F.map_contains_key(em, k)
+        | ~_entry_lt(F.element_at(em, k), s),
+    )
+    take_new = F.map_filter(
+        em,
+        lambda k, s: ~F.map_contains_key(acc, k)
+        | _entry_lt(s, F.element_at(acc, k)),
+    )
+    return F.map_concat(keep_acc, take_new)
+
+
+def _entry_map_type(dtype: T.MapType) -> T.MapType:
+    return T.MapType(
+        dtype.keyType,
+        T.StructType(
+            [
+                T.StructField("t", T.IntegerType()),
+                T.StructField("o", T.LongType()),
+                T.StructField("v", dtype.valueType),
+            ]
+        ),
+    )
+
+
+def merge_entry_maps_agg(name_or_col, dtype: T.MapType) -> Column:
+    """Aggregate a column of ENTRY maps (see _map_entries) down to one:
+    collect + fold with the associative per-key argmin. NULL when every
+    input was null (absent property stays absent)."""
+    col = name_or_col if isinstance(name_or_col, Column) else F.col(name_or_col)
+    collected = F.collect_list(col)
+    folded = F.aggregate(
+        collected,
+        F.create_map().cast(_entry_map_type(dtype)),
+        _combine_entry_maps,
+    )
+    return F.when(F.size(collected) > 0, folded)
+
+
 def _merge_map_expr(name: str, dtype: T.MapType, ordinal: Column) -> Column:
     """PER-KEY map merge with the reference's dict semantics
-    (orion/merging.py:117-133): fold the group's maps in source-ordinal
-    order; for each key the first TRUTHY value wins, a falsy-valued key
-    is upgraded by a later truthy value, new keys are copied, and two
-    differing truthy values keep the earlier one (the reference's
-    keep-entity-1 rule). Wholesale keep-first-map (the scalar rule)
-    would silently drop every key the winning source didn't carry —
-    exactly what the map-tail schema policy (model.fold_property_tail,
-    SURVEY §7.4.4) must not do at 100 TB.
+    (orion/merging.py:117-133): for each key the first TRUTHY value (by
+    source ordinal) wins, a falsy-valued key is upgraded by a later
+    truthy value, new keys are copied, and two differing truthy values
+    keep the earlier one (the reference's keep-entity-1 rule). Wholesale
+    keep-first-map (the scalar rule) would silently drop every key the
+    winning source didn't carry — exactly what the map-tail schema
+    policy (model.fold_property_tail, SURVEY §7.4.4) must not do at
+    100 TB.
 
-    One aggregate: sorted collect_list of (ordinal, map) folded with a
-    HOF — the map fold itself is per-group JVM expression work, and the
-    collect_list combines partially like every other A3 aggregate. An
-    all-null group stays NULL (absent property stays absent)."""
+    One aggregate: entry-annotated maps (value + (truthiness, ordinal)
+    rank) folded with an associative per-key argmin — per-group JVM
+    expression work that combines partially like every other A3
+    aggregate. An all-null group stays NULL."""
     col = F.col(name)
-    vt = dtype.valueType
-    # comparator on the ordinal alone: maps are not orderable, so the
-    # default struct comparison would be rejected by the analyzer
-    sorted_maps = F.array_sort(
-        F.collect_list(
-            F.when(col.isNotNull(), F.struct(ordinal.alias("o"), col.alias("m")))
-        ),
-        lambda l, r: F.when(l["o"] < r["o"], -1)
-        .when(l["o"] > r["o"], 1)
-        .otherwise(0),
-    )
-    empty = F.create_map().cast(dtype)
-
-    def step(acc: Column, x: Column) -> Column:
-        m = x["m"]
-        keep_acc = F.map_filter(
-            acc,
-            lambda k, v: _value_truthy(v, vt)
-            | ~(
-                F.map_contains_key(m, k)
-                & _value_truthy(F.element_at(m, k), vt)
-            ),
-        )
-        take_new = F.map_filter(
-            m,
-            lambda k, v: ~F.map_contains_key(acc, k)
-            | (
-                ~_value_truthy(F.element_at(acc, k), vt)
-                & _value_truthy(v, vt)
-            ),
-        )
-        return F.map_concat(keep_acc, take_new)
-
-    folded = F.aggregate(sorted_maps, empty, step)
-    return F.when(F.size(sorted_maps) > 0, folded).alias(name)
+    entries = F.when(col.isNotNull(), _map_entries(col, ordinal, dtype.valueType))
+    merged = merge_entry_maps_agg(entries, dtype)
+    return F.transform_values(merged, lambda k, s: s["v"]).alias(name)
 
 
 def _merge_expr(name: str, dtype: T.DataType, ordinal: Column) -> Column:

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from orion_spark.operators.merge import SOURCE_ORDINAL, _truthy
+from orion_spark.operators.merge import (
+    SOURCE_ORDINAL,
+    _map_entries,
+    _truthy,
+    merge_entry_maps_agg,
+)
 
 
 def salted_counts(
@@ -61,6 +66,19 @@ def merge_properties_salted(
             if not isinstance(dt.elementType, (T.StructType, T.MapType, T.ArrayType)):
                 remerged = F.array_sort(remerged)
             p2_aggs.append(F.when(F.size(remerged) > 0, remerged).alias(c))
+        elif isinstance(dt, T.MapType):
+            # per-key map merge: the entry-map argmin is associative
+            # (merge.py:_map_entries), so phase 1 folds per salt and
+            # phase 2 re-folds the partials — identical to the plain
+            # aggregate under any bucketing
+            entries = F.when(col.isNotNull(), _map_entries(col, ordinal, dt.valueType))
+            p1_aggs.append(merge_entry_maps_agg(entries, dt).alias(f"_m_{c}"))
+            p2_aggs.append(
+                F.transform_values(
+                    merge_entry_maps_agg(F.col(f"_m_{c}"), dt),
+                    lambda k, s: s["v"],
+                ).alias(c)
+            )
         else:
             truthy_ord = F.when(_truthy(col, dt), ordinal)
             nonnull_ord = F.when(col.isNotNull(), ordinal)

@@ -51,3 +51,33 @@ def test_salted_counts(spark):
     out = {r.id: r.n for r in salted_counts(df, ["id"]).collect()}
     assert out["HUB:1"] == 200
     assert out["K:5"] == 1
+
+
+def test_salted_merge_map_tail_identical(spark):
+    """The salted two-phase aggregate must reproduce the plain per-key
+    map merge exactly — the entry-map argmin is associative, so salting
+    cannot change which value wins a key."""
+    import random
+
+    from orion_spark.operators.merge import merge_properties_agg
+    from orion_spark.operators.skew import merge_properties_salted
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        m = {k: rng.choice(["", "x", "y", "z"])
+             for k in rng.sample(["a", "b", "c", "d"], rng.randint(0, 4))}
+        rows.append((f"N:{rng.randint(0, 5)}", i, m or None))
+    schema = "id string, _source_ordinal int, properties map<string,string>"
+    df = spark.createDataFrame(rows, schema)
+
+    def canon(out):
+        return sorted(
+            (r.id, tuple(sorted(r.properties.items()))
+             if r.properties is not None else None)
+            for r in out.collect()
+        )
+
+    plain = canon(merge_properties_agg(df, ["id"]))
+    salted = canon(merge_properties_salted(df, ["id"], salt_buckets=8))
+    assert salted == plain
