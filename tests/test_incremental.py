@@ -296,3 +296,27 @@ def test_upsert_schema_evolution(spark, tmp_path):
     out2 = {r.id: r for r in INC.read_sharded_bundle(spark, path).collect()}
     assert out2["N:1"].extra_prop == "NEW"
     assert out2["N:2"].name == "n2"  # persisted truthy scalar still wins
+
+
+def test_upsert_retry_idempotent(spark, tmp_path):
+    """foreachBatch redelivery safety: re-applying the SAME delta is a
+    no-op under A3 semantics (scalars: the persisted value wins as the
+    earlier source; arrays: union+dedup absorbs repeats) — so a crashed
+    micro-batch that retries after recovery cannot corrupt the bundle."""
+    path = str(tmp_path / "retry_bundle")
+    base = merge_edges(_edges(spark, _base_rows()[:50]))
+    INC.write_sharded_bundle(base, path, ["subject"], n_shards=8)
+
+    delta = _edges(spark, [
+        Row(subject="G:1", predicate="biolink:related_to", object="D:1",
+            primary_knowledge_source="infores:a",
+            publications=["PMID:retry"], score=777.0),
+    ])
+    INC.upsert_sharded_edges(spark, delta, path, n_shards=8)
+    once = _canon(INC.read_sharded_bundle(spark, path))
+    INC.upsert_sharded_edges(spark, delta, path, n_shards=8)  # the retry
+    assert _canon(INC.read_sharded_bundle(spark, path)) == once
+    row = [r for r in INC.read_sharded_bundle(spark, path).collect()
+           if r.subject == "G:1" and r.object == "D:1"][0]
+    assert "PMID:retry" in row.publications
+    assert row.score == 1.0  # persisted truthy scalar beat the delta's 777
