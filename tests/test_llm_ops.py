@@ -560,3 +560,65 @@ def test_bpe_encoded_token_counts_hand_corpus(spark):
            bpe_encoded_token_counts(docs, n_merges=3).collect()}
     assert (out[1].n_words, out[1].n_tokens) == (5, 10)
     assert (out[2].n_words, out[2].n_tokens) == (3, 6)
+
+
+def test_bpe_train_merges_differential_fuzz(spark):
+    """Randomized differential check of the distributed BPE trainer
+    against an independent pure-Python reference implementation of the
+    word-frequency algorithm (count weighted adjacent pairs -> argmax
+    with (count desc, lhs, rhs) tie-break -> greedy left-to-right
+    merge). Catches any divergence between the literal-replace merge
+    encoding and the list-walk spec."""
+    import collections
+    import random
+    import re
+
+    from orion_spark.llm.textstats import BPE_ISH_PATTERN, bpe_train_merges
+
+    def py_bpe(texts, k):
+        words = collections.Counter()
+        for t in texts:
+            for w in re.findall(BPE_ISH_PATTERN, t):
+                if w:
+                    words[w.replace(" ", "Ġ")] += 1
+        syms = {w: list(w) for w in words}
+        merges = []
+        for rank in range(1, k + 1):
+            counts = collections.Counter()
+            for w, c in words.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] += c
+            if not counts:
+                break
+            (lhs, rhs), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, lhs, rhs, lhs + rhs, c))
+            for w, s in syms.items():
+                new, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                        new.append(lhs + rhs)
+                        i += 2
+                    else:
+                        new.append(s[i])
+                        i += 1
+                syms[w] = new
+        return merges
+
+    rng = random.Random(5)
+    vocab = ["ab", "aba", "abab", "ba!", "cc", "c-c", "abc", "a"]
+    for trial in range(4):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+            for _ in range(rng.randint(2, 6))
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = [
+            (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_train_merges(docs, n_merges=5).collect()
+        ]
+        assert got == py_bpe(texts, 5), f"trial {trial}: {texts}"
