@@ -116,15 +116,28 @@ def cmd_ac_files(args) -> int:
 
 
 def cmd_qc(args) -> int:
-    from orion_spark.sinks.metadata import qc_results
+    """QC counts + the validation verdict (orion/kgx_validation.py):
+    pass/warnings/errors with deprecated/invalid infores ids and
+    out-of-model node categories, from injectable catalog snapshots."""
+    from orion_spark.sinks.metadata import validate_graph
     from orion_spark.sources.kgx import read_bundle
 
     spark = _spark()
     nodes, edges = read_bundle(spark, args.bundle)
-    res = qc_results(nodes, edges)
+    infores_status = None
+    if args.infores_status:
+        with open(args.infores_status) as fh:
+            infores_status = json.load(fh)
+    valid_types = None
+    if args.valid_node_types:
+        with open(args.valid_node_types) as fh:
+            valid_types = {ln.strip() for ln in fh if ln.strip()}
+    res = validate_graph(nodes, edges, infores_status, valid_types)
     with open(args.out, "w") as fh:
         json.dump(res, fh, indent=2)
     print(json.dumps({"out": args.out,
+                      "pass": res["pass"],
+                      "warnings": sorted(res["warnings"]),
                       "predicates": len(res["predicate_totals"])}))
     return 0
 
@@ -298,6 +311,11 @@ def main(argv: list[str] | None = None) -> int:
     qc = sub.add_parser("qc")
     qc.add_argument("--bundle", required=True)
     qc.add_argument("--out", required=True)
+    qc.add_argument("--infores-status",
+                    help="json file mapping infores id -> status "
+                         "(deprecated/invalid); a biolink catalog snapshot")
+    qc.add_argument("--valid-node-types",
+                    help="file with one valid biolink category per line")
     qc.set_defaults(fn=cmd_qc)
 
     cp = sub.add_parser("compact")

@@ -12,6 +12,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from orion_spark.operators.analyze import (
     curie_prefix_counts,
@@ -38,6 +39,74 @@ def qc_results(nodes: DataFrame, edges: DataFrame) -> dict:
         ]
         if "aggregator_knowledge_source" in edges.columns
         else [],
+    }
+
+
+INFORES_STATUS_DEPRECATED = "deprecated"
+INFORES_STATUS_INVALID = "invalid"
+
+
+def validate_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    infores_status: dict[str, str] | None = None,
+    valid_node_types: set[str] | None = None,
+) -> dict:
+    """The validation VERDICT layer on top of the QC counts
+    (orion/kgx_validation.py:25-204): a pass/warnings/errors record that
+    flags deprecated or invalid knowledge-source infores identifiers and
+    node categories outside the model.
+
+    `infores_status` maps infores id -> status (the reference resolves
+    this from the biolink infores catalog via bmt; here it is an
+    injectable snapshot, same treatment as the closure dimension tables
+    in operators/derive.py — unknown ids count as valid, matching the
+    reference's get_infores_status default). `valid_node_types` is the
+    category vocabulary; None skips that check.
+
+    Scale shape: the graph-sized work is two distinct-aggregates
+    (knowledge sources incl. the missing-pks default, exploded node
+    categories) whose results are vocabulary-sized; the verdict itself
+    is a driver-side set comparison. Edges/nodes are never collected."""
+    infores_status = infores_status or {}
+    ks = edges.select(
+        F.coalesce(
+            F.col("primary_knowledge_source"),
+            F.lit("missing_primary_knowledge_source"),
+        ).alias("ks")
+    )
+    if "aggregator_knowledge_source" in edges.columns:
+        ks = ks.unionByName(
+            edges.select(F.explode("aggregator_knowledge_source").alias("ks"))
+        )
+    sources = {r.ks for r in ks.distinct().collect()}
+    warnings: dict[str, list] = {}
+    deprecated = sorted(
+        s for s in sources
+        if infores_status.get(s) == INFORES_STATUS_DEPRECATED
+    )
+    invalid = sorted(
+        s for s in sources if infores_status.get(s) == INFORES_STATUS_INVALID
+    )
+    if deprecated:
+        warnings["deprecated_knowledge_sources"] = deprecated
+    if invalid:
+        warnings["invalid_knowledge_sources"] = invalid
+    if valid_node_types is not None and "category" in nodes.columns:
+        cats = {
+            r.c
+            for r in nodes.select(F.explode("category").alias("c"))
+            .distinct()
+            .collect()
+        }
+        invalid_types = sorted(cats - set(valid_node_types))
+        if invalid_types:
+            warnings["invalid_node_types"] = invalid_types
+    return {
+        "pass": True,  # warnings never fail the build (kgx_validation.py:36)
+        "warnings": warnings,
+        "errors": {},
+        **qc_results(nodes, edges),
     }
 
 

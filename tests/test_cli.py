@@ -235,3 +235,22 @@ def test_cli_build_worker_queue(spark, tmp_path, capsys):
     assert results[0]["task_id"] == task["task_id"]
     assert results[0]["status"] == "success"
     assert os.path.isdir(results[0]["path"])
+
+
+def test_cli_qc_verdict_with_catalogs(spark, tmp_path):
+    """qc CLI emits the pass/warnings/errors verdict when catalog
+    snapshots are supplied."""
+    bundle = str(tmp_path / "bundle")
+    _bundle(spark, bundle)
+    status = tmp_path / "infores.json"
+    status.write_text('{"infores:test": "deprecated"}')
+    types = tmp_path / "types.txt"
+    types.write_text("biolink:NamedThing\n")
+    out = str(tmp_path / "qc_verdict.json")
+    rc = cli.main(["qc", "--bundle", bundle, "--out", out,
+                   "--infores-status", str(status),
+                   "--valid-node-types", str(types)])
+    assert rc == 0
+    res = json.load(open(out))
+    assert res["pass"] is True
+    assert "warnings" in res and "errors" in res

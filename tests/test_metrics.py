@@ -198,3 +198,44 @@ def test_interval_self_overlap_matches_naive_join(spark):
         if a_id < b_id and a_s < b_e and b_s < a_e
     }
     assert got == naive
+
+
+def test_validate_graph_verdict_layer(spark):
+    """kgx_validation.py verdict parity: deprecated/invalid infores ids
+    (across primary AND aggregator sources, with the missing-pks
+    default) and out-of-model categories land in warnings; pass stays
+    True (warnings never fail the build); clean graphs produce empty
+    warnings."""
+    from pyspark.sql import Row
+
+    from orion_spark.sinks.metadata import validate_graph
+
+    nodes = spark.createDataFrame(
+        [Row(id="HGNC:1", category=["biolink:Gene"]),
+         Row(id="X:2", category=["biolink:MadeUpThing"])]
+    )
+    edges = spark.createDataFrame(
+        [Row(subject="HGNC:1", predicate="biolink:related_to", object="X:2",
+             primary_knowledge_source="infores:old",
+             aggregator_knowledge_source=["infores:bogus", "infores:fine"]),
+         Row(subject="X:2", predicate="biolink:related_to", object="HGNC:1",
+             primary_knowledge_source=None,
+             aggregator_knowledge_source=None)],
+    )
+    out = validate_graph(
+        nodes, edges,
+        infores_status={"infores:old": "deprecated",
+                        "infores:bogus": "invalid",
+                        "missing_primary_knowledge_source": "invalid"},
+        valid_node_types={"biolink:Gene", "biolink:NamedThing"},
+    )
+    assert out["pass"] is True and out["errors"] == {}
+    assert out["warnings"]["deprecated_knowledge_sources"] == ["infores:old"]
+    # the missing-pks default participates in the status check
+    assert out["warnings"]["invalid_knowledge_sources"] == [
+        "infores:bogus", "missing_primary_knowledge_source"]
+    assert out["warnings"]["invalid_node_types"] == ["biolink:MadeUpThing"]
+    assert out["predicate_totals"] == {"biolink:related_to": 2}
+
+    clean = validate_graph(nodes, edges)  # no catalogs injected
+    assert clean["warnings"] == {}
