@@ -141,12 +141,19 @@ def write_metadata_sidecars(
     nodes: DataFrame,
     edges: DataFrame,
     out_dir: str,
+    infores_status: dict[str, str] | None = None,
+    valid_node_types: set[str] | None = None,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "graph-metadata.json"), "w") as fh:
         json.dump(graph_metadata(graph_id, graph_version, nodes, edges), fh, indent=2)
+    # qc-results.json carries the full verdict record (pass/warnings/
+    # errors + counts), matching the reference's qc shape
     with open(os.path.join(out_dir, "qc-results.json"), "w") as fh:
-        json.dump(qc_results(nodes, edges), fh, indent=2)
+        json.dump(
+            validate_graph(nodes, edges, infores_status, valid_node_types),
+            fh, indent=2,
+        )
     with open(os.path.join(out_dir, "schema.json"), "w") as fh:
         json.dump(kgx_schema(nodes, edges), fh, indent=2)
 
