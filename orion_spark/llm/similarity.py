@@ -361,7 +361,7 @@ def ivf_topk_fixed_centroids(
     cosine with id tie-breaks so results are stable across engines."""
     from pyspark.sql import Window
 
-    cent_rows = (
+    cent_frame = (
         candidates.select(
             F.col(id_col).alias("_list"),
             F.col(vec_col).cast("array<double>").alias("_centroid"),
@@ -369,12 +369,18 @@ def ivf_topk_fixed_centroids(
         .orderBy("_list")
         .limit(n_clusters)
     )
-    if cent_rows.count() < n_clusters:
+    # one TakeOrderedAndProject job: collect the (tiny) centroid table,
+    # validate, and re-broadcast it as a local relation — counting and
+    # broadcasting the frame separately would scan the candidates twice
+    cent_local = cent_frame.collect()
+    if len(cent_local) < n_clusters:
         raise ValueError(
             f"ivf_topk_fixed_centroids needs >= {n_clusters} candidate "
             "vectors to seed the centroid table"
         )
-    cent = F.broadcast(cent_rows)
+    cent = F.broadcast(
+        candidates.sparkSession.createDataFrame(cent_local, cent_frame.schema)
+    )
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
