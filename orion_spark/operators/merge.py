@@ -206,11 +206,51 @@ def _merge_map_expr(name: str, dtype: T.MapType, ordinal: Column) -> Column:
     return F.transform_values(merged, lambda k, s: s["v"]).alias(name)
 
 
+RETRIEVAL_SOURCE_FIELDS = {
+    "resource_id", "resource_role", "upstream_resource_ids"
+}
+
+
+def _is_retrieval_sources(name: str, dtype: T.DataType) -> bool:
+    return (
+        name == "sources"
+        and isinstance(dtype, T.ArrayType)
+        and isinstance(dtype.elementType, T.StructType)
+        and {f.name for f in dtype.elementType.fields} == RETRIEVAL_SOURCE_FIELDS
+    )
+
+
+def _merge_sources_expr(name: str, ordinal: Column) -> Column:
+    """A3 tail for the `sources` retrieval-source column: concatenate the
+    group's arrays IN SOURCE-ORDINAL ORDER (a plain collect_list order is
+    partition-dependent, which would make the first-occurrence output
+    order nondeterministic), then key-dedup with merge_retrieval_sources.
+    Generic array_distinct would dedup by whole-struct equality — two
+    entries for the same (resource_id, resource_role) with different
+    upstreams would BOTH survive instead of unioning
+    (orion/merging.py:49-59,160-183)."""
+    col = F.col(name)
+    sorted_lists = F.array_sort(
+        F.collect_list(
+            F.when(col.isNotNull(), F.struct(ordinal.alias("o"), col.alias("a")))
+        ),
+        lambda l, r: F.when(l["o"] < r["o"], -1)
+        .when(l["o"] > r["o"], 1)
+        .otherwise(0),
+    )
+    flat = F.flatten(F.transform(sorted_lists, lambda x: x["a"]))
+    return F.when(
+        F.size(sorted_lists) > 0, merge_retrieval_sources(flat)
+    ).alias(name)
+
+
 def _merge_expr(name: str, dtype: T.DataType, ordinal: Column) -> Column:
     """Aggregate expression merging one property column within a group."""
     col = F.col(name)
     if isinstance(dtype, T.MapType):
         return _merge_map_expr(name, dtype, ordinal)
+    if _is_retrieval_sources(name, dtype):
+        return _merge_sources_expr(name, ordinal)
     if isinstance(dtype, T.ArrayType):
         merged = F.array_distinct(F.flatten(F.collect_list(col)))
         if not isinstance(dtype.elementType, (T.StructType, T.MapType, T.ArrayType)):

@@ -21,10 +21,16 @@ from pyspark.sql import types as T
 
 from orion_spark.operators.merge import (
     SOURCE_ORDINAL,
+    _is_retrieval_sources,
     _map_entries,
     _truthy,
     merge_entry_maps_agg,
+    merge_retrieval_sources,
 )
+
+
+def _cmp_o(l, r):
+    return F.when(l["o"] < r["o"], -1).when(l["o"] > r["o"], 1).otherwise(0)
 
 
 def salted_counts(
@@ -57,7 +63,45 @@ def merge_properties_salted(
     for c in prop_cols:
         dt = schema[c]
         col = F.col(c)
-        if isinstance(dt, T.ArrayType):
+        if _is_retrieval_sources(c, dt):
+            # phase 1 carries ordinal-TAGGED entries per salt; phase 2
+            # re-sorts the union by ordinal and key-dedups once — same
+            # output (content AND first-occurrence order) as the plain
+            # aggregate's _merge_sources_expr
+            tagged = F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                col.isNotNull(),
+                                F.struct(ordinal.alias("o"), col.alias("a")),
+                            )
+                        ),
+                        _cmp_o,
+                    ),
+                    lambda x: F.transform(
+                        x["a"], lambda s: F.struct(x["o"].alias("o"), s.alias("s"))
+                    ),
+                )
+            )
+            # an empty tagged array can mean "all null" OR "non-null but
+            # empty arrays" — carry an explicit non-null flag so the
+            # all-null group stays NULL while [] inputs yield []
+            p1_aggs += [
+                tagged.alias(f"_s_{c}"),
+                F.max(col.isNotNull().cast("int")).alias(f"_sn_{c}"),
+            ]
+            gathered = F.flatten(F.collect_list(F.col(f"_s_{c}")))
+            resorted = F.array_sort(gathered, _cmp_o)
+            p2_aggs.append(
+                F.when(
+                    F.max(F.col(f"_sn_{c}")) == 1,
+                    merge_retrieval_sources(
+                        F.transform(resorted, lambda x: x["s"])
+                    ),
+                ).alias(c)
+            )
+        elif isinstance(dt, T.ArrayType):
             merged = F.array_distinct(F.flatten(F.collect_list(col)))
             if not isinstance(dt.elementType, (T.StructType, T.MapType, T.ArrayType)):
                 merged = F.array_sort(merged)

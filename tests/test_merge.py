@@ -202,3 +202,42 @@ def test_merge_map_tail_per_key(spark):
     ).repartition(5)
     out_rev = {r.id: r.properties for r in M.merge_nodes(df_rev).collect()}
     assert out_rev == out
+
+
+def test_merge_edges_sources_column_key_dedup(spark):
+    """The `sources` retrieval-source column merges through the A3
+    aggregate itself: same-key entries across group members union their
+    upstreams (generic whole-struct dedup would keep both), ordinal
+    order decides first-occurrence output order, and all-null groups
+    stay null."""
+    schema = (
+        "subject string, predicate string, object string, "
+        "primary_knowledge_source string, _source_ordinal int, "
+        "sources array<struct<resource_id:string,resource_role:string,"
+        "upstream_resource_ids:array<string>>>"
+    )
+    rows = [
+        ("A", "p", "B", "infores:x", 0,
+         [{"resource_id": "infores:x", "resource_role": "primary",
+           "upstream_resource_ids": ["u1"]}]),
+        ("A", "p", "B", "infores:x", 1,
+         [{"resource_id": "infores:x", "resource_role": "primary",
+           "upstream_resource_ids": ["u2"]},
+          {"resource_id": "infores:agg", "resource_role": "aggregator",
+           "upstream_resource_ids": None}]),
+        ("C", "p", "D", "infores:x", 0, None),
+        ("C", "p", "D", "infores:x", 1, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {(r.subject, r.object): r for r in M.merge_edges(df).collect()}
+    s = out[("A", "B")].sources
+    assert [(e.resource_id, e.resource_role) for e in s] == [
+        ("infores:x", "primary"), ("infores:agg", "aggregator")]
+    assert s[0].upstream_resource_ids == ["u1", "u2"]  # unioned, sorted
+    assert s[1].upstream_resource_ids is None
+    assert out[("C", "D")].sources is None
+
+    # partition/order invariance: reversed rows, more partitions
+    df2 = spark.createDataFrame(list(reversed(rows)), schema).repartition(5)
+    out2 = {(r.subject, r.object): r for r in M.merge_edges(df2).collect()}
+    assert out2[("A", "B")].sources == out[("A", "B")].sources

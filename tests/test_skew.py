@@ -81,3 +81,51 @@ def test_salted_merge_map_tail_identical(spark):
     plain = canon(merge_properties_agg(df, ["id"]))
     salted = canon(merge_properties_salted(df, ["id"], salt_buckets=8))
     assert salted == plain
+
+
+def test_salted_merge_sources_identical(spark):
+    """Salted two-phase must reproduce the plain sources key-dedup,
+    including first-occurrence order and the null-vs-empty distinction."""
+    import random
+
+    from orion_spark.operators.merge import merge_properties_agg
+    from orion_spark.operators.skew import merge_properties_salted
+
+    rng = random.Random(23)
+    roles = [("infores:a", "primary"), ("infores:b", "aggregator"),
+             ("infores:c", "supporting")]
+    rows = []
+    for i in range(300):
+        if rng.random() < 0.15:
+            src = None
+        elif rng.random() < 0.1:
+            src = []
+        else:
+            src = [
+                {"resource_id": rid, "resource_role": role,
+                 "upstream_resource_ids":
+                     rng.choice([None, [], [f"u{rng.randint(0, 3)}"]])}
+                for rid, role in rng.sample(roles, rng.randint(1, 3))
+            ]
+        rows.append((f"E:{rng.randint(0, 4)}", i, src))
+    schema = (
+        "id string, _source_ordinal int, "
+        "sources array<struct<resource_id:string,resource_role:string,"
+        "upstream_resource_ids:array<string>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    def canon(out):
+        return sorted(
+            (r.id, tuple(
+                (e.resource_id, e.resource_role,
+                 tuple(e.upstream_resource_ids)
+                 if e.upstream_resource_ids is not None else None)
+                for e in r.sources
+            ) if r.sources is not None else None)
+            for r in out.collect()
+        )
+
+    plain = canon(merge_properties_agg(df, ["id"]))
+    salted = canon(merge_properties_salted(df, ["id"], salt_buckets=8))
+    assert salted == plain
