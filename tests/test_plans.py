@@ -68,6 +68,9 @@ def test_prune_unconnected_semi_join(spark):
         "text_decontamination",
         "text_repetition_stats",
         "text_bpe_token_counts",
+        "dedup_chunk_level",
+        "graph_walk_skipgrams",
+        "kgx_merge_map_tail",
     ],
 )
 def test_text_ops_no_python_udf(spark, name):
@@ -141,3 +144,10 @@ def test_repetition_stats_single_shuffle_chain(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_chunk_dedup_no_cartesian(spark):
+    """Chunk-level dedup must stay key-hashed joins — no all-pairs."""
+    plan = _plan(spark, "dedup_chunk_level")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
