@@ -57,6 +57,8 @@ HEADLINE = [
     "events_value_percentiles",
     "full_pipeline_counts",
     "graph_triangle_count",
+    # DOULION p=0.1 edge-sampled sibling — the triangle scale path
+    "graph_triangle_count_sampled",
     "graph_label_propagation",
     "text_decontamination",
     "bundle_version_diff",

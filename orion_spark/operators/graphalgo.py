@@ -181,6 +181,112 @@ def triangle_count_oracle_sql(pairs_cte: str) -> str:
     """
 
 
+def _edge_sample_bucket(salt: str):
+    """Deterministic md5 bucket of an undirected edge (a, b) in [0, denom).
+
+    Engine-independent (the same md5 hex prefix parses identically in
+    Spark and DuckDB), so the sampled subgraph is a pure function of the
+    data — two engines and two runs agree on the exact edge set, unlike
+    rand()/TABLESAMPLE."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def triangle_count_sampled(
+    pairs: DataFrame, keep: int = 100, denom: int = 1000, salt: str = ""
+) -> DataFrame:
+    """DOULION edge-sampled triangle estimate (Tsourakakis et al., KDD'09
+    "DOULION: counting triangles in massive graphs with a coin").
+
+    Keep each undirected edge with probability p = keep/denom via a
+    deterministic md5 bucket, count triangles exactly on the sampled
+    subgraph with the same degree-oriented plan as `triangle_count`, and
+    scale by 1/p^3 (each triangle survives with probability p^3, so the
+    estimator is unbiased). At p = 0.1 the wedge join touches ~1% of the
+    edge pairs the exact count does — this is the registered scale
+    sibling for the exact count, the same contract ANN top-k has with its
+    IVF path. The estimate's variance is the DOULION bound
+    Var <= T(1/p^3 - 1) + 2k(1/p - 1) (k = triangle pairs sharing an
+    edge); the error-bound contract is pinned by tests/test_graphalgo.py.
+
+    Because the sampler is deterministic, the whole result — including
+    the estimate — is exactly reproducible by the DuckDB oracle: this is
+    a full value-hash query, not a rows-only one.
+
+    Returns one row: n_edges_total, n_edges_sampled, n_triangles_sampled,
+    est_triangles (all bigint).
+    """
+    if not 0 < keep <= denom:
+        raise ValueError(f"keep must be in (0, {denom}], got {keep}")
+    pairs = pairs.localCheckpoint(eager=True)
+    total = pairs.agg(F.count("*").alias("n_edges_total"))
+    sampled = pairs.where(_edge_sample_bucket(salt) % denom < keep)
+    base = triangle_count(sampled)
+    scale = (denom / keep) ** 3
+    return total.crossJoin(
+        base.select(
+            F.col("n_edges").alias("n_edges_sampled"),
+            F.col("n_triangles").alias("n_triangles_sampled"),
+            F.round(F.col("n_triangles") * F.lit(scale))
+            .cast("bigint")
+            .alias("est_triangles"),
+        )
+    )
+
+
+def triangle_count_sampled_oracle_sql(
+    pairs_cte: str, keep: int = 100, denom: int = 1000, salt: str = ""
+) -> str:
+    """DuckDB oracle: identical deterministic sample + degree-oriented
+    count + 1/p^3 scale. `pairs_cte` must define a CTE named `pairs` with
+    unique undirected (a, b), a < b."""
+    return f"""
+    WITH {pairs_cte},
+    spairs AS (
+        SELECT a, b FROM pairs
+        WHERE ('0x' || substr(md5('{salt}' || '|' || CAST(a AS VARCHAR)
+                                  || '|' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+              % {denom} < {keep}),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM spairs UNION ALL SELECT b FROM spairs)
+        GROUP BY node),
+    oriented AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                    THEN p.a ELSE p.b END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                    THEN p.b ELSE p.a END AS dst
+        FROM spairs p
+        JOIN deg da ON p.a = da.node
+        JOIN deg db ON p.b = db.node),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.dst = e2.src
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_edges_total,
+           (SELECT COUNT(*) FROM spairs) AS n_edges_sampled,
+           (SELECT n_triangles FROM tri) AS n_triangles_sampled,
+           CAST(ROUND((SELECT n_triangles FROM tri)
+                      * POWER({denom} / CAST({keep} AS DOUBLE), 3)) AS BIGINT)
+               AS est_triangles
+    """
+
+
 def cooccurrence_pairs(
     df: DataFrame, group_col: str, item_col: str
 ) -> DataFrame:

@@ -3625,6 +3625,8 @@ from orion_spark.operators.graphalgo import (  # noqa: E402
     kcore_prune,
     triangle_count,
     triangle_count_oracle_sql,
+    triangle_count_sampled,
+    triangle_count_sampled_oracle_sql,
 )
 
 
@@ -3748,6 +3750,32 @@ def graph_triangle_count_q(spark, sf_dir):
         .distinct()
     )
     return triangle_count(pairs)
+
+
+@query(
+    "graph_triangle_count_sampled",
+    triangle_count_sampled_oracle_sql(
+        _TRI_PAIRS_SQL.strip(), keep=100, denom=1000
+    ),
+)
+def graph_triangle_count_sampled_q(spark, sf_dir):
+    """DOULION edge-sampled triangle estimate on the same part
+    co-occurrence graph as graph_triangle_count — the registered scale
+    sibling for the exact count (round-4 verdict ask #2: exact counting
+    was 41% of the sf1 suite). Edges survive a deterministic md5 bucket
+    with p = 0.1, triangles are counted exactly on the sample with the
+    same degree-oriented plan, and the count scales by 1/p^3 (unbiased;
+    DOULION, Tsourakakis KDD'09). The sampler is engine-independent, so
+    this carries a FULL value oracle — estimate included — not a
+    rows-only check; the error-bound contract vs the exact count is
+    pinned in tests/test_graphalgo.py. At 100 TB the wedge join touches
+    ~p^2 = 1% of the exact plan's pair volume."""
+    pairs = (
+        cooccurrence_pairs(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count_sampled(pairs, keep=100, denom=1000)
 
 
 @query(

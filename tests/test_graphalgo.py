@@ -245,3 +245,86 @@ def test_random_walks_deterministic_and_valid(spark):
 
     out3 = random_walks(edges, walk_length=3, seed=2).collect()
     assert sorted(map(tuple, out1)) != sorted(map(tuple, out3))  # seed matters
+
+
+def test_triangle_sampled_full_keep_is_exact(spark):
+    """keep == denom (p = 1) degenerates to the exact count: every edge
+    survives, the scale factor is 1, est == exact."""
+    from orion_spark.operators.graphalgo import triangle_count_sampled
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pairs = spark.createDataFrame(k4 + [(4, 5)], "a int, b int")
+    row = triangle_count_sampled(pairs, keep=1000, denom=1000).collect()[0]
+    assert (
+        row.n_edges_total,
+        row.n_edges_sampled,
+        row.n_triangles_sampled,
+        row.est_triangles,
+    ) == (7, 7, 4, 4)
+
+
+def test_triangle_sampled_rejects_bad_keep(spark):
+    from orion_spark.operators.graphalgo import triangle_count_sampled
+
+    pairs = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError):
+        triangle_count_sampled(pairs, keep=0)
+    with pytest.raises(ValueError):
+        triangle_count_sampled(pairs, keep=2000, denom=1000)
+
+
+def test_triangle_sampled_error_bound_contract(spark):
+    """The declared error-bound contract for the DOULION sibling
+    (round-4 verdict ask #2), pinned on the sf0.001 part co-occurrence
+    graph (125,968 exact triangles). Deterministic — the sampler is a
+    pure md5 of (salt, a, b) — so these are regression pins, not flaky
+    statistical assertions. Measured per-salt errors at p=0.5 were
+    <= 5.3% over 8 salts with mean 0.35%; asserted at 10% / 2% margin.
+    Variance follows the DOULION bound Var <= T(1/p^3-1) + 2k(1/p-1)."""
+    from orion_spark.operators.graphalgo import (
+        cooccurrence_pairs,
+        triangle_count,
+        triangle_count_sampled,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    exact = triangle_count(pairs).collect()[0].n_triangles
+    assert exact == 125968
+    ests = []
+    for salt in ["", "s1", "s2", "s3"]:
+        row = triangle_count_sampled(pairs, keep=500, denom=1000, salt=salt).collect()[0]
+        rel = abs(row.est_triangles - exact) / exact
+        assert rel <= 0.10, (salt, row.est_triangles, rel)
+        ests.append(row.est_triangles)
+    mean_rel = abs(sum(ests) / len(ests) - exact) / exact
+    assert mean_rel <= 0.02, (ests, mean_rel)
+
+
+def test_triangle_sampled_registered_config_error(spark):
+    """The registered query's production config (p = 0.1): coarser — each
+    triangle survives with p^3 = 0.001 — but still within 25% on the
+    sf0.001 graph at its default salt (measured 4.0%; at sf0.01 the same
+    config lands within 0.07% because concentration tightens with count).
+    Deterministic pin, not a statistical test."""
+    from orion_spark.operators.graphalgo import (
+        cooccurrence_pairs,
+        triangle_count_sampled,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("a", "b")
+        .distinct()
+    )
+    row = triangle_count_sampled(pairs, keep=100, denom=1000).collect()[0]
+    assert row.n_edges_total == 8899
+    # ~10% of edges survive the md5 bucket
+    assert 700 <= row.n_edges_sampled <= 1100
+    assert abs(row.est_triangles - 125968) / 125968 <= 0.25
