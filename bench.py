@@ -82,6 +82,16 @@ def main() -> None:
 
     times: dict[str, float] = {}
     names = [n for n in HEADLINE if n in QUERIES]
+    # Optional subset (e.g. the sf10 flagship-shape run): comma-separated
+    # query names; unknown names fail loudly rather than silently shrink
+    # the suite.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        wanted = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [w for w in wanted if w not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        names = wanted
 
     # Warmup pass (standard steady-state benchmarking): run each headline
     # query once at the smallest scale factor so JVM JIT, Catalyst analysis,
@@ -134,7 +144,10 @@ def main() -> None:
     # query_spread, truncating the head and leaving BENCH_r03.json with
     # parsed=null (VERDICT round 3, ask #1). The compact summary must be the
     # FINAL stdout line so the driver's line-parser always sees it intact.
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json")
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SPREAD",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_spread.json"),
+    )
     try:
         with open(sidecar, "w") as fh:
             json.dump(

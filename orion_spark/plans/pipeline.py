@@ -200,6 +200,7 @@ def build_graph(
     source_bundles: dict[str, str],
     storage: str,
     force: bool = False,
+    recorder=None,
 ) -> str:
     """Merge the spec's sources into one bundle under
     {storage}/graphs/{graph_id}/{build_version}/ with metadata sidecars.
@@ -211,7 +212,16 @@ def build_graph(
     - `default` sources merge fully (A3 groupBy-agg)
     - `connected_edge_subset` keeps only rows touching the primary set (J4)
     - `dont_merge` appends verbatim after the merge
+
+    `recorder` (plans/stage_metrics.PhaseRecorder) splits the build's
+    actions into measured phases — write_nodes / write_edges (where the
+    merge lineage executes), metadata_sidecars, merge_report — each with
+    shuffle/IO byte totals; see tools/build_stage_metrics.py.
     """
+    if recorder is None:
+        from orion_spark.plans.stage_metrics import NullRecorder
+
+        recorder = NullRecorder()
     out_dir = os.path.join(storage, "graphs", spec.graph_id, spec.build_version)
     done_marker = os.path.join(out_dir, "_BUILD_COMPLETE")
     if os.path.exists(done_marker) and not force:
@@ -264,11 +274,15 @@ def build_graph(
         merged_nodes = union_all([merged_nodes, v_nodes]).dropDuplicates(["id"])
         merged_edges = union_all([merged_edges, v_edges])
 
-    write_bundle(merged_nodes, merged_edges, out_dir, fmt=spec.output_format)
-    nodes_back, edges_back = read_bundle(spark, out_dir, fmt=spec.output_format)
-    write_metadata_sidecars(
-        spec.graph_id, spec.build_version, nodes_back, edges_back, out_dir
+    write_bundle(
+        merged_nodes, merged_edges, out_dir, fmt=spec.output_format,
+        recorder=recorder,
     )
+    nodes_back, edges_back = read_bundle(spark, out_dir, fmt=spec.output_format)
+    with recorder.phase("metadata_sidecars"):
+        write_metadata_sidecars(
+            spec.graph_id, spec.build_version, nodes_back, edges_back, out_dir
+        )
     # merge counters sidecar (kgx_file_merger.py:84-100): totals across
     # every source tier (primary + subset + verbatim) vs the final bundle
     from orion_spark.operators.metrics import merge_report
@@ -284,9 +298,10 @@ def build_graph(
         + [e for _, e in subset_sources]
         + [e for _, e in verbatim]
     )
-    write_merge_sidecar(
-        merge_report(raw_nodes, nodes_back, raw_edges, edges_back), out_dir
-    )
+    with recorder.phase("merge_report"):
+        write_merge_sidecar(
+            merge_report(raw_nodes, nodes_back, raw_edges, edges_back), out_dir
+        )
     with open(done_marker, "w") as fh:
         fh.write(spec.build_version)
     return out_dir

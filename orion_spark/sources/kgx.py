@@ -68,20 +68,34 @@ def write_bundle(
     nodes: DataFrame, edges: DataFrame, path: str, fmt: str = "parquet",
     gzip: bool = False,
     edge_partition_by: list[str] | None = None,
+    recorder=None,
 ) -> None:
     """Persist a bundle. `edge_partition_by` (e.g. ["predicate"]) writes
     hive-partitioned edges — at 100 TB this is what makes per-predicate
     derived jobs (closure expansion, Memgraph export, meta-KG) partition-
-    prunable instead of full scans."""
+    prunable instead of full scans.
+
+    `recorder` (plans/stage_metrics.PhaseRecorder) attributes the two
+    write actions — which is where the whole upstream merge lineage
+    actually executes, Spark being lazy — to "write_nodes"/"write_edges"
+    phases with measured shuffle/IO bytes."""
+    if recorder is None:
+        from orion_spark.plans.stage_metrics import NullRecorder
+
+        recorder = NullRecorder()
     if fmt == "parquet":
-        nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
-        ew = edges.write.mode("overwrite")
-        if edge_partition_by:
-            ew = ew.partitionBy(*edge_partition_by)
-        ew.parquet(os.path.join(path, "edges"))
+        with recorder.phase("write_nodes"):
+            nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
+        with recorder.phase("write_edges"):
+            ew = edges.write.mode("overwrite")
+            if edge_partition_by:
+                ew = ew.partitionBy(*edge_partition_by)
+            ew.parquet(os.path.join(path, "edges"))
     else:
-        write_kgx(nodes, os.path.join(path, "nodes"), gzip=gzip)
-        write_kgx(edges, os.path.join(path, "edges"), gzip=gzip)
+        with recorder.phase("write_nodes"):
+            write_kgx(nodes, os.path.join(path, "nodes"), gzip=gzip)
+        with recorder.phase("write_edges"):
+            write_kgx(edges, os.path.join(path, "edges"), gzip=gzip)
 
 
 def read_bundle(

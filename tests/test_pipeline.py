@@ -687,3 +687,67 @@ def test_cli_worker_reclaim(tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["requeued"] == [f"{tid}.json"]
     assert os.path.exists(os.path.join(spool, "pending", f"{tid}.json"))
+
+
+def test_phase_recorder_requires_ui(spark):
+    """The shared test session keeps the UI off (engine default) — the
+    recorder must fail loudly with the config to set, not silently
+    record zeros."""
+    import pytest as _pytest
+
+    from orion_spark.plans.stage_metrics import PhaseRecorder
+
+    with _pytest.raises(RuntimeError, match="spark.ui.enabled"):
+        PhaseRecorder(spark)
+
+
+def test_null_recorder_is_transparent():
+    from orion_spark.plans.stage_metrics import NullRecorder
+
+    rec = NullRecorder()
+    with rec.phase("anything"):
+        pass
+    assert rec.report() == []
+
+
+def test_build_stage_metrics_tool_measures_shuffles(tmp_path):
+    """End-to-end measured build (tools/build_stage_metrics.py) at
+    sf0.001 in its own UI-enabled session: every build phase must report
+    completed stages, and the merge-bearing write phases must show
+    nonzero shuffle bytes (the A3 groupBy-agg exchange). Subprocess on
+    purpose — the UI flag is fixed at context creation, so the shared
+    session can't host this."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(repo, "tools", "build_stage_metrics.py"),
+            "/root/testdata/sf0.001",
+            str(tmp_path / "work"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    payload = _json.loads(proc.stdout.strip().splitlines()[-1])
+    phases = {p["phase"]: p for p in payload["phases"]}
+    assert set(phases) == {
+        "source_prep",
+        "write_nodes",
+        "write_edges",
+        "metadata_sidecars",
+        "merge_report",
+    }
+    # the node/edge writes execute the merge lineage: real exchanges
+    for name in ("write_nodes", "write_edges"):
+        assert phases[name]["n_stages"] > 0
+        assert phases[name]["shuffle_write_bytes"] > 0, phases[name]
+    # shuffle-read totals roughly conserve shuffle-write totals
+    assert payload["totals"]["shuffle_read_bytes"] > 0
+    assert payload["totals"]["output_bytes"] > 0

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Measured end-to-end build with per-phase shuffle/IO byte accounting.
+
+Round-4 verdict ask #8: run the build pipeline over a multi-source spec at
+sf1 and record per-stage shuffle read/write bytes, turning SCALE.md's
+*asserted* shuffle-accounting rows into *measured* rows for the full
+composition (read -> A3 node merge -> A2/A3/A6 edge merge -> J4 subset
+merge -> bundle write -> A9/A10 sidecars -> merge report).
+
+The multi-source fixture is the TPC-H graph split into three OVERLAPPING
+sources by an md5 bucket of the row key (a∈{0,1}, b∈{1,2} of 3), so the A3
+merge does real cross-source property unioning on ~2/3 of rows, plus a
+qualified lineitem-edge source under `connected_edge_subset` so the J4
+join path is exercised and measured too.
+
+Runs in its own session with the UI enabled (the REST /api/v1 surface is
+how plans/stage_metrics.PhaseRecorder reads stage metrics; the engine's
+default sessions keep the UI off). Keep other Spark JVMs idle — wall
+times here carry the same noise caveat as bench.py.
+
+Usage: python tools/build_stage_metrics.py [sf_dir] [workdir]
+Prints one JSON line (phases + totals) and a markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SPEC_YAML = """
+graphs:
+  - graph_id: metrics_build
+    graph_name: stage-metrics measured build
+    output_format: parquet
+    sources:
+      - source_id: src_a
+        merge_strategy: default
+      - source_id: src_b
+        merge_strategy: default
+      - source_id: src_qualified
+        merge_strategy: connected_edge_subset
+"""
+
+
+def _bucket(col):
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("bigint") % 3
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    workdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/orion_build_metrics"
+
+    from orion_spark.plans import tpch_graph as G
+    from orion_spark.plans.pipeline import build_graph, parse_graph_spec
+    from orion_spark.plans.stage_metrics import PhaseRecorder, report_markdown
+    from orion_spark.session import get_spark
+    from orion_spark.sources.kgx import write_bundle
+
+    spark = get_spark(
+        app_name="orion-build-stage-metrics",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rec = PhaseRecorder(spark)
+
+    if os.path.exists(workdir):
+        shutil.rmtree(workdir)
+    bundles = {
+        "src_a": os.path.join(workdir, "src_a"),
+        "src_b": os.path.join(workdir, "src_b"),
+        "src_qualified": os.path.join(workdir, "src_qualified"),
+    }
+    nodes = G.nodes_df(spark, sf_dir)
+    edges = G.all_edges(spark, sf_dir)
+    with rec.phase("source_prep"):
+        for src, keep in (("src_a", (0, 1)), ("src_b", (1, 2))):
+            write_bundle(
+                nodes.where(_bucket("id").isin(*keep)),
+                edges.where(_bucket("subject").isin(*keep)),
+                bundles[src],
+            )
+        write_bundle(
+            nodes.where(_bucket("id") == 2),
+            G.lineitem_edges(spark, sf_dir).drop("_source_ordinal"),
+            bundles["src_qualified"],
+        )
+
+    spec = parse_graph_spec(SPEC_YAML)[0]
+    out = build_graph(
+        spark, spec, bundles, os.path.join(workdir, "storage"), recorder=rec
+    )
+
+    phases = rec.report()
+    totals = {
+        k: sum(p[k] for p in phases)
+        for k in (
+            "input_bytes",
+            "output_bytes",
+            "shuffle_read_bytes",
+            "shuffle_write_bytes",
+        )
+    }
+    print(report_markdown(phases))
+    print(
+        json.dumps(
+            {
+                "metric": "build_stage_metrics",
+                "sf_dir": sf_dir,
+                "bundle": out,
+                "phases": phases,
+                "totals": totals,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
