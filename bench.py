@@ -45,6 +45,8 @@ HEADLINE = [
     "text_bpe_train_merges",
     "graph_walk_skipgrams",
     "text_stats_panel",
+    # in-engine bigram-LM perplexity quality filter (round-5 addition)
+    "text_ngram_lm_perplexity",
     # fixed 64-query batch — the production exact-scoring contract; the
     # unbounded vec_id%100 variant stays registered as the scoring oracle
     # but scaled O(|Q|x|C|) with the fixture and distorted the sf1 suite

@@ -252,6 +252,31 @@ def cmd_worker(args) -> int:
     return 0 if all(r["status"] == "success" for r in results) else 1
 
 
+def cmd_upsert(args) -> int:
+    """Crash-safe incremental upsert of a delta bundle into a hash-sharded
+    live bundle (sinks/incremental.py), optionally refreshing the
+    incrementally-maintained QC partials for just the touched shards
+    (sinks/qc_incremental.py). The production delta path: O(delta +
+    touched shards), never O(bundle)."""
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+
+    spark = _spark()
+    delta = spark.read.parquet(args.delta)
+    upsert = (
+        INC.upsert_sharded_edges
+        if args.kind == "edges"
+        else INC.upsert_sharded_nodes
+    )
+    touched = upsert(spark, delta, args.bundle, n_shards=args.n_shards)
+    out = {"bundle": args.bundle, "kind": args.kind, "touched_shards": touched}
+    if args.refresh_qc:
+        QCI.refresh_qc_partials(spark, args.bundle, touched, args.kind)
+        out["qc_stale_shards"] = QCI.verify_partials(spark, args.bundle)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_worker_reclaim(args) -> int:
     """Requeue abandoned claims (dead-worker recovery): running/*/ tasks
     whose heartbeat is older than --ttl, or all claims of --worker-id,
@@ -380,6 +405,17 @@ def main(argv: list[str] | None = None) -> int:
     wr.add_argument("--worker-id",
                     help="requeue ALL claims of this worker regardless of age")
     wr.set_defaults(fn=cmd_worker_reclaim)
+
+    up = sub.add_parser("upsert")
+    up.add_argument("--bundle", required=True,
+                    help="live hash-sharded bundle path")
+    up.add_argument("--delta", required=True,
+                    help="parquet path of delta rows")
+    up.add_argument("--kind", choices=("edges", "nodes"), default="edges")
+    up.add_argument("--n-shards", type=int, default=64)
+    up.add_argument("--refresh-qc", action="store_true",
+                    help="also refresh QC partials for the touched shards")
+    up.set_defaults(fn=cmd_upsert)
 
     nv = sub.add_parser("neo4j-verify")
     nv.add_argument("--bundle", required=True)

@@ -523,3 +523,162 @@ def _bpe_oracle_ctes(n_merges: int, table: str, max_word_syms: int) -> str:
                    coalesce((SELECT ' ' || l || r2 || ' ' FROM b{r}), '')) AS s
         FROM w{r - 1})""")
     return ",".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model perplexity scoring (extension surface — the
+# perplexity quality filter of CCNet/Gopher-style curation pipelines,
+# re-expressed as pure DataFrame ops; no model artifacts, the LM is
+# trained in-engine from a reference corpus slice)
+# ---------------------------------------------------------------------------
+
+def _lm_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, w): lowercased whitespace tokens with positions.
+    Empty-after-trim documents are dropped (split('') yields [''], which
+    is a phantom token, not a word) — mirrored in the SQL oracle."""
+    t = F.trim(F.col(text_col))
+    return (
+        df.where(t != "")
+        .select(
+            F.col(id_col).alias("_did"),
+            F.posexplode(F.split(F.lower(t), r"\s+")).alias("pos", "w"),
+        )
+    )
+
+
+def ngram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Bits-per-token of each `score` document under an add-k-smoothed
+    bigram LM trained on `train` — the perplexity quality filter
+    (perplexity = 2^bits_per_token; filtering thresholds the same order).
+
+        P(w | prev) = (c(prev, w) + k) / (c(prev) + k·V)
+        P(w_first)  = (c(w) + k)       / (N + k·V)
+
+    with V = train vocabulary size, N = train token count. Scale path:
+    tokenization is a narrow map; the per-document lag window and the
+    count joins are equi-shuffles on doc-id / token keys (Catalyst
+    broadcasts the count tables when small); nothing is quadratic and no
+    Python crosses the row path. The model "artifact" is two count
+    tables — at 100 TB, persist them once and reuse across scoring runs.
+
+    Float note: the per-document sum of log2 terms is order-nondeterministic
+    (shuffle order); callers comparing across engines round (the registered
+    query rounds to 6 digits, ~7 orders above double-sum jitter).
+
+    Returns (id_col, n_tokens, bits_per_token).
+    """
+    from pyspark.sql import Window
+
+    ttok = _lm_tokens(train, text_col, id_col)
+    uni = ttok.groupBy("w").agg(F.count("*").alias("cu"))
+    consts = uni.agg(
+        F.sum("cu").alias("n_total"), F.count("*").alias("v_size")
+    )
+    w_seq = Window.partitionBy("_did").orderBy("pos")
+    tpair = ttok.withColumn("prev", F.lag("w").over(w_seq))
+    bi = (
+        tpair.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("cb"))
+    )
+
+    stok = _lm_tokens(score, text_col, id_col).withColumn(
+        "prev", F.lag("w").over(w_seq)
+    )
+    uni_w = uni.select(F.col("w").alias("_uw"), F.col("cu").alias("cu_w"))
+    uni_p = uni.select(F.col("w").alias("_up"), F.col("cu").alias("cu_prev"))
+    joined = (
+        stok.join(uni_w, stok["w"] == F.col("_uw"), "left")
+        .join(uni_p, stok["prev"] == F.col("_up"), "left")
+        .join(
+            bi,
+            (stok["prev"] == bi["prev"]) & (stok["w"] == bi["w"]),
+            "left",
+        )
+        .crossJoin(F.broadcast(consts))
+    )
+    kv = F.lit(float(k))
+    smooth_v = kv * F.col("v_size")
+    lp = F.when(
+        stok["prev"].isNull(),
+        F.log2(
+            (F.coalesce(F.col("cu_w"), F.lit(0)) + kv)
+            / (F.col("n_total") + smooth_v)
+        ),
+    ).otherwise(
+        F.log2(
+            (F.coalesce(F.col("cb"), F.lit(0)) + kv)
+            / (F.coalesce(F.col("cu_prev"), F.lit(0)) + smooth_v)
+        )
+    )
+    return (
+        joined.select(F.col("_did"), lp.alias("lp"))
+        .groupBy("_did")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.sum("lp") / F.count("*")).alias("bits_per_token"),
+        )
+        .withColumnRenamed("_did", id_col)
+    )
+
+
+def ngram_lm_score_oracle_sql(
+    train_where: str,
+    k: float = 0.5,
+    round_digits: int = 6,
+    max_tokens: int = 256,
+) -> str:
+    """DuckDB oracle: identical tokenization, counts and smoothing over
+    the `documents` view; `train_where` selects the training slice.
+    `max_tokens` bounds the constant range used for positional unnesting
+    (lateral range(len(ws)) is unsupported) — must exceed the longest
+    document's token count (fixture max is 100)."""
+    return f"""
+    WITH tdocs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents WHERE trim(text) <> '' AND ({train_where})),
+    ttok AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT) + 1] AS w
+        FROM tdocs, range(0, {max_tokens}) r(i) WHERE i < len(ws)),
+    uni AS (SELECT w, COUNT(*) AS cu FROM ttok GROUP BY w),
+    consts AS (SELECT SUM(cu) AS n_total, COUNT(*) AS v_size FROM uni),
+    tpair AS (
+        SELECT w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM ttok),
+    bi AS (SELECT prev, w, COUNT(*) AS cb FROM tpair
+           WHERE prev IS NOT NULL GROUP BY prev, w),
+    sdocs AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents WHERE trim(text) <> ''),
+    stok AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT) + 1] AS w
+        FROM sdocs, range(0, {max_tokens}) r(i) WHERE i < len(ws)),
+    spair AS (
+        SELECT doc_id, pos, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM stok),
+    scored AS (
+        SELECT s.doc_id,
+               CASE WHEN s.prev IS NULL THEN
+                   log2((COALESCE(uw.cu, 0) + {k})
+                        / ((SELECT n_total FROM consts)
+                           + {k} * (SELECT v_size FROM consts)))
+               ELSE
+                   log2((COALESCE(b.cb, 0) + {k})
+                        / (COALESCE(up.cu, 0)
+                           + {k} * (SELECT v_size FROM consts)))
+               END AS lp
+        FROM spair s
+        LEFT JOIN uni uw ON s.w = uw.w
+        LEFT JOIN uni up ON s.prev = up.w
+        LEFT JOIN bi b ON s.prev = b.prev AND s.w = b.w)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(lp) / COUNT(*), {round_digits}) AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """

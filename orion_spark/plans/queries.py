@@ -2585,6 +2585,38 @@ def text_stats_panel_q(spark, sf_dir):
     return TS.text_stats(_t(spark, sf_dir, "documents"))
 
 
+def _register_ngram_lm() -> None:
+    from orion_spark.llm.textstats import ngram_lm_score_oracle_sql
+
+    @query(
+        "text_ngram_lm_perplexity",
+        ngram_lm_score_oracle_sql("lang = 'en'", k=0.5, round_digits=6),
+    )
+    def text_ngram_lm_perplexity_q(spark, sf_dir):
+        """CCNet/Gopher-style perplexity quality filter, in-engine: an
+        add-k bigram LM is trained on the en slice and every document is
+        scored in bits-per-token (perplexity = 2^bits). Pure DataFrame
+        composition — narrow tokenize, per-doc lag window, count-table
+        equi-joins — no model artifact, no Python in the row path; the
+        DuckDB oracle replays the identical smoothing arithmetic
+        (rounded to 6 digits: double-sum order jitter sits ~7 orders
+        below). Train side reuses the same table the curation funnel
+        filters, as a production pipeline would."""
+        from orion_spark.llm.textstats import ngram_lm_score
+
+        docs = _t(spark, sf_dir, "documents")
+        train = docs.where(F.col("lang") == "en")
+        scored = ngram_lm_score(train, docs, k=0.5)
+        return scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round("bits_per_token", 6).alias("bits_per_token"),
+        )
+
+
+_register_ngram_lm()
+
+
 @query("ann_cosine_topk")
 def ann_cosine_topk_q(spark, sf_dir):
     from orion_spark.llm import similarity as S
@@ -7521,6 +7553,66 @@ def incremental_upsert_merged_edges_q(spark, sf_dir):
 
 
 ORACLES["incremental_upsert_merged_edges"] = ORACLES["kgx_merge_edges"]
+
+
+@query(
+    "incremental_qc_totals",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    merged AS (
+        SELECT subject, predicate, primary_knowledge_source,
+               list_sort(list_distinct(flatten(list(publications)))) AS publications
+        FROM lineitem_edges
+        GROUP BY subject, predicate, object, primary_knowledge_source,
+                 object_aspect_qualifier, object_direction_qualifier),
+    m AS (
+        SELECT 'predicate' AS metric, predicate AS key,
+               CAST(COUNT(*) AS BIGINT) AS n FROM merged GROUP BY predicate
+        UNION ALL
+        SELECT 'primary_knowledge_source', primary_knowledge_source,
+               CAST(COUNT(*) AS BIGINT) FROM merged
+        GROUP BY primary_knowledge_source
+        UNION ALL
+        SELECT 'subject_prefix', string_split(subject, ':')[1],
+               CAST(COUNT(*) AS BIGINT) FROM merged
+        GROUP BY string_split(subject, ':')[1]
+        UNION ALL
+        SELECT 'publications_per_predicate', predicate,
+               CAST(SUM(len(publications)) AS BIGINT) FROM merged
+        GROUP BY predicate)
+    SELECT metric, key, n FROM m
+    """,
+)
+def incremental_qc_totals_q(spark, sf_dir):
+    """Incrementally-maintained QC sidecar equivalence, oracle-checked
+    (sinks/qc_incremental.py): the lineitem-edge bundle is written
+    sharded with full QC partials, then the line-4+ delta is upserted
+    and ONLY the touched shards' partials are recomputed
+    (partition-pruned read + dynamic overwrite of just those partials
+    partitions). The folded totals must equal a full QC recompute over
+    the from-scratch merge — which is exactly what the DuckDB oracle
+    computes. At 100 TB this turns post-upsert QC from an O(bundle)
+    scan into O(touched shards) + a kilobyte fold."""
+    import os
+    import re as _re
+
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+
+    edges = G.lineitem_edges(spark, sf_dir)
+    base = edges.where(F.col("_source_ordinal") < 4000)
+    delta = edges.where(F.col("_source_ordinal") >= 4000)
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(
+        _fixture_dir(), f"qc_upsert_bundle_v1{slug}_{os.getpid()}"
+    )
+    INC.write_sharded_bundle(
+        M.merge_edges(base), path, ["subject"], n_shards=16
+    )
+    QCI.write_qc_partials(spark, path, "edges")
+    touched = INC.upsert_sharded_edges(spark, delta, path, n_shards=16)
+    QCI.refresh_qc_partials(spark, path, touched, "edges")
+    return QCI.qc_totals(spark, path)
 
 
 @query(

@@ -254,3 +254,38 @@ def test_cli_qc_verdict_with_catalogs(spark, tmp_path):
     res = json.load(open(out))
     assert res["pass"] is True
     assert "warnings" in res and "errors" in res
+
+
+def test_cli_upsert_with_qc_refresh(spark, tmp_path):
+    """upsert CLI: delta merged into the sharded bundle, QC partials
+    refreshed for the touched shards only, no stale shards afterwards."""
+    from orion_spark.operators.merge import merge_edges
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+
+    base = spark.createDataFrame(
+        [Row(subject=f"S:{i}", predicate="p", object="O:1",
+             primary_knowledge_source="infores:x",
+             publications=[f"PMID:{i}"], _source_ordinal=i)
+         for i in range(10)]
+    )
+    bundle = str(tmp_path / "bundle")
+    INC.write_sharded_bundle(merge_edges(base), bundle, ["subject"], n_shards=4)
+    QCI.write_qc_partials(spark, bundle, "edges")
+
+    delta_path = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [Row(subject="S:0", predicate="p2", object="O:9",
+             primary_knowledge_source="infores:y",
+             publications=["PMID:new"], _source_ordinal=0)]
+    ).write.parquet(delta_path)
+
+    assert cli.main([
+        "upsert", "--bundle", bundle, "--delta", delta_path,
+        "--kind", "edges", "--n-shards", "4", "--refresh-qc",
+    ]) == 0
+    totals = {(r.metric, r.key): r.n
+              for r in QCI.qc_totals(spark, bundle).collect()}
+    assert totals[("predicate", "p")] == 10
+    assert totals[("predicate", "p2")] == 1
+    assert QCI.verify_partials(spark, bundle) == []

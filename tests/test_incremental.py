@@ -320,3 +320,118 @@ def test_upsert_retry_idempotent(spark, tmp_path):
            if r.subject == "G:1" and r.object == "D:1"][0]
     assert "PMID:retry" in row.publications
     assert row.score == 1.0  # persisted truthy scalar beat the delta's 777
+
+
+def test_qc_partials_full_build_matches_direct(spark, tmp_path):
+    """Folded partials == direct QC aggregates on the same bundle."""
+    from orion_spark.operators.merge import merge_edges
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+
+    edges = spark.createDataFrame(
+        [
+            Row(subject="A:1", predicate="p1", object="B:1",
+                primary_knowledge_source="infores:x",
+                publications=["PMID:1", "PMID:2"], _source_ordinal=0),
+            Row(subject="A:2", predicate="p2", object="B:1",
+                primary_knowledge_source="infores:y",
+                publications=["PMID:3"], _source_ordinal=1),
+            Row(subject="C:3", predicate="p1", object="B:2",
+                primary_knowledge_source="infores:x",
+                publications=None, _source_ordinal=2),
+        ]
+    )
+    path = str(tmp_path / "bundle")
+    INC.write_sharded_bundle(merge_edges(edges), path, ["subject"], n_shards=4)
+    QCI.write_qc_partials(spark, path, "edges")
+    totals = {
+        (r.metric, r.key): r.n for r in QCI.qc_totals(spark, path).collect()
+    }
+    assert totals[("predicate", "p1")] == 2
+    assert totals[("predicate", "p2")] == 1
+    assert totals[("subject_prefix", "A")] == 2
+    assert totals[("subject_prefix", "C")] == 1
+    assert totals[("primary_knowledge_source", "infores:x")] == 2
+    assert totals[("publications_per_predicate", "p1")] == 2
+    assert totals[("publications_per_predicate", "p2")] == 1
+    assert QCI.verify_partials(spark, path) == []
+
+
+def test_qc_partials_refresh_prunes_untouched_shards(spark, tmp_path):
+    """The refresh must rewrite ONLY touched partials partitions: delete
+    an untouched shard's partials first — if the refresh rewrote
+    everything, the hole would be refilled; staying missing proves the
+    partition-pruned write, and verify_partials must then report exactly
+    that shard as stale."""
+    import shutil as _shutil
+
+    from orion_spark.operators.merge import merge_edges
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+    from orion_spark.sinks.incremental import SHARD_COL
+
+    base = spark.createDataFrame(
+        [
+            Row(subject=f"S:{i}", predicate="p", object="O:1",
+                primary_knowledge_source="infores:x",
+                publications=[f"PMID:{i}"], _source_ordinal=i)
+            for i in range(40)
+        ]
+    )
+    path = str(tmp_path / "bundle")
+    INC.write_sharded_bundle(merge_edges(base), path, ["subject"], n_shards=8)
+    QCI.write_qc_partials(spark, path, "edges")
+
+    delta = spark.createDataFrame(
+        [Row(subject="S:0", predicate="p", object="O:1",
+             primary_knowledge_source="infores:x",
+             publications=["PMID:new"], _source_ordinal=0)]
+    )
+    touched = INC.upsert_sharded_edges(spark, delta, path, n_shards=8)
+    assert len(touched) == 1
+    pdir = os.path.join(path, QCI.PARTIALS_DIR)
+    victims = [
+        int(d.split("=")[1]) for d in os.listdir(pdir)
+        if d.startswith(f"{SHARD_COL}=")
+        and int(d.split("=")[1]) not in touched
+    ]
+    victim = victims[0]
+    _shutil.rmtree(os.path.join(pdir, f"{SHARD_COL}={victim}"))
+
+    QCI.refresh_qc_partials(spark, path, touched, "edges")
+    # the untouched victim stays missing: refresh pruned to touched only
+    assert not os.path.isdir(os.path.join(pdir, f"{SHARD_COL}={victim}"))
+    assert QCI.verify_partials(spark, path) == [victim]
+    # full rebuild repairs it, and the refreshed totals reflect the delta
+    QCI.write_qc_partials(spark, path, "edges")
+    assert QCI.verify_partials(spark, path) == []
+    totals = {
+        (r.metric, r.key): r.n for r in QCI.qc_totals(spark, path).collect()
+    }
+    assert totals[("predicate", "p")] == 40  # merged, not 41
+    assert totals[("publications_per_predicate", "p")] == 41  # union grew
+
+
+def test_qc_partials_node_bundle(spark, tmp_path):
+    from orion_spark.operators.merge import merge_nodes
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+
+    nodes = spark.createDataFrame(
+        [
+            Row(id="HGNC:1", name="a",
+                category=["biolink:Gene", "biolink:NamedThing"],
+                _source_ordinal=0),
+            Row(id="MESH:2", name="b", category=["biolink:Disease"],
+                _source_ordinal=1),
+        ]
+    )
+    path = str(tmp_path / "nbundle")
+    INC.write_sharded_bundle(merge_nodes(nodes), path, ["id"], n_shards=4)
+    QCI.write_qc_partials(spark, path, "nodes")
+    totals = {
+        (r.metric, r.key): r.n for r in QCI.qc_totals(spark, path).collect()
+    }
+    assert totals[("curie_prefix", "HGNC")] == 1
+    assert totals[("category", "biolink:NamedThing")] == 1
+    assert totals[("category", "biolink:Gene")] == 1

@@ -622,3 +622,47 @@ def test_bpe_train_merges_differential_fuzz(spark):
             for r in bpe_train_merges(docs, n_merges=5).collect()
         ]
         assert got == py_bpe(texts, 5), f"trial {trial}: {texts}"
+
+
+def test_ngram_lm_score_known_corpus(spark):
+    """Hand-computed add-k bigram LM on a 2-doc corpus: uni a=3,b=1,c=1
+    (N=5, V=3), bigrams (a,b)=1,(b,a)=1,(a,c)=1, k=0.5."""
+    import math
+
+    from orion_spark.llm.textstats import ngram_lm_score
+
+    train = spark.createDataFrame(
+        [("t1", "a b a"), ("t2", "a c")], "doc_id string, text string"
+    )
+    score = spark.createDataFrame(
+        [("s1", "a b"), ("s2", "z z"), ("s3", "   ")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_score(train, score, k=0.5).collect()}
+    # s3 is whitespace-only: dropped, not scored as a phantom token
+    assert set(out) == {"s1", "s2"}
+    exp_s1 = -(math.log2(3.5 / 6.5) + math.log2(1.5 / 4.5)) / 2
+    assert out["s1"].n_tokens == 2
+    assert abs(out["s1"].bits_per_token - exp_s1) < 1e-9
+    # OOV everywhere: first token (0+k)/(N+kV), then (0+k)/(0+kV)
+    exp_s2 = -(math.log2(0.5 / 6.5) + math.log2(0.5 / 1.5)) / 2
+    assert abs(out["s2"].bits_per_token - exp_s2) < 1e-9
+
+
+def test_ngram_lm_score_train_text_scores_low(spark):
+    """A document straight from the training set must carry fewer
+    bits/token than a shuffled-vocabulary one — the property the quality
+    filter relies on."""
+    from orion_spark.llm.textstats import ngram_lm_score
+
+    train = spark.createDataFrame(
+        [(f"t{i}", "the cat sat on the mat") for i in range(5)],
+        "doc_id string, text string",
+    )
+    score = spark.createDataFrame(
+        [("in_dist", "the cat sat"), ("ood", "mat the on sat cat")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r.bits_per_token
+           for r in ngram_lm_score(train, score).collect()}
+    assert out["in_dist"] < out["ood"]
