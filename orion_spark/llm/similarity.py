@@ -476,3 +476,164 @@ def ivf_topk_fixed_oracle_sql(
         FROM pairs)
     SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index with incremental add (FAISS-style train-once /
+# add-forever discipline, on plain parquet)
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = "centroids"
+IVF_ASSIGNMENTS = "assignments"
+
+
+def _assign_to_centroids(candidates, cent, id_col: str, vec_col: str):
+    """Nearest-list assignment against a broadcast centroid table — the
+    same 6-decimal-rounded cosine + list-id tie-break as
+    ivf_topk_fixed_centroids, so persisted and in-memory paths agree."""
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = cand.join(F.broadcast(cent), how="cross").select(
+        "neighbor_id", "_cv", "_list",
+        F.round(cosine(F.col("_cv"), F.col("_centroid")), 6).alias("_ac"),
+    )
+    return (
+        scored.groupBy("neighbor_id")
+        .agg(
+            F.min_by(
+                F.struct("_list", "_cv"),
+                F.struct((-F.col("_ac")).alias("nc"), F.col("_list").alias("l")),
+            ).alias("_a")
+        )
+        .select(
+            "neighbor_id",
+            F.col("_a._list").alias("_list"),
+            F.col("_a._cv").alias("_cv"),
+        )
+    )
+
+
+def build_ivf_index(
+    spark,
+    candidates: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist an IVF index: `centroids/` (the deterministic first-n-by-id
+    quantizer of ivf_topk_fixed_centroids) + `assignments/` partitioned by
+    `_list`. The partitioning is the on-disk payoff: a search that probes
+    p of n lists reads p/n of the index FILES (partition pruning), not
+    just p/n of the rows."""
+    import os
+
+    cent_frame = (
+        candidates.select(
+            F.col(id_col).alias("_list"),
+            F.col(vec_col).cast("array<double>").alias("_centroid"),
+        )
+        .orderBy("_list")
+        .limit(n_clusters)
+    )
+    cent_local = cent_frame.collect()
+    if len(cent_local) < n_clusters:
+        raise ValueError(
+            f"build_ivf_index needs >= {n_clusters} candidate vectors"
+        )
+    cent = spark.createDataFrame(cent_local, cent_frame.schema)
+    cent.write.mode("overwrite").parquet(os.path.join(path, IVF_CENTROIDS))
+    (
+        _assign_to_centroids(candidates, cent, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("_list")
+        .parquet(os.path.join(path, IVF_ASSIGNMENTS))
+    )
+    return path
+
+
+def upsert_ivf_index(
+    spark,
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to a persisted index WITHOUT re-clustering: assign the
+    delta against the FROZEN centroid table and append to the partitioned
+    assignments — O(|delta| x n_clusters), never O(corpus). This is the
+    standard IVF maintenance contract (train once, add forever): search
+    results equal a from-scratch build whenever the from-scratch quantizer
+    would pick the same centroids (e.g. delta ids sort above the seed
+    ids — the registered query proves exactly that equivalence by
+    hash-matching the full-corpus oracle). Re-cluster deliberately
+    explicit, not silent: rebuild with build_ivf_index when the corpus
+    has drifted enough that frozen lists skew."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(path, IVF_CENTROIDS))
+    (
+        _assign_to_centroids(delta, cent, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("_list")
+        .parquet(os.path.join(path, IVF_ASSIGNMENTS))
+    )
+
+
+def search_ivf_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted index: rank lists per query against the broadcast
+    centroid table, then read ONLY the probed `_list=` partitions (the
+    filter is an IN over partition values — Spark prunes at file listing,
+    so an un-probed list's files are never opened) and score within them.
+    Ordering contract identical to ivf_topk_fixed_centroids."""
+    import os
+
+    from pyspark.sql import Window
+
+    cent = F.broadcast(spark.read.parquet(os.path.join(path, IVF_CENTROIDS)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("_qv"), F.col("_centroid")), 6)),
+        F.asc("_list"),
+    )
+    probes = (
+        F.broadcast(q)
+        .join(cent, how="cross")
+        .withColumn("_crk", F.row_number().over(wq))
+        .where(F.col("_crk") <= n_probe)
+        .select("query_id", "_qv", "_list")
+    )
+    # the probed-list union is bounded by |Q| x n_probe (and by n_clusters)
+    # — a manifest-sized collect that buys file-level partition pruning
+    probed_lists = [r["_list"] for r in probes.select("_list").distinct().collect()]
+    assigned = spark.read.parquet(os.path.join(path, IVF_ASSIGNMENTS)).where(
+        F.col("_list").isin(probed_lists)
+    )
+    pairs = F.broadcast(probes).join(assigned, "_list").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

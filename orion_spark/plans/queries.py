@@ -2672,6 +2672,50 @@ def _register_ann_ivf_fixed():
 _register_ann_ivf_fixed()
 
 
+def _register_ann_ivf_index() -> None:
+    from orion_spark.llm.similarity import ivf_topk_fixed_oracle_sql
+
+    @query(
+        "ann_ivf_index_upsert_search",
+        ivf_topk_fixed_oracle_sql(k=10, n_clusters=64, n_probe=4,
+                                  query_filter="vec_id % 97 = 0"),
+    )
+    def ann_ivf_index_upsert_search_q(spark, sf_dir):
+        """Persisted IVF index with INCREMENTAL add, equivalence
+        hash-checked: build the index on the vec_id<250 base (freezing
+        the deterministic quantizer), upsert the remaining vectors by
+        assigning them against the frozen centroids (O(delta) — no
+        re-cluster, FAISS train-once/add-forever discipline), then
+        search the on-disk index. Because the delta's ids sort above the
+        seed ids, a from-scratch quantizer over the full corpus picks
+        the same centroids — so the full-corpus DuckDB oracle is the
+        exact ground truth, and the hash match proves add == rebuild.
+        The assignments are partitioned by list id: probing 4 of 64
+        lists reads only the probed partitions' FILES (file-level
+        pruning), the at-rest payoff a 100 TB vector corpus needs."""
+        import os
+        import re as _re
+
+        from orion_spark.llm import similarity as S
+
+        emb = _t(spark, sf_dir, "embeddings")
+        slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+        path = os.path.join(
+            _fixture_dir(), f"ivf_index_v1{slug}_{os.getpid()}"
+        )
+        S.build_ivf_index(
+            spark, emb.where(F.col("vec_id") < 250), path, n_clusters=64
+        )
+        S.upsert_ivf_index(spark, emb.where(F.col("vec_id") >= 250), path)
+        return S.search_ivf_index(
+            spark, emb.where(F.col("vec_id") % 97 == 0), path,
+            k=10, n_probe=4,
+        )
+
+
+_register_ann_ivf_index()
+
+
 @query("ann_ivf_topk")
 def ann_ivf_topk_q(spark, sf_dir):
     from orion_spark.llm import similarity as S

@@ -34,6 +34,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ann_lsh_topk": "bucket-limited pair scoring after LSH blocking",
         "ann_ivf_topk": "probe-list-limited pair scoring after IVF routing",
         "ann_ivf_topk_fixed": "broadcast centroid cross for assignment/probing (n_clusters rows) + non-equi self-pair filter — the IVF contract",
+        "ann_ivf_index_upsert_search": "broadcast centroid cross for assignment/probing (n_clusters rows) + non-equi self-pair filter — the persisted-index IVF contract",
         "dedup_embedding_cosine_exact": "exact variant scores all pairs (dedup_embedding_cosine is the LSH-banded scale path, no BNLJ)",
         "tpch_q11_important_parts": "scalar-aggregate broadcast (1 row) joined under every group",
         "tpch_q15_top_supplier": "scalar max (1 row) compared against every supplier revenue",
