@@ -682,3 +682,98 @@ def ngram_lm_score_oracle_sql(
            ROUND(-SUM(lp) / COUNT(*), {round_digits}) AS bits_per_token
     FROM scored GROUP BY doc_id
     """
+
+
+def save_lm_model(
+    train: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Persist the bigram-LM count tables (the model "artifact"): `uni/`,
+    `bi/` and a 1-row `consts/` parquet. At 100 TB the training corpus is
+    scanned once here; every later scoring run reads vocabulary-sized
+    tables instead of re-aggregating the corpus — the same
+    train-once/reuse discipline as the persisted IVF index."""
+    import os
+
+    from pyspark.sql import Window
+
+    ttok = _lm_tokens(train, text_col, id_col)
+    uni = ttok.groupBy("w").agg(F.count("*").alias("cu"))
+    uni.write.mode("overwrite").parquet(os.path.join(path, "uni"))
+    spark = train.sparkSession
+    uni_back = spark.read.parquet(os.path.join(path, "uni"))
+    uni_back.agg(
+        F.sum("cu").alias("n_total"), F.count("*").alias("v_size")
+    ).write.mode("overwrite").parquet(os.path.join(path, "consts"))
+    w_seq = Window.partitionBy("_did").orderBy("pos")
+    (
+        ttok.withColumn("prev", F.lag("w").over(w_seq))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("cb"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "bi"))
+    )
+    return path
+
+
+def score_with_lm_model(
+    spark,
+    score: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Score documents against a persisted LM (save_lm_model) — identical
+    arithmetic to ngram_lm_score, with the count tables read instead of
+    recomputed. Returns (id_col, n_tokens, bits_per_token)."""
+    import os
+
+    from pyspark.sql import Window
+
+    uni = spark.read.parquet(os.path.join(path, "uni"))
+    bi = spark.read.parquet(os.path.join(path, "bi"))
+    consts = spark.read.parquet(os.path.join(path, "consts"))
+
+    w_seq = Window.partitionBy("_did").orderBy("pos")
+    stok = _lm_tokens(score, text_col, id_col).withColumn(
+        "prev", F.lag("w").over(w_seq)
+    )
+    uni_w = uni.select(F.col("w").alias("_uw"), F.col("cu").alias("cu_w"))
+    uni_p = uni.select(F.col("w").alias("_up"), F.col("cu").alias("cu_prev"))
+    joined = (
+        stok.join(uni_w, stok["w"] == F.col("_uw"), "left")
+        .join(uni_p, stok["prev"] == F.col("_up"), "left")
+        .join(
+            bi,
+            (stok["prev"] == bi["prev"]) & (stok["w"] == bi["w"]),
+            "left",
+        )
+        .crossJoin(F.broadcast(consts))
+    )
+    kv = F.lit(float(k))
+    smooth_v = kv * F.col("v_size")
+    lp = F.when(
+        stok["prev"].isNull(),
+        F.log2(
+            (F.coalesce(F.col("cu_w"), F.lit(0)) + kv)
+            / (F.col("n_total") + smooth_v)
+        ),
+    ).otherwise(
+        F.log2(
+            (F.coalesce(F.col("cb"), F.lit(0)) + kv)
+            / (F.coalesce(F.col("cu_prev"), F.lit(0)) + smooth_v)
+        )
+    )
+    return (
+        joined.select(F.col("_did"), lp.alias("lp"))
+        .groupBy("_did")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.sum("lp") / F.count("*")).alias("bits_per_token"),
+        )
+        .withColumnRenamed("_did", id_col)
+    )

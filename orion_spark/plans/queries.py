@@ -2614,7 +2614,37 @@ def _register_ngram_lm() -> None:
         )
 
 
+    @query("text_ngram_lm_persisted")
+    def text_ngram_lm_persisted_q(spark, sf_dir):
+        """Persisted-model equivalence for the perplexity filter: train
+        once to parquet count tables (save_lm_model — the corpus is
+        scanned once; scoring runs read vocabulary-sized tables), score
+        from the stored model, and hash-match the SAME oracle as
+        text_ngram_lm_perplexity (assigned below) — the driver's hash
+        check is the persisted==in-memory proof, the same pattern as
+        incremental_upsert_merged_edges."""
+        import os
+        import re as _re
+
+        from orion_spark.llm.textstats import save_lm_model, score_with_lm_model
+
+        docs = _t(spark, sf_dir, "documents")
+        slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+        path = os.path.join(
+            _fixture_dir(), f"lm_model_v1{slug}_{os.getpid()}"
+        )
+        save_lm_model(docs.where(F.col("lang") == "en"), path)
+        scored = score_with_lm_model(spark, docs, path, k=0.5)
+        return scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round("bits_per_token", 6).alias("bits_per_token"),
+        )
+
+
 _register_ngram_lm()
+
+ORACLES["text_ngram_lm_persisted"] = ORACLES["text_ngram_lm_perplexity"]
 
 
 @query("ann_cosine_topk")

@@ -725,3 +725,27 @@ def test_ivf_index_search_prunes_partitions(spark, tmp_path):
         "PartitionFilters"
     )[1][:120]
     assert probed.select("_list").distinct().count() <= 2
+
+
+def test_lm_persisted_model_equals_inmemory(spark, tmp_path):
+    """save_lm_model + score_with_lm_model == ngram_lm_score exactly
+    (same arithmetic, counts read from parquet instead of recomputed)."""
+    from orion_spark.llm.textstats import (
+        ngram_lm_score,
+        save_lm_model,
+        score_with_lm_model,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where(F.col("lang") == "en")
+    path = str(tmp_path / "lm")
+    save_lm_model(train, path)
+    got = {
+        r.doc_id: (r.n_tokens, round(r.bits_per_token, 9))
+        for r in score_with_lm_model(spark, docs, path, k=0.5).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, round(r.bits_per_token, 9))
+        for r in ngram_lm_score(train, docs, k=0.5).collect()
+    }
+    assert got == want and len(got) == 500
