@@ -42,6 +42,8 @@ HEADLINE = [
     # round-5 additions: chunk-granular dedup, iterative BPE training,
     # and the walk->skip-gram graph-embedding corpus chain
     "dedup_chunk_level",
+    # substring-level repeated-span dedup (Lee et al. family, round 5)
+    "dedup_repeated_ngrams",
     "text_bpe_train_merges",
     "graph_walk_skipgrams",
     "text_stats_panel",

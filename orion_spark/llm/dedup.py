@@ -871,3 +871,141 @@ def chunk_dup_stats_oracle_sql(
     FROM chunks JOIN cross_counts USING (h)
     GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (repeated n-gram span) duplication — the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" family,
+# approximated at fixed n-gram granularity: find every length-n token
+# window that occurs more than once ANYWHERE in the corpus and measure,
+# per document, how many token positions duplicated windows cover.
+# ---------------------------------------------------------------------------
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repeated-span panel: (id, n_tokens, n_windows,
+    n_dup_windows, dup_covered_tokens, dup_token_fraction).
+
+    A window is duplicated when its md5 occurs >1 time corpus-wide
+    (within-doc repeats count — the suffix-array dedup they approximate
+    removes those too). Coverage is the exact union length of the
+    duplicated [start, start+n) intervals, computed without an interval
+    union pass: for starts sorted per doc, each contributes
+    min(n, start - prev_start) (fixed-length intervals make the union
+    telescoping) — one window function, no UDF.
+
+    Scale shape: windows explode is a narrow map (|tokens| rows with an
+    n-token string each); the occurrence count is one hash aggregate on
+    the window md5 with map-side combine; the join back is equi on the
+    same key (AQE reuses the aggregate's exchange); the per-doc pass is
+    one doc-keyed window + aggregate. Same plan family as
+    chunk_dup_stats, at stride-1 granularity — nothing quadratic. At
+    100 TB the window table is n x corpus tokens; that is the honest
+    cost of substring dedup (a suffix array is the same magnitude), and
+    the n-gram granularity knob trades recall for volume.
+
+    Docs shorter than n tokens have no windows and are excluded (same
+    contract as the shingle ops)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    ).where(F.col("n_tokens") >= n)
+    win = base.select(
+        "_id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_toks"), i, n), " ")),
+            )
+        ).alias("_pos0", "_h"),
+    ).select("_id", "n_tokens", (F.col("_pos0") + 1).alias("start"), "_h")
+    counts = win.groupBy("_h").agg(F.count("*").alias("_cnt"))
+    dup = win.join(counts, "_h").where(F.col("_cnt") > 1)
+
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("_id").orderBy("start")
+    contrib = F.least(
+        F.lit(n), F.col("start") - F.lag("start").over(w_doc)
+    )
+    per_doc = (
+        dup.withColumn("_c", F.coalesce(contrib, F.lit(n)))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("_c").cast("bigint").alias("dup_covered_tokens"),
+        )
+    )
+    panel = base.select(
+        "_id", "n_tokens", (F.col("n_tokens") - n + 1).alias("n_windows")
+    )
+    return (
+        panel.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("dup_covered_tokens", F.lit(0)).cast("bigint").alias(
+                "dup_covered_tokens"
+            ),
+            F.round(
+                F.coalesce("dup_covered_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_fraction"),
+        )
+    )
+
+
+def repeated_ngram_spans_oracle_sql(
+    n: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+) -> str:
+    """DuckDB oracle: identical windows, counts, telescoping coverage."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS doc_id,
+               string_split_regex(lower(trim({text_col})), '\\s+') AS w,
+               len(string_split_regex(lower(trim({text_col})), '\\s+'))
+                   AS n_tokens
+        FROM {table}),
+    eligible AS (SELECT * FROM base WHERE n_tokens >= {n}),
+    win AS (
+        SELECT doc_id, n_tokens, CAST(i + 1 AS INT) AS start,
+               md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + {n} AS INT)],
+                                   ' ')) AS h
+        FROM eligible, range(0, {max_tokens}) r(i)
+        WHERE i <= n_tokens - {n}),
+    counts AS (SELECT h, COUNT(*) AS cnt FROM win GROUP BY h),
+    dup AS (
+        SELECT w.doc_id, w.start,
+               COALESCE(LEAST({n}, w.start - lag(w.start) OVER
+                   (PARTITION BY w.doc_id ORDER BY w.start)), {n}) AS c
+        FROM win w JOIN counts ON w.h = counts.h WHERE counts.cnt > 1),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_dup_windows,
+               CAST(SUM(c) AS BIGINT) AS dup_covered_tokens
+        FROM dup GROUP BY doc_id)
+    SELECT e.doc_id,
+           e.n_tokens,
+           CAST(e.n_tokens - {n} + 1 AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(p.dup_covered_tokens, 0) AS BIGINT)
+               AS dup_covered_tokens,
+           ROUND(COALESCE(p.dup_covered_tokens, 0)
+                 / CAST(e.n_tokens AS DOUBLE), 6) AS dup_token_fraction
+    FROM eligible e LEFT JOIN per_doc p ON e.doc_id = p.doc_id
+    """

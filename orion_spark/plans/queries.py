@@ -7842,6 +7842,32 @@ def _register_chunk_dedup():
 _register_chunk_dedup()
 
 
+def _register_repeated_ngrams():
+    from orion_spark.llm.dedup import (
+        repeated_ngram_spans,
+        repeated_ngram_spans_oracle_sql,
+    )
+
+    @query("dedup_repeated_ngrams", repeated_ngram_spans_oracle_sql(n=10))
+    def dedup_repeated_ngrams_q(spark, sf_dir):
+        """Substring-level duplication panel (Lee et al. 2022
+        'Deduplicating Training Data Makes Language Models Better',
+        approximated at 10-gram granularity): every stride-1 token
+        window hashed, counted corpus-wide, and each doc scored by the
+        exact union-length of its duplicated spans — the telescoping
+        min(n, gap) trick turns interval union into one lag window, no
+        UDF. Finer than dedup_chunk_level (which is stride-32,
+        non-overlapping); this is the granularity at which boilerplate
+        and quotation duplication actually shows. One hash aggregate +
+        one equi-join + one doc-keyed window: exact-dedup's scale shape
+        on an n x tokens row count, which is the honest substring-dedup
+        cost (suffix arrays pay the same magnitude)."""
+        return repeated_ngram_spans(_t(spark, sf_dir, "documents"), n=10)
+
+
+_register_repeated_ngrams()
+
+
 def _register_bpe_training():
     from orion_spark.llm.textstats import (
         bpe_train_merges,

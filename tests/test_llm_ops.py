@@ -749,3 +749,50 @@ def test_lm_persisted_model_equals_inmemory(spark, tmp_path):
         for r in ngram_lm_score(train, docs, k=0.5).collect()
     }
     assert got == want and len(got) == 500
+
+
+def test_repeated_ngram_spans_known_corpus(spark):
+    """Hand-checked 3-gram spans: doc A and B share one 3-gram; doc A
+    also repeats a 3-gram internally; doc C is unique; doc D too short."""
+    from orion_spark.llm.dedup import repeated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            # windows: "x y z", "y z x", "z x y", "x y z" -> "x y z" twice
+            # (internal repeat), covered union of starts {1,4} = min gap
+            # telescoping: 3 + min(3, 3) = 6 tokens covered
+            ("A", "x y z x y z"),
+            # shares "p q r" with C
+            ("B", "p q r s"),
+            ("C", "t u p q r"),
+            ("D", "a b"),  # < n tokens: excluded
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in repeated_ngram_spans(docs, n=3).collect()}
+    assert set(out) == {"A", "B", "C"}
+    a = out["A"]
+    assert (a.n_tokens, a.n_windows, a.n_dup_windows) == (6, 4, 2)
+    assert a.dup_covered_tokens == 6 and a.dup_token_fraction == 1.0
+    b = out["B"]
+    assert (b.n_windows, b.n_dup_windows, b.dup_covered_tokens) == (2, 1, 3)
+    assert b.dup_token_fraction == 0.75
+    c = out["C"]
+    assert (c.n_dup_windows, c.dup_covered_tokens) == (1, 3)
+
+
+def test_repeated_ngram_spans_overlapping_union(spark):
+    """Overlapping duplicated windows must union, not double-count:
+    starts {1,2} with n=3 cover 4 tokens (3 + min(3, 1))."""
+    from orion_spark.llm.dedup import repeated_ngram_spans
+
+    docs = spark.createDataFrame(
+        [("A", "m m m m"), ("B", "m m m")],
+        "doc_id string, text string",
+    )
+    # A windows: (m m m)@1, (m m m)@2; B: (m m m)@1 -> all dup
+    out = {r.doc_id: r for r in repeated_ngram_spans(docs, n=3).collect()}
+    a = out["A"]
+    assert a.n_dup_windows == 2
+    assert a.dup_covered_tokens == 4  # union of [1,4) and [2,5)
+    assert out["B"].dup_covered_tokens == 3
