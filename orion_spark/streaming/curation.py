@@ -68,14 +68,39 @@ def curate(
     )
 
 
-def curated_dedup_sink(spark: SparkSession, out_path: str, checkpoint: str):
+def curated_dedup_sink(
+    spark: SparkSession,
+    out_path: str,
+    checkpoint: str,
+    lm_model_path: str | None = None,
+    max_bits_per_token: float | None = None,
+):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
     (min doc_id wins), then append. Replayed batches are no-ops — the
-    anti-join sees their rows already landed."""
+    anti-join sees their rows already landed.
+
+    `lm_model_path` + `max_bits_per_token` add the CCNet-style perplexity
+    gate: score each batch against a PERSISTED bigram LM
+    (llm/textstats.save_lm_model — trained offline on a reference corpus)
+    and drop documents above the bits-per-token ceiling. Deliberately
+    inside foreachBatch: the scorer needs a per-doc lag window + an
+    aggregate, which Structured Streaming forbids on unbounded streams
+    but is ordinary static work on a micro-batch; the LM count tables
+    are the stream-static side, read once per batch and
+    vocabulary-sized. This is the production shape — the model artifact
+    refreshes on its own cadence, the stream just joins it."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.withColumn("content_key", F.md5("clean_text"))
+        b = batch_df
+        if lm_model_path is not None and max_bits_per_token is not None:
+            from orion_spark.llm.textstats import score_with_lm_model
+
+            scores = score_with_lm_model(
+                spark, b, lm_model_path, text_col="clean_text"
+            ).where(F.col("bits_per_token") <= max_bits_per_token)
+            b = b.join(scores.select("doc_id"), "doc_id", "left_semi")
+        b = b.withColumn("content_key", F.md5("clean_text"))
         if os.path.exists(out_path):
             seen = spark.read.parquet(out_path).select("content_key").distinct()
             b = b.join(seen, "content_key", "left_anti")
@@ -91,6 +116,8 @@ def run_curation_stream(
     src_path: str,
     out_path: str,
     checkpoint: str,
+    lm_model_path: str | None = None,
+    max_bits_per_token: float | None = None,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
@@ -98,7 +125,11 @@ def run_curation_stream(
     stream = curate(read_document_stream(spark, src_path), **curate_kwargs)
     (
         stream.writeStream.foreachBatch(
-            curated_dedup_sink(spark, out_path, checkpoint)
+            curated_dedup_sink(
+                spark, out_path, checkpoint,
+                lm_model_path=lm_model_path,
+                max_bits_per_token=max_bits_per_token,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

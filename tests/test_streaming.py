@@ -277,3 +277,61 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     C.run_curation_stream(spark, src, out, ck)
     final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert final == [1, 9]  # 10 deduped cross-batch against the sink
+
+
+def test_streaming_curation_perplexity_gate(spark, tmp_path):
+    """The persisted-LM perplexity gate inside the foreachBatch sink:
+    docs scoring above the bits-per-token ceiling are dropped; in-dist
+    docs pass. The LM artifact is trained offline (save_lm_model) and
+    the stream joins it — the production stream-static shape."""
+    from orion_spark.llm.textstats import ngram_lm_score, save_lm_model
+    from orion_spark.streaming import curation as C
+
+    # reference corpus: clean english the gate should consider "normal"
+    ref_line = (
+        "the quick brown fox jumps over the lazy dog and keeps running fast"
+    )
+    ref = spark.createDataFrame(
+        [(i, ref_line) for i in range(6)], "doc_id long, text string"
+    )
+    lm_path = str(tmp_path / "lm")
+    save_lm_model(ref, lm_path)
+
+    good = ref_line + "\n" + ref_line
+    # passes quality/lang gates but is OOV word salad for the LM
+    weird = (
+        "zyx wvu tsr qpo nml kji hgf edc bax zzq the of and to in a\n"
+        "qqz zzt rrp ppw wws ssd ddf ffg ggh hhj the of and to in a"
+    )
+    # pick the ceiling between the two measured scores so the test pins
+    # the gate, not the corpus
+    scored = {
+        r.doc_id: r.bits_per_token
+        for r in ngram_lm_score(
+            ref,
+            spark.createDataFrame(
+                [(1, good.replace("\n", " ")), (2, weird.replace("\n", " "))],
+                "doc_id long, text string",
+            ),
+        ).collect()
+    }
+    assert scored[1] < scored[2]
+    ceiling = (scored[1] + scored[2]) / 2
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows = [
+        (1, good, "en", "s1", len(good)),
+        (2, weird, "en", "s1", len(weird)),
+    ]
+    spark.createDataFrame(rows, C.DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    C.run_curation_stream(
+        spark, src, out, ck,
+        lm_model_path=lm_path, max_bits_per_token=ceiling,
+        min_quality=0.0,
+    )
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1]
