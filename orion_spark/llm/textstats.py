@@ -777,3 +777,130 @@ def score_with_lm_model(
         )
         .withColumnRenamed("_did", id_col)
     )
+
+
+def corpus_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots — the monitoring
+    primitive that decides when to retrain the quality LM or re-balance
+    the mixture. One row:
+
+      n_docs_old/new, n_tokens_old/new, vocab_old/new/shared,
+      kl_old_new_bits — KL(P_old || P_new) over add-k-smoothed unigram
+      distributions on the UNION vocabulary (smoothing keeps the
+      divergence finite when a token is absent on one side).
+
+    Scale shape: two token-count aggregates (map-side combined) and a
+    full-outer join produce a VOCABULARY-sized count table, which is
+    localCheckpoint'ed once — the two folds over it (totals, then the
+    KL sum with totals broadcast) never re-touch corpus rows. Float
+    note: the KL sum is order-nondeterministic — round for cross-engine
+    comparison (the registered query rounds to 6 digits)."""
+
+    def counts(df: DataFrame, tag: str):
+        return (
+            _lm_tokens(df, text_col, id_col)
+            .groupBy("w")
+            .agg(F.count("*").alias(f"c_{tag}"))
+        )
+
+    joined = (
+        counts(old, "old")
+        .join(counts(new, "new"), "w", "full_outer")
+        .select(
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    docs_old = old.where(F.trim(F.col(text_col)) != "").count()
+    docs_new = new.where(F.trim(F.col(text_col)) != "").count()
+    totals = joined.agg(
+        F.sum("c_old").alias("n_tokens_old"),
+        F.sum("c_new").alias("n_tokens_new"),
+        F.sum((F.col("c_old") > 0).cast("long")).alias("vocab_old"),
+        F.sum((F.col("c_new") > 0).cast("long")).alias("vocab_new"),
+        F.sum(
+            ((F.col("c_old") > 0) & (F.col("c_new") > 0)).cast("long")
+        ).alias("vocab_shared"),
+        F.count("*").alias("_v_union"),
+    ).localCheckpoint(eager=True)
+    kv = float(k)
+    p_old = (F.col("c_old") + F.lit(kv)) / (
+        F.col("n_tokens_old") + F.lit(kv) * F.col("_v_union")
+    )
+    p_new = (F.col("c_new") + F.lit(kv)) / (
+        F.col("n_tokens_new") + F.lit(kv) * F.col("_v_union")
+    )
+    kl = joined.crossJoin(F.broadcast(totals)).agg(
+        F.sum(p_old * F.log2(p_old / p_new)).alias("kl")
+    )
+    return totals.crossJoin(kl).select(
+        F.lit(docs_old).cast("bigint").alias("n_docs_old"),
+        F.lit(docs_new).cast("bigint").alias("n_docs_new"),
+        F.col("n_tokens_old").cast("bigint").alias("n_tokens_old"),
+        F.col("n_tokens_new").cast("bigint").alias("n_tokens_new"),
+        F.col("vocab_old").cast("bigint").alias("vocab_old"),
+        F.col("vocab_new").cast("bigint").alias("vocab_new"),
+        F.col("vocab_shared").cast("bigint").alias("vocab_shared"),
+        F.round("kl", round_digits).alias("kl_old_new_bits"),
+    )
+
+
+def corpus_drift_oracle_sql(
+    old_pred: str,
+    new_pred: str,
+    k: float = 0.5,
+    round_digits: int = 6,
+    max_tokens: int = 256,
+) -> str:
+    """DuckDB oracle over the `documents` view: identical tokenization,
+    union-vocabulary smoothing and KL fold."""
+    tok = f"""
+        SELECT doc_id, ws[CAST(i AS INT) + 1] AS w
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> '' AND ({{pred}})),
+             range(0, {max_tokens}) r(i) WHERE i < len(ws)"""
+    return f"""
+    WITH co AS (
+        SELECT w, COUNT(*) AS c_old FROM ({tok.format(pred=old_pred)})
+        GROUP BY w),
+    cn AS (
+        SELECT w, COUNT(*) AS c_new FROM ({tok.format(pred=new_pred)})
+        GROUP BY w),
+    j AS (
+        SELECT COALESCE(co.c_old, 0) AS c_old, COALESCE(cn.c_new, 0) AS c_new
+        FROM co FULL OUTER JOIN cn ON co.w = cn.w),
+    t AS (
+        SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new,
+               SUM(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS v_old,
+               SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS v_new,
+               SUM(CASE WHEN c_old > 0 AND c_new > 0 THEN 1 ELSE 0 END)
+                   AS v_shared,
+               COUNT(*) AS v_union
+        FROM j),
+    kl AS (
+        SELECT SUM(((c_old + {k}) / (t.n_old + {k} * t.v_union))
+                   * log2(((c_old + {k}) / (t.n_old + {k} * t.v_union))
+                          / ((c_new + {k}) / (t.n_new + {k} * t.v_union))))
+                   AS kl
+        FROM j, t)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE trim(text) <> '' AND ({old_pred})) AS n_docs_old,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE trim(text) <> '' AND ({new_pred})) AS n_docs_new,
+           CAST(t.n_old AS BIGINT) AS n_tokens_old,
+           CAST(t.n_new AS BIGINT) AS n_tokens_new,
+           CAST(t.v_old AS BIGINT) AS vocab_old,
+           CAST(t.v_new AS BIGINT) AS vocab_new,
+           CAST(t.v_shared AS BIGINT) AS vocab_shared,
+           ROUND((SELECT kl FROM kl), {round_digits}) AS kl_old_new_bits
+    FROM t
+    """

@@ -7868,6 +7868,35 @@ def _register_repeated_ngrams():
 _register_repeated_ngrams()
 
 
+def _register_corpus_drift():
+    from orion_spark.llm.textstats import (
+        corpus_drift_oracle_sql,
+        corpus_drift_report,
+    )
+
+    @query(
+        "documents_drift_report",
+        corpus_drift_oracle_sql("doc_id % 2 = 0", "doc_id % 2 = 1"),
+    )
+    def documents_drift_report_q(spark, sf_dir):
+        """Corpus-snapshot drift monitoring: token totals, vocabulary
+        overlap, and smoothed unigram KL divergence between two slices
+        (the even/odd doc split stands in for version N vs N+1). The
+        decision input for retraining the quality LM or re-balancing
+        the mixture; two map-side-combined count aggregates + one
+        vocabulary-sized full-outer join, then folds over a checkpointed
+        kilobyte table — corpus rows are touched exactly twice at any
+        scale."""
+        docs = _t(spark, sf_dir, "documents")
+        return corpus_drift_report(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        )
+
+
+_register_corpus_drift()
+
+
 def _register_bpe_training():
     from orion_spark.llm.textstats import (
         bpe_train_merges,

@@ -796,3 +796,40 @@ def test_repeated_ngram_spans_overlapping_union(spark):
     assert a.n_dup_windows == 2
     assert a.dup_covered_tokens == 4  # union of [1,4) and [2,5)
     assert out["B"].dup_covered_tokens == 3
+
+
+def test_corpus_drift_identical_snapshots(spark):
+    """Identical slices: zero KL, full vocabulary overlap."""
+    from orion_spark.llm.textstats import corpus_drift_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c d")], "doc_id long, text string"
+    )
+    r = corpus_drift_report(docs, docs).collect()[0]
+    assert r.n_docs_old == r.n_docs_new == 2
+    assert r.n_tokens_old == r.n_tokens_new == 7
+    assert r.vocab_old == r.vocab_new == r.vocab_shared == 4
+    assert r.kl_old_new_bits == 0.0
+
+
+def test_corpus_drift_disjoint_vocab_kl_positive(spark):
+    """Disjoint vocabularies: shared vocab 0, strictly positive KL; KL
+    must match the hand-computed smoothed value."""
+    import math
+
+    from orion_spark.llm.textstats import corpus_drift_report
+
+    old = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "x y")], "doc_id long, text string")
+    r = corpus_drift_report(old, new, k=0.5).collect()[0]
+    assert r.vocab_shared == 0 and r.vocab_old == 2 and r.vocab_new == 2
+    # union vocab = 4; P_old over {a:2, b:1, x:0, y:0}, n_old=3;
+    # P_new over {a:0, b:0, x:1, y:1}, n_new=2
+    def p(c, n):
+        return (c + 0.5) / (n + 0.5 * 4)
+
+    kl = sum(
+        p(co, 3) * math.log2(p(co, 3) / p(cn, 2))
+        for co, cn in [(2, 0), (1, 0), (0, 1), (0, 1)]
+    )
+    assert abs(r.kl_old_new_bits - round(kl, 6)) <= 1e-6

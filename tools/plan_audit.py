@@ -46,6 +46,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "graph_triangle_count_sampled": "1-row summary aggregates (total-edge count x sampled-count row) combined into the output row",
         "text_ngram_lm_perplexity": "1-row LM constants (N, V) broadcast under every scored token",
         "text_ngram_lm_persisted": "1-row LM constants (N, V) broadcast under every scored token",
+        "documents_drift_report": "1-row totals frame broadcast under the vocabulary-sized KL fold + 1-row x 1-row output combine",
         "full_pipeline_counts": "constant predicate is constant-folded out of the join key; the 'join' is a residual filter against the 14-row broadcast closure dim",
         "documents_mixture_report": "corpus-total scalar (1 row) broadcast under every source row",
         "orders_basket_lift": "order-count scalar (1 row) broadcast into the lift expression",
