@@ -49,6 +49,8 @@ HEADLINE = [
     "text_stats_panel",
     # in-engine bigram-LM perplexity quality filter (round-5 addition)
     "text_ngram_lm_perplexity",
+    # corpus-version drift monitoring (round-5 addition)
+    "documents_drift_report",
     # fixed 64-query batch — the production exact-scoring contract; the
     # unbounded vec_id%100 variant stays registered as the scoring oracle
     # but scaled O(|Q|x|C|) with the fixture and distorted the sf1 suite
