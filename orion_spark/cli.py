@@ -277,6 +277,35 @@ def cmd_upsert(args) -> int:
     return 0
 
 
+def cmd_ivf_index(args) -> int:
+    """Persisted IVF vector index lifecycle (llm/similarity.py):
+    build (train-once deterministic quantizer), add (assign delta against
+    frozen centroids, O(delta)), search (file-pruned probe of the stored
+    lists). Vectors read as parquet with (vec_id, embedding)."""
+    from orion_spark.llm import similarity as S
+
+    spark = _spark()
+    if args.action == "build":
+        S.build_ivf_index(
+            spark, spark.read.parquet(args.vectors), args.index,
+            n_clusters=args.n_clusters,
+        )
+        print(json.dumps({"index": args.index, "action": "build",
+                          "n_clusters": args.n_clusters}))
+    elif args.action == "add":
+        S.upsert_ivf_index(spark, spark.read.parquet(args.vectors), args.index)
+        print(json.dumps({"index": args.index, "action": "add"}))
+    else:
+        out = S.search_ivf_index(
+            spark, spark.read.parquet(args.vectors), args.index,
+            k=args.k, n_probe=args.n_probe,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"index": args.index, "action": "search",
+                          "out": args.out, "rows": spark.read.parquet(args.out).count()}))
+    return 0
+
+
 def cmd_worker_reclaim(args) -> int:
     """Requeue abandoned claims (dead-worker recovery): running/*/ tasks
     whose heartbeat is older than --ttl, or all claims of --worker-id,
@@ -405,6 +434,18 @@ def main(argv: list[str] | None = None) -> int:
     wr.add_argument("--worker-id",
                     help="requeue ALL claims of this worker regardless of age")
     wr.set_defaults(fn=cmd_worker_reclaim)
+
+    iv = sub.add_parser("ivf-index")
+    iv.add_argument("action", choices=("build", "add", "search"))
+    iv.add_argument("--index", required=True, help="index directory")
+    iv.add_argument("--vectors", required=True,
+                    help="parquet of (vec_id, embedding) — corpus, delta, "
+                         "or queries depending on action")
+    iv.add_argument("--n-clusters", type=int, default=64)
+    iv.add_argument("--k", type=int, default=10)
+    iv.add_argument("--n-probe", type=int, default=4)
+    iv.add_argument("--out", help="search output parquet (search only)")
+    iv.set_defaults(fn=cmd_ivf_index)
 
     up = sub.add_parser("upsert")
     up.add_argument("--bundle", required=True,

@@ -5,6 +5,7 @@ import json
 import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from orion_spark import cli
 from orion_spark.sources.kgx import write_bundle, write_kgx
@@ -289,3 +290,37 @@ def test_cli_upsert_with_qc_refresh(spark, tmp_path):
     assert totals[("predicate", "p")] == 10
     assert totals[("predicate", "p2")] == 1
     assert QCI.verify_partials(spark, bundle) == []
+
+
+def test_cli_ivf_index_lifecycle(spark, tmp_path):
+    """build -> add -> search through the CLI equals the in-memory
+    fixed-centroid IVF over the full corpus."""
+    from orion_spark.llm import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base_p, delta_p, q_p = (
+        str(tmp_path / "base"), str(tmp_path / "delta"), str(tmp_path / "q"))
+    emb.where(F.col("vec_id") < 250).write.parquet(base_p)
+    emb.where(F.col("vec_id") >= 250).write.parquet(delta_p)
+    emb.where(F.col("vec_id") % 97 == 0).write.parquet(q_p)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "hits")
+    assert cli.main(["ivf-index", "build", "--index", idx,
+                     "--vectors", base_p, "--n-clusters", "64"]) == 0
+    assert cli.main(["ivf-index", "add", "--index", idx,
+                     "--vectors", delta_p]) == 0
+    assert cli.main(["ivf-index", "search", "--index", idx,
+                     "--vectors", q_p, "--k", "10", "--n-probe", "4",
+                     "--out", out]) == 0
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.cosine)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.cosine)
+        for r in S.ivf_topk_fixed_centroids(
+            emb.where(F.col("vec_id") % 97 == 0), emb, k=10,
+            n_clusters=64, n_probe=4,
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -17,6 +17,7 @@ import math
 from collections import Counter
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 VOCAB = ["a", "b", "c", "dd", "e"]
 
@@ -152,3 +153,50 @@ def test_qc_partials_match_full_recompute_after_upserts(tmp_path_factory, base, 
     }
     assert got == want
     assert QCI.verify_partials(spark, path) == []
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=14),   # base size (>= n_clusters)
+    st.integers(min_value=1, max_value=8),    # delta size
+    st.integers(min_value=2, max_value=4),    # n_probe
+    st.randoms(use_true_random=False),
+)
+def test_ivf_index_add_equals_rebuild_randomized(tmp_path_factory, n_base, n_delta, n_probe, rng):
+    """Persisted build+add+search == in-memory fixed-centroid IVF over
+    the union, for random vector sets — whenever delta ids sort above
+    the seed ids (the documented frozen-quantizer contract)."""
+    from orion_spark.llm import similarity as S
+    from orion_spark.session import get_spark
+
+    spark = get_spark(app_name="hypothesis-ivf", shuffle_partitions=8)
+    n_clusters = 8
+    dim = 4
+
+    def vec():
+        return [round(rng.uniform(-1, 1), 3) or 0.1 for _ in range(dim)]
+
+    base_rows = [(i, vec()) for i in range(n_base)]
+    delta_rows = [(n_base + i, vec()) for i in range(n_delta)]
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(base_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    full = spark.createDataFrame(base_rows + delta_rows, schema)
+    queries = full.where(F.col("vec_id") % 3 == 0)
+
+    path = str(tmp_path_factory.mktemp("ivffuzz") / "idx")
+    S.build_ivf_index(spark, base, path, n_clusters=n_clusters)
+    S.upsert_ivf_index(spark, delta, path)
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.cosine)
+        for r in S.search_ivf_index(
+            spark, queries, path, k=5, n_probe=n_probe
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.cosine)
+        for r in S.ivf_topk_fixed_centroids(
+            queries, full, k=5, n_clusters=n_clusters, n_probe=n_probe
+        ).collect()
+    )
+    assert got == want
