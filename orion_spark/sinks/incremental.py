@@ -302,3 +302,71 @@ def upsert_sharded_nodes(
     return upsert_sharded_bundle(
         spark, delta, path, ["id"], merge_nodes, n_shards=n_shards
     )
+
+
+def compact_sharded_bundle(
+    spark: SparkSession,
+    path: str,
+    max_files_per_shard: int = 4,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> list[int]:
+    """Compact fragmented shard partitions of a sharded bundle.
+
+    Fragmentation here comes from WRITE PARALLELISM, not accumulation
+    (upserts rewrite whole shards): every task holding rows for a shard
+    emits its own file into that shard's dir, so a bundle written or
+    upserted under many shuffle partitions carries up-to-#partitions
+    small files per shard. At 100 TB scan cost becomes file-open
+    overhead — the failure mode compact_table fixes for flat tables, but
+    flattening a sharded bundle would destroy the partition layout the
+    whole O(delta) contract depends on.
+
+    A shard is fragmented when it holds more parquet files than
+    max(max_files_per_shard, ceil(bytes/target)). Fragmented shards are
+    read partition-pruned, rewritten one-file-per-shard (hash-partitioned
+    on the shard column so each shard's rows land in one task), and
+    swapped in through the SAME lock + staging + journal + rename
+    protocol as the upsert — so a crash mid-compaction is recovered by
+    recover_sharded_bundle exactly like a crashed upsert, and a
+    concurrent upsert is excluded by the bundle lock. Untouched shards'
+    files are not rewritten, not even re-listed by Spark.
+
+    Data is unchanged by construction (no merge step runs); QC partials
+    need no refresh. Returns the compacted shard ids."""
+    with _UpsertLock(path):
+        frag: list[int] = []
+        for d in os.listdir(path):
+            if not d.startswith(f"{SHARD_COL}="):
+                continue
+            full = os.path.join(path, d)
+            files = [
+                os.path.join(full, f)
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            ]
+            size = sum(os.path.getsize(f) for f in files)
+            allowed = max(
+                max_files_per_shard, -(-size // target_file_bytes)
+            )
+            if len(files) > allowed:
+                frag.append(int(d.split("=", 1)[1]))
+        if not frag:
+            return []
+        frag.sort()
+        df = spark.read.option("mergeSchema", "true").parquet(path).where(
+            F.col(SHARD_COL).isin(frag)
+        )
+        merged = df.repartition(len(frag), F.col(SHARD_COL))
+
+        txid = f"{os.getpid()}-{time.time_ns()}"
+        staging = os.path.join(path, STAGING_DIR, txid)
+        merged.write.mode("overwrite").partitionBy(SHARD_COL).parquet(staging)
+
+        journal = os.path.join(path, JOURNAL_NAME)
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"txid": txid, "shards": frag}, fh)
+        os.rename(tmp, journal)
+
+        _commit_staged(path, txid, frag)
+    return frag

@@ -435,3 +435,67 @@ def test_qc_partials_node_bundle(spark, tmp_path):
     assert totals[("curie_prefix", "HGNC")] == 1
     assert totals[("category", "biolink:NamedThing")] == 1
     assert totals[("category", "biolink:Gene")] == 1
+
+
+def test_compact_sharded_bundle_preserves_data_and_layout(spark, tmp_path):
+    """A bundle written from a many-partition frame leaves one file per
+    task per shard dir (the real fragmentation source — upserts rewrite
+    whole shards, so fragmentation comes from write parallelism, not
+    accumulation). Compaction must collapse only the fragmented shards,
+    byte-identically preserve the data, leave sub-threshold shards'
+    files alone, and release the lock."""
+    from orion_spark.operators.merge import merge_edges
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks.incremental import SHARD_COL
+
+    base = spark.createDataFrame(
+        [Row(subject=f"S:{i}", predicate="p", object="O:1",
+             primary_knowledge_source="infores:x",
+             publications=[f"PMID:{i}"], _source_ordinal=i)
+         for i in range(48)]
+    )
+    path = str(tmp_path / "bundle")
+    # 12-way parallel write: every shard dir collects up to 12 small files
+    INC.write_sharded_bundle(
+        merge_edges(base).repartition(12), path, ["subject"], n_shards=4
+    )
+
+    def files_of(shard):
+        d = os.path.join(path, f"{SHARD_COL}={shard}")
+        if not os.path.isdir(d):
+            return []
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    per_shard_before = {s: files_of(s) for s in range(4)}
+    frag_expected = sorted(
+        s for s, fs in per_shard_before.items() if len(fs) > 2
+    )
+    assert frag_expected, per_shard_before  # the fixture must fragment
+
+    before_rows = sorted(
+        (r.subject, r.predicate, ",".join(r.publications))
+        for r in INC.read_sharded_bundle(spark, path).collect()
+    )
+    compacted = INC.compact_sharded_bundle(
+        spark, path, max_files_per_shard=2
+    )
+    assert compacted == frag_expected
+    for s in frag_expected:
+        assert len(files_of(s)) == 1
+    for s in range(4):
+        if s not in frag_expected:
+            assert files_of(s) == per_shard_before[s]
+    after_rows = sorted(
+        (r.subject, r.predicate, ",".join(r.publications))
+        for r in INC.read_sharded_bundle(spark, path).collect()
+    )
+    assert after_rows == before_rows
+    # lock released; compacted bundle is a no-op on re-run
+    assert INC.compact_sharded_bundle(spark, path, max_files_per_shard=2) == []
+    # and an upsert still works after compaction (protocol state clean)
+    delta = spark.createDataFrame(
+        [Row(subject="S:0", predicate="p", object="O:1",
+             primary_knowledge_source="infores:x",
+             publications=["PMID:post"], _source_ordinal=0)]
+    )
+    assert len(INC.upsert_sharded_edges(spark, delta, path, n_shards=4)) == 1
