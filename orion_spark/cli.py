@@ -153,9 +153,18 @@ def cmd_publish(args) -> int:
 
 
 def cmd_compact(args) -> int:
+    spark = _spark()
+    if args.sharded:
+        from orion_spark.sinks.incremental import compact_sharded_bundle
+
+        shards = compact_sharded_bundle(
+            spark, args.path,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+        )
+        print(json.dumps({"path": args.path, "compacted_shards": shards}))
+        return 0
     from orion_spark.sources.kgx import compact_table
 
-    spark = _spark()
     n = compact_table(
         spark,
         args.path,
@@ -376,6 +385,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--path", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.add_argument("--sort-by", nargs="*", default=None)
+    cp.add_argument("--sharded", action="store_true",
+                    help="per-shard compaction of a hash-sharded bundle "
+                         "(preserves the _shard layout; staged-swap commit)")
     cp.set_defaults(fn=cmd_compact)
 
     pub = sub.add_parser("publish")

@@ -324,3 +324,22 @@ def test_cli_ivf_index_lifecycle(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cli_compact_sharded(spark, tmp_path):
+    from orion_spark.operators.merge import merge_edges
+    from orion_spark.sinks import incremental as INC
+
+    base = spark.createDataFrame(
+        [Row(subject=f"S:{i}", predicate="p", object="O:1",
+             primary_knowledge_source="infores:x",
+             publications=[f"PMID:{i}"], _source_ordinal=i)
+         for i in range(48)]
+    )
+    path = str(tmp_path / "bundle")
+    INC.write_sharded_bundle(
+        merge_edges(base).repartition(12), path, ["subject"], n_shards=4
+    )
+    n_before = INC.read_sharded_bundle(spark, path).count()
+    assert cli.main(["compact", "--path", path, "--sharded"]) == 0
+    assert INC.read_sharded_bundle(spark, path).count() == n_before
