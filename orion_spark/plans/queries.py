@@ -7689,6 +7689,37 @@ def incremental_qc_totals_q(spark, sf_dir):
     return QCI.qc_totals(spark, path)
 
 
+@query("qc_knowledge_source_hll")
+def qc_knowledge_source_hll_q(spark, sf_dir):
+    """Sketch-mergeable sibling of qc_knowledge_source_breakdown for
+    sharded bundles: per-shard DataSketches HLL node sketches, folded by
+    union (sinks/qc_incremental.py:edge_hll_partials) — closes the one
+    QC metric the exact incremental partials can't cover (distinct
+    nodes is a set-union, not a sum). Rows-only BY DESIGN: DuckDB's
+    approx_distinct is a different sketch, so estimates are
+    engine-specific; exactness is covered by the oracle-checked exact
+    sibling and by tests proving fold==full-sketch equality and
+    dense-mode exactness (test_hll_partials_fold_equals_full_sketch).
+    At 100 TB the post-upsert refresh is O(touched shards) like the
+    exact partials."""
+    import os
+    import re as _re
+
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+
+    edges = G.lineitem_edges(spark, sf_dir)
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(
+        _fixture_dir(), f"hll_qc_bundle_v1{slug}_{os.getpid()}"
+    )
+    INC.write_sharded_bundle(
+        M.merge_edges(edges), path, ["subject"], n_shards=16
+    )
+    QCI.write_hll_partials(spark, path)
+    return QCI.knowledge_source_hll_totals(spark, path)
+
+
 @query(
     "multimodal_audio_features",
     """

@@ -21,12 +21,15 @@ invisible to bundle readers). Maintenance is then:
   whose size is O(n_shards x distinct keys), i.e. kilobytes at any
   bundle size.
 
-Deliberately EXCLUDED metrics: anything non-algebraic per shard.
-`spo_type_counts` joins edges to nodes (two bundles, different shard
-keys — a shard-local partial is not exact) and
-`knowledge_source_breakdown`'s distinct-node count is a set-union, not a
-sum. Those stay full-scan (or move to sketch-mergeable HLL partials,
-which trades exactness — not silently made here).
+Deliberately EXCLUDED from the exact partials: anything non-algebraic
+per shard. `spo_type_counts` joins edges to nodes (two bundles,
+different shard keys — a shard-local partial is not exact) and stays
+full-scan. `knowledge_source_breakdown`'s distinct-node count (a
+set-union, not a sum) gets the SKETCH-mergeable treatment instead —
+`edge_hll_partials`/`knowledge_source_hll_totals` below store per-shard
+DataSketches HLL sketches whose union equals the full-corpus sketch
+exactly; the approximation (declared, bounded) is only in the final
+estimate, never in the partial==full equivalence.
 
 Consistency contract: refresh runs after the upsert's commit point using
 the returned touched list, under the caller's control. A crash between
@@ -190,3 +193,97 @@ def verify_partials(spark: SparkSession, bundle_path: str) -> list[int]:
     pdir = os.path.join(bundle_path, PARTIALS_DIR)
     have = shard_ids(pdir) if os.path.isdir(pdir) else set()
     return sorted(live - have)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-mergeable partials for the one non-algebraic QC metric
+# ---------------------------------------------------------------------------
+
+HLL_PARTIALS_DIR = ".qc_hll_partials"
+
+
+def edge_hll_partials(edges: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Per-shard HLL sketches for knowledge_source_breakdown's
+    distinct-node count — the metric the exact partials deliberately
+    exclude (set-union, not a sum). DataSketches HLL IS mergeable and
+    order/duplicate-insensitive: per-shard sketches unioned equal the
+    full-corpus sketch exactly (same estimate, not merely close), so the
+    partial==full equivalence stays exact even though the count itself
+    is approximate (the declared trade, ~1.6%/sqrt(2^lg_k) rel. std.
+    error). Long format: (_shard, aggregator_sources,
+    primary_knowledge_source, n_edges, node_sketch binary)."""
+    agg_key = F.coalesce(
+        F.array_join(F.array_sort(F.col("aggregator_knowledge_source")), ","),
+        F.lit(""),
+    ) if "aggregator_knowledge_source" in edges.columns else F.lit("")
+    melted = edges.select(
+        F.col(SHARD_COL),
+        agg_key.alias("aggregator_sources"),
+        F.col("primary_knowledge_source"),
+        F.explode(F.array("subject", "object")).alias("_node"),
+    )
+    return melted.groupBy(
+        SHARD_COL, "aggregator_sources", "primary_knowledge_source"
+    ).agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.hll_sketch_agg("_node", F.lit(lg_k)).alias("node_sketch"),
+    )
+
+
+def write_hll_partials(
+    spark: SparkSession, bundle_path: str, lg_k: int = 12
+) -> str:
+    out = os.path.join(bundle_path, HLL_PARTIALS_DIR)
+    (
+        edge_hll_partials(_bundle_with_shard(spark, bundle_path), lg_k)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .parquet(out)
+    )
+    return out
+
+
+def refresh_hll_partials(
+    spark: SparkSession, bundle_path: str, touched: list[int], lg_k: int = 12
+) -> str:
+    """Partition-pruned refresh — same contract as refresh_qc_partials."""
+    out = os.path.join(bundle_path, HLL_PARTIALS_DIR)
+    if not os.path.isdir(out):
+        return write_hll_partials(spark, bundle_path, lg_k)
+    df = _bundle_with_shard(spark, bundle_path).where(
+        F.col(SHARD_COL).isin(list(touched))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            edge_hll_partials(df, lg_k)
+            .write.mode("overwrite")
+            .partitionBy(SHARD_COL)
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return out
+
+
+def knowledge_source_hll_totals(
+    spark: SparkSession, bundle_path: str
+) -> DataFrame:
+    """Fold the per-shard sketches: (aggregator_sources,
+    primary_knowledge_source, n_edges, approx_distinct_nodes). The union
+    of shard sketches is the full-corpus sketch, so this equals a direct
+    full-scan HLL exactly; it approximates the exact distinct count
+    within the sketch's error bound."""
+    partials = spark.read.parquet(
+        os.path.join(bundle_path, HLL_PARTIALS_DIR)
+    )
+    return (
+        partials.groupBy("aggregator_sources", "primary_knowledge_source")
+        .agg(
+            F.sum("n_edges").cast("long").alias("n_edges"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg("node_sketch")
+            ).alias("approx_distinct_nodes"),
+        )
+    )

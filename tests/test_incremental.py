@@ -499,3 +499,81 @@ def test_compact_sharded_bundle_preserves_data_and_layout(spark, tmp_path):
              publications=["PMID:post"], _source_ordinal=0)]
     )
     assert len(INC.upsert_sharded_edges(spark, delta, path, n_shards=4)) == 1
+
+
+def test_hll_partials_fold_equals_full_sketch(spark, tmp_path):
+    """Per-shard HLL sketches unioned must equal a direct full-scan
+    sketch EXACTLY (same estimate — sketches are order/duplicate
+    insensitive), and at small cardinality the estimate equals the exact
+    distinct count; the post-upsert refresh keeps the equivalence."""
+    from pyspark.sql import functions as SF
+
+    from orion_spark.operators.merge import merge_edges
+    from orion_spark.sinks import incremental as INC
+    from orion_spark.sinks import qc_incremental as QCI
+
+    schema = (
+        "subject string, predicate string, object string, "
+        "primary_knowledge_source string, publications array<string>, "
+        "_source_ordinal long"
+    )
+    base = spark.createDataFrame(
+        [(f"S:{i}", "p", f"O:{i % 7}", f"infores:{i % 2}", None, i)
+         for i in range(30)],
+        schema,
+    )
+    path = str(tmp_path / "bundle")
+    INC.write_sharded_bundle(merge_edges(base), path, ["subject"], n_shards=4)
+    QCI.write_hll_partials(spark, path)
+
+    def totals():
+        return {
+            (r.aggregator_sources, r.primary_knowledge_source):
+                (r.n_edges, r.approx_distinct_nodes)
+            for r in QCI.knowledge_source_hll_totals(spark, path).collect()
+        }
+
+    got = totals()
+    # exact reference over the same merged bundle
+    merged = INC.read_sharded_bundle(spark, path)
+    exact = {
+        (r.aggregator_sources, r.primary_knowledge_source): (r.n, r.d)
+        for r in merged.select(
+            SF.lit("").alias("aggregator_sources"),
+            "primary_knowledge_source",
+            SF.explode(SF.array("subject", "object")).alias("_node"),
+        )
+        .groupBy("aggregator_sources", "primary_knowledge_source")
+        .agg((SF.count("*") / 2).cast("long").alias("n"),
+             SF.countDistinct("_node").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (n, approx) in got.items():
+        assert n == exact[k][0]
+        # dense-mode HLL is exact at this cardinality
+        assert approx == exact[k][1], (k, approx, exact[k])
+
+    # upsert a delta introducing a new node + source, refresh, re-check
+    delta = spark.createDataFrame(
+        [("S:0", "p", "O:new", "infores:0", None, 0)], schema
+    )
+    touched = INC.upsert_sharded_edges(spark, delta, path, n_shards=4)
+    QCI.refresh_hll_partials(spark, path, touched)
+    merged2 = INC.read_sharded_bundle(spark, path)
+    exact2 = {
+        (r.aggregator_sources, r.primary_knowledge_source): (r.n, r.d)
+        for r in merged2.select(
+            SF.lit("").alias("aggregator_sources"),
+            "primary_knowledge_source",
+            SF.explode(SF.array("subject", "object")).alias("_node"),
+        )
+        .groupBy("aggregator_sources", "primary_knowledge_source")
+        .agg((SF.count("*") / 2).cast("long").alias("n"),
+             SF.countDistinct("_node").alias("d"))
+        .collect()
+    }
+    got2 = totals()
+    assert set(got2) == set(exact2)
+    for k, (n, approx) in got2.items():
+        assert (n, approx) == exact2[k], (k, got2[k], exact2[k])
