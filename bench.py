@@ -81,10 +81,14 @@ def main() -> None:
         sf = -1.0
 
     from orion_spark.plans.queries import QUERIES
-    from orion_spark.session import get_spark
+    from orion_spark.session import autoscale_shuffle, get_spark
 
     spark = get_spark(app_name="orion-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # input-size-scaled initial shuffle partitioning (AQE coalesces down);
+    # explicit ORION_SPARK_SHUFFLE_PARTITIONS still wins inside the helper
+    n_parts = autoscale_shuffle(spark, sf_dir)
+    print(f"shuffle.partitions={n_parts} for {sf_dir}", file=sys.stderr)
 
     times: dict[str, float] = {}
     names = [n for n in HEADLINE if n in QUERIES]

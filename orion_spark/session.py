@@ -8,9 +8,96 @@ any pandas exchange, and broadcast-join thresholds.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import SparkSession
+
+# Shuffle-partition autoscaling (round-6; VERDICT r5 item 1).
+#
+# The sf10 measurements showed the static partitions=cpus default was the
+# binding scale constraint, not any plan: text_ngram_lm_perplexity halved at
+# 128 partitions (36->17s) and redundant_closure_counts lost its 80s spill
+# outlier (SCALE.md sf10 partition probe). The scale-safe posture is a HIGH
+# initial partition count proportional to input volume, with AQE coalescing
+# over-provisioned partitions back down (coalescePartitions is on below), so
+# over-partitioning costs little and under-partitioning costs spills.
+#
+# Heuristic: one shuffle partition per ~4 MiB of *compressed* parquet input.
+# Snappy parquet on these tables expands ~6-10x in a shuffle (and more in
+# token-exploded window tables), so 4 MiB compressed targets ~32 MB of
+# in-flight data per partition — comfortably spill-free. Floored at the CPU
+# count (never fewer tasks than cores) and capped to keep task-launch
+# overhead bounded on pathological inputs.
+BYTES_PER_SHUFFLE_PARTITION = 4 * 1024 * 1024
+MAX_SHUFFLE_PARTITIONS = 8192
+
+
+def input_size_bytes(*paths: str) -> int:
+    """Total on-disk bytes under the given local files/directories.
+
+    Local-filesystem walk; callers with a remote (hdfs://, s3a://) input
+    should go through :func:`autoscale_shuffle`, which falls back to the
+    Hadoop FileSystem API for scheme-qualified paths.
+    """
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    return total
+
+
+def scaled_shuffle_partitions(
+    input_bytes: int,
+    *,
+    cpus: int,
+    bytes_per_partition: int = BYTES_PER_SHUFFLE_PARTITION,
+    max_partitions: int = MAX_SHUFFLE_PARTITIONS,
+) -> int:
+    """Input-size-scaled initial shuffle partition count (pure function)."""
+    wanted = math.ceil(input_bytes / bytes_per_partition) if input_bytes > 0 else 0
+    return max(int(cpus), min(wanted, max_partitions))
+
+
+def autoscale_shuffle(spark: SparkSession, *paths: str) -> int:
+    """Set ``spark.sql.shuffle.partitions`` scaled to the given inputs.
+
+    Call at a pipeline/bench entry point once the input paths are known;
+    AQE coalesces the over-provisioned count down per-stage, so this is
+    safe to call with a generous union of inputs. Returns the count set.
+    An explicit ``ORION_SPARK_SHUFFLE_PARTITIONS`` env override still wins.
+    """
+    env = os.environ.get("ORION_SPARK_SHUFFLE_PARTITIONS")
+    if env:
+        n = int(env)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        return n
+    total = 0
+    remote = []
+    for p in paths:
+        if os.path.exists(p):
+            total += input_size_bytes(p)
+        elif "://" in p:
+            remote.append(p)
+    for p in remote:
+        try:  # Hadoop FS for scheme-qualified paths (cluster inputs)
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            total += fs.getContentSummary(hpath).getLength()
+        except Exception:
+            pass
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = scaled_shuffle_partitions(total, cpus=cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
 
 
 def get_spark(
@@ -27,7 +114,17 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("ORION_SPARK_SHUFFLE_PARTITIONS", cpus))
+        env = os.environ.get("ORION_SPARK_SHUFFLE_PARTITIONS")
+        if env:
+            shuffle_partitions = int(env)
+        else:
+            # Input-size-scaled default: when the bench/driver names the
+            # dataset dir via SPARK_GRAFT_SF_DIR, size the initial shuffle
+            # partitioning to it (AQE coalesces down). Pipelines with other
+            # inputs call autoscale_shuffle() once paths are known.
+            sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "")
+            size = input_size_bytes(sf_dir) if sf_dir else 0
+            shuffle_partitions = scaled_shuffle_partitions(size, cpus=int(cpus))
 
     builder = (
         SparkSession.builder.appName(app_name)
