@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shlex
 import sys
 
@@ -282,6 +283,16 @@ def cmd_upsert(args) -> int:
     if args.refresh_qc:
         QCI.refresh_qc_partials(spark, args.bundle, touched, args.kind)
         out["qc_stale_shards"] = QCI.verify_partials(spark, args.bundle)
+        # the HLL sketch partials (distinct-node estimates) carry the same
+        # refresh contract — keep them in lockstep when present, else the
+        # knowledge_source_hll_totals fold silently serves stale estimates
+        if args.kind == "edges" and os.path.isdir(
+            os.path.join(args.bundle, QCI.HLL_PARTIALS_DIR)
+        ):
+            QCI.refresh_hll_partials(spark, args.bundle, touched)
+            out["qc_hll_stale_shards"] = QCI.verify_partials(
+                spark, args.bundle, QCI.HLL_PARTIALS_DIR
+            )
     print(json.dumps(out))
     return 0
 
@@ -293,6 +304,9 @@ def cmd_ivf_index(args) -> int:
     lists). Vectors read as parquet with (vec_id, embedding)."""
     from orion_spark.llm import similarity as S
 
+    if args.action == "search" and not args.out:
+        print("ivf-index search requires --out <parquet dir>", file=sys.stderr)
+        return 2
     spark = _spark()
     if args.action == "build":
         S.build_ivf_index(
@@ -326,6 +340,30 @@ def cmd_worker_reclaim(args) -> int:
         args.spool, ttl_seconds=args.ttl, worker_id=args.worker_id
     )
     print(json.dumps({"requeued": requeued}))
+    return 0
+
+
+def cmd_fetch(args) -> int:
+    """Land a source in the landing zone (S9, orion/utils.py:47-303):
+    mtime-derived source version, atomic idempotent download, optional
+    archive staging. Driver-side only — no SparkSession."""
+    from orion_spark.sources.fetch import fetch_source, split_text_member
+
+    manifest = fetch_source(
+        args.url, args.landing, args.source_id,
+        saved_file_name=args.name, extract=args.extract,
+    )
+    if args.split_lines:
+        targets = manifest.get("extracted") or [manifest["path"]]
+        manifest["splits"] = [
+            s
+            for t in targets
+            for s in split_text_member(
+                t, os.path.join(os.path.dirname(manifest["path"]), "splits"),
+                lines_per_file=args.split_lines,
+            )
+        ]
+    print(json.dumps(manifest))
     return 0
 
 
@@ -469,6 +507,21 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--refresh-qc", action="store_true",
                     help="also refresh QC partials for the touched shards")
     up.set_defaults(fn=cmd_upsert)
+
+    fe = sub.add_parser("fetch")
+    fe.add_argument("--url", required=True,
+                    help="http(s):// or file:// source URL")
+    fe.add_argument("--landing", required=True,
+                    help="landing-zone root; files land under "
+                         "<landing>/<source-id>/<version>/")
+    fe.add_argument("--source-id", required=True)
+    fe.add_argument("--name", help="override the saved file name")
+    fe.add_argument("--extract", action="store_true",
+                    help="stage zip/tar/gz members next to the download")
+    fe.add_argument("--split-lines", type=int, default=0,
+                    help="split landed text into N-line chunks (restores "
+                         "scan parallelism for non-splittable .gz sources)")
+    fe.set_defaults(fn=cmd_fetch)
 
     nv = sub.add_parser("neo4j-verify")
     nv.add_argument("--bundle", required=True)

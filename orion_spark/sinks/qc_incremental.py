@@ -175,12 +175,16 @@ def qc_totals(spark: SparkSession, bundle_path: str) -> DataFrame:
     return partials.groupBy("metric", "key").agg(F.sum("n").alias("n"))
 
 
-def verify_partials(spark: SparkSession, bundle_path: str) -> list[int]:
+def verify_partials(
+    spark: SparkSession, bundle_path: str, partials_dir: str | None = None
+) -> list[int]:
     """Staleness probe: shard ids present in the live bundle but missing
     from the partials table (e.g. a crash between upsert commit and
     refresh, or a delta that created brand-new shards). Empty list ⇒
     every live shard is covered. Metadata-only: compares partition
-    listings, reads no data."""
+    listings, reads no data. `partials_dir` selects which partials table
+    to probe (default: the exact QC partials; pass HLL_PARTIALS_DIR for
+    the sketch partials)."""
 
     def shard_ids(path: str) -> set[int]:
         return {
@@ -190,7 +194,7 @@ def verify_partials(spark: SparkSession, bundle_path: str) -> list[int]:
         }
 
     live = shard_ids(bundle_path)
-    pdir = os.path.join(bundle_path, PARTIALS_DIR)
+    pdir = os.path.join(bundle_path, partials_dir or PARTIALS_DIR)
     have = shard_ids(pdir) if os.path.isdir(pdir) else set()
     return sorted(live - have)
 

@@ -273,6 +273,7 @@ def test_cli_upsert_with_qc_refresh(spark, tmp_path):
     bundle = str(tmp_path / "bundle")
     INC.write_sharded_bundle(merge_edges(base), bundle, ["subject"], n_shards=4)
     QCI.write_qc_partials(spark, bundle, "edges")
+    QCI.write_hll_partials(spark, bundle)
 
     delta_path = str(tmp_path / "delta")
     spark.createDataFrame(
@@ -290,6 +291,21 @@ def test_cli_upsert_with_qc_refresh(spark, tmp_path):
     assert totals[("predicate", "p")] == 10
     assert totals[("predicate", "p2")] == 1
     assert QCI.verify_partials(spark, bundle) == []
+    # the HLL sketch partials must be refreshed in lockstep (ADVICE r5):
+    # the new delta's knowledge source shows up in the folded totals and
+    # no sketch shard is stale
+    hll = {r.primary_knowledge_source: r.n_edges
+           for r in QCI.knowledge_source_hll_totals(spark, bundle).collect()}
+    assert hll.get("infores:y") == 1
+    assert QCI.verify_partials(spark, bundle, QCI.HLL_PARTIALS_DIR) == []
+
+
+def test_cli_ivf_search_requires_out(tmp_path):
+    """`ivf-index search` without --out is a clean usage error (exit 2),
+    not a traceback from parquet(None) (ADVICE r5)."""
+    rc = cli.main(["ivf-index", "search", "--index", str(tmp_path / "idx"),
+                   "--vectors", str(tmp_path / "q")])
+    assert rc == 2
 
 
 def test_cli_ivf_index_lifecycle(spark, tmp_path):
