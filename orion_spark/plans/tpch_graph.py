@@ -340,9 +340,13 @@ CLOSURE_ROWS = [
 
 
 def closure_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        CLOSURE_ROWS, "term string, ancestor string, is_symmetric boolean, inverse string"
-    )
+    """GENERATED from the packaged biolink-model-subset YAML (r6: the
+    reference gets this from bmt at runtime, orion/redundant_kg.py:28-31);
+    CLOSURE_ROWS above stays as the literal the oracle SQL and the
+    generator-equivalence test pin against."""
+    from orion_spark.sources.biolink_model import predicate_closure_df
+
+    return predicate_closure_df(spark)
 
 
 CATEGORY_CLOSURE_ROWS = [
@@ -355,9 +359,14 @@ CATEGORY_CLOSURE_ROWS = [
 
 
 def category_closure_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(t, a, False, None) for t, a in CATEGORY_CLOSURE_ROWS],
-        "term string, ancestor string, is_symmetric boolean, inverse string",
+    """GENERATED from the packaged biolink-model-subset YAML (the
+    reference's bmt ancestor walk, orion/biolink_utils.py:44-61);
+    CATEGORY_CLOSURE_ROWS pins the expected content."""
+    from orion_spark.sources.biolink_model import category_closure_df as _cat
+
+    return _cat(spark).select(
+        "term", "ancestor", F.lit(False).alias("is_symmetric"),
+        F.lit(None).cast("string").alias("inverse"),
     )
 
 
