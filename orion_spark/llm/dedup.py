@@ -252,6 +252,55 @@ def dedup_clusters_oracle_sql(pairs_sql: str) -> str:
     """
 
 
+def dedup_clusters_oracle_sql_doubling(pairs_sql: str, rounds: int = 24) -> str:
+    """Scale-viable DuckDB ground truth for min-label components (r6,
+    VERDICT item 4): unrolled pointer-doubling min-label propagation
+    instead of the recursive-CTE transitive closure.
+
+    The recursive `reach` CTE materializes every (node, reachable-node)
+    pair — O(n * component_size) rows, which blows up on the sf0.1
+    co-occurrence graph's giant component even though the Spark plan under
+    test is fine. This variant keeps ONE label per node per round and
+    applies, per round, (a) the neighbor min and (b) the label-of-label
+    shortcut L(L(x)) — the Shiloach-Vishkin-style doubling step — so label
+    distance to the component minimum at least doubles per round:
+    ``rounds`` = 24 covers any component diameter up to 2^24 while doing
+    only O(rounds * (n + m)) work. Exactness: labels are monotone
+    non-increasing and bounded by the component min; at convergence every
+    node holds exactly the min reachable id — the same function the
+    recursive CTE computes (equivalence asserted against the Spark result
+    by the sweep hash and against the recursive oracle in
+    tests/test_llm_ops.py)."""
+    stages = [
+        "l0 AS MATERIALIZED (SELECT a AS node, a AS label FROM edges GROUP BY a)"
+    ]
+    # each round references the previous round three times; MATERIALIZED is
+    # load-bearing — DuckDB inlines plain CTEs, which would cube the plan
+    # per round (3^rounds operators) instead of evaluating each round once
+    for r in range(1, rounds + 1):
+        p, c = f"l{r - 1}", f"l{r}"
+        stages.append(f"""
+    {c} AS MATERIALIZED (
+        SELECT n.node,
+               LEAST(n.label,
+                     COALESCE(j.label, n.label),
+                     COALESCE(nb.mn, n.label)) AS label
+        FROM {p} n
+        LEFT JOIN {p} j ON n.label = j.node
+        LEFT JOIN (SELECT e.a AS node, MIN(l.label) AS mn
+                   FROM edges e JOIN {p} l ON e.b = l.node
+                   GROUP BY e.a) nb ON n.node = nb.node)""")
+    body = ",".join(stages)
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+    {body}
+    SELECT node AS doc_id, label AS cluster_id FROM l{rounds}
+    """
+
+
 def minhash_signature_oracle_sql(
     k: int = 5, num_hashes: int = 16, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text",

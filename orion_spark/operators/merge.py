@@ -47,17 +47,57 @@ PKS_COL = "primary_knowledge_source"
 # A2: merge keys
 # ---------------------------------------------------------------------------
 
+# The reference's fixed uuid5 namespace (orion/merging.py:13) — a public
+# constant of the data model, required so `edge_id_type='uuid'` output is
+# byte-identical to the reference's ids for the same key input.
+ORION_UUID_NAMESPACE_HEX = "e2a5b21f4e4d4a6eb64a1f3c78e2a9d0"
+
+# Valid edge_id_type values (orion/graph_pipeline.py:693-694 validates
+# 'orion' | 'uuid'; 'uuid_md5' is the engine's SQL-reproducible sibling).
+EDGE_ID_TYPES = ("orion", "uuid", "uuid_md5")
+
+
+def _rfc4122_format(hex_digest: Column, version: str) -> Column:
+    """Format the first 16 bytes of a hex digest as an RFC-4122 UUID string
+    with the given version nibble and the variant bits set — the same byte
+    surgery Python's uuid.uuid3/uuid5 constructors perform."""
+    h = F.lower(hex_digest)
+    variant = F.translate(
+        F.substring(h, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit(version), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
 def edge_merge_key(
     df: DataFrame,
     edge_merging_attributes: list[str] | None = None,
     qualifier_columns: tuple[str, ...] = QUALIFIER_COLUMNS,
+    id_type: str = "orion",
 ) -> Column:
     """Deterministic edge merge key (orion/merging.py:71-100).
 
-    The reference hashes xxh64 over subject+predicate+object+pks+sorted
+    The reference hashes over subject+predicate+object+pks+sorted
     qualifier key/values (+ custom attributes, list values stringified
-    sorted). We keep the same canonicalization but use md5 hex — a stable
-    engine-native key (SURVEY §7.4.2) that every SQL engine can reproduce.
+    sorted). `id_type` selects the digest over that canonical input
+    (orion/merging.py:97-100, graph_pipeline.py:693):
+
+    - ``orion``: md5 hex — a stable engine-native key every SQL engine can
+      reproduce (documented divergence from the reference's xxh64, which
+      neither Spark nor DuckDB exposes; SURVEY §7.4.2).
+    - ``uuid``: RFC-4122 version-5 UUID under the reference's fixed
+      namespace — byte-identical to the reference's uuid5 output for the
+      same key input (sha1 over namespace bytes + UTF-8 key).
+    - ``uuid_md5``: RFC-4122-formatted deterministic UUID derived by md5
+      over the hex-text namespace + key — an engine extension whose value
+      is reproducible in DuckDB SQL (which lacks sha1 and blob md5), used
+      by the oracle gate; version nibble '3' marks the md5 family.
     """
     parts: list[Column] = [
         F.coalesce(F.col(SUBJECT), F.lit("")),
@@ -93,7 +133,22 @@ def edge_merge_key(
                 parts.append(F.coalesce(F.col(attr).cast("string"), F.lit("")))
         else:
             parts.append(F.lit(""))
-    return F.md5(F.concat_ws("|", *parts))
+    key_input = F.concat_ws("|", *parts)
+    if id_type == "orion":
+        return F.md5(key_input)
+    if id_type == "uuid":
+        digest = F.sha1(
+            F.concat(
+                F.lit(bytes.fromhex(ORION_UUID_NAMESPACE_HEX)),
+                F.encode(key_input, "UTF-8"),
+            )
+        )
+        return _rfc4122_format(digest, "5")
+    if id_type == "uuid_md5":
+        return _rfc4122_format(
+            F.md5(F.concat(F.lit(ORION_UUID_NAMESPACE_HEX), key_input)), "3"
+        )
+    raise ValueError(f"invalid edge id_type {id_type!r}, must be one of {EDGE_ID_TYPES}")
 
 
 # ---------------------------------------------------------------------------
@@ -313,23 +368,37 @@ def merge_edges(
     edge_merging_attributes: list[str] | None = None,
     assign_id: bool = True,
     ordinal_col: str = SOURCE_ORDINAL,
+    edge_id_type: str = "orion",
+    overwrite_edge_ids: bool = True,
 ) -> DataFrame:
     """A3/A5/A6: edge merge — group by the natural key columns, fold
     properties, optionally assign ``id`` = the canonical merge-key hash
     (orion/merging.py:280-296).
 
     The hash is a pure function of the grouping columns, so it is computed
-    AFTER the aggregate: one md5 per merged group instead of one per input
-    row, and the shuffle carries no redundant 32-char key column. Grouping
-    by the raw columns instead of the hash also removes any (vanishing)
-    md5-collision merge risk.
+    AFTER the aggregate: one digest per merged group instead of one per
+    input row, and the shuffle carries no redundant 32-char key column.
+    Grouping by the raw columns instead of the hash also removes any
+    (vanishing) digest-collision merge risk.
+
+    ``edge_id_type`` selects the id digest (see :func:`edge_merge_key`;
+    orion/merging.py:97-100). ``overwrite_edge_ids=False`` preserves a
+    pre-existing non-empty ``id`` (folded first-truthy-by-ordinal like any
+    property) and only fills missing ids with the merge key — the
+    reference's pre_merge_id behavior (orion/merging.py:283-289,
+    kgxmodel.py:55-57).
     """
     group_cols = _edge_group_cols(df, edge_merging_attributes)
     merged = merge_properties_agg(df, group_cols, ordinal_col)
     if assign_id:
-        merged = merged.withColumn(
-            "id", edge_merge_key(merged, edge_merging_attributes)
-        )
+        key = edge_merge_key(merged, edge_merging_attributes, id_type=edge_id_type)
+        if not overwrite_edge_ids and "id" in merged.columns:
+            merged = merged.withColumn(
+                "id",
+                F.coalesce(F.when(F.col("id") != "", F.col("id")), key),
+            )
+        else:
+            merged = merged.withColumn("id", key)
     return merged
 
 

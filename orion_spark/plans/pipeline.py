@@ -79,7 +79,21 @@ class GraphSpec:
     graph_name: str = ""
     output_format: str = "parquet"
     add_edge_id: bool = True
+    # 'orion' (md5 hex) | 'uuid' (RFC-4122 v5, reference-exact) | 'uuid_md5'
+    # (SQL-reproducible RFC-4122; orion/kgxmodel.py:55-57,
+    # graph_pipeline.py:693-694)
+    edge_id_type: str = "orion"
+    overwrite_edge_ids: bool = True
     edge_merging_attributes: list[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        from orion_spark.operators.merge import EDGE_ID_TYPES
+
+        if self.edge_id_type not in EDGE_ID_TYPES:
+            raise ValueError(
+                f"Invalid edge_id_type: {self.edge_id_type}, "
+                f"must be one of {EDGE_ID_TYPES}."
+            )
 
     @property
     def build_version(self) -> str:
@@ -115,6 +129,8 @@ def parse_graph_spec(yaml_text: str) -> list[GraphSpec]:
                 sources=sources,
                 output_format=g.get("output_format", "parquet"),
                 add_edge_id=bool(g.get("add_edge_id", True)),
+                edge_id_type=g.get("edge_id_type") or "orion",
+                overwrite_edge_ids=bool(g.get("overwrite_edge_ids", True)),
                 edge_merging_attributes=list(g.get("edge_merging_attributes", [])),
             )
         )
@@ -227,6 +243,12 @@ def build_graph(
     if os.path.exists(done_marker) and not force:
         return out_dir
 
+    # size the initial shuffle partitioning to this build's actual inputs
+    # (AQE coalesces the over-provision down; see session.autoscale_shuffle)
+    from orion_spark.session import autoscale_shuffle
+
+    autoscale_shuffle(spark, *source_bundles.values())
+
     primary_nodes, primary_edges = [], []
     subset_sources, verbatim = [], []
     for src in spec.sources:
@@ -255,6 +277,8 @@ def build_graph(
         union_all(stamp(primary_edges)),
         edge_merging_attributes=spec.edge_merging_attributes or None,
         assign_id=spec.add_edge_id,
+        edge_id_type=spec.edge_id_type,
+        overwrite_edge_ids=spec.overwrite_edge_ids,
     )
 
     for sec_nodes, sec_edges in subset_sources:
@@ -268,6 +292,8 @@ def build_graph(
             union_all(stamp([merged_edges, keep_edges])),
             edge_merging_attributes=spec.edge_merging_attributes or None,
             assign_id=spec.add_edge_id,
+            edge_id_type=spec.edge_id_type,
+            overwrite_edge_ids=spec.overwrite_edge_ids,
         )
 
     for v_nodes, v_edges in verbatim:

@@ -910,6 +910,83 @@ def kgx_pre_merge_id_mapping(spark, sf_dir):
     )
 
 
+_UUID_NS_HEX = "e2a5b21f4e4d4a6eb64a1f3c78e2a9d0"  # orion/merging.py:13
+
+
+@query(
+    "kgx_merge_edges_uuid",
+    f"""
+    WITH {G.LINEITEM_EDGES_SQL},
+    with_ids AS (
+        SELECT *, CASE WHEN _source_ordinal % 5 = 0
+                       THEN 'ORIG:' || subject || ':' || _source_ordinal
+                       ELSE '' END AS orig_id
+        FROM lineitem_edges),
+    merged AS (
+        SELECT subject, predicate, object, primary_knowledge_source,
+               object_aspect_qualifier, object_direction_qualifier,
+               list_sort(list_distinct(flatten(list(publications)))) AS publications,
+               COALESCE(
+                   arg_min(quantity, CASE WHEN quantity IS NOT NULL AND quantity <> 0
+                                          THEN _source_ordinal END),
+                   arg_min(quantity, CASE WHEN quantity IS NOT NULL
+                                          THEN _source_ordinal END)) AS quantity,
+               arg_min(CASE WHEN orig_id <> '' THEN orig_id END,
+                       CASE WHEN orig_id <> '' THEN _source_ordinal END) AS kept_id,
+               md5('{_UUID_NS_HEX}' || concat_ws('|', subject, predicate, object,
+                   primary_knowledge_source,
+                   'object_aspect_qualifier=' || object_aspect_qualifier ||
+                   '&object_direction_qualifier=' || object_direction_qualifier)) AS h
+        FROM with_ids
+        GROUP BY subject, predicate, object, primary_knowledge_source,
+                 object_aspect_qualifier, object_direction_qualifier)
+    SELECT COALESCE(kept_id,
+               h[1:8] || '-' || h[9:12] || '-3' || h[14:16] || '-' ||
+               translate(h[17:17], '0123456789abcdef', '89ab89ab89ab89ab') ||
+               h[18:20] || '-' || h[21:32]) AS id,
+           subject, predicate, object, primary_knowledge_source,
+           object_aspect_qualifier, object_direction_qualifier,
+           array_to_string(publications, ',') AS publications, quantity
+    FROM merged
+    """,
+)
+def kgx_merge_edges_uuid(spark, sf_dir):
+    """A6 edge-id-type parity (orion/merging.py:97-100, kgxmodel.py:55-57):
+    merge with RFC-4122-formatted deterministic ids AND preserve-original-id
+    semantics (overwrite_edge_ids=False). Every 5th input row carries a
+    pre-existing id; merged groups keep the first truthy original id by
+    source ordinal, all other groups get the deterministic UUID. The oracle
+    rebuilds the uuid_md5 digest byte-for-byte in DuckDB SQL; the sha1-based
+    'uuid' type (reference-exact uuid5) is pinned against Python's
+    uuid.uuid5 in tests/test_merge.py."""
+    edges = G.lineitem_edges(spark, sf_dir).withColumn(
+        "id",
+        F.when(
+            F.col("_source_ordinal") % 5 == 0,
+            F.concat(
+                F.lit("ORIG:"),
+                F.col("subject"),
+                F.lit(":"),
+                F.col("_source_ordinal").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    merged = M.merge_edges(
+        edges, edge_id_type="uuid_md5", overwrite_edge_ids=False
+    )
+    return merged.select(
+        "id",
+        "subject",
+        "predicate",
+        "object",
+        "primary_knowledge_source",
+        "object_aspect_qualifier",
+        "object_direction_qualifier",
+        F.array_join("publications", ",").alias("publications"),
+        "quantity",
+    )
+
+
 @query(
     "connected_edge_subset",
     f"""
@@ -2353,9 +2430,12 @@ _SEMANTIC_PAIRS_SQL = """
 
 
 def _register_semantic_clusters():
-    from orion_spark.llm.dedup import dedup_clusters_oracle_sql
+    from orion_spark.llm.dedup import dedup_clusters_oracle_sql_doubling
 
-    @query("dedup_semantic_clusters", dedup_clusters_oracle_sql(_SEMANTIC_PAIRS_SQL))
+    @query(
+        "dedup_semantic_clusters",
+        dedup_clusters_oracle_sql_doubling(_SEMANTIC_PAIRS_SQL),
+    )
     def dedup_semantic_clusters_q(spark, sf_dir):
         """The full semantic-dedup decision pipeline composed end-to-end:
         banded-LSH near-dup pairs (scaled-copy injection, exact verify)
@@ -5153,7 +5233,7 @@ _CC_PAIRS_SQL = """
 
 from orion_spark.llm.dedup import (  # noqa: E402
     dedup_clusters,
-    dedup_clusters_oracle_sql,
+    dedup_clusters_oracle_sql_doubling,
 )
 
 
@@ -5161,7 +5241,7 @@ from orion_spark.llm.dedup import (  # noqa: E402
     "graph_connected_components",
     f"""
     SELECT doc_id AS node, cluster_id AS component
-    FROM ({dedup_clusters_oracle_sql(_CC_PAIRS_SQL.strip())})
+    FROM ({dedup_clusters_oracle_sql_doubling(_CC_PAIRS_SQL.strip())})
     """,
 )
 def graph_connected_components_q(spark, sf_dir):

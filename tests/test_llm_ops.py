@@ -833,3 +833,39 @@ def test_corpus_drift_disjoint_vocab_kl_positive(spark):
         for co, cn in [(2, 0), (1, 0), (0, 1), (0, 1)]
     )
     assert abs(r.kl_old_new_bits - round(kl, 6)) <= 1e-6
+
+
+def test_doubling_oracle_equals_recursive_oracle():
+    """The r6 scale-viable components oracle (pointer-doubling min-label)
+    computes the same function as the recursive-CTE transitive closure on
+    adversarial shapes: a long path (worst case for propagation speed),
+    a star, disjoint cliques, and an isolated edge."""
+    import duckdb
+
+    from orion_spark.llm.dedup import (
+        dedup_clusters_oracle_sql,
+        dedup_clusters_oracle_sql_doubling,
+    )
+
+    path = " UNION ALL ".join(
+        f"SELECT {i} AS doc_a, {i + 1} AS doc_b" for i in range(100, 160)
+    )
+    star = " UNION ALL ".join(
+        f"SELECT 500 AS doc_a, {i} AS doc_b" for i in range(501, 520)
+    )
+    cliques = " UNION ALL ".join(
+        f"SELECT {b + i} AS doc_a, {b + j} AS doc_b"
+        for b in (1000, 2000)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    )
+    pairs = f"{path} UNION ALL {star} UNION ALL {cliques} UNION ALL SELECT 9, 8"
+    con = duckdb.connect()
+    old = sorted(con.execute(dedup_clusters_oracle_sql(pairs)).fetchall())
+    new = sorted(
+        con.execute(dedup_clusters_oracle_sql_doubling(pairs)).fetchall()
+    )
+    assert old == new
+    # the 61-node path needs > 6 plain-propagation rounds but converges
+    # under doubling; spot-check its component min
+    assert (159, 100) in new and (9, 8) in new

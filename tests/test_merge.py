@@ -241,3 +241,85 @@ def test_merge_edges_sources_column_key_dedup(spark):
     df2 = spark.createDataFrame(list(reversed(rows)), schema).repartition(5)
     out2 = {(r.subject, r.object): r for r in M.merge_edges(df2).collect()}
     assert out2[("A", "B")].sources == out[("A", "B")].sources
+
+
+def test_edge_id_type_uuid_matches_python_uuid5(spark):
+    """edge_id_type='uuid' is byte-identical to the reference's uuid5 ids
+    (orion/merging.py:13,97-98): RFC-4122 v5 under the fixed ORION
+    namespace over the canonical key input."""
+    import uuid as _uuid
+
+    df = spark.createDataFrame(
+        [Row(subject="S:1", predicate="biolink:related_to", object="O:2",
+             primary_knowledge_source="infores:x", _source_ordinal=0),
+         Row(subject="S:1", predicate="biolink:related_to", object="O:2",
+             primary_knowledge_source="infores:x", _source_ordinal=1),
+         Row(subject="S:3", predicate="biolink:affects", object="O:4",
+             primary_knowledge_source="", _source_ordinal=0)]
+    )
+    out = {r.subject: r.id
+           for r in M.merge_edges(df, edge_id_type="uuid").collect()}
+    ns = _uuid.UUID(hex=M.ORION_UUID_NAMESPACE_HEX)
+    assert out["S:1"] == str(_uuid.uuid5(ns, "S:1|biolink:related_to|O:2|infores:x"))
+    assert out["S:3"] == str(_uuid.uuid5(ns, "S:3|biolink:affects|O:4|"))
+
+
+def test_edge_id_type_uuid_md5_is_rfc4122_and_deterministic(spark):
+    """The SQL-reproducible uuid_md5 sibling: version nibble 3, variant in
+    [89ab], and equal to the hand-computed md5 construction."""
+    import hashlib
+    import re
+
+    df = spark.createDataFrame(
+        [Row(subject="S:1", predicate="p", object="O:2",
+             primary_knowledge_source="infores:x", _source_ordinal=0)]
+    )
+    got = M.merge_edges(df, edge_id_type="uuid_md5").collect()[0].id
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}", got
+    )
+    h = hashlib.md5(
+        (M.ORION_UUID_NAMESPACE_HEX + "S:1|p|O:2|infores:x").encode()
+    ).hexdigest()
+    variant = "89ab89ab89ab89ab"[int(h[16], 16)]
+    expect = f"{h[:8]}-{h[8:12]}-3{h[13:16]}-{variant}{h[17:20]}-{h[20:32]}"
+    assert got == expect
+
+
+def test_merge_edges_preserve_original_ids(spark):
+    """overwrite_edge_ids=False (orion/merging.py:283-289): a group with a
+    pre-existing truthy id keeps the first one by source ordinal; groups
+    with no id get the merge key; default overwrites everything."""
+    rows = [
+        Row(subject="S:1", predicate="p", object="O:2",
+            primary_knowledge_source="infores:x", id="", _source_ordinal=0),
+        Row(subject="S:1", predicate="p", object="O:2",
+            primary_knowledge_source="infores:x", id="KEEP:b", _source_ordinal=2),
+        Row(subject="S:1", predicate="p", object="O:2",
+            primary_knowledge_source="infores:x", id="KEEP:a", _source_ordinal=1),
+        Row(subject="S:9", predicate="p", object="O:9",
+            primary_knowledge_source="infores:x", id="", _source_ordinal=0),
+    ]
+    df = spark.createDataFrame(rows)
+    kept = {r.subject: r.id
+            for r in M.merge_edges(df, overwrite_edge_ids=False).collect()}
+    assert kept["S:1"] == "KEEP:a"  # first truthy by ordinal
+    assert kept["S:9"] == M.merge_edges(
+        df.where(F.col("subject") == "S:9")
+    ).collect()[0].id  # falls back to the canonical key
+    # default path overwrites pre-existing ids with the key
+    over = {r.subject: r.id for r in M.merge_edges(df).collect()}
+    assert over["S:1"] != "KEEP:a" and len(over["S:1"]) == 32
+
+
+def test_graph_spec_validates_edge_id_type():
+    import pytest
+
+    from orion_spark.plans.pipeline import GraphSource, GraphSpec
+
+    with pytest.raises(ValueError, match="edge_id_type"):
+        GraphSpec(graph_id="g", sources=[GraphSource(source_id="s")],
+                  edge_id_type="nope")
+    spec = GraphSpec(graph_id="g", sources=[GraphSource(source_id="s")],
+                     edge_id_type="uuid", overwrite_edge_ids=False)
+    assert spec.edge_id_type == "uuid"
