@@ -8122,3 +8122,65 @@ def text_chunk_pack_plan_q(spark, sf_dir):
         F.count("*").alias("n_chunks"),
         F.sum("n_chunk_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ===========================================================================
+# DSIR importance weighting (llm/dsir.py) — oracle generated from the same
+# constants as the Spark implementation
+# ===========================================================================
+
+from orion_spark.llm.dsir import (  # noqa: E402
+    dsir_log_weights,
+    dsir_log_weights_oracle_sql,
+    dsir_select_topk,
+    dsir_select_topk_oracle_sql,
+)
+
+_DSIR_TARGET = "source = 'src0'"
+_DSIR_RAW = "source <> 'src0'"
+
+
+@query(
+    "documents_dsir_weights",
+    dsir_log_weights_oracle_sql(_DSIR_TARGET, _DSIR_RAW, num_buckets=1024),
+)
+def documents_dsir_weights_q(spark, sf_dir):
+    """DSIR importance weights (Xie et al., NeurIPS 2023) for every raw
+    pool document: src0 plays the target domain, the rest the raw pool;
+    hashed unigram+bigram multinomials (1024 buckets, add-1) give each
+    pool doc log p_target(doc)/q_raw(doc). Scale shape in llm/dsir.py —
+    the model is two bucket-sized dims broadcast back onto one
+    partition-local per-doc aggregate, so the corpus shuffles once."""
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        num_buckets=1024,
+    )
+    return w.select(
+        "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
+@query(
+    "documents_dsir_selection",
+    dsir_select_topk_oracle_sql(_DSIR_TARGET, _DSIR_RAW, k=50, num_buckets=1024),
+)
+def documents_dsir_selection_q(spark, sf_dir):
+    """The resampling half of DSIR: Gumbel top-k (seeded per-doc noise,
+    so two engines and two runs draw the same sample) over the importance
+    weights — the 50 pool docs a target-matched training mix would keep.
+    orderBy+limit compiles to TakeOrdered: per-partition top-k then a
+    k-row driver merge, one pass at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        num_buckets=1024,
+    )
+    sel = dsir_select_topk(w, k=50)
+    return sel.select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )

@@ -869,3 +869,57 @@ def test_doubling_oracle_equals_recursive_oracle():
     # the 61-node path needs > 6 plain-propagation rounds but converges
     # under doubling; spot-check its component min
     assert (159, 100) in new and (9, 8) in new
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """A pool doc written in the target's vocabulary must out-weigh one
+    written in a disjoint vocabulary, and the weight panel must cover
+    exactly the non-empty pool docs."""
+    from orion_spark.llm.dsir import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(i, "gene protein pathway binds receptor") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "gene protein pathway binds"),
+            (101, "stock market futures trading desk"),
+            (102, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(target, raw).collect()
+    }
+    assert set(w) == {100, 101}
+    assert w[100] > w[101]
+
+
+def test_dsir_single_word_doc_has_no_phantom_bigrams(spark):
+    """size(w)==1 must yield exactly one unigram feature — the
+    descending-sequence trap (sequence(1,0) == [1,0]) would add two."""
+    from orion_spark.llm.dsir import _features
+
+    df = spark.createDataFrame([(1, "hello"), (2, "a b")], ["doc_id", "text"])
+    out = _features(df, "text", "doc_id").groupBy("_did").count().collect()
+    counts = {r["_did"]: r["count"] for r in out}
+    assert counts == {1: 1, 2: 3}  # 1 unigram; 2 unigrams + 1 bigram
+
+
+def test_dsir_gumbel_selection_is_deterministic(spark):
+    """Two runs draw the identical sample (seeded hashing, not rand)."""
+    from orion_spark.llm.dsir import dsir_log_weights, dsir_select_topk
+
+    target = spark.createDataFrame(
+        [(0, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta tok{i} tok{i + 1}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    w = dsir_log_weights(target, raw)
+    a = [r["doc_id"] for r in dsir_select_topk(w, k=7).collect()]
+    b = [r["doc_id"] for r in dsir_select_topk(w, k=7).collect()]
+    assert a == b and len(a) == 7
