@@ -51,6 +51,8 @@ HEADLINE = [
     "text_ngram_lm_perplexity",
     # corpus-version drift monitoring (round-5 addition)
     "documents_drift_report",
+    # DSIR importance-weighted data selection (round-6 addition)
+    "documents_dsir_weights",
     # fixed 64-query batch — the production exact-scoring contract; the
     # unbounded vec_id%100 variant stays registered as the scoring oracle
     # but scaled O(|Q|x|C|) with the fixture and distorted the sf1 suite

@@ -51,6 +51,8 @@ WHITELIST: dict[str, dict[str, str]] = {
         "documents_mixture_report": "corpus-total scalar (1 row) broadcast under every source row",
         "orders_basket_lift": "order-count scalar (1 row) broadcast into the lift expression",
         "text_source_mixing_weights": "normalizer scalars (1 row) broadcast under the 20-row source panel",
+        "documents_dsir_weights": "1-row model totals (T, R) broadcast under the bucket-sized log-ratio dim",
+        "documents_dsir_selection": "same 1-row DSIR model-totals broadcast as documents_dsir_weights",
     },
     "ArrowEvalPython": {
         "multimodal_decode_features": "real PPM/BMP byte decode is a declared mapInPandas boundary",
