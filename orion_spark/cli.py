@@ -349,9 +349,12 @@ def cmd_fetch(args) -> int:
     archive staging. Driver-side only — no SparkSession."""
     from orion_spark.sources.fetch import fetch_source, split_text_member
 
+    gate_params = dict(kv.split("=", 1) for kv in (args.gate_param or []))
     manifest = fetch_source(
         args.url, args.landing, args.source_id,
         saved_file_name=args.name, extract=args.extract,
+        gate_url=args.gate_url, gate_params=gate_params or None,
+        expected_content_type=args.expect_content_type,
     )
     if args.split_lines:
         targets = manifest.get("extracted") or [manifest["path"]]
@@ -521,6 +524,15 @@ def main(argv: list[str] | None = None) -> int:
     fe.add_argument("--split-lines", type=int, default=0,
                     help="split landed text into N-line chunks (restores "
                          "scan parallelism for non-splittable .gz sources)")
+    fe.add_argument("--gate-url",
+                    help="session-gate URL to visit first; its cookies are "
+                         "carried into the download (cookie-gated sources, "
+                         "orion/utils.py pull_via_http_session_gate)")
+    fe.add_argument("--gate-param", action="append", default=[],
+                    help="key=value query param for the gate visit, repeatable")
+    fe.add_argument("--expect-content-type",
+                    help="fail the gated download unless the response "
+                         "Content-Type matches exactly")
     fe.set_defaults(fn=cmd_fetch)
 
     nv = sub.add_parser("neo4j-verify")

@@ -75,65 +75,112 @@ def _rfc4122_format(hex_digest: Column, version: str) -> Column:
     )
 
 
+RETRIEVAL_SOURCES_COL = "sources"
+
+
+def _effective_pks(df: DataFrame) -> Column:
+    """primary_knowledge_source for the merge key: the column when truthy,
+    else the resource_id of the primary retrieval source, else ''
+    (orion/merging.py:72-78)."""
+    pks = (
+        F.coalesce(F.col(PKS_COL).cast("string"), F.lit(""))
+        if PKS_COL in df.columns
+        else F.lit("")
+    )
+    dtypes = dict(df.dtypes)
+    if "resource_role" in dtypes.get(RETRIEVAL_SOURCES_COL, ""):
+        primary = F.element_at(
+            F.filter(
+                F.col(RETRIEVAL_SOURCES_COL),
+                lambda s: s["resource_role"] == F.lit("primary_knowledge_source"),
+            ),
+            1,
+        )["resource_id"]
+        return F.when(pks != "", pks).otherwise(F.coalesce(primary, F.lit("")))
+    return pks
+
+
 def edge_merge_key(
     df: DataFrame,
     edge_merging_attributes: list[str] | None = None,
     qualifier_columns: tuple[str, ...] = QUALIFIER_COLUMNS,
     id_type: str = "orion",
 ) -> Column:
-    """Deterministic edge merge key (orion/merging.py:71-100).
+    """Deterministic edge merge key (orion/merging.py:70-100).
 
-    The reference hashes over subject+predicate+object+pks+sorted
-    qualifier key/values (+ custom attributes, list values stringified
-    sorted). `id_type` selects the digest over that canonical input
-    (orion/merging.py:97-100, graph_pipeline.py:693):
+    The canonical key input reproduces the reference's exact string:
+    ``subject + predicate + object + pks`` followed by the sorted
+    ``f'{name}{value}'`` qualifier strings and the stringified custom
+    attributes, all concatenated with NO separators (list-valued custom
+    attributes render as Python's ``str(sorted(...))`` repr,
+    orion/merging.py:88-89). ``pks`` falls back to the primary retrieval
+    source when the column is empty (orion/merging.py:72-77). `id_type`
+    selects the digest over that input (orion/merging.py:97-100,
+    graph_pipeline.py:693):
 
     - ``orion``: md5 hex — a stable engine-native key every SQL engine can
       reproduce (documented divergence from the reference's xxh64, which
       neither Spark nor DuckDB exposes; SURVEY §7.4.2).
     - ``uuid``: RFC-4122 version-5 UUID under the reference's fixed
-      namespace — byte-identical to the reference's uuid5 output for the
-      same key input (sha1 over namespace bytes + UTF-8 key).
+      namespace — byte-identical to the reference's uuid5 output
+      (sha1 over namespace bytes + UTF-8 key input), pinned against
+      Python's ``uuid.uuid5`` in tests/test_merge.py.
     - ``uuid_md5``: RFC-4122-formatted deterministic UUID derived by md5
       over the hex-text namespace + key — an engine extension whose value
       is reproducible in DuckDB SQL (which lacks sha1 and blob md5), used
       by the oracle gate; version nibble '3' marks the md5 family.
+
+    Columnar-model conventions (documented divergences, both edge cases
+    the reference's dict model can hit but parquet columns cannot
+    distinguish): a NULL custom-attribute value contributes '' (the
+    reference's ``str(None)`` would contribute 'None' for a key present
+    with value None, '' for an absent key), and a NULL core column
+    contributes '' (the reference raises KeyError on a missing subject/
+    predicate/object).
     """
     parts: list[Column] = [
-        F.coalesce(F.col(SUBJECT), F.lit("")),
-        F.coalesce(F.col(PREDICATE_COL), F.lit("")),
-        F.coalesce(F.col(OBJECT), F.lit("")),
-        F.coalesce(F.col(PKS_COL), F.lit("")),
+        F.coalesce(F.col(SUBJECT).cast("string"), F.lit("")),
+        F.coalesce(F.col(PREDICATE_COL).cast("string"), F.lit("")),
+        F.coalesce(F.col(OBJECT).cast("string"), F.lit("")),
+        _effective_pks(df),
     ]
-    # Qualifiers enter the key as sorted `name=value` pairs; absent/null
-    # qualifiers are omitted (orion/merging.py:72).
+    # Qualifiers enter the key as sorted `{name}{value}` strings; absent
+    # (null) qualifiers are omitted (orion/merging.py:71).
     quals = [q for q in qualifier_columns if q in df.columns]
     if quals:
         pairs = F.array(
             *[
                 F.when(
-                    F.col(q).isNotNull(), F.concat(F.lit(q + "="), F.col(q).cast("string"))
+                    F.col(q).isNotNull(), F.concat(F.lit(q), F.col(q).cast("string"))
                 )
                 for q in quals
             ]
         )
-        parts.append(F.array_join(F.array_sort(F.filter(pairs, lambda x: x.isNotNull())), "&"))
+        parts.append(F.array_join(F.array_sort(F.filter(pairs, lambda x: x.isNotNull())), ""))
     for attr in edge_merging_attributes or []:
         if attr in df.columns:
             dt = dict(df.dtypes)[attr]
             if dt.startswith("array"):
-                # list values stringified sorted (orion/merging.py:89)
+                # list values render as str(sorted(str(v) for v in value))
+                # — the Python list repr, e.g. "['a', 'b']" (orion/merging.py:88-89)
+                inner = F.array_join(
+                    F.transform(
+                        F.array_sort(F.col(attr).cast("array<string>")),
+                        lambda x: F.concat(F.lit("'"), x, F.lit("'")),
+                    ),
+                    ", ",
+                )
                 parts.append(
-                    F.coalesce(
-                        F.array_join(F.array_sort(F.col(attr).cast("array<string>")), ","),
-                        F.lit(""),
-                    )
+                    F.when(
+                        F.col(attr).isNotNull(),
+                        F.concat(F.lit("["), inner, F.lit("]")),
+                    ).otherwise(F.lit(""))
                 )
             else:
                 parts.append(F.coalesce(F.col(attr).cast("string"), F.lit("")))
         else:
             parts.append(F.lit(""))
-    key_input = F.concat_ws("|", *parts)
+    key_input = F.concat(*parts)
     if id_type == "orion":
         return F.md5(key_input)
     if id_type == "uuid":
@@ -326,12 +373,18 @@ def _merge_expr(name: str, dtype: T.DataType, ordinal: Column) -> Column:
 
 
 def merge_properties_agg(
-    df: DataFrame, group_cols: list[str], ordinal_col: str = SOURCE_ORDINAL
+    df: DataFrame,
+    group_cols: list[str],
+    ordinal_col: str = SOURCE_ORDINAL,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Group *df* by *group_cols* and fold every other column with the
     reference's property-merge semantics. *ordinal_col* (int) defines
     "first" — callers stamp it with the source/file position so the result
-    is independent of partitioning (SURVEY §7.4.1).
+    is independent of partitioning (SURVEY §7.4.1). When *count_col* is
+    given, the group's input-row count is emitted under that name (used by
+    merge_edges to tell merged groups from singletons — zero extra shuffle,
+    the count rides the same aggregate).
     """
     if ordinal_col not in df.columns:
         df = df.withColumn(ordinal_col, F.lit(0))
@@ -342,6 +395,8 @@ def merge_properties_agg(
         for c in df.columns
         if c not in group_cols and c != ordinal_col
     ]
+    if count_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
     if not aggs:
         return df.select(*group_cols).dropDuplicates(group_cols)
     return df.groupBy(*group_cols).agg(*aggs)
@@ -382,21 +437,29 @@ def merge_edges(
     (vanishing) digest-collision merge risk.
 
     ``edge_id_type`` selects the id digest (see :func:`edge_merge_key`;
-    orion/merging.py:97-100). ``overwrite_edge_ids=False`` preserves a
-    pre-existing non-empty ``id`` (folded first-truthy-by-ordinal like any
-    property) and only fills missing ids with the merge key — the
-    reference's pre_merge_id behavior (orion/merging.py:283-289,
-    kgxmodel.py:55-57).
+    orion/merging.py:97-100). ``overwrite_edge_ids=False`` reproduces the
+    reference's pre_merge_id behavior (orion/merging.py:283-289,459-463):
+    an edge NOT involved in a merge (its group has exactly one input row)
+    keeps its original non-null ``id`` — including an empty string, the
+    reference's ``is None`` check — and gets the merge key only when the
+    id was null; any group that actually merged (>1 input rows) is always
+    assigned the merge key, with the original ids recorded separately via
+    :func:`pre_merge_id_mapping`.
     """
     group_cols = _edge_group_cols(df, edge_merging_attributes)
-    merged = merge_properties_agg(df, group_cols, ordinal_col)
+    preserve = not overwrite_edge_ids and assign_id and "id" in df.columns
+    merged = merge_properties_agg(
+        df, group_cols, ordinal_col, count_col="_merge_count" if preserve else None
+    )
     if assign_id:
         key = edge_merge_key(merged, edge_merging_attributes, id_type=edge_id_type)
-        if not overwrite_edge_ids and "id" in merged.columns:
+        if preserve:
             merged = merged.withColumn(
                 "id",
-                F.coalesce(F.when(F.col("id") != "", F.col("id")), key),
-            )
+                F.when(F.col("_merge_count") > 1, key).otherwise(
+                    F.coalesce(F.col("id"), key)
+                ),
+            ).drop("_merge_count")
         else:
             merged = merged.withColumn("id", key)
     return merged
@@ -407,13 +470,24 @@ def pre_merge_id_mapping(
 ) -> DataFrame:
     """A6: map merge-key -> original edge ids for groups that actually merged
     (>1 member), mirroring the pre/post-merge id mapping file
-    (orion/merging.py:534-558). Same post-aggregate key computation as
-    merge_edges."""
+    (orion/merging.py:459-466). Same post-aggregate key computation as
+    merge_edges. Null AND empty-string originals are excluded from the
+    mapping (the reference round-trips '' through its temp-file format as
+    None, merging.py:309-311,375-380) and a merged group whose every
+    original id was missing emits no record (`if pre_merge_ids`,
+    merging.py:464)."""
     group_cols = _edge_group_cols(df, edge_merging_attributes)
+    orig = F.col(original_id_col)
     grouped = (
         df.groupBy(*group_cols)
-        .agg(F.array_sort(F.collect_list(F.col(original_id_col))).alias("original_ids"))
-        .where(F.size("original_ids") > 1)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(orig != "", orig))
+            ).alias("original_ids"),
+            F.count(F.lit(1)).alias("_merge_count"),
+        )
+        .where((F.col("_merge_count") > 1) & (F.size("original_ids") > 0))
+        .drop("_merge_count")
     )
     return grouped.select(
         edge_merge_key(grouped, edge_merging_attributes).alias("merged_id"),

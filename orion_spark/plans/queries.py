@@ -840,11 +840,18 @@ def kgx_merge_map_tail_q(spark, sf_dir):
     return merged.select("id", F.explode("properties").alias("key", "value"))
 
 
-_EDGE_KEY_SQL = (
-    "md5(concat_ws('|', subject, predicate, object, primary_knowledge_source, "
-    "'object_aspect_qualifier=' || object_aspect_qualifier || "
-    "'&object_direction_qualifier=' || object_direction_qualifier))"
+# Reference-exact canonical key input (orion/merging.py:70-80): subject +
+# predicate + object + pks + sorted f'{name}{value}' qualifier strings,
+# concatenated with NO separators. The two qualifier names in this fixture
+# always sort aspect-before-direction (first differing char 'a' < 'd'
+# precedes any value bytes), and both are non-null in lineitem_edges, so the
+# sorted join is a static concatenation here.
+_EDGE_KEY_INPUT_SQL = (
+    "subject || predicate || object || primary_knowledge_source || "
+    "'object_aspect_qualifier' || object_aspect_qualifier || "
+    "'object_direction_qualifier' || object_direction_qualifier"
 )
+_EDGE_KEY_SQL = f"md5({_EDGE_KEY_INPUT_SQL})"
 
 
 @query(
@@ -931,19 +938,16 @@ _UUID_NS_HEX = "e2a5b21f4e4d4a6eb64a1f3c78e2a9d0"  # orion/merging.py:13
                                           THEN _source_ordinal END),
                    arg_min(quantity, CASE WHEN quantity IS NOT NULL
                                           THEN _source_ordinal END)) AS quantity,
-               arg_min(CASE WHEN orig_id <> '' THEN orig_id END,
-                       CASE WHEN orig_id <> '' THEN _source_ordinal END) AS kept_id,
-               md5('{_UUID_NS_HEX}' || concat_ws('|', subject, predicate, object,
-                   primary_knowledge_source,
-                   'object_aspect_qualifier=' || object_aspect_qualifier ||
-                   '&object_direction_qualifier=' || object_direction_qualifier)) AS h
+               COUNT(*) AS cnt,
+               min(orig_id) AS solo_id,
+               md5('{_UUID_NS_HEX}' || {_EDGE_KEY_INPUT_SQL}) AS h
         FROM with_ids
         GROUP BY subject, predicate, object, primary_knowledge_source,
                  object_aspect_qualifier, object_direction_qualifier)
-    SELECT COALESCE(kept_id,
-               h[1:8] || '-' || h[9:12] || '-3' || h[14:16] || '-' ||
-               translate(h[17:17], '0123456789abcdef', '89ab89ab89ab89ab') ||
-               h[18:20] || '-' || h[21:32]) AS id,
+    SELECT CASE WHEN cnt = 1 AND solo_id IS NOT NULL THEN solo_id
+                ELSE h[1:8] || '-' || h[9:12] || '-3' || h[14:16] || '-' ||
+                     translate(h[17:17], '0123456789abcdef', '89ab89ab89ab89ab') ||
+                     h[18:20] || '-' || h[21:32] END AS id,
            subject, predicate, object, primary_knowledge_source,
            object_aspect_qualifier, object_direction_qualifier,
            array_to_string(publications, ',') AS publications, quantity
@@ -951,14 +955,16 @@ _UUID_NS_HEX = "e2a5b21f4e4d4a6eb64a1f3c78e2a9d0"  # orion/merging.py:13
     """,
 )
 def kgx_merge_edges_uuid(spark, sf_dir):
-    """A6 edge-id-type parity (orion/merging.py:97-100, kgxmodel.py:55-57):
+    """A6 edge-id-type parity (orion/merging.py:97-100, 283-289, 459-463):
     merge with RFC-4122-formatted deterministic ids AND preserve-original-id
     semantics (overwrite_edge_ids=False). Every 5th input row carries a
-    pre-existing id; merged groups keep the first truthy original id by
-    source ordinal, all other groups get the deterministic UUID. The oracle
-    rebuilds the uuid_md5 digest byte-for-byte in DuckDB SQL; the sha1-based
-    'uuid' type (reference-exact uuid5) is pinned against Python's
-    uuid.uuid5 in tests/test_merge.py."""
+    pre-existing id; a group that actually merged (>1 rows) always gets the
+    deterministic UUID (originals go to the pre-merge id mapping), while a
+    singleton keeps its original non-null id — '' included — and gets the
+    UUID only when the id was null. The oracle rebuilds the uuid_md5 digest
+    byte-for-byte in DuckDB SQL over the reference's no-separator key input;
+    the sha1-based 'uuid' type (reference-exact uuid5) is pinned against
+    Python's uuid.uuid5 in tests/test_merge.py."""
     edges = G.lineitem_edges(spark, sf_dir).withColumn(
         "id",
         F.when(

@@ -129,6 +129,64 @@ def fetch_http(
     return target, n
 
 
+def fetch_http_session_gate(
+    url: str,
+    data_dir: str,
+    gate_url: str,
+    gate_params: dict | None = None,
+    expected_content_type: str | None = None,
+    saved_file_name: str | None = None,
+) -> tuple[str, int]:
+    """Gated HTTP pull (orion/utils.py:260-301 ``pull_via_http_session_gate``):
+    some source sites set session cookies from a JSP/download gate page
+    before allowing direct file access. Visit ``gate_url`` first (with
+    optional query params), carry the cookies it sets into the streamed
+    download, and land the file under the same atomic (``.part`` +
+    ``os.replace``) + idempotent (existing non-empty target short-circuits)
+    contract as :func:`fetch_http`. ``expected_content_type`` rejects a
+    gate-failure HTML page masquerading as the file. Returns
+    (path, bytes_transferred)."""
+    import http.cookiejar
+    from urllib.parse import urlencode
+
+    name = saved_file_name or url.rstrip("/").rsplit("/", 1)[-1]
+    os.makedirs(data_dir, exist_ok=True)
+    target = os.path.join(data_dir, name)
+    if os.path.exists(target) and os.path.getsize(target) > 0:
+        return target, 0
+    jar = http.cookiejar.CookieJar()
+    opener = request.build_opener(request.HTTPCookieProcessor(jar))
+    gate = gate_url + ("?" + urlencode(gate_params) if gate_params else "")
+    part = target + ".part"
+    n = 0
+    try:
+        with opener.open(request.Request(gate, headers=_HEADERS), timeout=60):
+            pass  # the visit only exists to collect session cookies
+        with opener.open(
+            request.Request(url, headers=_HEADERS), timeout=300
+        ) as resp, open(part, "wb") as out:
+            ctype = resp.headers.get("Content-Type")
+            if expected_content_type and ctype != expected_content_type:
+                raise FetchError(
+                    f"unexpected content type {ctype!r} retrieving {url} "
+                    f"(expected {expected_content_type!r})"
+                )
+            while True:
+                buf = resp.read(_BLOCK)
+                if not buf:
+                    break
+                out.write(buf)
+                n += len(buf)
+        os.replace(part, target)
+    except Exception as exc:
+        if os.path.exists(part):
+            os.remove(part)
+        if isinstance(exc, FetchError):
+            raise
+        raise FetchError(f"gated download failed for {url}: {exc}") from exc
+    return target, n
+
+
 def fetch_ftp(
     host: str, ftp_dir: str, ftp_files: list[str], data_dir: str
 ) -> int:
@@ -247,14 +305,26 @@ def fetch_source(
     source_id: str,
     saved_file_name: str | None = None,
     extract: bool = False,
+    gate_url: str | None = None,
+    gate_params: dict | None = None,
+    expected_content_type: str | None = None,
 ) -> dict:
     """One-call landing-zone ingest: derive the mtime source version,
     download into ``<landing_root>/<source_id>/<version>/``, optionally
-    stage archive members next to it. Returns a manifest dict — the shape
+    stage archive members next to it. ``gate_url`` switches to the
+    session-gated pull (cookie-setting gate visit first; see
+    :func:`fetch_http_session_gate`). Returns a manifest dict — the shape
     the pipeline's SourceResolver producers consume."""
     version = http_modified_version(url)
     data_dir = os.path.join(landing_root, source_id, version)
-    path, n = fetch_http(url, data_dir, saved_file_name)
+    if gate_url:
+        path, n = fetch_http_session_gate(
+            url, data_dir, gate_url, gate_params=gate_params,
+            expected_content_type=expected_content_type,
+            saved_file_name=saved_file_name,
+        )
+    else:
+        path, n = fetch_http(url, data_dir, saved_file_name)
     manifest = {
         "source_id": source_id,
         "source_version": version,

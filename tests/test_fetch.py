@@ -219,3 +219,110 @@ def test_fetch_parse_normalize_merge_end_to_end(spark, http_root, tmp_path):
     rows = {(r.subject, r.object): r for r in merged.collect()}
     assert set(rows) == {("NEW:1", "NEW:2"), ("NEW:3", "NEW:2")}
     assert all(len(r.id) == 32 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# session-gated HTTP (orion/utils.py:260-301 pull_via_http_session_gate)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def gated_server():
+    """A stub source site: /gate?ticket=42 sets a session cookie; /data.tsv
+    403s without it. /page.html serves HTML to exercise the content-type
+    check."""
+    from http.server import BaseHTTPRequestHandler
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            parsed = urlparse(self.path)
+            if parsed.path == "/gate":
+                if parse_qs(parsed.query).get("ticket") != ["42"]:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Set-Cookie", "session=opened; Path=/")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            elif parsed.path in ("/data.tsv", "/page.html"):
+                if "session=opened" not in (self.headers.get("Cookie") or ""):
+                    self.send_response(403)
+                    self.end_headers()
+                    return
+                body = (b"S:1\trelated_to\tO:1\n" if parsed.path == "/data.tsv"
+                        else b"<html>gate</html>")
+                ctype = ("text/tab-separated-values"
+                         if parsed.path == "/data.tsv" else "text/html")
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_fetch_http_session_gate(gated_server, tmp_path):
+    base = gated_server
+    # without the gate visit the source 403s
+    with pytest.raises(FX.FetchError):
+        FX.fetch_http(f"{base}/data.tsv", str(tmp_path / "plain"))
+    # gate visit collects the cookie, download succeeds atomically
+    path, n = FX.fetch_http_session_gate(
+        f"{base}/data.tsv", str(tmp_path / "zone"),
+        gate_url=f"{base}/gate", gate_params={"ticket": "42"},
+        expected_content_type="text/tab-separated-values",
+    )
+    assert open(path).read() == "S:1\trelated_to\tO:1\n"
+    assert n == len("S:1\trelated_to\tO:1\n")
+    # idempotent: second call keeps the landed file, transfers nothing
+    _, n2 = FX.fetch_http_session_gate(
+        f"{base}/data.tsv", str(tmp_path / "zone"),
+        gate_url=f"{base}/gate", gate_params={"ticket": "42"},
+    )
+    assert n2 == 0
+    # bad gate params -> gate 400s -> FetchError, no partial left behind
+    with pytest.raises(FX.FetchError):
+        FX.fetch_http_session_gate(
+            f"{base}/data.tsv", str(tmp_path / "zone2"),
+            gate_url=f"{base}/gate", gate_params={"ticket": "wrong"},
+        )
+    assert not list((tmp_path / "zone2").glob("*.part"))
+    # content-type mismatch (gate-failure HTML page) -> FetchError
+    with pytest.raises(FX.FetchError, match="content type"):
+        FX.fetch_http_session_gate(
+            f"{base}/page.html", str(tmp_path / "zone3"),
+            gate_url=f"{base}/gate", gate_params={"ticket": "42"},
+            expected_content_type="text/tab-separated-values",
+        )
+
+
+def test_cli_fetch_gate_flags(gated_server, tmp_path, capsys, monkeypatch):
+    from orion_spark import cli
+
+    # version probe HEADs the file URL, which is gated too — the stub's
+    # BaseHTTPRequestHandler has no do_HEAD, so stub the version out
+    monkeypatch.setattr(
+        "orion_spark.sources.fetch.http_modified_version", lambda *a, **k: "1_2_2024"
+    )
+    rc = cli.main([
+        "fetch", "--url", f"{gated_server}/data.tsv",
+        "--landing", str(tmp_path / "zone"), "--source-id", "gated",
+        "--gate-url", f"{gated_server}/gate", "--gate-param", "ticket=42",
+        "--expect-content-type", "text/tab-separated-values",
+    ])
+    assert rc == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert man["source_version"] == "1_2_2024"
+    assert open(man["path"]).read().startswith("S:1")

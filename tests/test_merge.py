@@ -260,8 +260,9 @@ def test_edge_id_type_uuid_matches_python_uuid5(spark):
     out = {r.subject: r.id
            for r in M.merge_edges(df, edge_id_type="uuid").collect()}
     ns = _uuid.UUID(hex=M.ORION_UUID_NAMESPACE_HEX)
-    assert out["S:1"] == str(_uuid.uuid5(ns, "S:1|biolink:related_to|O:2|infores:x"))
-    assert out["S:3"] == str(_uuid.uuid5(ns, "S:3|biolink:affects|O:4|"))
+    # reference key input: no separators (orion/merging.py:78-80)
+    assert out["S:1"] == str(_uuid.uuid5(ns, "S:1biolink:related_toO:2infores:x"))
+    assert out["S:3"] == str(_uuid.uuid5(ns, "S:3biolink:affectsO:4"))
 
 
 def test_edge_id_type_uuid_md5_is_rfc4122_and_deterministic(spark):
@@ -279,7 +280,7 @@ def test_edge_id_type_uuid_md5_is_rfc4122_and_deterministic(spark):
         r"[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}", got
     )
     h = hashlib.md5(
-        (M.ORION_UUID_NAMESPACE_HEX + "S:1|p|O:2|infores:x").encode()
+        (M.ORION_UUID_NAMESPACE_HEX + "S:1pO:2infores:x").encode()
     ).hexdigest()
     variant = "89ab89ab89ab89ab"[int(h[16], 16)]
     expect = f"{h[:8]}-{h[8:12]}-3{h[13:16]}-{variant}{h[17:20]}-{h[20:32]}"
@@ -287,26 +288,33 @@ def test_edge_id_type_uuid_md5_is_rfc4122_and_deterministic(spark):
 
 
 def test_merge_edges_preserve_original_ids(spark):
-    """overwrite_edge_ids=False (orion/merging.py:283-289): a group with a
-    pre-existing truthy id keeps the first one by source ordinal; groups
-    with no id get the merge key; default overwrites everything."""
+    """overwrite_edge_ids=False (orion/merging.py:283-289, 459-463): a group
+    that actually merged (>1 input rows) ALWAYS gets the merge key (originals
+    go to the pre-merge id mapping); a singleton keeps its original non-null
+    id — including '' (the reference's `is None` check) — and gets the key
+    only when the id was null; default overwrites everything."""
+    schema = ("subject string, predicate string, object string, "
+              "primary_knowledge_source string, id string, _source_ordinal int")
     rows = [
-        Row(subject="S:1", predicate="p", object="O:2",
-            primary_knowledge_source="infores:x", id="", _source_ordinal=0),
-        Row(subject="S:1", predicate="p", object="O:2",
-            primary_knowledge_source="infores:x", id="KEEP:b", _source_ordinal=2),
-        Row(subject="S:1", predicate="p", object="O:2",
-            primary_knowledge_source="infores:x", id="KEEP:a", _source_ordinal=1),
-        Row(subject="S:9", predicate="p", object="O:9",
-            primary_knowledge_source="infores:x", id="", _source_ordinal=0),
+        ("S:1", "p", "O:2", "infores:x", "", 0),
+        ("S:1", "p", "O:2", "infores:x", "KEEP:b", 2),
+        ("S:1", "p", "O:2", "infores:x", "KEEP:a", 1),
+        ("S:9", "p", "O:9", "infores:x", "", 0),       # singleton, empty id
+        ("S:8", "p", "O:8", "infores:x", "SOLO:8", 0),  # singleton, real id
+        ("S:7", "p", "O:7", "infores:x", None, 0),      # singleton, null id
     ]
-    df = spark.createDataFrame(rows)
+    df = spark.createDataFrame(rows, schema)
     kept = {r.subject: r.id
             for r in M.merge_edges(df, overwrite_edge_ids=False).collect()}
-    assert kept["S:1"] == "KEEP:a"  # first truthy by ordinal
-    assert kept["S:9"] == M.merge_edges(
-        df.where(F.col("subject") == "S:9")
-    ).collect()[0].id  # falls back to the canonical key
+    key_of = {r.subject: r.id for r in M.merge_edges(df).collect()}
+    assert kept["S:1"] == key_of["S:1"]  # merged group -> merge key, not KEEP:a
+    assert kept["S:8"] == "SOLO:8"       # singleton keeps its id
+    assert kept["S:9"] == ""             # '' is non-null -> preserved
+    assert kept["S:7"] == key_of["S:7"]  # null id -> canonical key
+    # the originals of the merged group are recoverable via the mapping
+    mapping = {r.merged_id: list(r.original_ids)
+               for r in M.pre_merge_id_mapping(df).collect()}
+    assert mapping == {key_of["S:1"]: ["KEEP:a", "KEEP:b"]}  # '' excluded
     # default path overwrites pre-existing ids with the key
     over = {r.subject: r.id for r in M.merge_edges(df).collect()}
     assert over["S:1"] != "KEEP:a" and len(over["S:1"]) == 32
