@@ -43,50 +43,123 @@ def publications_per_predicate(edges: DataFrame) -> DataFrame:
     )
 
 
-def spo_type_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def spo_type_counts(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int | None = None,
+    broadcast_max_nodes: int = 32_000_000,
+) -> DataFrame:
     """J6 + A9: (subject-category, predicate, object-category) triple counts.
-    Node categories looked up by joining the node projection twice; the
-    projection is two columns wide so it broadcasts when nodes are small and
-    shuffle-hash-joins otherwise (Catalyst + AQE decide).
+
+    Scale strategy (the r6 sf10 stage metrics showed this census paying
+    ~3.6 GB of shuffle — most of the metadata_sidecars phase — when the
+    endpoint joins sort-merge): the category vocabulary is bounded (the
+    biolink model), so categories are dictionary-encoded through a
+    broadcast literal map before anything shuffles. The node->category
+    relation is the only graph-sized dimension; KG node sets run 1e6-1e8
+    while edge sets run 1e8-1e10, so when the node count is within
+    `broadcast_max_nodes` the compact (id, int-code) map is BROADCAST to
+    both endpoint joins and the edge set never shuffles at all. Above the
+    cap, a slim sort-merge path ships only (subject, object, int codes) —
+    roughly half the bytes of joining raw category/predicate strings.
+    Exact either way; `n_nodes` lets callers that already know the node
+    count (the sidecar writer observes it during the bundle write) skip
+    the extra count job.
     """
+    first_cat = F.col("category").getItem(0)
+    cat_vocab = sorted(
+        r[0] for r in nodes.select(first_cat).distinct().collect() if r[0] is not None
+    )
+    code_of = F.create_map(
+        *[F.lit(x) for c, i in ((c, i) for i, c in enumerate(cat_vocab)) for x in (c, i)]
+    ) if cat_vocab else F.create_map().cast("map<string,int>")
+    name_of = F.create_map(
+        *[F.lit(x) for i, c in enumerate(cat_vocab) for x in (i, c)]
+    ) if cat_vocab else F.create_map().cast("map<int,string>")
     cat = nodes.select(
         F.col(NODE_ID).alias("_cid"),
-        F.col("category").getItem(0).alias("_cat"),
+        F.element_at(code_of, first_cat).alias("_ccode"),
     )
-    s = cat.withColumnRenamed("_cat", "subject_category").withColumnRenamed("_cid", "_sid")
-    o = cat.withColumnRenamed("_cat", "object_category").withColumnRenamed("_cid", "_oid")
-    return (
-        edges.join(s, edges[SUBJECT] == F.col("_sid"), "inner")
-        .join(o, edges[OBJECT] == F.col("_oid"), "inner")
-        .groupBy("subject_category", PREDICATE, "object_category")
-        .agg(F.count("*").alias("n"))
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    if n_nodes <= broadcast_max_nodes:
+        cat = F.broadcast(cat)
+        e = edges.select(SUBJECT, OBJECT, PREDICATE)
+    else:
+        # slim shuffle path: predicate dictionary-encoded too (vocab-sized
+        # collect), so the two sort-merge joins ship int codes + id strings
+        pred_vocab = sorted(
+            r[0] for r in edges.select(PREDICATE).distinct().collect()
+            if r[0] is not None
+        )
+        pcode_of = F.create_map(
+            *[F.lit(x) for i, p in enumerate(pred_vocab) for x in (p, i)]
+        ) if pred_vocab else F.create_map().cast("map<string,int>")
+        pname_of = F.create_map(
+            *[F.lit(x) for i, p in enumerate(pred_vocab) for x in (i, p)]
+        ) if pred_vocab else F.create_map().cast("map<int,string>")
+        e = edges.select(
+            SUBJECT, OBJECT, F.element_at(pcode_of, F.col(PREDICATE)).alias("_pcode")
+        )
+    s = cat.withColumnRenamed("_ccode", "_scode").withColumnRenamed("_cid", "_sid")
+    o = cat.withColumnRenamed("_ccode", "_ocode").withColumnRenamed("_cid", "_oid")
+    joined = (
+        e.join(s, e[SUBJECT] == F.col("_sid"), "inner")
+        .join(o, e[OBJECT] == F.col("_oid"), "inner")
+    )
+    if n_nodes <= broadcast_max_nodes:
+        grouped = joined.groupBy("_scode", PREDICATE, "_ocode").agg(
+            F.count("*").alias("n")
+        )
+        return grouped.select(
+            F.element_at(name_of, F.col("_scode")).alias("subject_category"),
+            PREDICATE,
+            F.element_at(name_of, F.col("_ocode")).alias("object_category"),
+            "n",
+        )
+    grouped = joined.groupBy("_scode", "_pcode", "_ocode").agg(
+        F.count("*").alias("n")
+    )
+    return grouped.select(
+        F.element_at(name_of, F.col("_scode")).alias("subject_category"),
+        F.element_at(pname_of, F.col("_pcode")).alias(PREDICATE),
+        F.element_at(name_of, F.col("_ocode")).alias("object_category"),
+        "n",
     )
 
 
 def knowledge_source_breakdown(edges: DataFrame) -> DataFrame:
     """Per (aggregator-set, primary-source): edge count + distinct node count
-    (orion/kgx_validation.py:120-204)."""
+    (orion/kgx_validation.py:120-204).
+
+    The distinct-node census runs as explode -> two-phase count_distinct
+    instead of collect_list'ing every (subject, object) pair through the
+    shuffle: collect_list partials ARE the full lists (no map-side
+    collapse — at sf10 this was most of the sidecar phase's shuffle when
+    an aggregator column is present), while partial-distinct collapses
+    repeated nodes inside each map partition before anything ships. Same
+    exact result (count_distinct ignores NULLs, as does the DuckDB
+    oracle's list_distinct)."""
     agg_key = F.coalesce(
         F.array_join(F.array_sort(F.col("aggregator_knowledge_source")), ","),
         F.lit(""),
     )
-    return (
-        edges.select(
-            agg_key.alias("aggregator_sources"),
-            F.col("primary_knowledge_source"),
-            SUBJECT,
-            OBJECT,
-        )
-        .groupBy("aggregator_sources", "primary_knowledge_source")
-        .agg(
-            F.count("*").alias("n_edges"),
-            F.size(
-                F.array_distinct(
-                    F.flatten(F.collect_list(F.array(SUBJECT, OBJECT)))
-                )
-            ).alias("n_distinct_nodes"),
-        )
+    group = ["aggregator_sources", "primary_knowledge_source"]
+    proj = edges.select(
+        agg_key.alias("aggregator_sources"),
+        F.col("primary_knowledge_source"),
+        SUBJECT,
+        OBJECT,
     )
+    n_edges = proj.groupBy(*group).agg(F.count("*").alias("n_edges"))
+    n_nodes = (
+        proj.select(*group, F.explode(F.array(SUBJECT, OBJECT)).alias("_node"))
+        .groupBy(*group)
+        .agg(F.count_distinct("_node").cast("int").alias("n_distinct_nodes"))
+    )
+    # both sides are vocabulary-sized after their aggregates; the join is
+    # trivial (AQE broadcasts it)
+    return n_edges.join(n_nodes, group, "inner")
 
 
 def node_category_counts(nodes: DataFrame) -> DataFrame:

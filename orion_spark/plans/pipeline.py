@@ -300,14 +300,15 @@ def build_graph(
         merged_nodes = union_all([merged_nodes, v_nodes]).dropDuplicates(["id"])
         merged_edges = union_all([merged_edges, v_edges])
 
-    write_bundle(
+    counts = write_bundle(
         merged_nodes, merged_edges, out_dir, fmt=spec.output_format,
-        recorder=recorder,
+        recorder=recorder, collect_counts=True,
     )
     nodes_back, edges_back = read_bundle(spark, out_dir, fmt=spec.output_format)
     with recorder.phase("metadata_sidecars"):
         write_metadata_sidecars(
-            spec.graph_id, spec.build_version, nodes_back, edges_back, out_dir
+            spec.graph_id, spec.build_version, nodes_back, edges_back, out_dir,
+            node_count=counts[0], edge_count=counts[1],
         )
     # merge counters sidecar (kgx_file_merger.py:84-100): totals across
     # every source tier (primary + subset + verbatim) vs the final bundle

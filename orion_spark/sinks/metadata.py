@@ -111,17 +111,29 @@ def validate_graph(
 
 
 def graph_metadata(
-    graph_id: str, graph_version: str, nodes: DataFrame, edges: DataFrame
+    graph_id: str,
+    graph_version: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_count: int | None = None,
+    edge_count: int | None = None,
 ) -> dict:
     """graph-metadata.json content (orion/kgx_metadata.py:150-290): counts +
-    spo-type census."""
+    spo-type census. ``node_count``/``edge_count`` skip the re-scan jobs
+    when the caller already observed them during the bundle write; the
+    node count also feeds the census's broadcast-vs-sort-merge decision."""
+    if node_count is None:
+        node_count = nodes.count()
+    if edge_count is None:
+        edge_count = edges.count()
     return {
         "graph_id": graph_id,
         "graph_version": graph_version,
-        "node_count": nodes.count(),
-        "edge_count": edges.count(),
+        "node_count": node_count,
+        "edge_count": edge_count,
         "spo_type_counts": [
-            row.asDict() for row in spo_type_counts(edges, nodes).collect()
+            row.asDict()
+            for row in spo_type_counts(edges, nodes, n_nodes=node_count).collect()
         ],
     }
 
@@ -143,10 +155,18 @@ def write_metadata_sidecars(
     out_dir: str,
     infores_status: dict[str, str] | None = None,
     valid_node_types: set[str] | None = None,
+    node_count: int | None = None,
+    edge_count: int | None = None,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "graph-metadata.json"), "w") as fh:
-        json.dump(graph_metadata(graph_id, graph_version, nodes, edges), fh, indent=2)
+        json.dump(
+            graph_metadata(
+                graph_id, graph_version, nodes, edges,
+                node_count=node_count, edge_count=edge_count,
+            ),
+            fh, indent=2,
+        )
     # qc-results.json carries the full verdict record (pass/warnings/
     # errors + counts), matching the reference's qc shape
     with open(os.path.join(out_dir, "qc-results.json"), "w") as fh:

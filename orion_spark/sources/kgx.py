@@ -69,7 +69,8 @@ def write_bundle(
     gzip: bool = False,
     edge_partition_by: list[str] | None = None,
     recorder=None,
-) -> None:
+    collect_counts: bool = False,
+) -> tuple[int, int] | None:
     """Persist a bundle. `edge_partition_by` (e.g. ["predicate"]) writes
     hive-partitioned edges — at 100 TB this is what makes per-predicate
     derived jobs (closure expansion, Memgraph export, meta-KG) partition-
@@ -78,11 +79,22 @@ def write_bundle(
     `recorder` (plans/stage_metrics.PhaseRecorder) attributes the two
     write actions — which is where the whole upstream merge lineage
     actually executes, Spark being lazy — to "write_nodes"/"write_edges"
-    phases with measured shuffle/IO bytes."""
+    phases with measured shuffle/IO bytes.
+
+    `collect_counts=True` rides `observe()` metrics on the write actions
+    and returns (node_count, edge_count) — the sidecar writer's counts for
+    free, instead of two whole-bundle re-scan jobs afterwards."""
     if recorder is None:
         from orion_spark.plans.stage_metrics import NullRecorder
 
         recorder = NullRecorder()
+    obs_nodes = obs_edges = None
+    if collect_counts:
+        from pyspark.sql import Observation
+
+        obs_nodes, obs_edges = Observation(), Observation()
+        nodes = nodes.observe(obs_nodes, F.count(F.lit(1)).alias("n"))
+        edges = edges.observe(obs_edges, F.count(F.lit(1)).alias("n"))
     if fmt == "parquet":
         with recorder.phase("write_nodes"):
             nodes.write.mode("overwrite").parquet(os.path.join(path, "nodes"))
@@ -96,6 +108,9 @@ def write_bundle(
             write_kgx(nodes, os.path.join(path, "nodes"), gzip=gzip)
         with recorder.phase("write_edges"):
             write_kgx(edges, os.path.join(path, "edges"), gzip=gzip)
+    if collect_counts:
+        return int(obs_nodes.get["n"]), int(obs_edges.get["n"])
+    return None
 
 
 def read_bundle(

@@ -63,6 +63,19 @@ def test_bundle_roundtrip_parquet(spark, tmp_path):
     assert nodes.count() == 2 and edges.count() == 1
 
 
+def test_write_bundle_observed_counts(spark, tmp_path):
+    """collect_counts rides observe() on the write actions — the sidecar
+    writer's counts without whole-bundle re-scan jobs (both formats)."""
+    assert K.write_bundle(
+        _nodes(spark), _edges(spark), str(tmp_path / "b1"), collect_counts=True
+    ) == (2, 1)
+    assert K.write_bundle(
+        _nodes(spark), _edges(spark), str(tmp_path / "b2"), fmt="jsonl",
+        collect_counts=True,
+    ) == (2, 1)
+    assert K.write_bundle(_nodes(spark), _edges(spark), str(tmp_path / "b3")) is None
+
+
 def test_neo4j_csv_sink(spark, tmp_path):
     out = str(tmp_path / "neo4j")
     manifest = GC.write_neo4j_csv(_nodes(spark), _edges(spark), out)

@@ -239,3 +239,35 @@ def test_validate_graph_verdict_layer(spark):
 
     clean = validate_graph(nodes, edges)  # no catalogs injected
     assert clean["warnings"] == {}
+
+
+def test_spo_type_counts_broadcast_and_slim_paths_agree(spark):
+    """The census's two physical strategies (broadcast dict-encoded cat map
+    vs slim dict-encoded sort-merge) must be value-identical, and the
+    broadcast path must not shuffle the edge set at all."""
+    from pyspark.sql import Row, functions as F
+
+    from orion_spark.operators.analyze import spo_type_counts
+
+    nodes = spark.createDataFrame(
+        [Row(id=f"N:{i}", category=[["biolink:Gene", "biolink:Disease", None][i % 3]])
+         for i in range(9)]
+    )
+    edges = spark.createDataFrame(
+        [Row(subject=f"N:{i % 9}", predicate=["biolink:affects", "biolink:related_to"][i % 2],
+             object=f"N:{(i * 3 + 1) % 9}")
+         for i in range(40)]
+    )
+    key = ["subject_category", "predicate", "object_category"]
+    bc = spo_type_counts(edges, nodes).sort(*key).collect()
+    slim = spo_type_counts(edges, nodes, broadcast_max_nodes=0).sort(*key).collect()
+    assert [r.asDict() for r in bc] == [r.asDict() for r in slim]
+    assert sum(r.n for r in bc) == 40  # every edge counted exactly once
+    # null category[0] survives as a null census row (reference keeps them)
+    assert any(r.subject_category is None for r in bc)
+    # broadcast path: no Exchange anywhere above the edge scan
+    plan = spo_type_counts(edges, nodes)._jdf.queryExecution().executedPlan().toString()
+    # one (tiny, vocab-sized) aggregate shuffle is allowed; the two endpoint
+    # joins must both be BroadcastHashJoin (BroadcastExchange is not a shuffle)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") <= 1  # agg only, no join shuffles
