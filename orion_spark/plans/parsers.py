@@ -4540,8 +4540,8 @@ def clingen_validity_like(
             "clingen_classification_report": F.col("online_report"),
             "normalized_mode_of_inheritance": moi_name,
             "hpo_for_normalized_mode_of_inheritance": moi_hpo,
-            "primary_knowledge_source": F.lit("infores:clingen"),
         },
+        primary_knowledge_source="infores:clingen",
     )
     return extract(raw, spec)
 
@@ -4805,8 +4805,8 @@ def cebs_like(
             "sex_qualifier": F.lower("sex"),
             "species_context_qualifier": comp(F.col("species_iri")),
             "population_context_qualifier": F.col("strain"),
-            "primary_knowledge_source": F.lit("infores:cebs"),
         },
+        primary_knowledge_source="infores:cebs",
     )
     return extract(raw, spec)
 
@@ -4978,8 +4978,8 @@ def clingen_variant_pathogenicity_like(
             "status": F.when(
                 ~(benign | patho | vus), F.lit("Not evaluated")
             ),
-            "primary_knowledge_source": F.lit("infores:clingen"),
         },
+        primary_knowledge_source="infores:clingen",
     )
     return extract(raw, spec)
 

@@ -8190,3 +8190,1433 @@ def documents_dsir_selection_q(spark, sf_dir):
         F.round("log_weight", 6).alias("log_weight"),
         F.round("gumbel_key", 6).alias("gumbel_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: oracle promotion for the remaining parser families (the `—`
+# rows in COVERAGE.md's parser tables). Same contract as the 20 existing
+# *_like_edges queries: a deterministic fixture synthesized from the
+# nation dim, the real parser run over it in Spark, and a closed-form
+# DuckDB oracle enumerating every expected edge.
+# ---------------------------------------------------------------------------
+
+
+def _nation_keys(spark: SparkSession, sf_dir: str) -> list[int]:
+    ks = sorted(
+        r.n_nationkey
+        for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    )
+    return ks
+
+
+def _write_fixture_file(name: str, sf_dir: str, text: str) -> str:
+    """Deterministic single-file fixture under .fixtures, atomic promote."""
+    import os
+    import re as _re
+
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(_fixture_dir(), f"{name}{slug}")
+    if os.path.exists(path):
+        return path
+    tmp = path + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "genome_alliance_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'ZFIN:Z' || k AS subject, 'biolink:orthologous_to' AS predicate,
+           'WB:W' || k AS object,
+           'infores:agrkb' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def genome_alliance_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the Genome Alliance ortholog family
+    (parsers/GenomeAlliance/src/loadGenomeAlliance.py:12-17,75-88) —
+    positional gene-pair TSV with '_' stripped from curies. Fixture ids
+    carry the underscore the parser must strip."""
+    from orion_spark.plans.parsers import genome_alliance_like
+
+    ks = _nation_keys(spark, sf_dir)
+    lines = ["gene_1_id\tgene_1_label\tgene_2_id\tgene_2_label"]
+    for k in ks:
+        lines.append(f"ZFIN_:Z{k}\tzebra gene {k}\tWB_:W{k}\tworm gene {k}")
+    path = _write_fixture_file("genome_alliance_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = genome_alliance_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "primary_knowledge_source"
+    )
+
+
+@query(
+    "cord19_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'MESH:D' || k AS subject, 'biolink:related_to' AS predicate,
+           'CHEBI:' || k AS object,
+           ROUND(k + 0.5, 6) AS num_publications,
+           ROUND(0.001 * k, 6) AS enrichment_p,
+           'infores:cord19-scibite' AS primary_knowledge_source
+    FROM n
+    UNION ALL
+    SELECT 'MONDO:' || (1000 + k), 'biolink:related_to', 'HP:' || (2000 + k),
+           ROUND(CAST(k AS DOUBLE), 6), CAST(NULL AS DOUBLE),
+           'infores:cord19-scigraph'
+    FROM n
+    """,
+)
+def cord19_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the CORD-19 co-occurrence family
+    (parsers/Cord19/src/loadCord19.py:149-184) — scibite edges strip '_'
+    from curies and carry pub/enrichment stats; scigraph edges pass
+    through verbatim with no enrichment column."""
+    from orion_spark.plans.parsers import cord19_like
+
+    ks = _nation_keys(spark, sf_dir)
+    sb = ["subject\tobject\teffective_pubs\tenrichment_p"]
+    sg = ["subject\tobject\tnum_publications"]
+    for k in ks:
+        sb.append(f"MESH_:D{k}\tCHEBI_:{k}\t{k + 0.5}\t{0.001 * k}")
+        sg.append(f"MONDO:{1000 + k}\tHP:{2000 + k}\t{k}")
+    sb_path = _write_fixture_file("cord19_scibite_v1", sf_dir, "\n".join(sb) + "\n")
+    sg_path = _write_fixture_file("cord19_scigraph_v1", sf_dir, "\n".join(sg) + "\n")
+    _, edges = cord19_like(spark, sb_path, sg_path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.round("num_publications", 6).alias("num_publications"),
+        F.round("enrichment_p", 6).alias("enrichment_p"),
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "clingen_validity_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    moi AS (
+        SELECT * FROM (VALUES
+            ('AD', 'Autosomal dominant inheritance', 'HP:0000006'),
+            ('AR', 'Autosomal recessive inheritance', 'HP:0000007'),
+            ('XL', 'X-linked inheritance', 'HP:0001417'),
+            ('SD', 'Semidominant inheritance', 'HP:0032113')
+        ) AS t(code, name, hpo)
+    )
+    SELECT 'HGNC:' || k AS subject,
+           'gene_associated_with_condition' AS predicate,
+           'MONDO:' || (7000 + k) AS object,
+           CASE k % 3 WHEN 0 THEN 'Definitive' WHEN 1 THEN 'Moderate'
+                      ELSE 'Limited' END AS clingen_validity_classification,
+           '2020-01-' || lpad(CAST(k + 1 AS VARCHAR), 2, '0')
+               AS clingen_classification_date,
+           'https://search.clinicalgenome.org/kb/' || k
+               AS clingen_classification_report,
+           moi.name AS normalized_mode_of_inheritance,
+           moi.hpo AS hpo_for_normalized_mode_of_inheritance
+    FROM n LEFT JOIN moi
+      ON moi.code = ['AD', 'AR', 'XL', 'SD', 'UNK'][1 + k % 5]
+    """,
+)
+def clingen_validity_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the ClinGen gene-disease validity family
+    (loadClinGenGeneDiseaseValidity.py:113-157) — 6 leading metadata rows
+    stripped, classification props carried, mode-of-inheritance
+    normalized through the HPO lookup with unmapped codes nulling out."""
+    import tempfile
+
+    from orion_spark.plans.parsers import clingen_validity_like
+
+    ks = _nation_keys(spark, sf_dir)
+    lines = ["CLINGEN GENE VALIDITY CURATIONS"] * 6
+    lines.append("gene_id,disease_id,moi,classification,classification_date,online_report")
+    mois = ["AD", "AR", "XL", "SD", "UNK"]
+    for k in ks:
+        cls = ["Definitive", "Moderate", "Limited"][k % 3]
+        lines.append(
+            f"HGNC:{k},MONDO:{7000 + k},{mois[k % 5]},{cls},"
+            f"2020-01-{k + 1:02d},https://search.clinicalgenome.org/kb/{k}"
+        )
+    path = _write_fixture_file("clingen_validity_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = clingen_validity_like(
+        spark, path, staging_dir=tempfile.mkdtemp(prefix="clingen_v_q_")
+    )
+    return edges.select(
+        "subject", "predicate", "object",
+        "clingen_validity_classification", "clingen_classification_date",
+        "clingen_classification_report", "normalized_mode_of_inheritance",
+        "hpo_for_normalized_mode_of_inheritance",
+    )
+
+
+@query(
+    "ehr_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'SNOMEDCT:' || k AS subject, 'biolink:correlated_with' AS predicate,
+           'RXCUI:' || (500 + k) AS object,
+           ROUND(0.5 + 0.01 * k, 6) AS auc_roc,
+           ROUND(0.1 * k, 6) AS log_odds_ratio,
+           ROUND(0.1 * k - 0.05, 6) AS ci_lower,
+           ROUND(0.1 * k + 0.05, 6) AS ci_upper,
+           10 * k AS positive_patient_count
+    FROM n WHERE NOT (k % 6 = 5 OR k % 4 = 0)
+    """,
+)
+def ehr_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the EHR provider family (loadEHR.py:29-77) —
+    ignore-list columns dropped, typed property coercion (json array /
+    float / int classes), per-row parse failure -> skip-and-observe
+    (k%6==5 carries an unparseable float, k%4==0 an unparseable json
+    array; both must vanish)."""
+    from orion_spark.plans.parsers import ehr_like
+
+    ks = _nation_keys(spark, sf_dir)
+    lines = [
+        "subject,predicate,object,subject_name,KG_type,auc_roc,"
+        "log_odds_ratio,log_odds_ratio_95_ci,positive_patient_count"
+    ]
+    for k in ks:
+        auc = "notanum" if k % 6 == 5 else f"{0.5 + 0.01 * k}"
+        ci = (
+            "badjson" if k % 4 == 0
+            else f"[{0.1 * k - 0.05}, {0.1 * k + 0.05}]"
+        )
+        lines.append(
+            f'SNOMEDCT:{k},biolink:correlated_with,RXCUI:{500 + k},'
+            f'name {k},ehr,{auc},{0.1 * k},"{ci}",{10 * k}'
+        )
+    path = _write_fixture_file("ehr_v1", sf_dir, "\n".join(lines) + "\n")
+    _, edges = ehr_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.round("auc_roc", 6).alias("auc_roc"),
+        F.round("log_odds_ratio", 6).alias("log_odds_ratio"),
+        F.round(F.element_at("log_odds_ratio_95_ci", 1), 6).alias("ci_lower"),
+        F.round(F.element_at("log_odds_ratio_95_ci", 2), 6).alias("ci_upper"),
+        "positive_patient_count",
+    )
+
+
+@query(
+    "mgi_gene_phenotypes_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 7 <> 0),
+    mx AS (SELECT max(n_nationkey) AS mk FROM nation),
+    fan AS (
+        SELECT k, m FROM n, LATERAL (SELECT unnest([k, k + 1]) AS m)
+    ),
+    kept AS (
+        SELECT fan.k, fan.m FROM fan, mx
+        WHERE fan.m <= mx.mk AND fan.m % 2 = 0
+    )
+    SELECT 'MGI:' || m AS subject, 'biolink:has_phenotype' AS predicate,
+           'MP:' || (3000 + k) AS object,
+           'Foo<' || k || '>' AS mgi_allelic_composition,
+           'B6.' || k AS mgi_genetic_background,
+           'MGI:G' || k AS mgi_genotype_id,
+           CASE WHEN k % 5 = 0 THEN NULL
+                ELSE 'PMID:' || (100 + k) || '|PMID:' || (200 + k)
+           END AS publications,
+           'infores:mgi' AS primary_knowledge_source
+    FROM kept
+    """,
+)
+def mgi_gene_phenotypes_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the MGI genotype-phenotype family
+    (loadMGI.py:163-266) — broadcast marker-type lookup keeps only
+    'Gene' markers (odd keys are BAC/YAC ends, key max+1 is absent from
+    the marker report — both skip-and-observe), pipe-list marker fan-out,
+    rows with no MP id dropped, PMID-curied publications."""
+    from orion_spark.plans.parsers import mgi_gene_phenotypes_like
+
+    ks = _nation_keys(spark, sf_dir)
+    marker = ["mgi_accession_id\tmarker_symbol\tmarker_type"]
+    for k in ks:
+        mtype = "Gene" if k % 2 == 0 else "BAC/YAC end"
+        marker.append(f"MGI:{k}\tSym{k}\t{mtype}")
+    geno = []
+    for k in ks:
+        mp = "" if k % 7 == 0 else f"MP:{3000 + k}"
+        pubs = "" if k % 5 == 0 else f"{100 + k}|{200 + k}"
+        geno.append(
+            f"Foo<{k}>\tAllele{k}\tMGI:A{k}\tB6.{k}\t{mp}\t{pubs}\t"
+            f"MGI:{k}|MGI:{k + 1}\tMGI:G{k}"
+        )
+    mpath = _write_fixture_file("mgi_marker_v1", sf_dir, "\n".join(marker) + "\n")
+    gpath = _write_fixture_file("mgi_geno_v1", sf_dir, "\n".join(geno) + "\n")
+    _, edges = mgi_gene_phenotypes_like(spark, gpath, mpath)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.element_at("mgi_allelic_composition", 1).alias("mgi_allelic_composition"),
+        F.element_at("mgi_genetic_background", 1).alias("mgi_genetic_background"),
+        F.element_at("mgi_genotype_id", 1).alias("mgi_genotype_id"),
+        F.array_join("publications", "|").alias("publications"),
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "kinace_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'UniProtKB:K' || k AS subject, 'biolink:affects' AS predicate,
+           'UniProtKB:S' || k AS object,
+           'biolink:causes' AS qualified_predicate,
+           'increased' AS object_direction_qualifier,
+           'phosphorylation' AS object_aspect_qualifier,
+           'Ser' || k AS phosphorylation_sites,
+           ['knowledge_assertion', 'not_provided', 'not_provided'][1 + k % 3]
+               AS knowledge_level,
+           ['manual_agent', 'not_provided', 'text_mining_agent'][1 + k % 3]
+               AS agent_type,
+           CASE WHEN k % 5 IN (0, 1) THEN NULL
+                WHEN k % 5 = 2 THEN 'PMID:' || (100 + k)
+                ELSE 'PMID:' || (100 + k) || '|PMID:' || (200 + k)
+           END AS publications,
+           ['infores:psite-plus', 'infores:epsd', 'infores:iptmnet'][1 + k % 3]
+               AS primary_knowledge_source,
+           'infores:kinace' AS aggregator_knowledge_sources
+    FROM n
+    """,
+)
+def kinace_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the KinAce kinase-substrate family
+    (loadKinAce.py:31-35,80-131) — phosphorylation-qualified affects
+    edges, per-source infores + KL/AT triples, ';'-split PMIDs with
+    'NA'/empty -> none and trailing-separator hygiene."""
+    from orion_spark.plans.parsers import kinace_like
+
+    ks = _nation_keys(spark, sf_dir)
+    srcs = ["PhosphoSitePlus", "EPSD", "iPTMNet"]
+    lines = ["kinase,substrate,p_site,primary_source,publications"]
+    for k in ks:
+        if k % 5 == 0:
+            pubs = "NA"
+        elif k % 5 == 1:
+            pubs = ""
+        elif k % 5 == 2:
+            pubs = f"{100 + k};"
+        else:
+            pubs = f"{100 + k}; {200 + k}"
+        lines.append(f'K{k},S{k},Ser{k},{srcs[k % 3]},"{pubs}"')
+    path = _write_fixture_file("kinace_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = kinace_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "qualified_predicate",
+        "object_direction_qualifier", "object_aspect_qualifier",
+        F.element_at("phosphorylation_sites", 1).alias("phosphorylation_sites"),
+        "knowledge_level", "agent_type",
+        F.array_join("publications", "|").alias("publications"),
+        "primary_knowledge_source",
+        F.array_join("aggregator_knowledge_sources", "|").alias(
+            "aggregator_knowledge_sources"
+        ),
+    )
+
+
+@query(
+    "cebs_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 3 <> 2)
+    SELECT 'INCHIKEY:AAA' || k || 'KEY' AS subject,
+           CASE WHEN k % 3 = 0
+                THEN 'biolink:associated_with_increased_likelihood_of'
+                ELSE 'biolink:associated_with_likelihood_of' END AS predicate,
+           CASE k % 4 WHEN 0 THEN 'MONDO:77' || k
+                      WHEN 1 THEN 'MONDO:55' || k
+                      WHEN 2 THEN 'NCIT:9' || k
+                      ELSE 'MPATH:' || k END AS object,
+           CASE WHEN k % 3 = 0 THEN 'knowledge_assertion'
+                ELSE 'observation' END AS knowledge_level,
+           'manual_agent' AS agent_type,
+           'TR:TR' || (500 + k) AS publications,
+           'UBERON:10' || k AS anatomical_context_qualifier,
+           CASE WHEN k % 2 = 0 THEN 'male' ELSE 'female' END AS sex_qualifier,
+           'NCBITaxon:10090' AS species_context_qualifier,
+           'B6C3F1/' || k AS population_context_qualifier,
+           'infores:cebs' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def cebs_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the CEBS chronic-exposure family
+    (loadCEBS.py:81-106) — evidence-level predicate/KL gate with
+    non-evidence rows dropped, the morphology scan (first MONDO wins,
+    else first compressible non-MPATH curie, else last-element
+    compression fallback), tissue first-';'-element compression,
+    space-stripped TR publication ids."""
+    from orion_spark.plans.parsers import cebs_like
+
+    ks = _nation_keys(spark, sf_dir)
+    obo = "http://purl.obolibrary.org/obo"
+    header = (
+        "inchikey\tmorphology\tevidence_level\tpublication_number\t"
+        "tissue\tsex\tspecies_iri\tstrain"
+    )
+    lines = [header]
+    for k in ks:
+        ev = ["Clear Evidence", "Some Evidence", "Equivocal"][k % 3]
+        if k % 4 == 0:
+            morph = f"{obo}/MPATH_1; {obo}/MONDO_77{k}"
+        elif k % 4 == 1:
+            morph = f"MONDO:55{k}"
+        elif k % 4 == 2:
+            morph = f"{obo}/NCIT_9{k}"
+        else:
+            morph = f"{obo}/MPATH_{k}"
+        sex = "Male" if k % 2 == 0 else "Female"
+        lines.append(
+            f"AAA{k}KEY\t{morph}\t{ev}\tTR {500 + k}\t"
+            f"{obo}/UBERON_10{k}; secondary\t{sex}\t"
+            f"{obo}/NCBITaxon_10090\tB6C3F1/{k}"
+        )
+    path = _write_fixture_file("cebs_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = cebs_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "knowledge_level", "agent_type",
+        F.array_join("publications", "|").alias("publications"),
+        "anatomical_context_qualifier", "sex_qualifier",
+        "species_context_qualifier", "population_context_qualifier",
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "ctd_like_edges",
+    """
+    WITH n AS (
+        SELECT n_nationkey AS k FROM nation
+        WHERE n_nationkey % 5 <> 0 AND n_nationkey % 6 <> 5
+    )
+    SELECT 'MESH:C' || k AS subject,
+           ['biolink:increases_expression_of', 'biolink:decreases_expression_of',
+            'biolink:increases_activity_of', 'biolink:decreases_activity_of',
+            'biolink:binds'][1 + k % 6] AS predicate,
+           'NCBIGene:' || (9000 + k) AS object,
+           CASE WHEN k % 4 = 0 THEN NULL
+                ELSE 'PMID:' || k || '|PMID:' || (k + 1) END AS publications,
+           'infores:ctd' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def ctd_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the CTD chemical-gene family (loadCTD.py:186-197)
+    — direction^interaction_type predicate remap (unmapped kinds drop the
+    row via the unconnected gate), the evidence-count >= 2 row-validation
+    threshold, pipe-split PMID curies."""
+    from orion_spark.plans.parsers import ctd_like
+
+    ks = _nation_keys(spark, sf_dir)
+    kinds = [
+        ("increases", "expression"), ("decreases", "expression"),
+        ("increases", "activity"), ("decreases", "activity"),
+        ("affects", "binding"), ("increases", "junk"),
+    ]
+    header = (
+        "chemical_id\tchemical_name\tgene_id\tgene_symbol\tdirection\t"
+        "interaction_type\tpubmed_ids\tevidence_count"
+    )
+    lines = [header]
+    for k in ks:
+        d, t = kinds[k % 6]
+        pubs = "" if k % 4 == 0 else f"{k}|{k + 1}"
+        ev = 1 if k % 5 == 0 else 2 + k
+        lines.append(
+            f"C{k}\tchem {k}\t{9000 + k}\tGENE{k}\t{d}\t{t}\t{pubs}\t{ev}"
+        )
+    path = _write_fixture_file("ctd_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = ctd_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("publications", "|").alias("publications"),
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "hetio_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 5 <> 4)
+    SELECT 'NCBIGene:G' || k AS subject,
+           ['biolink:associated_with', 'biolink:increases_expression_of',
+            'biolink:decreases_expression_of', 'biolink:treats'][1 + k % 5]
+               AS predicate,
+           'DOID:D' || k AS object,
+           'infores:hetionet' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def hetio_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the Hetionet nested-JSON family
+    (loadHetio.py:104-121,160-201) — one document carrying node/edge
+    arrays, [kind, ident] endpoint pairs prefixed through the kind map,
+    predicate remap with unmapped kinds ('binds', k%5==4) dropped."""
+    import json
+
+    from orion_spark.plans.parsers import hetio_like
+
+    ks = _nation_keys(spark, sf_dir)
+    kinds = ["associates", "upregulates", "downregulates", "treats", "binds"]
+    doc = {
+        "nodes": [
+            {"kind": "Gene", "ident": f"G{k}", "name": f"gene {k}"}
+            for k in ks
+        ] + [
+            {"kind": "Disease", "ident": f"D{k}", "name": f"disease {k}"}
+            for k in ks
+        ],
+        "edges": [
+            {
+                "kind": kinds[k % 5],
+                "source_id": ["Gene", f"G{k}"],
+                "target_id": ["Disease", f"D{k}"],
+            }
+            for k in ks
+        ],
+    }
+    path = _write_fixture_file("hetio_v1", sf_dir, json.dumps(doc))
+    _, edges = hetio_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "primary_knowledge_source"
+    )
+
+
+@query(
+    "gwas_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 3 <> 1),
+    v AS (
+        SELECT k, 1 + (k % 22) AS chrom, 1000 + k AS pos,
+               CASE k % 3 WHEN 0 THEN 1e-9 ELSE 1e-12 END AS p,
+               CASE k % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'AT'
+                          WHEN 2 THEN 'A' ELSE 'AT' END AS ref,
+               CASE k % 4 WHEN 0 THEN 'G' WHEN 1 THEN 'A'
+                          WHEN 2 THEN 'AT' ELSE 'GC' END AS alt
+        FROM n
+    )
+    SELECT 'HGVS:NC_0000' || lpad(CAST(chrom AS VARCHAR), 2, '0') || ':g.' ||
+           CASE k % 4
+               WHEN 0 THEN CAST(pos AS VARCHAR) || 'A>G'
+               WHEN 1 THEN CAST(pos + 1 AS VARCHAR) || '_' ||
+                           CAST(pos + 1 AS VARCHAR) || 'del'
+               WHEN 2 THEN CAST(pos AS VARCHAR) || '_' ||
+                           CAST(pos + 1 AS VARCHAR) || 'insT'
+               ELSE CAST(pos AS VARCHAR) || '_' ||
+                    CAST(pos + 1 AS VARCHAR) || 'delinsGC'
+           END AS subject,
+           'biolink:associated_with' AS predicate,
+           'EFO:' || (4000 + k) AS object,
+           p AS p_value,
+           ROUND(-log10(p), 6) AS neg_log_p,
+           'infores:gwas-catalog' AS primary_knowledge_source
+    FROM v
+    """,
+)
+def gwas_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the GWAS Catalog family — chrom/pos/ref/alt to
+    HGVS (P11: SNV, del, ins, delins forms all exercised), the p-value
+    floor + neg-log transform (§2.8), and the genome-wide significance
+    row filter (k%3==1 rows sit at 1e-7 and must vanish)."""
+    from orion_spark.plans.parsers import gwas_like
+
+    ks = _nation_keys(spark, sf_dir)
+    refs = ["A", "AT", "A", "AT"]
+    alts = ["G", "A", "AT", "GC"]
+    lines = ["chrom\tpos\tref\talt\tp_value\ttrait_id\ttrait_name"]
+    for k in ks:
+        p = [1e-9, 1e-7, 1e-12][k % 3]
+        lines.append(
+            f"{1 + (k % 22)}\t{1000 + k}\t{refs[k % 4]}\t{alts[k % 4]}\t"
+            f"{p}\tEFO:{4000 + k}\ttrait {k}"
+        )
+    path = _write_fixture_file("gwas_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = gwas_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "p_value", "neg_log_p",
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "goa_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 6 <> 5)
+    SELECT 'UniProtKB:P' || k AS subject,
+           ['biolink:enables', 'biolink:actively_involved_in',
+            'biolink:located_in', 'biolink:part_of',
+            'biolink:contributes_to'][1 + k % 6] AS predicate,
+           'GO:' || lpad(CAST(k AS VARCHAR), 7, '0') AS object,
+           CASE WHEN k % 3 = 0 THEN 'PMID:' || (600 + k) END AS publications,
+           CASE WHEN k % 2 = 0 THEN 'IDA' ELSE 'IEA' END AS evidence_code,
+           'infores:goa' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def goa_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the GOA GAF-2.2 family — '!'-comment lines,
+    17 fixed positional columns, qualifier->predicate mapping with
+    NOT-negations dropped (k%6==5), PMID-only db_reference publications."""
+    from orion_spark.plans.parsers import goa_like
+
+    ks = _nation_keys(spark, sf_dir)
+    quals = [
+        "enables", "involved_in", "located_in", "part_of",
+        "contributes_to", "NOT|enables",
+    ]
+    lines = ["!gaf-version: 2.2", "! generated fixture"]
+    for k in ks:
+        ref = f"PMID:{600 + k}" if k % 3 == 0 else f"GO_REF:{k:07d}"
+        ec = "IDA" if k % 2 == 0 else "IEA"
+        row = [
+            "UniProtKB", f"P{k}", f"SYM{k}", quals[k % 6],
+            f"GO:{k:07d}", ref, ec, "", "F", f"protein {k}", "", "protein",
+            "taxon:9606", "20240101", "UniProt", "", "",
+        ]
+        lines.append("\t".join(row))
+    path = _write_fixture_file("goa_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = goa_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("publications", "|").alias("publications"),
+        "evidence_code", "primary_knowledge_source",
+    )
+
+
+@query(
+    "string_db_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation
+               WHERE 400 + 20 * n_nationkey >= 700)
+    SELECT 'ENSEMBL:ENSP000' || k AS subject,
+           'biolink:interacts_with' AS predicate,
+           'ENSEMBL:ENSP999' || k AS object,
+           400 + 20 * k AS combined_score,
+           'infores:string' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def string_db_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the STRING-DB protein-links family — space-
+    separated columns, taxon-prefix strip on both endpoints, the
+    combined-score >= 700 confidence threshold."""
+    from orion_spark.plans.parsers import string_db_like
+
+    ks = _nation_keys(spark, sf_dir)
+    lines = ["protein1 protein2 combined_score"]
+    for k in ks:
+        lines.append(f"9606.ENSP000{k} 9606.ENSP999{k} {400 + 20 * k}")
+    path = _write_fixture_file("string_db_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = string_db_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "combined_score",
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "ubergraph_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    e AS (
+        SELECT 'GO:' || (100 + k) AS s, 'GO:' || (100 + k // 2) AS o FROM n
+        UNION ALL
+        SELECT 'CHEBI:' || (200 + k), 'CHEBI:' || (200 + k // 2)
+        FROM n WHERE k % 2 = 0
+    )
+    SELECT s AS subject, 'biolink:subclass_of' AS predicate, o AS object,
+           'infores:ubergraph' AS primary_knowledge_source
+    FROM e
+    """,
+)
+def ubergraph_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the UberGraph ontology family (S6) — N-Triples
+    scan, IRI->CURIE contraction over the prefix map, subclass edges
+    kept, label literals routed to nodes (and excluded here)."""
+    from orion_spark.plans.parsers import ubergraph_like
+
+    ks = _nation_keys(spark, sf_dir)
+    obo = "http://purl.obolibrary.org/obo"
+    sub = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    lab = "http://www.w3.org/2000/01/rdf-schema#label"
+    lines = []
+    for k in ks:
+        lines.append(f"<{obo}/GO_{100 + k}> <{sub}> <{obo}/GO_{100 + k // 2}> .")
+        lines.append(f'<{obo}/GO_{100 + k}> <{lab}> "go term {k}" .')
+        if k % 2 == 0:
+            lines.append(
+                f"<{obo}/CHEBI_{200 + k}> <{sub}> <{obo}/CHEBI_{200 + k // 2}> ."
+            )
+    path = _write_fixture_file("ubergraph_v1", sf_dir, "\n".join(lines) + "\n")
+    _, edges = ubergraph_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "primary_knowledge_source"
+    )
+
+
+@query(
+    "hmdb_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT CASE WHEN k % 3 = 2 THEN 'HMDB:HMDB' || (9000 + k)
+                ELSE 'UniProtKB:P' || k END AS subject,
+           ['CTD:affects_abundance_of', 'CTD:increases_transport_of',
+            'CTD:related_to'][1 + k % 3] AS predicate,
+           CASE WHEN k % 3 = 2 THEN 'UniProtKB:P' || k
+                ELSE 'HMDB:HMDB' || (9000 + k) END AS object,
+           CAST(NULL AS VARCHAR) AS publications,
+           'infores:hmdb' AS primary_knowledge_source
+    FROM n
+    UNION ALL
+    SELECT 'HMDB:HMDB' || (9000 + k), 'SEMMEDDB:ASSOCIATED_WITH',
+           'OMIM:' || (613000 + k),
+           'PMID:' || (100 + k) || '|PMID:' || (200 + k),
+           'infores:hmdb'
+    FROM n WHERE k % 2 = 0
+    """,
+)
+def hmdb_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the HMDB repeated-children XML family
+    (loadHMDB.py:124-234) — per-protein loop with the Enzyme/Transport
+    direction flip (unknown types reverse to metabolite->protein),
+    per-disease loop keeping only OMIM-bearing diseases (odd keys carry
+    none), nested pubmed reference lists as PMID curies."""
+    from orion_spark.plans.parsers import hmdb_like
+
+    ks = _nation_keys(spark, sf_dir)
+    ptypes = ["Enzyme", "Transport", "Unknown"]
+    recs = ["<hmdb>"]
+    for k in ks:
+        omim = (
+            f"<omim_id>{613000 + k}</omim_id>" if k % 2 == 0 else ""
+        )
+        recs.append(
+            f"<metabolite><accession>HMDB{9000 + k}</accession>"
+            f"<name>met {k}</name>"
+            f"<protein_associations><protein>"
+            f"<uniprot_id>P{k}</uniprot_id>"
+            f"<protein_type>{ptypes[k % 3]}</protein_type>"
+            f"<name>prot {k}</name>"
+            f"</protein></protein_associations>"
+            f"<diseases><disease>{omim}<name>dis {k}</name>"
+            f"<references>"
+            f"<reference><pubmed_id>{100 + k}</pubmed_id></reference>"
+            f"<reference><pubmed_id>{200 + k}</pubmed_id></reference>"
+            f"</references></disease></diseases>"
+            f"</metabolite>"
+        )
+    recs.append("</hmdb>")
+    path = _write_fixture_file("hmdb_v1", sf_dir, "\n".join(recs) + "\n")
+    _, edges = hmdb_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("publications", "|").alias("publications"),
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "binding_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'PUBCHEM.COMPOUND:' || k AS subject,
+           ['DGIdb:inhibitor', 'CTD:decreases_activity_of', 'RO:0002436',
+            'CTD:increases_activity_of'][1 + k % 4] AS predicate,
+           'UniProtKB:P' || k AS object,
+           ['pKi', 'pIC50', 'pKd', 'pEC50'][1 + k % 4] AS affinity_parameter,
+           ROUND(-log10((20 * k + 20) * 1e-9), 2) AS affinity,
+           'PMID:' || (1000 + k) AS publications,
+           'PUBCHEM.AID:A' || k AS pubchem_assay_ids,
+           'PATENT:US' || k AS patent_ids,
+           'infores:bindingdb' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def binding_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the BindingDB affinity-melt family
+    (loadBINDINGDB.py:32-215) — four nM measure columns unpivoted, text
+    cleanup ('<'/comma strip, '>' dead-compound and zero rows skipped),
+    per-(ligand,protein,measure) average in -log10 molar units, sorted
+    distinct PMID/assay/patent lists. Every key contributes two live
+    measurement rows (avg exercised) plus a dead '>' row and a zero row
+    that must both vanish."""
+    from orion_spark.plans.parsers import binding_like
+
+    ks = _nation_keys(spark, sf_dir)
+    cols = ["ki_nm", "ic50_nm", "kd_nm", "ec50_nm"]
+    header = (
+        "pubchem_cid\tuniprot_chain\tki_nm\tic50_nm\tkd_nm\tec50_nm\t"
+        "pmid\tpubchem_aid\tpatent_number"
+    )
+    lines = [header]
+
+    def row(k, val, pmid, aid, patent):
+        vals = ["", "", "", ""]
+        vals[k % 4] = val
+        return f"{k}\tP{k}\t" + "\t".join(vals) + f"\t{pmid}\t{aid}\t{patent}"
+
+    for k in ks:
+        lines.append(row(k, f"{10 * k + 10}", f"{1000 + k}", f"A{k}", ""))
+        lines.append(row(k, f"<{30 * k + 30}", "", "", f"US{k}"))
+        lines.append(row(k, ">99999", "", "", ""))
+        lines.append(row(k, "0", "", "", ""))
+    path = _write_fixture_file("binding_v1", sf_dir, "\n".join(lines) + "\n")
+    _, edges = binding_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "affinity_parameter", "affinity",
+        F.array_join("publications", "|").alias("publications"),
+        F.array_join("pubchem_assay_ids", "|").alias("pubchem_assay_ids"),
+        F.array_join("patent_ids", "|").alias("patent_ids"),
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "hgnc_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 3 <> 0),
+    fan AS (
+        SELECT k, g FROM n, LATERAL (SELECT unnest([k, k + 100]) AS g)
+    )
+    SELECT 'HGNC:' || k AS subject, 'biolink:member_of' AS predicate,
+           'HGNC.FAMILY:' || g AS object,
+           CASE WHEN k % 2 = 0
+                THEN 'PMID:' || k || '|PMID:' || (k + 1) END AS publications,
+           'infores:hgnc' AS primary_knowledge_source
+    FROM fan
+    """,
+)
+def hgnc_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the HGNC gene-family family (loadHGNC.py:75-110)
+    — pipe-delimited PARALLEL list columns zipped to per-membership
+    edges, groupless rows (k%3==0) skipped, optional pipe-split PMIDs."""
+    from orion_spark.plans.parsers import hgnc_like
+
+    ks = _nation_keys(spark, sf_dir)
+    header = (
+        "hgnc_id\tname\tlocus_group\tsymbol\tlocation\tgene_group_id\t"
+        "gene_group\tpubmed_id"
+    )
+    lines = [header]
+    for k in ks:
+        gid = "" if k % 3 == 0 else f"{k}|{k + 100}"
+        gname = "" if k % 3 == 0 else f"fam {k}|fam {k + 100}"
+        pm = f"{k}|{k + 1}" if k % 2 == 0 else ""
+        lines.append(
+            f"HGNC:{k}\tgene {k}\tprotein-coding gene\tSYM{k}\t1p{k}\t"
+            f"{gid}\t{gname}\t{pm}"
+        )
+    path = _write_fixture_file("hgnc_v1", sf_dir, "\n".join(lines) + "\n")
+    _, edges = hgnc_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("publications", "|").alias("publications"),
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "mondo_properties_like_flags",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 2 = 0)
+    SELECT 'MONDO:' || (6000 + k) AS id,
+           'MONDO_SUPERCLASS_disease_group_' || k || '_x' AS property_name
+    FROM n
+    """,
+)
+def mondo_properties_like_flags_q(spark, sf_dir):
+    """§2 source-to-KGX: the Mondo-properties family (loadMP.py:98-157) —
+    N-Quads scan, IC-cutoff property-term selection (odd keys sit at
+    IC 90 and generate nothing), label fixups (whitespace/'-'/',' ->
+    '_'), direct-superclass flag propagation."""
+    from orion_spark.plans.parsers import mondo_properties_like
+
+    ks = _nation_keys(spark, sf_dir)
+    P = "http://purl.obolibrary.org/obo"
+    NIC = "http://example.org/normalizedInformationContent"
+    LBL = "http://www.w3.org/2000/01/rdf-schema#label"
+    SCO = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    G = "<http://g>"
+    lines = []
+    for k in ks:
+        ic = "50.0" if k % 2 == 0 else "90.0"
+        lines.append(f'<{P}/MONDO_{5000 + k}> <{NIC}> "{ic}" {G} .')
+        lines.append(
+            f'<{P}/MONDO_{5000 + k}> <{LBL}> "disease group, {k}-x" {G} .'
+        )
+        lines.append(f"<{P}/MONDO_{6000 + k}> <{SCO}> <{P}/MONDO_{5000 + k}> {G} .")
+    path = _write_fixture_file("mondo_props_v1", sf_dir, "\n".join(lines) + "\n")
+    _, flags = mondo_properties_like(spark, path, ic_cutoff=70.0)
+    return flags.select("id", "property_name")
+
+
+@query(
+    "clingen_variant_pathogenicity_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 7 <> 6)
+    SELECT 'CAID:CA' || k AS subject, 'causes' AS predicate,
+           'MONDO:' || (8000 + k) AS object,
+           ['Pathogenic', 'Likely Pathogenic', 'Benign', 'Likely Benign',
+            'Uncertain Significance', 'Conflicting'][1 + k % 6] AS assertion,
+           CASE WHEN k % 6 IN (0, 1) THEN 'Supports'
+                WHEN k % 6 IN (2, 3) THEN 'Contradicts'
+                ELSE 'Inconclusive' END AS direction,
+           k % 6 NOT IN (0, 1) AS negated,
+           CASE WHEN k % 6 = 5 THEN 'Not evaluated' END AS status,
+           'infores:clingen' AS primary_knowledge_source
+    FROM n
+    """,
+)
+def clingen_variant_pathogenicity_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the ClinGen variant-pathogenicity family
+    (loadClinGenVariantPathogenicity.py:140-152) — assertion ->
+    (direction, negated, status) mapping incl. the unevaluated bucket,
+    retracted rows (k%7==6) dropped via the unconnected gate."""
+    from orion_spark.plans.parsers import clingen_variant_pathogenicity_like
+
+    ks = _nation_keys(spark, sf_dir)
+    asserts = [
+        "Pathogenic", "Likely Pathogenic", "Benign", "Likely Benign",
+        "Uncertain Significance", "Conflicting",
+    ]
+    header = (
+        "allele_registry_id\tmondo_id\tassertion\tretracted\tvariation\t"
+        "hgnc_gene_symbol"
+    )
+    lines = [header]
+    for k in ks:
+        retracted = "true" if k % 7 == 6 else "false"
+        lines.append(
+            f"CA{k}\tMONDO:{8000 + k}\t{asserts[k % 6]}\t{retracted}\t"
+            f"var {k}\tSYM{k}"
+        )
+    path = _write_fixture_file("clingen_vp_v1", sf_dir, "\n".join(lines) + "\n")
+    _, _, edges = clingen_variant_pathogenicity_like(spark, path)
+    return edges.select(
+        "subject", "predicate", "object", "assertion", "direction",
+        "negated", "status", "primary_knowledge_source",
+    )
+
+
+@query(
+    "scent_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'CHEBI:' || k AS subject, 'biolink:related_to' AS predicate,
+           'SCENT:sweet_smell_' || k AS object,
+           CAST(NULL AS DOUBLE) AS cosine_distance
+    FROM n
+    UNION ALL
+    SELECT 'CHEBI:' || k, 'biolink:related_to', 'SCENT:musky_note_' || k,
+           ROUND(0.1 * k, 6)
+    FROM n WHERE 0.1 * k <= 1.0
+    """,
+)
+def scent_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the scent odorant-descriptor family
+    (loadScent.py:139-168) — human-curated edges pass through, model
+    edges gate on cosine distance <= 1.0 (keys above 10 must vanish),
+    descriptor ids SCENT:-prefixed with spaces underscored."""
+    from orion_spark.plans.parsers import scent_like
+
+    ks = _nation_keys(spark, sf_dir)
+    human = ["drug_id,predicate,verbal_scent"]
+    weighted = ["drug_id,predicate,verbal_scent,distance"]
+    for k in ks:
+        human.append(f"CHEBI:{k},biolink:related_to,sweet smell {k}")
+        weighted.append(f"CHEBI:{k},biolink:related_to,musky note {k},{0.1 * k}")
+    hp = _write_fixture_file("scent_human_v1", sf_dir, "\n".join(human) + "\n")
+    wp = _write_fixture_file("scent_weighted_v1", sf_dir, "\n".join(weighted) + "\n")
+    _, edges = scent_like(spark, hp, wp)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.round("cosine_distance", 6).alias("cosine_distance"),
+    )
+
+
+@query(
+    "molepro_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'CHEBI:' || k AS subject, 'biolink:affects' AS predicate,
+           'NCBIGene:' || k AS object,
+           CASE WHEN k % 3 = 0 THEN NULL
+                ELSE 'PMID:' || k || '|PMID:' || (k + 1) END AS publications,
+           CASE WHEN k % 2 = 0 THEN 'infores:molepro' END
+               AS primary_knowledge_source
+    FROM n
+    """,
+)
+def molepro_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the MolePro header-driven projection family
+    (loadMolePro.py:61-121) — only declared biolink properties kept,
+    biolink:-prefixed headers matched with last-match-wins, list
+    properties pipe-split, empty cells nulled, unknown columns dropped."""
+    from orion_spark.plans.parsers import molepro_like
+
+    ks = _nation_keys(spark, sf_dir)
+    nodes_lines = ["id\tname"]
+    edges_lines = [
+        "subject\tpredicate\tobject\tbiolink:publications\t"
+        "primary_knowledge_source\tjunk_column"
+    ]
+    for k in ks:
+        nodes_lines.append(f"CHEBI:{k}\tchem {k}")
+        pubs = "" if k % 3 == 0 else f"{'PMID:' + str(k)}|PMID:{k + 1}"
+        pks = "infores:molepro" if k % 2 == 0 else ""
+        edges_lines.append(
+            f"CHEBI:{k}\tbiolink:affects\tNCBIGene:{k}\t{pubs}\t{pks}\tignored"
+        )
+    np_ = _write_fixture_file("molepro_nodes_v1", sf_dir, "\n".join(nodes_lines) + "\n")
+    ep = _write_fixture_file("molepro_edges_v1", sf_dir, "\n".join(edges_lines) + "\n")
+    _, edges = molepro_like(
+        spark, np_, ep,
+        node_properties=["id", "name"],
+        edge_properties=[
+            "subject", "predicate", "object", "publications",
+            "primary_knowledge_source",
+        ],
+    )
+    return edges.select(
+        "subject", "predicate", "object",
+        F.array_join("publications", "|").alias("publications"),
+        "primary_knowledge_source",
+    )
+
+
+@query(
+    "gtopdb_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation),
+    kept AS (SELECT k FROM n WHERE k % 3 <> 2),
+    lig2gene AS (
+        SELECT 'GTOPDB:' || k AS subject,
+               CASE k % 3 WHEN 0 THEN 'DGIdb:agonist'
+                          ELSE 'DGIdb:antagonist' END AS predicate,
+               'ENSEMBL:ENSG' || k || suf AS object,
+               CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END
+                   AS primaryTarget,
+               'pKi' AS affinity_parameter,
+               'false' AS endogenous,
+               CASE WHEN k % 4 = 1 THEN NULL
+                    ELSE ROUND(5 + 0.1 * k, 6) END AS affinity,
+               CASE WHEN k % 5 = 0 THEN NULL
+                    ELSE 'PMID:' || k || '|PMID:' || (k + 1) END AS publications
+        FROM kept, LATERAL (SELECT unnest(['', 'b']) AS suf)
+    ),
+    gene2lig AS (
+        SELECT 'HGNC:' || (7000 + k), 'biolink:has_gene_product',
+               'GTOPDB:' || k, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+               CASE WHEN k % 5 = 0 THEN NULL
+                    ELSE 'PMID:' || k || '|PMID:' || (k + 1) END
+        FROM kept WHERE k % 6 = 0
+    ),
+    has_part AS (
+        SELECT 'GTOPDB:' || (9000 + k), 'biolink:has_part',
+               'GTOPDB:' || (k + off), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+        FROM n, LATERAL (SELECT unnest([0, 1]) AS off) WHERE k % 4 = 0
+    )
+    SELECT *, 'knowledge_assertion' AS knowledge_level,
+           'manual_agent' AS agent_type
+    FROM (SELECT * FROM lig2gene UNION ALL
+          SELECT * FROM gene2lig UNION ALL
+          SELECT * FROM has_part)
+    """,
+)
+def gtopdb_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the GtoPdb family (loadGtoPdb.py:154-307) —
+    '"#'-comment strip staging, human/Ensembl/bad-type gates (k%3==2
+    rows are type 'None' and must vanish), snakify+DGIdb predicate map,
+    pipe-zipped Ensembl/symbol target fan-out with affinity and PMID
+    props, HGNC symbol-map ligand-gene edges (k%6==0), peptide subunit
+    has_part fan-out (k%4==0)."""
+    from orion_spark.plans.parsers import gtopdb_like
+
+    ks = _nation_keys(spark, sf_dir)
+    inter = [
+        '"# GtoPdb interactions export"',
+        "ligand_id\tligand\ttype\ttarget_species\ttarget_ensembl_gene_id\t"
+        "target_gene_symbol\tprimary_target\taffinity_units\t"
+        "affinity_median\tendogenous\tpubmed_id\tligand_species\t"
+        "ligand_gene_symbol",
+    ]
+    for k in ks:
+        typ = ["Agonist", "Antagonist", "None"][k % 3]
+        med = "" if k % 4 == 1 else f"{5 + 0.1 * k}"
+        pm = "" if k % 5 == 0 else f"{k}|{k + 1}"
+        lig_sp = "Human" if k % 6 == 0 else "Mouse"
+        lig_sym = f"gs{k}" if k % 6 == 0 else ""
+        inter.append(
+            f"{k}\tligand {k}\t{typ}\tHuman\tENSG{k}|ENSG{k}b\t"
+            f"S{k}|S{k}B\t{'true' if k % 2 == 0 else 'false'}\tpKi\t{med}\t"
+            f"false\t{pm}\t{lig_sp}\t{lig_sym}"
+        )
+    peps = [
+        '"# GtoPdb peptides export"',
+        "ligand_id\tname\tspecies\tsubunit_ids\tsubunit_names",
+    ]
+    for k in ks:
+        if k % 4 == 0:
+            peps.append(
+                f"{9000 + k}\tpeptide {k}\tHuman\t{k}|{k + 1}\t"
+                f"sub {k}|sub {k + 1}"
+            )
+    gmap = ['"# HGNC mapping"', "hgnc_symbol\thgnc_id"]
+    for k in ks:
+        gmap.append(f"GS{k}\t{7000 + k}")
+    ip = _write_fixture_file("gtopdb_inter_v1", sf_dir, "\n".join(inter) + "\n")
+    pp = _write_fixture_file("gtopdb_pep_v1", sf_dir, "\n".join(peps) + "\n")
+    gp = _write_fixture_file("gtopdb_gmap_v1", sf_dir, "\n".join(gmap) + "\n")
+    _, edges = gtopdb_like(spark, ip, pp, gp)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.col("primaryTarget").cast("string").alias("primaryTarget"),
+        "affinity_parameter",
+        F.col("endogenous").cast("string").alias("endogenous"),
+        F.round("affinity", 6).alias("affinity"),
+        F.array_join("publications", "|").alias("publications"),
+        "knowledge_level", "agent_type",
+    )
+
+
+@query(
+    "litcoin_like_edges",
+    """
+    WITH n AS (
+        SELECT n_nationkey AS k FROM nation
+        WHERE n_nationkey % 6 <> 5 AND n_nationkey % 5 <> 4
+          AND n_nationkey % 4 <> 2
+    )
+    SELECT 'CHEBI:' || k AS subject,
+           CASE k % 4 WHEN 0 THEN 'biolink:associated_with'
+                      WHEN 1 THEN 'biolink:increases_expression_of'
+                      ELSE 'biolink:decreases_expression_of' END AS predicate,
+           'MONDO:' || k AS object,
+           CAST(k AS VARCHAR) AS llm_abstract_id,
+           ['ASSOCIATION', 'POSITIVE_REGULATION', '',
+            'NEGATIVE_REGULATION'][1 + k % 4] AS llm_relationship,
+           'PMID:' || k AS publications,
+           'exact' AS bagel_subject_synonym_type,
+           't' || k AS abstract_title,
+           CASE WHEN k % 4 = 3 THEN 'true' ELSE 'false' END AS negated
+    FROM n
+    UNION ALL
+    SELECT 'PMID:' || k, 'IAO:0000142', obj, NULL, NULL, NULL, NULL, NULL,
+           NULL
+    FROM n, LATERAL (
+        SELECT unnest(['CHEBI:' || k, 'MONDO:' || k]) AS obj)
+    """,
+)
+def litcoin_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the LitCoin LLM-extraction family
+    (loadLitCoin.py:76-325) — required-field gate (k%6==5 rows miss
+    `object`), 'NA' bagelization sentinel skip (k%5==4), broadcast
+    abstract + predicate-map joins (k%4==2 carries an unmapped
+    relationship), single-entry bagel map unpack, entity edge + two
+    publication-mentions edges per surviving row."""
+    import json
+
+    from orion_spark.plans.parsers import litcoin_like
+
+    ks = _nation_keys(spark, sf_dir)
+    rels = ["ASSOCIATION", "POSITIVE_REGULATION", "UNMAPPED_REL",
+            "NEGATIVE_REGULATION"]
+    rows = []
+    for k in ks:
+        bag_s = (
+            "NA" if k % 5 == 4
+            else json.dumps({f"CHEBI:{k}": {"name": f"chem {k}",
+                                            "synonym_type": "exact"}})
+        )
+        bag_o = json.dumps(
+            {f"MONDO:{k}": {"name": f"dis {k}", "synonym_type": "narrow"}}
+        )
+        row = {
+            "abstract_id": str(k), "abstract_span": "0-10",
+            "assertion_id": f"as{k}", "assertion_span": "2-8",
+            "subject": f"ent sub {k}", "subject_type": "chem",
+            "subject_qualifier": None,
+            "object": None if k % 6 == 5 else f"ent obj {k}",
+            "object_type": "disease", "object_qualifier": None,
+            "relationship": rels[k % 4], "statement_qualifier": None,
+            "bagelized_subject": bag_s, "bagelized_object": bag_o,
+        }
+        rows.append(json.dumps(row))
+    jl = _write_fixture_file("litcoin_llm_v1", sf_dir, "\n".join(rows) + "\n")
+    abstracts = {
+        str(k): {"pmid": str(k), "title": f"t{k}", "abstract": f"a{k}",
+                 "journal_name": f"j{k}"}
+        for k in ks
+    }
+    ap = _write_fixture_file("litcoin_abs_v1", sf_dir, json.dumps(abstracts))
+    pred_map = spark.createDataFrame(
+        [
+            ("ASSOCIATION", "biolink:associated_with", False),
+            ("POSITIVE_REGULATION", "biolink:increases_expression_of", False),
+            ("NEGATIVE_REGULATION", "biolink:decreases_expression_of", True),
+        ],
+        "relationship string, predicate string, negated boolean",
+    )
+    _, _, edges = litcoin_like(spark, jl, ap, pred_map)
+    return edges.select(
+        "subject", "predicate", "object", "llm_abstract_id",
+        "llm_relationship",
+        F.array_join("publications", "|").alias("publications"),
+        "bagel_subject_synonym_type", "abstract_title",
+        F.col("negated").cast("string").alias("negated"),
+    )
+
+
+@query(
+    "ccidb_like_edges",
+    """
+    WITH n AS (
+        SELECT n_nationkey AS k FROM nation
+        WHERE n_nationkey % 11 <> 10 AND n_nationkey % 7 <> 6
+    ),
+    dims AS (
+        SELECT k,
+               'NCBIGene:' || k AS sg, 'NCBIGene:' || (1000 + k) AS tg,
+               'CL:' || (2000 + k) AS st, 'CL:' || (3000 + k) AS tt,
+               'sspec' || k AS s_spec, 'tspec' || k AS t_spec,
+               'fv' || k AS t_fv,
+               CASE WHEN k % 3 = 0 THEN 'MONDO:1000' || k
+                    ELSE 'MONDO:2000' || k END AS d_ctx,
+               'PMID:' || (7000 + k) AS pubs
+        FROM n
+    ),
+    ph AS (
+        SELECT d.*, x.i,
+               ['proliferation', 'migration'][x.i] AS aspect,
+               CASE WHEN k % 2 = 0 THEN 'increased'
+                    ELSE ['increased', 'decreased'][x.i] END AS cmq
+        FROM dims d, LATERAL (SELECT unnest([1, 2]) AS i) x
+    ),
+    eff AS (SELECT * FROM dims WHERE k % 5 = 0),
+    eff_ph AS (SELECT * FROM ph WHERE k % 5 = 0),
+    shapes AS (
+        SELECT sg AS subject, 'biolink:directly_physically_interacts_with'
+                   AS predicate, tg AS object,
+               NULL AS qualified_predicate, NULL AS object_aspect_qualifier,
+               NULL AS causal_mechanism_qualifier,
+               NULL AS subject_context_qualifier,
+               NULL AS anatomical_context_qualifier,
+               s_spec AS subject_specialization_qualifier,
+               t_spec AS object_specialization_qualifier,
+               d_ctx AS disease_context_qualifier,
+               NULL AS object_form_or_variant_qualifier, pubs
+        FROM dims
+        UNION ALL
+        SELECT sg, 'biolink:affects', tt, 'biolink:causes', aspect, cmq,
+               tg, st, s_spec, t_spec, d_ctx, t_fv, pubs
+        FROM ph
+        UNION ALL
+        SELECT tg, 'biolink:affects', tt, 'biolink:causes', aspect, cmq,
+               sg, tt, t_spec, t_spec, d_ctx, t_fv, pubs
+        FROM ph
+        UNION ALL
+        SELECT sg, 'biolink:affects', 'NCBIGene:' || (5000 + k),
+               'biolink:causes', 'activation', NULL, tg, st, s_spec,
+               NULL, NULL, NULL, pubs
+        FROM eff
+        UNION ALL
+        SELECT tg, 'biolink:affects', 'NCBIGene:' || (5000 + k),
+               'biolink:causes', 'activation', NULL, sg, tt, t_spec,
+               NULL, NULL, NULL, pubs
+        FROM eff
+        UNION ALL
+        SELECT 'NCBIGene:' || (5000 + k), 'biolink:affects', tt,
+               'biolink:causes', aspect, cmq, NULL, NULL, NULL, t_spec,
+               d_ctx, t_fv, pubs
+        FROM eff_ph
+    )
+    SELECT * EXCLUDE (pubs), pubs AS publications,
+           'knowledge_assertion' AS knowledge_level,
+           'manual_agent' AS agent_type,
+           'infores:ccidb' AS primary_knowledge_source
+    FROM shapes
+    """,
+)
+def ccidb_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the CCIDB cell-cell-interaction family
+    (loadCCIDB.py:118-334) — two broadcast mapping dims (k%11==10 rows
+    carry an unmapped source gene and vanish), list repair (effector
+    functions broadcast from length 1; k%5==1 rows have an irreparable
+    effector mismatch that blanks the effector shapes but keeps the
+    row; k%7==6 rows have an irreparable phenotype/mode mismatch and
+    drop entirely), disease-context source-wins coalesce, and the six
+    qualified edge shapes (effector shapes only for rows whose effector
+    gene maps, k%5==0)."""
+    from orion_spark.plans.parsers import ccidb_like
+
+    ks = _nation_keys(spark, sf_dir)
+    header = (
+        "source_gene\ttarget_gene\tsource_cell\tliterature_source_cell\t"
+        "target_cell\tliterature_target_cell\teffector\t"
+        "effectors_function\tphenotype\tmode_of_action\tpmid"
+    )
+    lines = [header]
+    for k in ks:
+        s_gene = f"XX{k}" if k % 11 == 10 else f"SG{k}"
+        if k % 5 == 0:
+            eff, eff_fn = f"EFA{k},EFB{k}", "activation"
+        elif k % 5 == 1:
+            eff, eff_fn = f"EFA{k}", "activation,inhibition"
+        else:
+            eff, eff_fn = "", ""
+        mo = (
+            "a,b,c" if k % 7 == 6
+            else ("increased" if k % 2 == 0 else "increased,decreased")
+        )
+        lines.append(
+            f"{s_gene}\tTG{k}\tsrccell {k}\tlit src {k}\t"
+            f"tgtcell {k}\tlit tgt {k}\t{eff}\t{eff_fn}\t"
+            f"proliferation, migration\t{mo}\t{7000 + k}"
+        )
+    dp = _write_fixture_file("ccidb_v1", sf_dir, "\n".join(lines) + "\n")
+    gene_rows = []
+    for k in ks:
+        gene_rows += [
+            (f"SG{k}", f"NCBIGene:{k}"),
+            (f"TG{k}", f"NCBIGene:{1000 + k}"),
+            (f"EFA{k}", f"NCBIGene:{5000 + k}"),
+        ]
+    gene_mapping = spark.createDataFrame(gene_rows, "gene string, id string")
+    term_rows = []
+    for k in ks:
+        s_ctx = f"MONDO:1000{k}" if k % 3 == 0 else ""
+        term_rows += [
+            (f"srccell {k}: lit src {k}", f"CL:{2000 + k}", f"sspec{k}",
+             s_ctx, ""),
+            (f"tgtcell {k}: lit tgt {k}", f"CL:{3000 + k}", f"tspec{k}",
+             f"MONDO:2000{k}", f"fv{k}"),
+        ]
+    term_mapping = spark.createDataFrame(
+        term_rows,
+        "combined string, id string, specialization_qualifier string, "
+        "context_qualifier string, form_or_variant_qualifier string",
+    )
+    _, edges = ccidb_like(spark, dp, gene_mapping, term_mapping)
+    return edges.select(
+        "subject", "predicate", "object", "qualified_predicate",
+        "object_aspect_qualifier", "causal_mechanism_qualifier",
+        "subject_context_qualifier", "anatomical_context_qualifier",
+        "subject_specialization_qualifier",
+        "object_specialization_qualifier", "disease_context_qualifier",
+        "object_form_or_variant_qualifier",
+        F.array_join("publications", "|").alias("publications"),
+        "knowledge_level", "agent_type", "primary_knowledge_source",
+    )
+
+
+@query(
+    "cfde_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 9 <> 8),
+    ids AS (
+        SELECT k, CASE WHEN k % 4 = 0 THEN 'SEC:' || k
+                       WHEN k % 3 = 0 THEN 'PUBCHEM.COMPOUND:' || k
+                       ELSE 'ID:' || k END AS nid
+        FROM n
+    )
+    SELECT nid AS subject,
+           CASE WHEN k % 2 = 0 THEN 'biolink:associated_with'
+                ELSE 'unknown_rel' END AS predicate,
+           nid AS object,
+           'infores:lincs' AS primary_knowledge_source,
+           'knowledge_assertion' AS knowledge_level,
+           'data_analysis_pipeline' AS agent_type
+    FROM ids
+    """,
+)
+def cfde_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the CFDE config-driven family
+    (loadLINCS.py:59-117) — per-node-file id resolution (secondary fills
+    null primaries, PUBCHEM re-prefixing), missing-row kill (k%9==8 rows
+    lack a label: node dropped AND every edge through it dropped),
+    original-id -> id edge endpoint repair, predicate map with unmatched
+    relations passing through."""
+    from orion_spark.plans.parsers import cfde_like
+
+    ks = _nation_keys(spark, sf_dir)
+    nodes_lines = [",label,type,pid,sid"]
+    for k in ks:
+        label = "" if k % 9 == 8 else f"n {k}"
+        pid = "" if k % 4 == 0 else (
+            f"PUBCHEM:{k}" if k % 3 == 0 else f"ID:{k}"
+        )
+        nodes_lines.append(
+            f"orig{k},{label},biolink:Gene,{pid},SEC:{k}"
+        )
+    edges_lines = ["source,target,relation"]
+    for k in ks:
+        rel = "assoc" if k % 2 == 0 else "unknown_rel"
+        edges_lines.append(f"orig{k},orig{k},{rel}")
+    import os as _os
+
+    ddir = _os.path.join(_fixture_dir(), "cfde_v1_dir")
+    _os.makedirs(ddir, exist_ok=True)
+    for name, lines in [("nodes.csv", nodes_lines), ("edges.csv", edges_lines)]:
+        fp = _os.path.join(ddir, name)
+        if not _os.path.exists(fp):
+            tmp = fp + f".{_os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            _os.replace(tmp, fp)
+    config = {
+        "name": "lincs_like",
+        "provenance_id": "infores:lincs",
+        "predicate_mapping": {"assoc": "biolink:associated_with"},
+        "node_files": [
+            {"node_file": {"name": "nodes.csv", "primary_id_column": "pid",
+                           "secondary_id_column": "sid",
+                           "type": "biolink:Gene"}},
+        ],
+        "edge_file": "edges.csv",
+    }
+    _, edges = cfde_like(spark, config, ddir)
+    return edges.select(
+        "subject", "predicate", "object", "primary_knowledge_source",
+        "knowledge_level", "agent_type",
+    )
+
+
+@query(
+    "documents_dsir_persisted",
+    dsir_log_weights_oracle_sql(_DSIR_TARGET, _DSIR_RAW, num_buckets=1024),
+)
+def documents_dsir_persisted_q(spark, sf_dir):
+    """The persisted-model DSIR path (llm/dsir.py save_dsir_model /
+    score_with_dsir_model): fit the log-ratio dim once, write it as a
+    full-bucket-spine parquet, score the pool against the artifact —
+    the train-once/score-many production shape (and the streaming
+    curation gate's model source). Shares the in-memory path's oracle:
+    on the corpus the model was fit on the two are exactly equal
+    (pytest-pinned), so a hash-match here verifies the persisted
+    artifact round-trip end-to-end."""
+    import os
+    import re as _re
+
+    from orion_spark.llm.dsir import save_dsir_model, score_with_dsir_model
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    path = os.path.join(_fixture_dir(), f"dsir_model_v1{slug}_{os.getpid()}")
+    save_dsir_model(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        path,
+        num_buckets=1024,
+    )
+    w = score_with_dsir_model(
+        spark, docs.where(F.col("source") != "src0"), path
+    )
+    return w.select(
+        "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")
+    )
