@@ -24,10 +24,21 @@ import sys
 from pyspark.sql import functions as F
 
 
-def _spark():
-    from orion_spark.session import get_spark
+def _spark(*input_paths: str):
+    """CLI session, shuffle-partitioned for the command's ACTUAL inputs.
 
-    return get_spark(app_name="orion-spark-cli")
+    Every entry point passes the bundle/parquet paths it is about to
+    read; the session default is sized to $SPARK_GRAFT_SF_DIR, which is
+    wrong for a CLI pointed at an arbitrary bundle (round-6 verdict
+    item 6). autoscale_shuffle ignores paths that don't exist and
+    respects the ORION_SPARK_SHUFFLE_PARTITIONS override.
+    """
+    from orion_spark.session import autoscale_shuffle, get_spark
+
+    spark = get_spark(app_name="orion-spark-cli")
+    if input_paths:
+        autoscale_shuffle(spark, *input_paths)
+    return spark
 
 
 def cmd_build(args) -> int:
@@ -50,7 +61,7 @@ def cmd_merge(args) -> int:
     from orion_spark.operators.merge import merge_edges, merge_nodes, union_all
     from orion_spark.sources.kgx import read_kgx_edges, read_kgx_nodes, write_bundle
 
-    spark = _spark()
+    spark = _spark(*args.nodes, *args.edges)
     nodes = union_all(
         [read_kgx_nodes(spark, p).withColumn("_source_ordinal", F.lit(i))
          for i, p in enumerate(args.nodes)]
@@ -68,7 +79,7 @@ def cmd_meta_kg(args) -> int:
     from orion_spark.operators.analyze import meta_kg_edges, meta_kg_nodes
     from orion_spark.sources.kgx import read_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     nodes, edges = read_bundle(spark, args.bundle)
     out = {
         "nodes": [r.asDict(recursive=True) for r in meta_kg_nodes(nodes).collect()],
@@ -84,7 +95,7 @@ def cmd_redundant_kg(args) -> int:
     from orion_spark.operators.derive import redundant_edges
     from orion_spark.sources.kgx import read_bundle, write_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle, args.closure)
     nodes, edges = read_bundle(spark, args.bundle)
     closure = spark.read.parquet(args.closure)
     expanded = redundant_edges(edges, closure)
@@ -97,7 +108,7 @@ def cmd_neo4j_csv(args) -> int:
     from orion_spark.sinks.graph_csv import write_memgraph_csv, write_neo4j_csv
     from orion_spark.sources.kgx import read_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     nodes, edges = read_bundle(spark, args.bundle)
     writer = write_memgraph_csv if args.memgraph else write_neo4j_csv
     manifest = writer(nodes, edges, args.out)
@@ -109,7 +120,7 @@ def cmd_ac_files(args) -> int:
     from orion_spark.sinks.answercoalesce import write_ac_files
     from orion_spark.sources.kgx import read_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     nodes, edges = read_bundle(spark, args.bundle)
     write_ac_files(nodes, edges, args.out)
     print(json.dumps({"out": args.out}))
@@ -123,7 +134,7 @@ def cmd_qc(args) -> int:
     from orion_spark.sinks.metadata import validate_graph
     from orion_spark.sources.kgx import read_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     nodes, edges = read_bundle(spark, args.bundle)
     infores_status = None
     if args.infores_status:
@@ -154,7 +165,7 @@ def cmd_publish(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    spark = _spark()
+    spark = _spark(args.path)
     if args.sharded:
         from orion_spark.sinks.incremental import compact_sharded_bundle
 
@@ -179,7 +190,7 @@ def cmd_compact(args) -> int:
 def cmd_supplement(args) -> int:
     from orion_spark.plans.pipeline import supplement_graph
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     meta = supplement_graph(
         spark,
         args.bundle,
@@ -197,7 +208,7 @@ def cmd_neo4j_dump(args) -> int:
     from orion_spark.sinks.neo4j_dump import create_neo4j_dump
     from orion_spark.sources.kgx import read_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     nodes, edges = read_bundle(spark, args.bundle, fmt=args.format)
     ok, log = create_neo4j_dump(nodes, edges, args.out, graph_id=args.graph_id)
     print(json.dumps({"success": ok, "commands": log}))
@@ -211,7 +222,7 @@ def cmd_memgraph_dump(args) -> int:
     from orion_spark.sinks.memgraph_dump import create_memgraph_dump
     from orion_spark.sources.kgx import read_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     nodes, edges = read_bundle(spark, args.bundle, fmt=args.format)
     manifest = create_memgraph_dump(
         nodes, edges, args.out,
@@ -228,7 +239,7 @@ def cmd_neo4j_verify(args) -> int:
     from orion_spark.sinks.neo4j_meta_kg import verify_dump_meta_kg
     from orion_spark.sources.kgx import read_bundle
 
-    spark = _spark()
+    spark = _spark(args.bundle)
     nodes, edges = read_bundle(spark, args.bundle, fmt=args.format)
     report = verify_dump_meta_kg(
         nodes, edges, shlex.split(args.cypher_shell), args.workspace
@@ -271,7 +282,7 @@ def cmd_upsert(args) -> int:
     from orion_spark.sinks import incremental as INC
     from orion_spark.sinks import qc_incremental as QCI
 
-    spark = _spark()
+    spark = _spark(args.delta, args.bundle)
     delta = spark.read.parquet(args.delta)
     upsert = (
         INC.upsert_sharded_edges
@@ -307,7 +318,7 @@ def cmd_ivf_index(args) -> int:
     if args.action == "search" and not args.out:
         print("ivf-index search requires --out <parquet dir>", file=sys.stderr)
         return 2
-    spark = _spark()
+    spark = _spark(args.vectors, args.index)
     if args.action == "build":
         S.build_ivf_index(
             spark, spark.read.parquet(args.vectors), args.index,

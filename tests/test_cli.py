@@ -359,3 +359,65 @@ def test_cli_compact_sharded(spark, tmp_path):
     n_before = INC.read_sharded_bundle(spark, path).count()
     assert cli.main(["compact", "--path", path, "--sharded"]) == 0
     assert INC.read_sharded_bundle(spark, path).count() == n_before
+
+
+def test_cli_commands_autoscale_from_their_inputs(spark, tmp_path, monkeypatch):
+    """Round-6 verdict item 6: every CLI entry must size shuffle
+    partitions from its ACTUAL bundle inputs, not inherit a session
+    default sized to $SPARK_GRAFT_SF_DIR. A tiny bundle must floor the
+    count back to the CPU floor even when the session starts with a
+    wildly wrong inherited value."""
+    import orion_spark.session as SESS
+
+    bundle = str(tmp_path / "bundle")
+    _bundle(spark, bundle)
+    monkeypatch.delenv("ORION_SPARK_SHUFFLE_PARTITIONS", raising=False)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    expected = SESS.scaled_shuffle_partitions(
+        SESS.input_size_bytes(bundle), cpus=cpus
+    )
+
+    spark.conf.set("spark.sql.shuffle.partitions", "999")
+    qc_out = str(tmp_path / "qc_auto.json")
+    assert cli.main(["qc", "--bundle", bundle, "--out", qc_out]) == 0
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == expected
+
+    spark.conf.set("spark.sql.shuffle.partitions", "999")
+    mk_out = str(tmp_path / "meta_auto.json")
+    assert cli.main(["meta-kg", "--bundle", bundle, "--out", mk_out]) == 0
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == expected
+
+
+def test_cli_every_bundle_command_passes_inputs_to_spark():
+    """Static contract: each CLI command that reads distributed input
+    hands those paths to _spark() so autoscale_shuffle can size the
+    session for them. Guards new commands against silently inheriting
+    the benchmark-sized default (round-6 verdict item 6)."""
+    import ast
+    import inspect
+
+    import orion_spark.cli as CLI
+
+    # build/worker autoscale inside build_graph; fetch/publish/submit/
+    # reclaim are driver-side only (no Spark reads)
+    exempt = {
+        "cmd_build", "cmd_worker", "cmd_fetch", "cmd_publish",
+        "cmd_submit_build", "cmd_worker_reclaim",
+    }
+    tree = ast.parse(inspect.getsource(CLI))
+    offenders = []
+    for fn in tree.body:
+        if not isinstance(fn, ast.FunctionDef) or not fn.name.startswith("cmd_"):
+            continue
+        if fn.name in exempt:
+            continue
+        calls = [
+            node
+            for node in ast.walk(fn)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "_spark"
+        ]
+        if not calls or any(len(c.args) == 0 for c in calls):
+            offenders.append(fn.name)
+    assert not offenders, f"CLI commands not autoscaling from inputs: {offenders}"
