@@ -53,6 +53,7 @@ HEADLINE = [
     "documents_drift_report",
     # DSIR importance-weighted data selection (round-6 addition)
     "documents_dsir_weights",
+    "documents_dsir_selection",
     # fixed 64-query batch — the production exact-scoring contract; the
     # unbounded vec_id%100 variant stays registered as the scoring oracle
     # but scaled O(|Q|x|C|) with the fixture and distorted the sf1 suite

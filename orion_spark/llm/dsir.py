@@ -40,6 +40,8 @@ __all__ = [
     "dsir_log_weights_oracle_sql",
     "dsir_select_topk",
     "dsir_select_topk_oracle_sql",
+    "save_dsir_model",
+    "score_with_dsir_model",
 ]
 
 
@@ -262,3 +264,86 @@ def dsir_select_topk_oracle_sql(
     ORDER BY gumbel_key DESC, doc_id
     LIMIT {k}
     """
+
+
+def save_dsir_model(
+    target: DataFrame,
+    raw: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> None:
+    """Persist the DSIR log-ratio dimension: one parquet of exactly
+    `num_buckets` rows (bkt, lr), covering every bucket — including those
+    absent from both corpora, which carry the pure-smoothing ratio — so
+    the model scores documents it has never seen. This is the
+    train-once/reuse artifact (same discipline as textstats.save_lm_model
+    and the persisted IVF index): fit the two multinomials once on the
+    target corpus and a raw-pool sample, then score any number of pool
+    shards — or a stream — against the same kilobyte-sized dim."""
+    spark = target.sparkSession
+    b = num_buckets
+    tdim = (
+        _features(target, text_col, id_col)
+        .groupBy(_bucket(F.col("f"), b).alias("bkt"))
+        .agg(F.count("*").alias("tc"))
+    )
+    rdim = (
+        _features(raw, text_col, id_col)
+        .groupBy(_bucket(F.col("f"), b).alias("bkt"))
+        .agg(F.count("*").alias("rc"))
+    )
+    consts = (
+        tdim.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_total"))
+        .crossJoin(rdim.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("r_total")))
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * b)
+    spine = spark.range(b).select(F.col("id").cast("int").alias("bkt"))
+    ratio_dim = (
+        spine.join(tdim, "bkt", "left")
+        .join(rdim, "bkt", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "bkt",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + a) / (F.col("t_total") + ab))
+                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + a) / (F.col("r_total") + ab))
+            ).alias("lr"),
+        )
+    )
+    # num_buckets rows — one file, no point fragmenting a kilobyte table
+    ratio_dim.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def score_with_dsir_model(
+    spark,
+    docs: DataFrame,
+    model_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a persisted DSIR model: same
+    (id, n_feats, log_weight) contract as :func:`dsir_log_weights`, but
+    the model is the stream-static side — read once, broadcast onto the
+    partition-local per-doc bucket counts. On the corpus the model was
+    fit on, output equals the in-memory path exactly (pytest-pinned);
+    num_buckets is implied by the dim's row count."""
+    ratio_dim = spark.read.parquet(model_path)
+    b = ratio_dim.count()
+    docb = (
+        _features(docs, text_col, id_col, pre_partition=True)
+        .groupBy("_did", _bucket(F.col("f"), b).alias("bkt"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        docb.join(F.broadcast(ratio_dim), "bkt")
+        .groupBy("_did")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lr")).alias("log_weight"),
+        )
+        .withColumnRenamed("_did", id_col)
+    )

@@ -74,6 +74,8 @@ def curated_dedup_sink(
     checkpoint: str,
     lm_model_path: str | None = None,
     max_bits_per_token: float | None = None,
+    dsir_model_path: str | None = None,
+    min_log_weight: float | None = None,
 ):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
@@ -89,7 +91,14 @@ def curated_dedup_sink(
     but is ordinary static work on a micro-batch; the LM count tables
     are the stream-static side, read once per batch and
     vocabulary-sized. This is the production shape — the model artifact
-    refreshes on its own cadence, the stream just joins it."""
+    refreshes on its own cadence, the stream just joins it.
+
+    `dsir_model_path` + `min_log_weight` add the DSIR target-likeness
+    gate the same way: score each batch against a PERSISTED log-ratio
+    dim (llm/dsir.save_dsir_model — fit offline on the target corpus +
+    a raw-pool sample) and drop documents below the floor. Same
+    foreachBatch rationale as the LM gate (per-doc aggregate), same
+    stream-static model artifact, bucket-count-sized."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
@@ -100,6 +109,13 @@ def curated_dedup_sink(
                 spark, b, lm_model_path, text_col="clean_text"
             ).where(F.col("bits_per_token") <= max_bits_per_token)
             b = b.join(scores.select("doc_id"), "doc_id", "left_semi")
+        if dsir_model_path is not None and min_log_weight is not None:
+            from orion_spark.llm.dsir import score_with_dsir_model
+
+            w = score_with_dsir_model(
+                spark, b, dsir_model_path, text_col="clean_text"
+            ).where(F.col("log_weight") >= min_log_weight)
+            b = b.join(w.select("doc_id"), "doc_id", "left_semi")
         b = b.withColumn("content_key", F.md5("clean_text"))
         if os.path.exists(out_path):
             seen = spark.read.parquet(out_path).select("content_key").distinct()
@@ -118,6 +134,8 @@ def run_curation_stream(
     checkpoint: str,
     lm_model_path: str | None = None,
     max_bits_per_token: float | None = None,
+    dsir_model_path: str | None = None,
+    min_log_weight: float | None = None,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
@@ -129,6 +147,8 @@ def run_curation_stream(
                 spark, out_path, checkpoint,
                 lm_model_path=lm_model_path,
                 max_bits_per_token=max_bits_per_token,
+                dsir_model_path=dsir_model_path,
+                min_log_weight=min_log_weight,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -923,3 +923,49 @@ def test_dsir_gumbel_selection_is_deterministic(spark):
     a = [r["doc_id"] for r in dsir_select_topk(w, k=7).collect()]
     b = [r["doc_id"] for r in dsir_select_topk(w, k=7).collect()]
     assert a == b and len(a) == 7
+
+
+def test_dsir_persisted_model_equals_in_memory(spark, tmp_path):
+    """save_dsir_model + score_with_dsir_model must reproduce
+    dsir_log_weights exactly on the corpus the model was fit on (the
+    train-once/reuse contract), and must score NEVER-SEEN documents —
+    including ones hitting buckets absent from both corpora — without
+    dropping them."""
+    from orion_spark.llm.dsir import (
+        dsir_log_weights,
+        save_dsir_model,
+        score_with_dsir_model,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "gene protein pathway binds receptor") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "gene protein pathway binds"),
+            (101, "stock market futures trading desk"),
+            (102, "protein pathway stock desk"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "dsir_model")
+    save_dsir_model(target, raw, path, num_buckets=64)
+    assert spark.read.parquet(path).count() == 64  # full bucket spine
+
+    inmem = {
+        r["doc_id"]: (r["n_feats"], round(r["log_weight"], 9))
+        for r in dsir_log_weights(target, raw, num_buckets=64).collect()
+    }
+    persisted = {
+        r["doc_id"]: (r["n_feats"], round(r["log_weight"], 9))
+        for r in score_with_dsir_model(spark, raw, path).collect()
+    }
+    assert inmem == persisted
+
+    novel = spark.createDataFrame(
+        [(200, "completely novel vocabulary here xyzzy")],
+        ["doc_id", "text"],
+    )
+    out = score_with_dsir_model(spark, novel, path).collect()
+    assert len(out) == 1 and out[0]["n_feats"] == 9

@@ -335,3 +335,47 @@ def test_streaming_curation_perplexity_gate(spark, tmp_path):
     )
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1]
+
+
+def test_streaming_curation_dsir_gate(spark, tmp_path):
+    """The persisted-DSIR target-likeness gate inside the foreachBatch
+    sink: pool docs below the log-weight floor are dropped, target-like
+    docs pass. Model fit offline (save_dsir_model), stream joins the
+    kilobyte ratio dim — same stream-static shape as the LM gate."""
+    from orion_spark.llm.dsir import save_dsir_model, score_with_dsir_model
+    from orion_spark.streaming import curation as C
+
+    tline = "the gene encodes a protein kinase that binds the receptor domain"
+    oline = "the stock market futures traded lower on weak earnings guidance"
+    target = spark.createDataFrame(
+        [(i, tline) for i in range(5)], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(100, tline), (101, oline)], "doc_id long, text string"
+    )
+    mpath = str(tmp_path / "dsir_model")
+    save_dsir_model(target, pool, mpath, num_buckets=256)
+    scored = {
+        r.doc_id: r.log_weight
+        for r in score_with_dsir_model(spark, pool, mpath).collect()
+    }
+    assert scored[100] > scored[101]
+    floor = (scored[100] + scored[101]) / 2
+
+    src, out, ck = (str(tmp_path / x) for x in ("src", "out", "ck"))
+    good = tline + "\n" + tline
+    bad = oline + "\n" + oline
+    rows = [
+        (100, good, "en", "s1", len(good)),
+        (101, bad, "en", "s1", len(bad)),
+    ]
+    spark.createDataFrame(rows, C.DOCS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    C.run_curation_stream(
+        spark, src, out, ck,
+        dsir_model_path=mpath, min_log_weight=floor,
+        min_quality=0.0,
+    )
+    kept = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert kept == [100]
