@@ -9620,3 +9620,68 @@ def documents_dsir_persisted_q(spark, sf_dir):
     return w.select(
         "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")
     )
+
+
+@query(
+    "ohd_like_edges",
+    """
+    WITH n AS (SELECT n_nationkey AS k FROM nation)
+    SELECT 'SNOMEDCT:' || k AS subject,
+           'biolink:associated_with' AS predicate,
+           'LOINC:' || (300 + k) AS object,
+           ROUND(0.01 * k, 6) AS p_value,
+           ROUND(0.2 * k - 1, 6) AS log_odds_ratio,
+           ROUND(0.2 * k - 1.1, 6) AS ci_lower,
+           ROUND(0.2 * k - 0.9, 6) AS ci_upper,
+           100 + k AS total_sample_size,
+           'infores:openhealthdata-carolina' AS primary_knowledge_source,
+           'statistical_association' AS knowledge_level,
+           'data_pipeline' AS agent_type
+    FROM n
+    """,
+)
+def ohd_like_edges_q(spark, sf_dir):
+    """§2 source-to-KGX: the OHD-Carolina family (loadOHD.py:68-103) —
+    zip-member staging (the fixture IS a zip archive), typed statistical
+    props (float p/log-odds, JSON CI list, int sample size), per-row
+    primary source passthrough."""
+    import io
+    import os
+    import re as _re
+    import zipfile
+
+    from orion_spark.plans.parsers import ohd_like
+
+    ks = _nation_keys(spark, sf_dir)
+    lines = [
+        "subject_id,subject_name,predicate,object_id,object_name,score,"
+        "chi_squared_p_value,log_odds_ratio,log_odds_ratio_95_ci,"
+        "total_sample_size,primary_knowledge_source"
+    ]
+    for k in ks:
+        lines.append(
+            f'SNOMEDCT:{k},cond {k},biolink:associated_with,'
+            f'LOINC:{300 + k},lab {k},s{k},{0.01 * k},{0.2 * k - 1},'
+            f'"[{0.2 * k - 1.1}, {0.2 * k - 0.9}]",{100 + k},'
+            f'infores:openhealthdata-carolina'
+        )
+    slug = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    zpath = os.path.join(_fixture_dir(), f"ohd_v1{slug}.zip")
+    if not os.path.exists(zpath):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("edges.csv", "\n".join(lines) + "\n")
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(buf.getvalue())
+        os.replace(tmp, zpath)
+    _, edges = ohd_like(spark, zpath)
+    return edges.select(
+        "subject", "predicate", "object",
+        F.round("p_value", 6).alias("p_value"),
+        F.round("log_odds_ratio", 6).alias("log_odds_ratio"),
+        F.round(F.element_at("log_odds_ratio_95_ci", 1), 6).alias("ci_lower"),
+        F.round(F.element_at("log_odds_ratio_95_ci", 2), 6).alias("ci_upper"),
+        "total_sample_size", "primary_knowledge_source", "knowledge_level",
+        "agent_type",
+    )
