@@ -73,6 +73,10 @@ HEADLINE = [
     "bundle_version_diff",
     "skew_direct_merge_stress",
     "skew_salted_merge_stress",
+    # round-7 additions: Bloom-filter incremental dedup (build + broadcast
+    # map-only probe) and the full Gopher quality-rule panel
+    "documents_bloom_history_filter",
+    "documents_gopher_rules",
 ]
 
 

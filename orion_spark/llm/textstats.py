@@ -904,3 +904,173 @@ def corpus_drift_oracle_sql(
            ROUND((SELECT kl FROM kl), {round_digits}) AS kl_old_new_bits
     FROM t
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models", §A1.1) —
+# the full named rule set, as one JVM-side panel. Each rule is its own
+# boolean column (so curation can audit WHICH rule rejected a document, the
+# way the paper reports per-rule removal rates), plus the conjunction.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> list[Column]:
+    """The Gopher repetition-free quality rules as aliased boolean columns
+    (+ `gopher_pass`, the conjunction). Pure column expressions: at 100 TB
+    this runs inside the scan's codegen stage, no shuffle, no UDF.
+
+    Word tokenization (lowercase, whitespace split, empties dropped) matches
+    the module's other operators; "symbols" are the paper's '#' and '...'
+    counted as substring occurrences; bullet lines start with -, *, or •
+    after leading-space strip; ellipsis lines end with '...'."""
+    w = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != "")
+    n_words = F.size(w)
+    # null, not 0, as the divisor for empty docs: double/0 is IEEE Inf/NaN in
+    # Spark but engine-dependent elsewhere — null propagates identically and
+    # the coalesce(..., False) below settles every rule the same way
+    nw = F.when(n_words > 0, n_words.cast("double"))
+    mean_wlen = (
+        F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        .cast("double")
+        / nw
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("..."))) / n_lines
+    )
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / nw
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "rule_symbol_ratio": (n_hash + n_ellipsis) / nw <= max_symbol_word_ratio,
+        "rule_bullet_lines": bullet_frac <= max_bullet_frac,
+        "rule_ellipsis_lines": ellipsis_frac <= max_ellipsis_frac,
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": n_stop >= min_stopwords,
+    }
+    cols = [
+        F.coalesce(expr, F.lit(False)).alias(name) for name, expr in rules.items()
+    ]
+    gopher_pass = F.lit(True)
+    for expr in rules.values():
+        gopher_pass = gopher_pass & F.coalesce(expr, F.lit(False))
+    return cols + [gopher_pass.alias("gopher_pass")]
+
+
+def gopher_panel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """Per-document Gopher rule panel: (id, n_words, rule_*, gopher_pass)."""
+    w = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(w).cast("bigint").alias("n_words"),
+        *gopher_rules(F.col(text_col), **kw),
+    )
+
+
+def gopher_rules_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> str:
+    """DuckDB SQL reproducing gopher_panel bit-for-bit."""
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH base AS (
+        SELECT {id_col},
+               [x for x in string_split_regex(lower(trim({text_col})), '\\s+')
+                if x <> ''] AS w,
+               [x for x in string_split({text_col}, chr(10))
+                if trim(x) <> ''] AS lines,
+               length({text_col})
+                 - length(replace({text_col}, '#', '')) AS n_hash,
+               (length({text_col})
+                 - length(replace({text_col}, '...', ''))) / 3 AS n_ellipsis
+        FROM {table}),
+    m AS (
+        SELECT {id_col}, w, lines, n_hash, n_ellipsis,
+               len(w) AS n_words,
+               list_sum([length(x) for x in w])::DOUBLE / nullif(len(w), 0) AS mean_wlen,
+               greatest(len(lines), 1)::DOUBLE AS n_lines
+        FROM base)
+    SELECT {id_col},
+           n_words::BIGINT AS n_words,
+           coalesce(n_words >= {min_words} AND n_words <= {max_words}, FALSE)
+               AS rule_word_count,
+           coalesce(mean_wlen >= {min_mean_word_len}
+                    AND mean_wlen <= {max_mean_word_len}, FALSE)
+               AS rule_mean_word_len,
+           coalesce((n_hash + n_ellipsis) / nullif(n_words, 0)::DOUBLE
+                    <= {max_symbol_word_ratio}, FALSE) AS rule_symbol_ratio,
+           coalesce(len([x for x in lines
+                         if substr(ltrim(x), 1, 1) IN ('-', '*', chr(8226))])
+                    / n_lines <= {max_bullet_frac}, FALSE) AS rule_bullet_lines,
+           coalesce(len([x for x in lines if rtrim(x) LIKE '%...'])
+                    / n_lines <= {max_ellipsis_frac}, FALSE)
+               AS rule_ellipsis_lines,
+           coalesce(len([x for x in w if regexp_matches(x, '[a-z]')])
+                    / nullif(n_words, 0)::DOUBLE >= {min_alpha_word_frac}, FALSE)
+               AS rule_alpha_words,
+           coalesce(len(list_intersect(list_distinct(w), [{stop_list}]))
+                    >= {min_stopwords}, FALSE) AS rule_stopwords,
+           coalesce(n_words >= {min_words} AND n_words <= {max_words}, FALSE)
+           AND coalesce(mean_wlen >= {min_mean_word_len}
+                        AND mean_wlen <= {max_mean_word_len}, FALSE)
+           AND coalesce((n_hash + n_ellipsis) / nullif(n_words, 0)::DOUBLE
+                        <= {max_symbol_word_ratio}, FALSE)
+           AND coalesce(len([x for x in lines
+                             if substr(ltrim(x), 1, 1) IN ('-', '*', chr(8226))])
+                        / n_lines <= {max_bullet_frac}, FALSE)
+           AND coalesce(len([x for x in lines if rtrim(x) LIKE '%...'])
+                        / n_lines <= {max_ellipsis_frac}, FALSE)
+           AND coalesce(len([x for x in w if regexp_matches(x, '[a-z]')])
+                        / nullif(n_words, 0)::DOUBLE >= {min_alpha_word_frac}, FALSE)
+           AND coalesce(len(list_intersect(list_distinct(w), [{stop_list}]))
+                        >= {min_stopwords}, FALSE) AS gopher_pass
+    FROM m
+    """

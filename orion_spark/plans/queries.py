@@ -9685,3 +9685,163 @@ def ohd_like_edges_q(spark, sf_dir):
         "total_sample_size", "primary_knowledge_source", "knowledge_level",
         "agent_type",
     )
+
+
+# ===========================================================================
+# Round 7: Bloom-filter incremental dedup + the full Gopher rule panel
+# ===========================================================================
+
+_BLOOM_M = 1 << 18
+_BLOOM_K = 4
+_BLOOM_HIST_PRED = "doc_id % 7 = 0"
+
+
+def _bloom_oracle_probe() -> str:
+    from orion_spark.llm import bloom as BL
+
+    return BL.bloom_probe_oracle_sql(
+        batch_sql="SELECT doc_id, text FROM documents",
+        history_sql=f"SELECT text FROM documents WHERE {_BLOOM_HIST_PRED}",
+        key_expr="text",
+        id_col="doc_id",
+        m_bits=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+
+
+@query(
+    "documents_bloom_history_filter",
+    # deferred: built from the module's oracle builder right below
+    None,
+)
+def documents_bloom_history_filter_q(spark, sf_dir):
+    """Probe every document against a Bloom filter built on the 'historical'
+    subset (doc_id % 7 == 0): the incremental-dedup primitive. The filter is
+    one hash-aggregate over the history (bounded at m/32 rows) broadcast as
+    a map; the probe is a map-only pass — neither corpus shuffles."""
+    from orion_spark.llm import bloom as BL
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.expr(_BLOOM_HIST_PRED))
+    bloom = BL.bloom_build(hist, "text", _BLOOM_M, _BLOOM_K)
+    return BL.bloom_probe(docs, bloom, "text", _BLOOM_M, _BLOOM_K).select(
+        "doc_id", "bloom_hit"
+    )
+
+
+@query(
+    "documents_bloom_fp_accounting",
+    None,
+)
+def documents_bloom_fp_accounting_q(spark, sf_dir):
+    """Soundness + precision accounting for the Bloom history filter in one
+    row: n_missed MUST be 0 (a Bloom filter cannot produce false negatives)
+    and n_false_pos quantifies over-dropping at this (m, k, n)."""
+    from orion_spark.llm import bloom as BL
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.expr(_BLOOM_HIST_PRED))
+    bloom = BL.bloom_build(hist, "text", _BLOOM_M, _BLOOM_K)
+    probed = BL.bloom_probe(docs, bloom, "text", _BLOOM_M, _BLOOM_K)
+    hist_keys = hist.select(F.md5("text").alias("_hk")).distinct()
+    flagged = probed.join(
+        F.broadcast(hist_keys), F.md5(probed["text"]) == hist_keys["_hk"], "left"
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.col("_hk").isNotNull().alias("exact_member"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("bloom_hit").cast("bigint")).alias("n_bloom_hits"),
+        F.sum(F.col("exact_member").cast("bigint")).alias("n_exact"),
+        F.sum((F.col("bloom_hit") & ~F.col("exact_member")).cast("bigint")).alias(
+            "n_false_pos"
+        ),
+        F.sum((~F.col("bloom_hit") & F.col("exact_member")).cast("bigint")).alias(
+            "n_missed"
+        ),
+    )
+
+
+@query("documents_gopher_rules", None)
+def documents_gopher_rules_q(spark, sf_dir):
+    """The complete Gopher quality rule set (Rae et al. 2021 §A1.1) as a
+    per-document boolean panel + conjunction — pure column expressions, so
+    at 100 TB the whole panel runs inside the scan's codegen stage."""
+    from orion_spark.llm import textstats as TS
+
+    return TS.gopher_panel(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "documents_gopher_summary",
+    """
+    WITH panel AS ({GOPHER_PANEL_SQL})
+    SELECT d.lang, d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN p.rule_word_count THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+           CAST(SUM(CASE WHEN p.rule_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords,
+           CAST(SUM(CASE WHEN p.rule_alpha_words THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha_words
+    FROM panel p JOIN documents d USING (doc_id)
+    GROUP BY d.lang, d.source
+    """,
+)
+def documents_gopher_summary_q(spark, sf_dir):
+    """Per-(lang, source) Gopher rejection rollup — the per-rule removal-rate
+    report the paper publishes, as one partial-aggregatable groupBy."""
+    from orion_spark.llm import textstats as TS
+
+    docs = _t(spark, sf_dir, "documents")
+    panel = TS.gopher_panel(docs)
+    return (
+        panel.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("gopher_pass").cast("bigint")).alias("n_pass"),
+            F.sum((~F.col("rule_word_count")).cast("bigint")).alias(
+                "fail_word_count"
+            ),
+            F.sum((~F.col("rule_stopwords")).cast("bigint")).alias(
+                "fail_stopwords"
+            ),
+            F.sum((~F.col("rule_alpha_words")).cast("bigint")).alias(
+                "fail_alpha_words"
+            ),
+        )
+    )
+
+
+def _register_round7_oracles() -> None:
+    """Oracle SQL for the round-7 entries that needs module builders (kept
+    next to the queries; called at import time like every other entry)."""
+    from orion_spark.llm import bloom as BL  # noqa: F401
+    from orion_spark.llm import textstats as TS
+
+    ORACLES["documents_bloom_history_filter"] = _bloom_oracle_probe()
+    ORACLES["documents_bloom_fp_accounting"] = f"""
+    WITH probe AS ({_bloom_oracle_probe()}),
+    hist AS (SELECT DISTINCT md5(text) AS hk FROM documents
+             WHERE {_BLOOM_HIST_PRED}),
+    flagged AS (
+        SELECT d.doc_id, p.bloom_hit,
+               (md5(d.text) IN (SELECT hk FROM hist)) AS exact_member
+        FROM documents d JOIN probe p USING (doc_id))
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN exact_member THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT exact_member THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN exact_member AND NOT bloom_hit THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_missed
+    FROM flagged
+    """
+    ORACLES["documents_gopher_rules"] = TS.gopher_rules_oracle_sql()
+    ORACLES["documents_gopher_summary"] = ORACLES[
+        "documents_gopher_summary"
+    ].replace("{GOPHER_PANEL_SQL}", TS.gopher_rules_oracle_sql())
+
+
+_register_round7_oracles()

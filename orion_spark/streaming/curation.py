@@ -76,6 +76,7 @@ def curated_dedup_sink(
     max_bits_per_token: float | None = None,
     dsir_model_path: str | None = None,
     min_log_weight: float | None = None,
+    bloom_history_path: str | None = None,
 ):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
@@ -98,10 +99,28 @@ def curated_dedup_sink(
     dim (llm/dsir.save_dsir_model — fit offline on the target corpus +
     a raw-pool sample) and drop documents below the floor. Same
     foreachBatch rationale as the LM gate (per-doc aggregate), same
-    stream-static model artifact, bucket-count-sized."""
+    stream-static model artifact, bucket-count-sized.
+
+    `bloom_history_path` adds the historical-corpus gate: a persisted
+    Bloom bitmap (llm/bloom.save_bloom — built offline over the existing
+    corpus's clean-text) probed per batch as a broadcast map-only pass.
+    Unlike the sink anti-join below — which re-reads the accumulated sink
+    every batch, O(corpus) per trigger — the bloom is fixed-size however
+    large the history, which is what makes "never re-ingest anything from
+    the last 100 TB" affordable per micro-batch. Sound (no false
+    negatives); over-drops at the filter's FP rate."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
+        if bloom_history_path is not None:
+            from orion_spark.llm.bloom import bloom_probe, load_bloom
+
+            bloom, m_bits, k = load_bloom(spark, bloom_history_path)
+            b = (
+                bloom_probe(b, bloom, "clean_text", m_bits, k)
+                .where(~F.col("bloom_hit"))
+                .drop("bloom_hit")
+            )
         if lm_model_path is not None and max_bits_per_token is not None:
             from orion_spark.llm.textstats import score_with_lm_model
 
@@ -136,6 +155,7 @@ def run_curation_stream(
     max_bits_per_token: float | None = None,
     dsir_model_path: str | None = None,
     min_log_weight: float | None = None,
+    bloom_history_path: str | None = None,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
@@ -149,6 +169,7 @@ def run_curation_stream(
                 max_bits_per_token=max_bits_per_token,
                 dsir_model_path=dsir_model_path,
                 min_log_weight=min_log_weight,
+                bloom_history_path=bloom_history_path,
             )
         )
         .option("checkpointLocation", checkpoint)
