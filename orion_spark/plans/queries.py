@@ -9845,3 +9845,55 @@ def _register_round7_oracles() -> None:
 
 
 _register_round7_oracles()
+
+
+@query(
+    "text_line_repetition_stats",
+    """
+    WITH lines AS (
+        SELECT doc_id, x AS line
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+              FROM documents)
+        WHERE trim(x) <> ''),
+    lc AS (
+        SELECT doc_id, line, COUNT(*) AS c, length(line) AS chars
+        FROM lines GROUP BY doc_id, line)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6)
+               AS dup_line_fraction,
+           ROUND(CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * chars ELSE 0 END)
+                      AS DOUBLE)
+                 / nullif(SUM(c * chars), 0), 6) AS dup_line_char_fraction
+    FROM lc GROUP BY doc_id
+    """,
+)
+def text_line_repetition_stats_q(spark, sf_dir):
+    """The line-level half of Gopher's repetition signals (the word-level
+    half is text_repetition_stats): per document, the fraction of duplicate
+    line OCCURRENCES and the fraction of character mass inside repeated
+    lines. Same single-shuffle shape as the word sibling: hash-partition
+    compact documents by doc_id first, then both chained aggregates
+    (doc_id,line then doc_id) stay partition-local."""
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text").repartition("doc_id")
+    )
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).where(F.trim("line") != "")
+    lc = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("c"), F.length("line").alias("chars")
+    )
+    dup_chars = F.sum(
+        F.when(F.col("c") > 1, (F.col("c") - 1) * F.col("chars")).otherwise(0)
+    ).cast("double")
+    total_chars = F.sum(F.col("c") * F.col("chars"))
+    return lc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_lines"),
+        F.round(
+            (F.sum("c") - F.count("*")).cast("double") / F.sum("c"), 6
+        ).alias("dup_line_fraction"),
+        F.round(
+            dup_chars / F.nullif(total_chars, F.lit(0)), 6
+        ).alias("dup_line_char_fraction"),
+    )
