@@ -1058,3 +1058,86 @@ def repeated_ngram_spans_oracle_sql(
                  / CAST(e.n_tokens AS DOUBLE), 6) AS dup_token_fraction
     FROM eligible e LEFT JOIN per_doc p ON e.doc_id = p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup with document reconstruction — the CCNet
+# move (Wenzek et al. 2020): drop every repeated paragraph occurrence
+# corpus-wide (keeper = globally first by (doc_id, position)), then
+# reassemble each document from its surviving paragraphs.
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup_rewrite(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_paras, n_kept, new_text): documents rewritten with every
+    non-first paragraph occurrence removed (intra- and inter-document).
+
+    Scale shape: two key-hashed shuffles — one window over md5(paragraph)
+    to rank occurrences (ties impossible: (doc_id, idx) is a total order),
+    one groupBy doc_id to reassemble. The paragraph text itself is carried,
+    never joined back, so nothing re-shuffles the corpus a third time."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "para"),
+    ).where(F.trim("para") != "")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "idx")
+    kept = paras.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("new_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
+def paragraph_dedup_rewrite_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB reproduction: zipped unnest for (idx, para), ROW_NUMBER over
+    md5(para) with the same (doc_id, idx) total order, ordered string_agg."""
+    return f"""
+    WITH paras AS (
+        SELECT * FROM (
+            SELECT {id_col} AS doc_id,
+                   unnest(range(1, len(p) + 1)) AS idx,
+                   unnest(p) AS para
+            FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS p
+                  FROM {table}))
+        WHERE trim(para) <> ''),
+    ranked AS (
+        SELECT doc_id, idx, para,
+               ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, idx) AS rk
+        FROM paras),
+    totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(para, chr(10) ORDER BY idx) AS new_text
+        FROM ranked WHERE rk = 1 GROUP BY doc_id)
+    SELECT d.{id_col} AS doc_id,
+           CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.new_text, '') AS new_text
+    FROM {table} d
+    LEFT JOIN totals t ON d.{id_col} = t.doc_id
+    LEFT JOIN rebuilt r ON d.{id_col} = r.doc_id
+    """

@@ -9897,3 +9897,23 @@ def text_line_repetition_stats_q(spark, sf_dir):
             dup_chars / F.nullif(total_chars, F.lit(0)), 6
         ).alias("dup_line_char_fraction"),
     )
+
+
+@query("dedup_paragraph_rewrite", None)
+def dedup_paragraph_rewrite_q(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup + document reconstruction
+    (llm/dedup.paragraph_dedup_rewrite): keep each distinct paragraph only
+    at its globally-first (doc_id, position) occurrence, rebuild documents
+    from the survivors. Two key-hashed shuffles total."""
+    from orion_spark.llm import dedup as DD
+
+    return DD.paragraph_dedup_rewrite(_t(spark, sf_dir, "documents"))
+
+
+def _register_paragraph_oracle() -> None:
+    from orion_spark.llm import dedup as DD
+
+    ORACLES["dedup_paragraph_rewrite"] = DD.paragraph_dedup_rewrite_oracle_sql()
+
+
+_register_paragraph_oracle()

@@ -969,3 +969,60 @@ def test_dsir_persisted_model_equals_in_memory(spark, tmp_path):
     )
     out = score_with_dsir_model(spark, novel, path).collect()
     assert len(out) == 1 and out[0]["n_feats"] == 9
+
+
+def test_paragraph_dedup_rewrite_hand_case(spark):
+    """Corpus-wide paragraph dedup: doc 1 keeps both paragraphs (first
+    occurrences), doc 2 loses the shared one, intra-doc repeats collapse,
+    a fully-duplicate doc rewrites to empty."""
+    from orion_spark.llm.dedup import paragraph_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared paragraph"),
+            (2, "shared paragraph\ngamma delta"),
+            (3, "repeat me\nrepeat me\nunique tail"),
+            (4, "shared paragraph"),
+            (5, "   \n  "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in paragraph_dedup_rewrite(docs).collect()}
+    assert out[1].new_text == "alpha beta\nshared paragraph"
+    assert (out[1].n_paras, out[1].n_kept) == (2, 2)
+    assert out[2].new_text == "gamma delta"
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert out[3].new_text == "repeat me\nunique tail"
+    assert (out[3].n_paras, out[3].n_kept) == (3, 2)
+    assert out[4].new_text == ""
+    assert (out[4].n_paras, out[4].n_kept) == (1, 0)
+    assert out[5].new_text == ""
+    assert (out[5].n_paras, out[5].n_kept) == (0, 0)
+
+
+def test_paragraph_dedup_rewrite_matches_duckdb(spark):
+    import duckdb
+
+    from orion_spark.llm.dedup import (
+        paragraph_dedup_rewrite,
+        paragraph_dedup_rewrite_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"common header\nbody line {i % 4}\ntail {i}")
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.n_paras, r.n_kept, r.new_text)
+        for r in paragraph_dedup_rewrite(docs).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.sql(paragraph_dedup_rewrite_oracle_sql()).fetchall()
+    )
+    assert got == want
