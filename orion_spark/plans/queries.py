@@ -9917,3 +9917,46 @@ def _register_paragraph_oracle() -> None:
 
 
 _register_paragraph_oracle()
+
+
+@query("documents_quality_clf_weights", None)
+def documents_quality_clf_weights_q(spark, sf_dir):
+    """Closed-form ridge quality-classifier training entirely in-engine
+    (llm/classifier.py): hashed-unigram features, one partial-aggregatable
+    Gram pass, Cramer-rule solve as column expressions — no numpy, no
+    collect. Label: lang == 'en'."""
+    from orion_spark.llm import classifier as C
+
+    docs = _t(spark, sf_dir, "documents")
+    w = C.ridge_weights_frame(docs, (F.col("lang") == "en").cast("double"))
+    return w.select(*[F.round(F.col(f"w_{i}"), 6).alias(f"w_{i}") for i in range(5)])
+
+
+@query("documents_quality_clf_scores", None)
+def documents_quality_clf_scores_q(spark, sf_dir):
+    """Train + score in one plan: the 1-row weights frame broadcasts back
+    onto the corpus and scoring is a map-only dot product. The oracle is
+    generated from the same Leibniz term enumeration, so the IEEE doubles
+    associate identically and even the trained scores hash-match."""
+    from orion_spark.llm import classifier as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.ridge_quality_scores(docs, (F.col("lang") == "en").cast("double"))
+
+
+def _register_clf_oracles() -> None:
+    from orion_spark.llm import classifier as C
+
+    label = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+    ORACLES["documents_quality_clf_scores"] = C.ridge_scores_oracle_sql(
+        "documents", label
+    )
+    full = C.ridge_scores_oracle_sql("documents", label)
+    # weights-only variant: reuse the scores oracle's CTEs, project w
+    head, _, _tail = full.partition("SELECT d.doc_id")
+    ORACLES["documents_quality_clf_weights"] = head + "SELECT " + ", ".join(
+        f"ROUND(w_{i}, 6) AS w_{i}" for i in range(5)
+    ) + " FROM w"
+
+
+_register_clf_oracles()
