@@ -9960,3 +9960,26 @@ def _register_clf_oracles() -> None:
 
 
 _register_clf_oracles()
+
+
+@query("text_countmin_topk_accuracy", None)
+def text_countmin_topk_accuracy_q(spark, sf_dir):
+    """Count-Min sketch over the corpus vocabulary (llm/sketches.py):
+    4x1024 counters built by one bounded groupBy, estimates = min over a
+    word's counters via a broadcast of the (<= depth*width row) sketch.
+    Reports (word, true_count, cm_estimate) for the true top-20 — the
+    one-sided-error contract (estimate >= truth) made visible. Unlike the
+    HLL panels this sketch is deterministic integer arithmetic, so the
+    check is a full value oracle."""
+    from orion_spark.llm import sketches as SK
+
+    return SK.cm_topk_accuracy(_t(spark, sf_dir, "documents"))
+
+
+def _register_sketch_oracles() -> None:
+    from orion_spark.llm import sketches as SK
+
+    ORACLES["text_countmin_topk_accuracy"] = SK.cm_topk_accuracy_oracle_sql()
+
+
+_register_sketch_oracles()

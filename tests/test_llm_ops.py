@@ -1026,3 +1026,46 @@ def test_paragraph_dedup_rewrite_matches_duckdb(spark):
         for a, b, c, d in con.sql(paragraph_dedup_rewrite_oracle_sql()).fetchall()
     )
     assert got == want
+
+
+def test_countmin_estimates_never_undercount(spark):
+    """Count-Min's one-sided error: estimate >= true count for EVERY word,
+    and exact on a corpus far smaller than the sketch width."""
+    from orion_spark.llm import sketches as SK
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {'gamma ' * (i % 5)}x{i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    words = docs.selectExpr(
+        "explode(filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')) AS word"
+    )
+    truth = {r.word: r.cnt for r in words.groupBy("word").count().withColumnRenamed("count", "cnt").collect()}
+    sketch = SK.cm_build(docs)
+    probes = words.select("word").distinct()
+    est = {r.word: r.cm_estimate for r in SK.cm_estimate(sketch, probes).collect()}
+    assert set(est) == set(truth)
+    assert all(est[w] >= c for w, c in truth.items())
+
+
+def test_countmin_merge_equals_full_build(spark):
+    from orion_spark.llm import sketches as SK
+
+    a = spark.createDataFrame([(i, f"one two {i}") for i in range(20)], ["doc_id", "text"])
+    b = spark.createDataFrame([(i, f"two three {i}") for i in range(20)], ["doc_id", "text"])
+    merged = SK.cm_merge(SK.cm_build(a), SK.cm_build(b))
+    full = SK.cm_build(a.unionByName(b))
+    assert (
+        merged.orderBy("row", "bucket").collect()
+        == full.orderBy("row", "bucket").collect()
+    )
+
+
+def test_countmin_sketch_is_bounded(spark):
+    from orion_spark.llm import sketches as SK
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 30))) for i in range(100)],
+        ["doc_id", "text"],
+    )
+    assert SK.cm_build(docs).count() <= SK.CM_DEPTH * SK.CM_WIDTH
