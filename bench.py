@@ -77,6 +77,11 @@ HEADLINE = [
     # map-only probe) and the full Gopher quality-rule panel
     "documents_bloom_history_filter",
     "documents_gopher_rules",
+    # round-7 additions (second pass): ExactSubstr-style span removal
+    # rewrite, BM25 lexical retrieval, embedding-space decontamination
+    "dedup_span_rewrite",
+    "text_bm25_topk",
+    "embedding_decontamination",
 ]
 
 

@@ -1109,6 +1109,136 @@ def paragraph_dedup_rewrite(
     )
 
 
+def duplicate_span_rewrite(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    n-token window whose text occurs more than once corpus-wide is kept
+    only at its globally-first occurrence (total order: doc_id, start);
+    tokens covered by any later occurrence are deleted and each document
+    is rebuilt from its surviving tokens.
+
+    Output: (doc_id, n_tokens, n_removed, new_text) for every input
+    document, where new_text is the surviving tokens joined by single
+    spaces (tokenization = lowercase + whitespace split, the same
+    contract as repeated_ngram_spans, which reports the *stats* this
+    operator acts on).
+
+    Scale shape: one window-function shuffle keyed on the span hash
+    (rank occurrences — no separate count aggregate: rk >= 2 implies
+    duplicated), one doc-keyed aggregate of removed positions, one
+    doc-keyed join back to the token arrays. The n-fold position
+    explode happens only on duplicate occurrences, not the whole
+    corpus. This is the same volume class as a suffix-array pass —
+    O(n x corpus tokens) window rows — with the granularity knob n
+    trading recall for shuffle bytes. Nothing is quadratic; the rebuild
+    is a higher-order filter over the already-carried token array, so
+    document text shuffles exactly once (into the rebuild join)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    win = base.where(F.col("n_tokens") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_toks"), i, n), " ")),
+            )
+        ).alias("_pos0", "_h"),
+    ).select("doc_id", (F.col("_pos0") + 1).alias("start"), "_h")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_h").orderBy("doc_id", "start")
+    dup_occ = win.withColumn("rk", F.row_number().over(w)).where(F.col("rk") >= 2)
+    removed = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_rm"))
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.size(rm).cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    F.col("_toks"),
+                    lambda x, i: ~F.array_contains(rm, (i + 1).cast("int")),
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+
+
+def duplicate_span_rewrite_oracle_sql(
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+) -> str:
+    """DuckDB reproduction: identical windows (bounded range trick),
+    ROW_NUMBER over the span hash with the same (doc_id, start) total
+    order, covered positions via range(0, n), tokens rebuilt by
+    zipped-unnest + anti-join + ordered string_agg."""
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS doc_id,
+               string_split_regex(lower(trim({text_col})), '\\s+') AS w,
+               len(string_split_regex(lower(trim({text_col})), '\\s+'))
+                   AS n_tokens
+        FROM {table}),
+    win AS (
+        SELECT doc_id, CAST(i + 1 AS INT) AS start,
+               md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + {n} AS INT)],
+                                   ' ')) AS h
+        FROM base, range(0, {max_tokens}) r(i)
+        WHERE i <= n_tokens - {n}),
+    ranked AS (
+        SELECT doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rk
+        FROM win),
+    pos AS (
+        SELECT DISTINCT doc_id, start + CAST(j AS INT) AS p
+        FROM ranked, range(0, {n}) r(j)
+        WHERE rk >= 2),
+    removed AS (SELECT doc_id, COUNT(*) AS n_removed FROM pos GROUP BY doc_id),
+    toks AS (
+        SELECT doc_id, unnest(range(1, len(w) + 1)) AS k, unnest(w) AS tok
+        FROM base),
+    kept AS (
+        SELECT t.doc_id, t.k, t.tok
+        FROM toks t LEFT JOIN pos p ON t.doc_id = p.doc_id AND t.k = p.p
+        WHERE p.doc_id IS NULL),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY k) AS new_text
+        FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(rb.new_text, '') AS new_text
+    FROM base b
+    LEFT JOIN removed rm ON b.doc_id = rm.doc_id
+    LEFT JOIN rebuilt rb ON b.doc_id = rb.doc_id
+    """
+
+
 def paragraph_dedup_rewrite_oracle_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

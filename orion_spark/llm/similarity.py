@@ -637,3 +637,88 @@ def search_ivf_index(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def embedding_decontamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) decontamination: for every training
+    vector, its maximum cosine similarity against the benchmark/eval set
+    and a contaminated flag at `threshold` — the embedding-level
+    counterpart of the n-gram `ngram_contamination` operator (the two
+    together are the standard pre-training decontamination pair: lexical
+    overlap AND paraphrase-level similarity).
+
+    Output: (vec_id, best_bench_id, max_cosine, contaminated), one row
+    per training vector. best_bench_id is the arg-max with
+    smallest-bench-id tie-break on the 6-decimal-rounded cosine.
+
+    Scale shape: benchmark/eval sets are small by nature (thousands of
+    rows against a 100 TB train side), so the benchmark side broadcasts
+    and the train side streams through one narrow stage — the arg-max is
+    a map-side-combinable max of a (cosine, -bench_id) struct keyed on
+    the train id, which under the broadcast join is already co-located:
+    no corpus shuffle at all. Exact, not approximate — at benchmark
+    sizes the brute-force scan per train row is cheaper than any index.
+    """
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("_bv"),
+    )
+    t = train.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_tv"),
+    )
+    pairs = t.join(F.broadcast(b), how="cross").select(
+        "vec_id",
+        "bench_id",
+        F.round(cosine(F.col("_tv"), F.col("_bv")), 6).alias("_cos"),
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("_cos"), (-F.col("bench_id")).alias("_nb"))).alias(
+            "_m"
+        )
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("_m._nb")).cast("bigint").alias("best_bench_id"),
+        F.col("_m._cos").alias("max_cosine"),
+        (F.col("_m._cos") >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def embedding_decontamination_oracle_sql(
+    threshold: float = 0.40,
+    bench_filter: str = "vec_id % 25 = 0",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB ground truth: identical fold-order dot products, identical
+    rounding, arg-max via ROW_NUMBER with the same tie-break."""
+    return f"""
+    WITH b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+               FROM {table} WHERE {bench_filter}),
+    t AS (SELECT vec_id, embedding::DOUBLE[] AS tv
+          FROM {table} WHERE NOT ({bench_filter})),
+    pairs AS (
+        SELECT t.vec_id, b.bench_id,
+               round(
+                   list_sum([tv[i] * bv[i] for i in range(1, len(tv) + 1)]) /
+                   (sqrt(list_sum([tv[i] * tv[i] for i in range(1, len(tv) + 1)])) *
+                    sqrt(list_sum([bv[i] * bv[i] for i in range(1, len(bv) + 1)]))),
+                   6) AS c
+        FROM t, b),
+    ranked AS (
+        SELECT vec_id, bench_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, bench_id) AS rk
+        FROM pairs)
+    SELECT vec_id,
+           CAST(bench_id AS BIGINT) AS best_bench_id,
+           c AS max_cosine,
+           c >= {threshold} AS contaminated
+    FROM ranked WHERE rk = 1
+    """

