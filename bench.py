@@ -82,6 +82,10 @@ HEADLINE = [
     "dedup_span_rewrite",
     "text_bm25_topk",
     "embedding_decontamination",
+    # winnowing (MOSS) fingerprint match report + Adamic-Adar link
+    # prediction over the co-occurrence graph
+    "text_winnowing_matches",
+    "graph_adamic_adar",
 ]
 
 

@@ -1271,3 +1271,235 @@ def paragraph_dedup_rewrite_oracle_sql(
     LEFT JOIN totals t ON d.{id_col} = t.doc_id
     LEFT JOIN rebuilt r ON d.{id_col} = r.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+# the MOSS algorithm): hash every k-token gram, slide a w-hash window,
+# select each window's minimum hash (rightmost on ties). The selected
+# (hash, position) set is a provably-dense, position-robust fingerprint:
+# any shared substring of length >= w + k - 1 tokens is guaranteed to
+# share at least one fingerprint.
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Selected winnowing fingerprints, one row per (doc_id, pos, fp).
+
+    Hashes are the 32-bit md5-prefix integers the MinHash path already
+    uses (shingle_hashes), so both engines compute identical values.
+    Window s covers k-gram positions [s, min(s+w-1, m)]; docs with fewer
+    than w k-grams get a single whole-doc window (the standard short-doc
+    fallback); docs with no k-grams yield no rows.
+
+    Scale shape: the k-gram explode is a narrow map; each position lands
+    in at most w windows (a bounded in-row sequence explode, no join);
+    the per-window argmin is one (doc, window) hash aggregate of a
+    (hash, -pos) struct min — map-side combinable — and the distinct
+    collapses selected repeats. One corpus-keyed shuffle end to end."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    m = F.size(toks) - k + 1
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"), m.alias("m")
+    ).where(F.col("m") >= 1)
+    grams = base.select(
+        "doc_id",
+        "m",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("m")),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("_toks"), i, k), " ")),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("_p0", "h"),
+    ).select("doc_id", "m", (F.col("_p0") + 1).alias("p"), "h")
+    n_windows = F.greatest(F.col("m") - w + 1, F.lit(1))
+    starts = grams.select(
+        "doc_id",
+        "p",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("p") - w + 1, F.lit(1)),
+                F.least(F.col("p"), n_windows),
+            )
+        ).alias("s"),
+    )
+    sel = starts.groupBy("doc_id", "s").agg(
+        F.min(F.struct(F.col("h"), (-F.col("p")).alias("_np"))).alias("_m")
+    )
+    return sel.select(
+        "doc_id",
+        (-F.col("_m._np")).cast("int").alias("pos"),
+        F.col("_m.h").alias("fp"),
+    ).distinct()
+
+
+def winnowing_panel(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fingerprint panel: (doc_id, n_kgrams, n_fingerprints,
+    fp_density) for every input document (0s for docs shorter than k
+    tokens)."""
+    fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    per_doc = fps.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.size(toks) - k + 1, F.lit(0)).alias("n_kgrams"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+        F.coalesce("n_fingerprints", F.lit(0)).cast("bigint").alias(
+            "n_fingerprints"
+        ),
+        F.round(
+            F.coalesce("n_fingerprints", F.lit(0))
+            / F.greatest(F.col("n_kgrams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("fp_density"),
+    )
+
+
+def winnowing_matches(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style match report: document pairs ranked by the number of
+    distinct shared fingerprint hashes. Fingerprints present in more
+    than max_doc_freq documents are dropped first (ubiquitous k-grams
+    carry no plagiarism signal and would otherwise drive a quadratic
+    hot-key join — the same hub-cap discipline as the graph operators).
+
+    Scale shape: distinct (doc, fp) -> doc-frequency filter (one hash
+    aggregate, broadcast back as a semi structure via join on fp) ->
+    self-equi-join on fp (bucketed, bounded fan-out <= max_doc_freq per
+    key) -> pair count aggregate."""
+    fps = (
+        winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    rare = fps.join(
+        dfreq.where(F.col("_df") <= max_doc_freq).select("fp"), "fp"
+    )
+    a = rare.select(F.col("doc_id").alias("a"), "fp")
+    b = rare.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp2"))
+    return (
+        a.join(b, (a["fp"] == b["fp2"]) & (a["a"] < b["b"]))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+        .select(
+            "a",
+            "b",
+            F.col("shared_fingerprints").cast("bigint").alias(
+                "shared_fingerprints"
+            ),
+        )
+    )
+
+
+def _winnowing_fp_ctes(
+    k: int, w: int, table: str, id_col: str, text_col: str
+) -> str:
+    """Shared DuckDB CTE chain producing selected fingerprints
+    (doc_id, pos, fp) — the exact mirror of winnowing_fingerprints."""
+    return f"""
+    base AS (
+        SELECT {id_col} AS doc_id,
+               string_split_regex(lower(trim({text_col})), '\\s+') AS tk,
+               len(string_split_regex(lower(trim({text_col})), '\\s+'))
+                   - {k} + 1 AS m
+        FROM {table}),
+    grams AS (
+        SELECT doc_id, m, CAST(i + 1 AS INT) AS p,
+               ('0x' || substr(md5(array_to_string(
+                   tk[CAST(i + 1 AS INT):CAST(i + {k} AS INT)], ' ')), 1, 8)
+               )::BIGINT AS h
+        FROM base, range(0, 256) r(i)
+        WHERE m >= 1 AND i < m),
+    starts AS (
+        SELECT doc_id, p, h, CAST(p - j AS INT) AS s
+        FROM grams, range(0, {w}) r(j)
+        WHERE p - j >= 1 AND p - j <= GREATEST(m - {w} + 1, 1)),
+    sel AS (
+        SELECT doc_id, s, p, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                                  ORDER BY h ASC, p DESC) AS rk
+        FROM starts),
+    fps AS (
+        SELECT DISTINCT doc_id, p AS pos, h AS fp FROM sel WHERE rk = 1)
+    """
+
+
+def winnowing_panel_oracle_sql(
+    k: int = 3,
+    w: int = 4,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH {_winnowing_fp_ctes(k, w, table, id_col, text_col)},
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_fingerprints FROM fps GROUP BY doc_id),
+    sizes AS (
+        SELECT {id_col} AS doc_id,
+               GREATEST(len(string_split_regex(lower(trim({text_col})),
+                        '\\s+')) - {k} + 1, 0) AS n_kgrams
+        FROM {table})
+    SELECT s.doc_id,
+           CAST(s.n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(COALESCE(p.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+           ROUND(COALESCE(p.n_fingerprints, 0)
+                 / CAST(GREATEST(s.n_kgrams, 1) AS DOUBLE), 6) AS fp_density
+    FROM sizes s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+    """
+
+
+def winnowing_matches_oracle_sql(
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH {_winnowing_fp_ctes(k, w, table, id_col, text_col)},
+    docfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+    dfreq AS (SELECT fp, COUNT(*) AS df FROM docfp GROUP BY fp),
+    rare AS (
+        SELECT d.doc_id, d.fp FROM docfp d
+        JOIN dfreq f ON d.fp = f.fp WHERE f.df <= {max_doc_freq})
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(*) >= {min_shared}
+    """

@@ -792,3 +792,94 @@ def walk_skipgrams_oracle_sql(walks_sql: str, window: int = 2) -> str:
      AND x.step <> y.step
     GROUP BY x.node, y.node
     """
+
+
+def adamic_adar(
+    pairs: DataFrame, min_common: int = 2, topk: int | None = None
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list (a, b)
+    with a < b: for every NON-adjacent node pair sharing >= min_common
+    neighbors, AA(a,b) = sum over common neighbors w of 1/ln(deg(w)).
+    Common neighbors have deg >= 2 by construction, so ln(deg) > 0.
+
+    Determinism contract: the float sum folds contributions in
+    ascending-common-neighbor order on both engines (the same
+    sorted-fold trick as the BM25 scorer), then rounds to 6 decimals —
+    so the oracle hash-matches despite per-group addition-order freedom.
+
+    Scale shape: one symmetric-edge shuffle feeds both the degree
+    aggregate (|V| rows, broadcast into the wedge) and the wedge
+    self-join keyed on the shared neighbor; the anti-join against the
+    existing edge list is key-hashed on (a, b). Hub-cap discipline
+    applies as in triangle_count: on power-law graphs, cap neighbor
+    lists before the wedge join."""
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("w").alias("_n")).agg(F.count("*").alias("d"))
+    e1 = sym.select(F.col("u").alias("a"), "w")
+    e2 = sym.select(F.col("u").alias("b"), F.col("w").alias("w2"))
+    wedge = (
+        e1.join(e2, (e1["w"] == e2["w2"]) & (e1["a"] < e2["b"]))
+        .join(F.broadcast(deg), F.col("w") == F.col("_n"))
+        .select("a", "b", "w", (F.lit(1.0) / F.log(F.col("d"))).alias("c"))
+    )
+    scored = (
+        wedge.groupBy("a", "b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("w", "c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["c"],
+                ),
+                6,
+            ).alias("adamic_adar"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    predicted = scored.join(pairs.select("a", "b"), ["a", "b"], "left_anti")
+    out = predicted.select(
+        "a", "b",
+        F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        "adamic_adar",
+    )
+    if topk is not None:
+        out = out.orderBy(
+            F.desc("adamic_adar"), F.asc("a"), F.asc("b")
+        ).limit(topk)
+    return out
+
+
+def adamic_adar_oracle_sql(
+    pairs_cte: str, min_common: int = 2, topk: int | None = None
+) -> str:
+    """DuckDB mirror: same wedge join, in-order list_sum fold over the
+    neighbor-sorted contributions, same rounding/anti-join."""
+    limit = (
+        f"ORDER BY adamic_adar DESC, a, b LIMIT {topk}" if topk is not None else ""
+    )
+    return f"""
+    WITH pairs AS ({pairs_cte}),
+    sym AS (SELECT a AS u, b AS w FROM pairs
+            UNION ALL SELECT b AS u, a AS w FROM pairs),
+    deg AS (SELECT w AS n, COUNT(*) AS d FROM sym GROUP BY w),
+    wedge AS (
+        SELECT e1.u AS a, e2.u AS b, e1.w, 1.0 / ln(deg.d) AS c
+        FROM sym e1
+        JOIN sym e2 ON e1.w = e2.w AND e1.u < e2.u
+        JOIN deg ON e1.w = deg.n),
+    scored AS (
+        SELECT a, b, COUNT(*) AS common_neighbors,
+               ROUND(list_sum(list(c ORDER BY w)), 6) AS adamic_adar
+        FROM wedge GROUP BY a, b
+        HAVING COUNT(*) >= {min_common}),
+    predicted AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.a = s.a AND p.b = s.b))
+    SELECT a, b, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+           adamic_adar
+    FROM predicted {limit}
+    """

@@ -10039,3 +10039,75 @@ def _register_r7b_oracles() -> None:
 
 
 _register_r7b_oracles()
+
+
+_COOC_PAIRS_CTE = """
+    SELECT DISTINCT x.p AS a, y.p AS b
+    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+          WHERE l_quantity >= 45) x
+    JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+          WHERE l_quantity >= 45) y
+    ON x.o = y.o AND x.p < y.p
+"""
+
+
+@query("graph_adamic_adar", None)
+def graph_adamic_adar_q(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graphalgo.adamic_adar)
+    over the same sparsified part co-occurrence graph as
+    graph_neighbor_jaccard: non-adjacent pairs sharing >= 2 neighbors,
+    scored sum(1/ln(deg(w))) with a sorted-fold float contract so the
+    oracle hash-matches. Wedge join + broadcast degree dim + keyed
+    anti-join against the existing edges."""
+    from orion_spark.operators.graphalgo import adamic_adar, cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return adamic_adar(pairs, min_common=2)
+
+
+@query("text_winnowing_fingerprints", None)
+def text_winnowing_fingerprints_q(spark, sf_dir):
+    """Winnowing fingerprint panel (llm/dedup.winnowing_panel — the MOSS
+    algorithm, Schleimer et al. 2003): per-document count and density of
+    the selected window-min k-gram hashes. Guarantee: any shared run of
+    >= w + k - 1 tokens shares a fingerprint."""
+    from orion_spark.llm import dedup as DD
+
+    return DD.winnowing_panel(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@query("text_winnowing_matches", None)
+def text_winnowing_matches_q(spark, sf_dir):
+    """MOSS-style overlap report (llm/dedup.winnowing_matches): document
+    pairs ranked by distinct shared winnowing fingerprints, after
+    dropping hashes present in > 10 documents (hot-key cap — ubiquitous
+    k-grams carry no signal and would drive a quadratic join)."""
+    from orion_spark.llm import dedup as DD
+
+    return DD.winnowing_matches(
+        _t(spark, sf_dir, "documents"), k=3, w=4, min_shared=3
+    )
+
+
+def _register_r7c_oracles() -> None:
+    from orion_spark.llm import dedup as DD
+    from orion_spark.operators.graphalgo import adamic_adar_oracle_sql
+
+    ORACLES["graph_adamic_adar"] = adamic_adar_oracle_sql(
+        _COOC_PAIRS_CTE, min_common=2
+    )
+    ORACLES["text_winnowing_fingerprints"] = DD.winnowing_panel_oracle_sql(
+        k=3, w=4
+    )
+    ORACLES["text_winnowing_matches"] = DD.winnowing_matches_oracle_sql(
+        k=3, w=4, min_shared=3
+    )
+
+
+_register_r7c_oracles()

@@ -328,3 +328,49 @@ def test_triangle_sampled_registered_config_error(spark):
     # ~10% of edges survive the md5 bucket
     assert 700 <= row.n_edges_sampled <= 1100
     assert abs(row.est_triangles - 125968) / 125968 <= 0.25
+
+
+def test_adamic_adar_hand_case(spark):
+    """Square a-c-b-d-a: (a,b) and (c,d) are the non-edges; each shares
+    two degree-2 neighbors -> AA = 2/ln(2). Connected pairs are excluded."""
+    import math
+
+    from orion_spark.operators.graphalgo import adamic_adar
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 2), (2, 4), (1, 4)], ["a", "b"]
+    )
+    out = {(r.a, r.b): r for r in adamic_adar(pairs, min_common=2).collect()}
+    assert set(out) == {(1, 2), (3, 4)}
+    want = round(2.0 / math.log(2.0), 6)
+    assert all(abs(r.adamic_adar - want) < 1e-6 for r in out.values())
+    assert all(r.common_neighbors == 2 for r in out.values())
+
+
+def test_adamic_adar_matches_duckdb(spark):
+    import duckdb
+
+    from orion_spark.operators.graphalgo import adamic_adar, adamic_adar_oracle_sql
+
+    # hubs 1-3 attach to overlapping leaf sets but never to each other,
+    # so hub-hub pairs are guaranteed non-edges with common neighbors
+    edges = sorted(
+        {(h, leaf) for h in (1, 2, 3) for leaf in range(10, 20)
+         if (h + leaf) % 4 != 0}
+        | {(10, 11), (12, 13), (14, 15)}
+    )
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = sorted(
+        (r.a, r.b, r.common_neighbors, round(r.adamic_adar, 6))
+        for r in adamic_adar(pairs, min_common=2).collect()
+    )
+    con = duckdb.connect()
+    con.register("edge_fixture", pairs.toPandas())
+    want = sorted(
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in con.sql(
+            adamic_adar_oracle_sql("SELECT a, b FROM edge_fixture",
+                                   min_common=2)
+        ).fetchall()
+    )
+    assert got == want and got

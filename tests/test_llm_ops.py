@@ -1217,3 +1217,83 @@ def test_embedding_decontamination_flags_planted_dup(spark):
     # tie-break: orthogonal vec ties at 0.0 across both benches -> smallest id
     assert out[2].best_bench_id == 100
     assert out[3].best_bench_id == 200 and round(out[3].max_cosine, 2) == 0.8
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing theorem: two docs sharing a token run of length
+    >= w + k - 1 (here 6) must share at least one selected fingerprint."""
+    from orion_spark.llm.dedup import winnowing_fingerprints
+
+    shared = "lorem ipsum dolor sit amet consectetur"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix {shared} and a tail"),
+            (2, f"{shared} entirely different continuation here"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a 6-token run must collide"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_winnowing_panel_short_docs(spark):
+    from orion_spark.llm.dedup import winnowing_panel
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d e f g h")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in winnowing_panel(docs, k=3, w=4).collect()}
+    assert out[1].n_kgrams == 0 and out[1].n_fingerprints == 0
+    # one k-gram -> single whole-doc window -> exactly one fingerprint
+    assert out[2].n_kgrams == 1 and out[2].n_fingerprints == 1
+    assert out[3].n_kgrams == 6 and 1 <= out[3].n_fingerprints <= 3
+
+
+def test_winnowing_matches_matches_duckdb(spark):
+    import duckdb
+
+    from orion_spark.llm.dedup import (
+        winnowing_matches,
+        winnowing_matches_oracle_sql,
+        winnowing_panel,
+        winnowing_panel_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"shared base sentence tokens here run {i % 4} "
+                f"unique suffix {i} tail")
+            for i in range(16)
+        ],
+        ["doc_id", "text"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    got = sorted(
+        (r.a, r.b, r.shared_fingerprints)
+        for r in winnowing_matches(docs, k=3, w=4, min_shared=2,
+                                   max_doc_freq=20).collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.sql(
+            winnowing_matches_oracle_sql(k=3, w=4, min_shared=2,
+                                         max_doc_freq=20)
+        ).fetchall()
+    )
+    assert got == want and got
+    gp = sorted(
+        (r.doc_id, r.n_kgrams, r.n_fingerprints, round(r.fp_density, 6))
+        for r in winnowing_panel(docs, k=3, w=4).collect()
+    )
+    wp = sorted(
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in con.sql(winnowing_panel_oracle_sql(k=3, w=4)).fetchall()
+    )
+    assert gp == wp
