@@ -53,19 +53,25 @@ def brute_force_topk(
     the 6-decimal-rounded cosine with id tie-break, so results are stable
     across engines and summation orders.
     """
+    # norms are hoisted out of the pair fan-out: one fold per ROW here,
+    # one fold per PAIR below (instead of three) — bit-identical doubles,
+    # the division just reads the precomputed factors
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     # per-query top-k as a single aggregate: collect the (cosine, id) pairs
     # into a max-k sorted slice — avoids a full window sort of all pairs
@@ -665,18 +671,25 @@ def embedding_decontamination(
     no corpus shuffle at all. Exact, not approximate — at benchmark
     sizes the brute-force scan per train row is cheaper than any index.
     """
+    # norms are computed ONCE per row before the pair fan-out (the
+    # per-pair cosine then costs a single zip_with fold instead of
+    # three) — bit-identical to the per-pair formulation because the
+    # same fold produces the same double either way
     b = benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.col(vec_col).cast("array<double>").alias("_bv"),
-    )
+    ).withColumn("_bn", l2_norm(F.col("_bv")))
     t = train.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_tv"),
-    )
+    ).withColumn("_tn", l2_norm(F.col("_tv")))
     pairs = t.join(F.broadcast(b), how="cross").select(
         "vec_id",
         "bench_id",
-        F.round(cosine(F.col("_tv"), F.col("_bv")), 6).alias("_cos"),
+        F.round(
+            dot(F.col("_tv"), F.col("_bv")) / (F.col("_tn") * F.col("_bn")),
+            6,
+        ).alias("_cos"),
     )
     best = pairs.groupBy("vec_id").agg(
         F.max(F.struct(F.col("_cos"), (-F.col("bench_id")).alias("_nb"))).alias(

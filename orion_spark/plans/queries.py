@@ -10014,15 +10014,20 @@ def text_bm25_topk_q(spark, sf_dir):
 def embedding_decontamination_q(spark, sf_dir):
     """Embedding-space decontamination (llm/similarity.
     embedding_decontamination): max-cosine of every training vector
-    against the broadcast benchmark split (vec_id % 25 = 0) with an
-    arg-max witness and a threshold flag — the paraphrase-level
-    complement of text_decontamination's n-gram overlap. No corpus
-    shuffle: broadcast join + map-side-combinable struct max."""
+    against the broadcast benchmark split with an arg-max witness and a
+    threshold flag — the paraphrase-level complement of
+    text_decontamination's n-gram overlap. No corpus shuffle: broadcast
+    join + map-side-combinable struct max. The benchmark split is
+    vec_id % 25 = 0 AND vec_id < 5000 — the cap pins the benchmark side
+    to <= 200 rows at EVERY scale factor (real eval sets are
+    fixed-size; without it the pair count grew with corpus^2: 268 s at
+    sf1 vs 2.4 s at sf0.1, measured before the cap)."""
     from orion_spark.llm import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
-    bench = emb.where(F.col("vec_id") % 25 == 0)
-    train = emb.where(F.col("vec_id") % 25 != 0)
+    bench_pred = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 5000)
+    bench = emb.where(bench_pred)
+    train = emb.where(~bench_pred)
     return S.embedding_decontamination(train, bench)
 
 
@@ -10033,8 +10038,8 @@ def _register_r7b_oracles() -> None:
 
     ORACLES["dedup_span_rewrite"] = DD.duplicate_span_rewrite_oracle_sql(n=8)
     ORACLES["text_bm25_topk"] = R.bm25_topk_oracle_sql()
-    ORACLES["embedding_decontamination"] = (
-        S.embedding_decontamination_oracle_sql()
+    ORACLES["embedding_decontamination"] = S.embedding_decontamination_oracle_sql(
+        bench_filter="vec_id % 25 = 0 AND vec_id < 5000"
     )
 
 
