@@ -151,3 +151,42 @@ def test_chunk_dedup_no_cartesian(spark):
     plan = _plan(spark, "dedup_chunk_level")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcast_no_corpus_shuffle(spark):
+    """The benchmark side must broadcast (BNLJ over the tiny eval set is
+    the intended plan — the train side never shuffles for the join); the
+    arg-max aggregate is the only exchange, and no Python UDF appears."""
+    plan = _plan(spark, "embedding_decontamination")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one exchange for the per-train-id max struct (AQE may add a final
+    # coalesce read but not extra shuffles of the pair table)
+    assert plan.count("Exchange") <= 2
+
+
+def test_bm25_topk_is_takeordered_with_broadcast_dims(spark):
+    """Global top-k must be TakeOrderedAndProject (no single-partition
+    window over the corpus); df/query-term/stats dims broadcast."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_matches_keyed_joins_only(spark):
+    """The fingerprint match join must stay a key-hashed equi-join —
+    no all-pairs fallback."""
+    plan = _plan(spark, "text_winnowing_matches")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_rewrite_no_udf_no_cartesian(spark):
+    plan = _plan(spark, "dedup_span_rewrite")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
