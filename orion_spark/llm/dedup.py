@@ -1158,31 +1158,44 @@ def duplicate_span_rewrite(
 
     w = Window.partitionBy("_h").orderBy("doc_id", "start")
     dup_occ = win.withColumn("rk", F.row_number().over(w)).where(F.col("rk") >= 2)
-    removed = (
-        dup_occ.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("_rm"))
+    # aggregate the duplicate-occurrence STARTS per doc and expand to
+    # covered positions in-row AFTER the doc shuffle: on clone-heavy
+    # corpora (where most windows are duplicated) this keeps the
+    # doc-keyed exchange at one row per dup occurrence instead of n —
+    # the sf10 probe measured the posexplode-first variant at 8x the
+    # shuffle volume and ~2x the wall
+    removed = dup_occ.groupBy("doc_id").agg(
+        F.collect_list("start").alias("_ss")
     )
-    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
-    return (
-        base.join(removed, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.size(rm).cast("bigint").alias("n_removed"),
-            F.array_join(
-                F.filter(
-                    F.col("_toks"),
-                    lambda x, i: ~F.array_contains(rm, (i + 1).cast("int")),
-                ),
-                " ",
-            ).alias("new_text"),
+    rm_expand = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_ss"),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
         )
+    )
+    # the expansion MUST be materialized as its own projection before the
+    # token filter references it: an expression used inside a lambda is
+    # re-evaluated per array element (no common-subexpression elimination
+    # across lambda scope), which re-built the position array once per
+    # token — measured 5.5x wall at sf10
+    joined = base.join(removed, "doc_id", "left").withColumn(
+        "_rm", F.coalesce(rm_expand, F.array().cast("array<int>"))
+    )
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.size("_rm").cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.filter(
+                F.col("_toks"),
+                lambda x, i: ~F.array_contains(
+                    F.col("_rm"), (i + 1).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("new_text"),
     )
 
 
