@@ -86,6 +86,8 @@ HEADLINE = [
     # prediction over the co-occurrence graph
     "text_winnowing_matches",
     "graph_adamic_adar",
+    # bottom-k (KMV) mergeable quantile sketch vs exact panel
+    "events_kmv_quantile_accuracy",
 ]
 
 

@@ -170,3 +170,134 @@ def cm_topk_accuracy_oracle_sql(
             WHERE p.word = t.word) AS cm_estimate
     FROM top t
     """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV-style) uniform-sample sketch for quantiles — the third
+# classic mergeable sketch next to HLL (cardinality, rows-only panels)
+# and Count-Min (frequency, above). Keep the R rows whose md5(key) hash
+# is smallest: a deterministic uniform sample independent of the value
+# distribution, mergeable by construction (the global bottom-R is a
+# subset of the union of per-shard bottom-Rs), and — unlike t-digest /
+# approx_percentile internals — plain arithmetic over the shared hash
+# family, so the sketch AND its quantile estimates get full value-hash
+# DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+KMV_R = 256
+
+
+def _kmv_hash(key: Column) -> Column:
+    """32-bit md5-prefix hash; ties (birthday collisions at corpus scale)
+    are broken by the key itself so bottom-R is a total order."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    r: int = KMV_R,
+) -> DataFrame:
+    """(hkey bigint, key bigint, value double): the R hash-smallest rows.
+    TakeOrdered (per-partition top-R then a single R-row reduction) — no
+    global sort, no full shuffle; the sketch is R rows regardless of
+    input size."""
+    return (
+        df.select(
+            _kmv_hash(F.col(key_col)).alias("hkey"),
+            F.col(key_col).cast("bigint").alias("key"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .orderBy(F.asc("hkey"), F.asc("key"))
+        .limit(r)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, r: int = KMV_R) -> DataFrame:
+    """Union + bottom-R again. Exactly equals the sketch built over the
+    concatenated inputs (the global bottom-R survives in every shard's
+    bottom-R), which the merge test asserts."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy(F.asc("hkey"), F.asc("key")).limit(r)
+
+
+def kmv_quantile_accuracy(
+    df: DataFrame,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    value_col: str = "value",
+    key_col: str = "event_id",
+    r: int = KMV_R,
+) -> DataFrame:
+    """(q, kmv_estimate, exact_value, abs_error): linear-interpolation
+    quantiles of the R-row sample vs the exact corpus quantiles (Spark
+    `percentile` == DuckDB `quantile_cont`, the verified parity pair).
+    The exact side is the one full-data aggregate; the sample side runs
+    on R rows. At 100 TB the exact column would be dropped and ONLY the
+    sketch consulted — it exists here to make the error visible."""
+    sample = kmv_build(df, value_col, key_col, r)
+    qlit = ", ".join(str(q) for q in quantiles)
+    est = sample.agg(
+        F.expr(f"percentile(value, array({qlit}))").alias("_est")
+    )
+    exact = df.select(F.col(value_col).cast("double").alias("value")).agg(
+        F.expr(f"percentile(value, array({qlit}))").alias("_ex")
+    )
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    panel = est.crossJoin(exact).select(
+        F.posexplode(
+            F.zip_with(
+                qs,
+                F.zip_with(F.col("_est"), F.col("_ex"), lambda a, b: F.struct(
+                    a.alias("e"), b.alias("x"))),
+                lambda q, s: F.struct(q.alias("q"), s["e"].alias("e"),
+                                      s["x"].alias("x")),
+            )
+        ).alias("_i", "_s")
+    )
+    return panel.select(
+        F.col("_s.q").alias("q"),
+        F.round(F.col("_s.e"), 6).alias("kmv_estimate"),
+        F.round(F.col("_s.x"), 6).alias("exact_value"),
+        F.round(F.abs(F.col("_s.e") - F.col("_s.x")), 6).alias("abs_error"),
+    )
+
+
+def kmv_quantile_accuracy_oracle_sql(
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    r: int = KMV_R,
+    table: str = "events",
+    value_col: str = "value",
+    key_col: str = "event_id",
+) -> str:
+    """DuckDB mirror: same bottom-R by (md5-prefix hash, key), same
+    quantile_cont interpolation on both the sample and the corpus. The
+    quantile fraction must be a constant in DuckDB, so the panel is one
+    UNION ALL branch per requested quantile."""
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({q} AS DOUBLE) AS q,
+           ROUND((SELECT quantile_cont(value, {q}) FROM sample), 6)
+               AS kmv_estimate,
+           ROUND((SELECT quantile_cont(value, {q}) FROM corpus), 6)
+               AS exact_value,
+           ROUND(ABS((SELECT quantile_cont(value, {q}) FROM sample)
+                     - (SELECT quantile_cont(value, {q}) FROM corpus)), 6)
+               AS abs_error"""
+        for q in quantiles
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 8))::BIGINT
+                   AS hkey,
+               CAST({key_col} AS BIGINT) AS key,
+               CAST({value_col} AS DOUBLE) AS value
+        FROM {table}),
+    sample AS (
+        SELECT value FROM hashed ORDER BY hkey, key LIMIT {r}),
+    corpus AS (SELECT CAST({value_col} AS DOUBLE) AS value FROM {table})
+{branches}
+    """

@@ -10116,3 +10116,28 @@ def _register_r7c_oracles() -> None:
 
 
 _register_r7c_oracles()
+
+
+@query("events_kmv_quantile_accuracy", None)
+def events_kmv_quantile_accuracy_q(spark, sf_dir):
+    """Bottom-k (KMV-style) mergeable uniform-sample quantile sketch
+    (llm/sketches.kmv_build/kmv_quantile_accuracy): the R=256
+    hash-smallest events estimate the value quantiles; the panel reports
+    estimate vs exact per quantile with the absolute error visible.
+    Completes the sketch family: HLL (cardinality), Count-Min
+    (frequency), KMV (quantiles) — this one fully value-oracled since
+    the sample is deterministic arithmetic over the shared hash family."""
+    from orion_spark.llm import sketches as SK
+
+    return SK.kmv_quantile_accuracy(_t(spark, sf_dir, "events"))
+
+
+def _register_kmv_oracles() -> None:
+    from orion_spark.llm import sketches as SK
+
+    ORACLES["events_kmv_quantile_accuracy"] = (
+        SK.kmv_quantile_accuracy_oracle_sql()
+    )
+
+
+_register_kmv_oracles()

@@ -1297,3 +1297,46 @@ def test_winnowing_matches_matches_duckdb(spark):
         for a, b, c, d in con.sql(winnowing_panel_oracle_sql(k=3, w=4)).fetchall()
     )
     assert gp == wp
+
+
+def test_kmv_merge_equals_full_build(spark):
+    """The union of per-shard bottom-R sketches re-reduced to bottom-R
+    must equal the sketch built over the whole input — the mergeability
+    contract that makes the sketch shard-parallel."""
+    from orion_spark.llm.sketches import kmv_build, kmv_merge
+
+    rows = [(i, float((i * 37) % 101)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["event_id", "value"])
+    full = kmv_build(df, r=64).collect()
+    a = kmv_build(df.where("event_id % 2 = 0"), r=64)
+    b = kmv_build(df.where("event_id % 2 = 1"), r=64)
+    merged = kmv_merge(a, b, r=64).collect()
+    key = lambda r: (r.hkey, r.key, r.value)  # noqa: E731
+    assert sorted(map(key, merged)) == sorted(map(key, full))
+    assert len(full) == 64
+
+
+def test_kmv_sample_is_value_independent(spark):
+    """The sample is keyed on id hashes only: scaling every value by 10
+    keeps the same sampled keys (no value-distribution bias)."""
+    from orion_spark.llm.sketches import kmv_build
+
+    rows = [(i, float(i)) for i in range(500)]
+    df1 = spark.createDataFrame(rows, ["event_id", "value"])
+    df2 = spark.createDataFrame(
+        [(i, v * 10.0) for i, v in rows], ["event_id", "value"]
+    )
+    k1 = [r.key for r in kmv_build(df1, r=32).collect()]
+    k2 = [r.key for r in kmv_build(df2, r=32).collect()]
+    assert k1 == k2
+
+
+def test_kmv_build_is_takeordered(spark):
+    """No global sort: the bottom-R must compile to TakeOrdered."""
+    from orion_spark.llm.sketches import kmv_build
+
+    df = spark.range(1000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7.0).alias("value")
+    )
+    plan = kmv_build(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
