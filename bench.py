@@ -88,6 +88,8 @@ HEADLINE = [
     "graph_adamic_adar",
     # bottom-k (KMV) mergeable quantile sketch vs exact panel
     "events_kmv_quantile_accuracy",
+    # deterministic two-phase global shuffle rank (training epoch order)
+    "documents_epoch_shuffle",
 ]
 
 

@@ -10141,3 +10141,65 @@ def _register_kmv_oracles() -> None:
 
 
 _register_kmv_oracles()
+
+
+@query(
+    "documents_epoch_shuffle",
+    """
+    WITH hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT AS h
+        FROM documents)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT)
+               AS epoch_pos
+    FROM hashed
+    """,
+)
+def documents_epoch_shuffle_q(spark, sf_dir):
+    """Deterministic training-epoch shuffle order: every document's
+    position in the seeded global shuffle (rank of md5('epoch0:'||id)) —
+    the data-ordering primitive a training pipeline runs per epoch.
+
+    The global rank is NOT a single-partition window. The md5-prefix
+    hash is uniform on [0, 2^32), so its top bits are a DETERMINISTIC
+    range bucketing (no repartitionByRange boundary sampling): bucket =
+    h >> 24 (256 buckets), per-bucket counts cumulate over the tiny
+    bucket dim, and the within-bucket rank is a window partitioned by
+    bucket — every partition ranks in parallel, position = bucket base +
+    local rank. Same two-phase shape as documents_sequence_packing's
+    prefix sum; at 100 TB widen the bucket prefix to keep buckets
+    executor-sized."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = docs.select("doc_id", h.alias("_h")).withColumn(
+        "_bkt", F.shiftright(F.col("_h"), 24)
+    )
+    per_bucket = hashed.groupBy("_bkt").agg(F.count("*").alias("_bc"))
+    wb = (
+        Window.partitionBy(F.col("_bkt") % 1)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_base")
+    )
+    ww = Window.partitionBy("_bkt").orderBy("_h", "doc_id")
+    return (
+        hashed.join(F.broadcast(bases), "_bkt")
+        .select(
+            "doc_id",
+            (F.col("_base") + F.row_number().over(ww)).cast("bigint").alias(
+                "epoch_pos"
+            ),
+        )
+    )

@@ -190,3 +190,12 @@ def test_span_rewrite_no_udf_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_shuffle_no_corpus_single_partition_sort(spark):
+    """The global rank must come from the two-phase bucket scheme: the
+    only single-partition exchange allowed is the tiny bucket dimension's
+    prefix-sum window, never the corpus."""
+    plan = _plan(spark, "documents_epoch_shuffle")
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
