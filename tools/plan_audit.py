@@ -53,6 +53,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "text_source_mixing_weights": "normalizer scalars (1 row) broadcast under the 20-row source panel",
         "documents_dsir_weights": "1-row model totals (T, R) broadcast under the bucket-sized log-ratio dim",
         "documents_dsir_selection": "same 1-row DSIR model-totals broadcast as documents_dsir_weights",
+        "text_bm25_topk": "1-row corpus stats (N, avgdl) broadcast under every (doc, query-term) contribution",
+        "embedding_decontamination": "by design: fixed-size (<= 200 row) benchmark split broadcast against the streaming train side — the eval set is bounded by contract",
+        "events_kmv_quantile_accuracy": "two 1-row aggregates (sample quantiles x exact quantiles) combined into the 5-row panel",
+        "documents_bloom_history_filter": "single-row packed Bloom bitmap broadcast; the probe is a map-only pass (bloom.py contract)",
+        "documents_bloom_fp_accounting": "same single-row Bloom bitmap broadcast as the history filter",
+        "documents_quality_clf_scores": "1-row ridge weight vector broadcast onto the corpus for scoring",
     },
     "ArrowEvalPython": {
         "multimodal_decode_features": "real PPM/BMP byte decode is a declared mapInPandas boundary",
