@@ -10203,3 +10203,76 @@ def documents_epoch_shuffle_q(spark, sf_dir):
             ),
         )
     )
+
+
+@query("documents_leakage_free_split", None)
+def documents_leakage_free_split_q(spark, sf_dir):
+    """Leakage-free train/val/test split: near-duplicate CLUSTERS (not
+    documents) are the unit of assignment, so no near-dup pair ever
+    straddles a split boundary — the standard guard against
+    train-to-eval leakage when splitting a deduplicated-but-kept corpus.
+    Composition: MinHash-LSH pairs -> connected components (path-halving
+    min-label) -> every doc hashed by its cluster's canonical id into
+    8/1/1 train/val/test buckets. Singletons are their own cluster.
+    Scale shape: the component labels are the already-scale-checked
+    dedup_clusters plan; the assignment itself is one broadcast-free
+    projection + a doc-keyed left join."""
+    from orion_spark.llm import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = DD.dedup_clusters(pairs)
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), cluster.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster"),
+            F.when(bucket <= 7, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+def _register_split_oracle() -> None:
+    from orion_spark.llm.dedup import (
+        dedup_clusters_oracle_sql_doubling,
+        minhash_lsh_oracle_sql,
+    )
+
+    comp = dedup_clusters_oracle_sql_doubling(
+        minhash_lsh_oracle_sql(k=5, threshold=0.5)
+    )
+    ORACLES["documents_leakage_free_split"] = f"""
+    WITH comp AS MATERIALIZED ({comp}),
+    assigned AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    bucketed AS (
+        SELECT doc_id, cluster,
+               ('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
+                               1, 8))::BIGINT % 10 AS b
+        FROM assigned)
+    SELECT doc_id, cluster,
+           CASE WHEN b <= 7 THEN 'train'
+                WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """
+
+
+_register_split_oracle()

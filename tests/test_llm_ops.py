@@ -1340,3 +1340,28 @@ def test_kmv_build_is_takeordered(spark):
     )
     plan = kmv_build(df)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_leakage_free_split_colocates_near_dups(spark):
+    """The property the split exists for: every near-dup pair (same
+    cluster) lands in the same train/val/test bucket; the split labels
+    cover the whole corpus deterministically."""
+    from orion_spark.plans.queries import QUERIES
+
+    out = QUERIES["documents_leakage_free_split"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 500
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r.split for r in out}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # deterministic: a second run produces the identical assignment
+    again = QUERIES["documents_leakage_free_split"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted((r.doc_id, r.cluster, r.split) for r in out) == sorted(
+        (r.doc_id, r.cluster, r.split) for r in again
+    )
