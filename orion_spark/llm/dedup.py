@@ -1440,7 +1440,13 @@ def _winnowing_fp_ctes(
     k: int, w: int, table: str, id_col: str, text_col: str
 ) -> str:
     """Shared DuckDB CTE chain producing selected fingerprints
-    (doc_id, pos, fp) — the exact mirror of winnowing_fingerprints."""
+    (doc_id, pos, fp) — the exact mirror of winnowing_fingerprints.
+
+    The k-gram enumeration bound is derived per document (a lateral
+    unnest over range(0, m)), never hardcoded: the Spark side is
+    unbounded, so a fixed constant here would silently under-report
+    windows on longer-document corpora and read as a false engine
+    mismatch."""
     return f"""
     base AS (
         SELECT {id_col} AS doc_id,
@@ -1453,7 +1459,7 @@ def _winnowing_fp_ctes(
                ('0x' || substr(md5(array_to_string(
                    tk[CAST(i + 1 AS INT):CAST(i + {k} AS INT)], ' ')), 1, 8)
                )::BIGINT AS h
-        FROM base, range(0, 256) r(i)
+        FROM base, UNNEST(range(0, GREATEST(m, 0))) AS r(i)
         WHERE m >= 1 AND i < m),
     starts AS (
         SELECT doc_id, p, h, CAST(p - j AS INT) AS s

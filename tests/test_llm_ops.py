@@ -1160,7 +1160,10 @@ def test_bm25_scores_favor_term_density(spark):
     # docs 1/4 (dense) above doc 2 (sparse); doc 3 contains no query term
     assert set(ranked[:2]) == {1, 4}
     assert 3 not in ranked
-    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1)) or True
+    by_rank = sorted(rows, key=lambda r: r.rk)
+    assert all(
+        by_rank[i].score >= by_rank[i + 1].score for i in range(len(by_rank) - 1)
+    )
 
 
 def test_bm25_matches_duckdb(spark):
@@ -1297,6 +1300,37 @@ def test_winnowing_matches_matches_duckdb(spark):
         for a, b, c, d in con.sql(winnowing_panel_oracle_sql(k=3, w=4)).fetchall()
     )
     assert gp == wp
+
+
+def test_winnowing_oracle_unbounded_long_docs(spark):
+    """Docs far past the old 256-token oracle bound still hash-match:
+    the oracle's k-gram enumeration is a per-row lateral unnest, so a
+    longer-doc corpus diverges loudly (value mismatch) rather than
+    silently under-reporting windows."""
+    import duckdb
+
+    from orion_spark.llm.dedup import winnowing_panel, winnowing_panel_oracle_sql
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i % 37}" for i in range(700))),
+            (2, " ".join(f"w{i % 11}" for i in range(350))),
+            (3, "short doc only"),
+        ],
+        ["doc_id", "text"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    got = sorted(
+        (r.doc_id, r.n_kgrams, r.n_fingerprints, round(r.fp_density, 6))
+        for r in winnowing_panel(docs, k=3, w=4).collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in con.sql(winnowing_panel_oracle_sql(k=3, w=4)).fetchall()
+    )
+    assert got == want
+    assert dict((d, n) for d, n, *_ in got)[1] == 698  # truly past 256
 
 
 def test_kmv_merge_equals_full_build(spark):
