@@ -86,6 +86,12 @@ HEADLINE = [
     # prediction over the co-occurrence graph
     "text_winnowing_matches",
     "graph_adamic_adar",
+    # round-8: hub-capped sibling (max_degree=8) — the scale default; the
+    # uncapped exact variant measured 12.8x wall at 10x data on sf10
+    "graph_adamic_adar_capped",
+    # round-8: leakage-free cluster-granular split — composes LSH pairs +
+    # components, previously the only registered query with no timing row
+    "documents_leakage_free_split",
     # bottom-k (KMV) mergeable quantile sketch vs exact panel
     "events_kmv_quantile_accuracy",
     # deterministic two-phase global shuffle rank (training epoch order)

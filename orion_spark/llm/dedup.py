@@ -1522,3 +1522,56 @@ def winnowing_matches_oracle_sql(
     GROUP BY x.doc_id, y.doc_id
     HAVING COUNT(*) >= {min_shared}
     """
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    threshold: float = 0.5,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/val/test split: near-duplicate CLUSTERS (not
+    documents) are the unit of assignment, so no near-dup pair ever
+    straddles a split boundary — the standard guard against
+    train-to-eval leakage when splitting a deduplicated-but-kept corpus.
+
+    `clusters` injection: pass the (doc_id, cluster_id) frame from a
+    PRIOR dedup pass (dedup_clusters output, or its persisted parquet)
+    and the LSH + connected-components stages — by far the heaviest
+    machinery in the composition — are skipped entirely; the split
+    itself is one md5 projection + a doc-keyed left join. With
+    clusters=None the full MinHash-LSH -> path-halving components chain
+    runs inline (the already-scale-checked dedup_clusters plan).
+    Singletons (docs absent from `clusters`) are their own cluster.
+
+    Returns (doc_id, cluster, split) with an 8/1/1 train/val/test
+    hash assignment keyed on the cluster's canonical id."""
+    if clusters is None:
+        pairs = minhash_lsh_pairs(docs, threshold=threshold, id_col=id_col)
+        clusters = dedup_clusters(pairs)
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("bigint")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), cluster.cast("string"))),
+                1, 8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return (
+        docs.select(id_col)
+        .join(clusters.select(F.col("doc_id").alias(id_col), "cluster_id"),
+              id_col, "left")
+        .select(
+            id_col,
+            cluster.alias("cluster"),
+            F.when(bucket <= 7, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

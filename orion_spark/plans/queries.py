@@ -10076,6 +10076,28 @@ def graph_adamic_adar_q(spark, sf_dir):
     return adamic_adar(pairs, min_common=2)
 
 
+@query("graph_adamic_adar_capped", None)
+def graph_adamic_adar_capped_q(spark, sf_dir):
+    """Hub-capped Adamic-Adar (operators/graphalgo.adamic_adar with
+    max_degree=8) — the scale default, the way
+    graph_triangle_count_sampled shadows the exact triangle count:
+    nodes with degree > 8 are excluded as wedge CENTERS before the
+    self-join, bounding per-key fan-out at 64 rows where the uncapped
+    wedge measured 12.8x wall at 10x data on the sf10 clone-densified
+    graph. Exact semantics on the capped wedge set (true degrees kept
+    in the 1/ln(d) term), so fully value-oracled."""
+    from orion_spark.operators.graphalgo import adamic_adar, cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    pairs = (
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return adamic_adar(pairs, min_common=2, max_degree=8)
+
+
 @query("text_winnowing_fingerprints", None)
 def text_winnowing_fingerprints_q(spark, sf_dir):
     """Winnowing fingerprint panel (llm/dedup.winnowing_panel — the MOSS
@@ -10106,6 +10128,9 @@ def _register_r7c_oracles() -> None:
 
     ORACLES["graph_adamic_adar"] = adamic_adar_oracle_sql(
         _COOC_PAIRS_CTE, min_common=2
+    )
+    ORACLES["graph_adamic_adar_capped"] = adamic_adar_oracle_sql(
+        _COOC_PAIRS_CTE, min_common=2, max_degree=8
     )
     ORACLES["text_winnowing_fingerprints"] = DD.winnowing_panel_oracle_sql(
         k=3, w=4
@@ -10216,35 +10241,14 @@ def documents_leakage_free_split_q(spark, sf_dir):
     8/1/1 train/val/test buckets. Singletons are their own cluster.
     Scale shape: the component labels are the already-scale-checked
     dedup_clusters plan; the assignment itself is one broadcast-free
-    projection + a doc-keyed left join."""
+    projection + a doc-keyed left join. The reusable operator
+    (llm/dedup.leakage_free_split) takes a `clusters=` injection so a
+    pipeline that already ran near-dup clustering pays only the
+    projection+join — this registry entry runs the full inline chain."""
     from orion_spark.llm import dedup as DD
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)
-    clusters = DD.dedup_clusters(pairs)
-    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), cluster.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10
-    )
-    return (
-        docs.select("doc_id")
-        .join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            cluster.alias("cluster"),
-            F.when(bucket <= 7, F.lit("train"))
-            .when(bucket == 8, F.lit("val"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
-    )
+    return DD.leakage_free_split(docs, threshold=0.5)
 
 
 def _register_split_oracle() -> None:

@@ -374,3 +374,80 @@ def test_adamic_adar_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_adamic_adar_max_degree_excludes_hub_centers(spark):
+    """Star hub 0 -> leaves 1..6 plus a square 1-2-3-4-1: with
+    max_degree below the hub's degree the hub contributes no wedges, so
+    leaf pairs whose only shared neighbor is the hub disappear and the
+    square's AA scores fold only their degree-bounded centers.
+    True degrees stay in the 1/ln(d) term for surviving centers."""
+    import math
+
+    from orion_spark.operators.graphalgo import adamic_adar
+
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2), (2, 3), (3, 4), (1, 4)]
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+
+    uncapped = {
+        (r.a, r.b): r for r in adamic_adar(pairs, min_common=1).collect()
+    }
+    capped = {
+        (r.a, r.b): r
+        for r in adamic_adar(pairs, min_common=1, max_degree=3).collect()
+    }
+    # hub-only pairs (e.g. leaves 5,6 share only node 0) vanish under the cap
+    assert (5, 6) in uncapped and (5, 6) not in capped
+    # (1,3) shares 0 (deg 6, capped out), 2 and 4 (deg 3 each, kept, true deg)
+    assert uncapped[(1, 3)].common_neighbors == 3
+    assert capped[(1, 3)].common_neighbors == 2
+    assert abs(capped[(1, 3)].adamic_adar - round(2 / math.log(3), 6)) < 1e-6
+
+
+def test_adamic_adar_loose_cap_is_identity(spark):
+    """A max_degree at/above the graph's max degree reproduces the
+    uncapped result exactly — the cap only ever removes hub centers."""
+    from orion_spark.operators.graphalgo import adamic_adar
+
+    edges = sorted(
+        {(h, leaf) for h in (1, 2, 3) for leaf in range(10, 20)
+         if (h + leaf) % 4 != 0}
+        | {(10, 11), (12, 13), (14, 15)}
+    )
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = sorted(
+        (r.a, r.b, r.common_neighbors, round(r.adamic_adar, 6))
+        for r in adamic_adar(pairs, min_common=2, max_degree=1000).collect()
+    )
+    want = sorted(
+        (r.a, r.b, r.common_neighbors, round(r.adamic_adar, 6))
+        for r in adamic_adar(pairs, min_common=2).collect()
+    )
+    assert got == want and got
+
+
+def test_adamic_adar_capped_matches_duckdb(spark):
+    import duckdb
+
+    from orion_spark.operators.graphalgo import adamic_adar, adamic_adar_oracle_sql
+
+    edges = sorted(
+        {(h, leaf) for h in (1, 2, 3) for leaf in range(10, 20)
+         if (h + leaf) % 4 != 0}
+        | {(10, 11), (12, 13), (14, 15)}
+    )
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = sorted(
+        (r.a, r.b, r.common_neighbors, round(r.adamic_adar, 6))
+        for r in adamic_adar(pairs, min_common=1, max_degree=3).collect()
+    )
+    con = duckdb.connect()
+    con.register("edge_fixture", pairs.toPandas())
+    want = sorted(
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in con.sql(
+            adamic_adar_oracle_sql("SELECT a, b FROM edge_fixture",
+                                   min_common=1, max_degree=3)
+        ).fetchall()
+    )
+    assert got == want and got

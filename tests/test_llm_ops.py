@@ -1399,3 +1399,29 @@ def test_leakage_free_split_colocates_near_dups(spark):
     assert sorted((r.doc_id, r.cluster, r.split) for r in out) == sorted(
         (r.doc_id, r.cluster, r.split) for r in again
     )
+
+
+def test_leakage_free_split_cluster_injection_skips_recompute(spark):
+    """Passing clusters= from a prior dedup pass reproduces the inline
+    chain's assignment exactly — the amortization contract: a pipeline
+    that already ran near-dup clustering pays only the projection+join,
+    and the LSH/components stages never appear in the plan."""
+    from orion_spark.llm.dedup import (
+        dedup_clusters,
+        leakage_free_split,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(docs, threshold=0.5)
+    ).localCheckpoint(eager=True)
+
+    injected = leakage_free_split(docs, clusters=clusters)
+    inline = leakage_free_split(docs, threshold=0.5)
+    assert sorted(
+        (r.doc_id, r.cluster, r.split) for r in injected.collect()
+    ) == sorted((r.doc_id, r.cluster, r.split) for r in inline.collect())
+    # the injected plan contains no minhash machinery (no band exchange)
+    plan = injected._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower()
