@@ -1021,9 +1021,10 @@ def repeated_ngram_spans_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_tokens: int = 256,
 ) -> str:
-    """DuckDB oracle: identical windows, counts, telescoping coverage."""
+    """DuckDB oracle: identical windows, counts, telescoping coverage.
+    Window enumeration is a per-row lateral unnest (no token-count
+    bound), matching the unbounded Spark side on any corpus."""
     return f"""
     WITH base AS (
         SELECT {id_col} AS doc_id,
@@ -1036,7 +1037,8 @@ def repeated_ngram_spans_oracle_sql(
         SELECT doc_id, n_tokens, CAST(i + 1 AS INT) AS start,
                md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + {n} AS INT)],
                                    ' ')) AS h
-        FROM eligible, range(0, {max_tokens}) r(i)
+        FROM eligible,
+             UNNEST(range(0, GREATEST(n_tokens - {n} + 1, 0))) AS r(i)
         WHERE i <= n_tokens - {n}),
     counts AS (SELECT h, COUNT(*) AS cnt FROM win GROUP BY h),
     dup AS (
@@ -1167,35 +1169,46 @@ def duplicate_span_rewrite(
     removed = dup_occ.groupBy("doc_id").agg(
         F.collect_list("start").alias("_ss")
     )
-    rm_expand = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.col("_ss"),
-                lambda s: F.sequence(s, s + F.lit(n - 1)),
-            )
+    # Rebuild via GAP SLICING, not a per-token membership scan: every
+    # removal interval has the same length n, so over the SORTED dup
+    # starts the running max end is simply prev_start + n - 1 and the
+    # kept text is the concatenation of the m+1 inter-interval gaps
+    # [prev+n, next-1] (clamped to >= 0 for overlapping occurrences).
+    # This is O(tokens + dup occurrences) per document; the previous
+    # F.filter(~array_contains(_rm, i)) rebuild re-scanned the removed
+    # array per token — O(tokens x removed), quadratic on long
+    # heavily-duplicated documents. Sorted starts are materialized as
+    # their own projection before the lambda references them (the 5.5x
+    # lambda re-evaluation trap, SCALE.md round 7).
+    joined = base.join(removed, "doc_id", "left").withColumn(
+        "_sss",
+        F.coalesce(F.array_sort("_ss"), F.array().cast("array<int>")),
+    )
+    m = F.size("_sss")
+    gap_start = lambda j: F.when(j == 0, F.lit(1)).otherwise(
+        F.element_at(F.col("_sss"), j.cast("int")) + n
+    )
+    gap_end = lambda j: F.when(j == m, F.col("n_tokens")).otherwise(
+        F.element_at(F.col("_sss"), (j + 1).cast("int")) - 1
+    )
+    kept = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), m),
+            lambda j: F.slice(
+                F.col("_toks"),
+                gap_start(j),
+                F.greatest(F.lit(0), gap_end(j) - gap_start(j) + 1),
+            ),
         )
     )
-    # the expansion MUST be materialized as its own projection before the
-    # token filter references it: an expression used inside a lambda is
-    # re-evaluated per array element (no common-subexpression elimination
-    # across lambda scope), which re-built the position array once per
-    # token — measured 5.5x wall at sf10
-    joined = base.join(removed, "doc_id", "left").withColumn(
-        "_rm", F.coalesce(rm_expand, F.array().cast("array<int>"))
-    )
-    return joined.select(
+    rebuilt = joined.withColumn("_kept", kept)
+    return rebuilt.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.size("_rm").cast("bigint").alias("n_removed"),
-        F.array_join(
-            F.filter(
-                F.col("_toks"),
-                lambda x, i: ~F.array_contains(
-                    F.col("_rm"), (i + 1).cast("int")
-                ),
-            ),
-            " ",
-        ).alias("new_text"),
+        (F.col("n_tokens") - F.size("_kept")).cast("bigint").alias(
+            "n_removed"
+        ),
+        F.array_join("_kept", " ").alias("new_text"),
     )
 
 
@@ -1204,11 +1217,11 @@ def duplicate_span_rewrite_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_tokens: int = 256,
 ) -> str:
-    """DuckDB reproduction: identical windows (bounded range trick),
-    ROW_NUMBER over the span hash with the same (doc_id, start) total
-    order, covered positions via range(0, n), tokens rebuilt by
+    """DuckDB reproduction: identical windows via per-row lateral unnest
+    (no token-count bound — matches the unbounded Spark side on any
+    corpus), ROW_NUMBER over the span hash with the same (doc_id, start)
+    total order, covered positions via range(0, n), tokens rebuilt by
     zipped-unnest + anti-join + ordered string_agg."""
     return f"""
     WITH base AS (
@@ -1221,7 +1234,8 @@ def duplicate_span_rewrite_oracle_sql(
         SELECT doc_id, CAST(i + 1 AS INT) AS start,
                md5(array_to_string(w[CAST(i + 1 AS INT):CAST(i + {n} AS INT)],
                                    ' ')) AS h
-        FROM base, range(0, {max_tokens}) r(i)
+        FROM base,
+             UNNEST(range(0, GREATEST(n_tokens - {n} + 1, 0))) AS r(i)
         WHERE i <= n_tokens - {n}),
     ranked AS (
         SELECT doc_id, start,

@@ -1425,3 +1425,45 @@ def test_leakage_free_split_cluster_injection_skips_recompute(spark):
     # the injected plan contains no minhash machinery (no band exchange)
     plan = injected._jdf.queryExecution().executedPlan().toString()
     assert "posexplode" not in plan.lower()
+
+
+def test_span_rewrite_long_heavily_duplicated_docs(spark):
+    """10k-token documents with massive cross-doc duplication still
+    hash-match the (now unbounded) oracle: exercises both the per-row
+    lateral-unnest window enumeration and the gap-slicing rebuild that
+    replaced the O(tokens x removed) per-token membership scan."""
+    import duckdb
+
+    from orion_spark.llm.dedup import (
+        duplicate_span_rewrite,
+        duplicate_span_rewrite_oracle_sql,
+    )
+
+    shared = " ".join(f"s{i % 97}" for i in range(5000))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(5000))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(5000))),
+        (3, " ".join(f"c{i}" for i in range(10000))),
+        (4, shared),  # entirely duplicated vs doc 1's prefix
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_removed, r.new_text)
+        for r in duplicate_span_rewrite(docs, n=8).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in con.sql(
+            duplicate_span_rewrite_oracle_sql(n=8)
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {a: (b, c) for a, b, c, _ in got}
+    assert by_id[3] == (10000, 0)  # unique doc untouched
+    # doc 4 is a verbatim later occurrence of doc 1's prefix: fully removed
+    assert by_id[4] == (5000, 5000)
+    # doc 1's repeating shared block self-duplicates internally, so it
+    # loses tokens too — but strictly fewer than the verbatim copy
+    assert 0 < by_id[1][1] < 5000
