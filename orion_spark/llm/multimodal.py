@@ -481,7 +481,10 @@ def decode_features(
 
 
 def synthesize_media(
-    df: DataFrame, id_col: str = "media_id", max_dim: int = 8
+    df: DataFrame,
+    id_col: str = "media_id",
+    max_dim: int = 8,
+    near_dup_groups: int | None = None,
 ) -> DataFrame:
     """Deterministic real-image fixture generator: for each id, builds an
     actual binary-PPM (id % 3 == 0), 24-bit BMP (id % 3 == 1) or RGB PNG
@@ -490,10 +493,21 @@ def synthesize_media(
     channel value stream v_i = (id * 31 + i) % 256 — closed-form enough
     for a SQL oracle to recompute every decoded feature analytically.
     Generation is a mapInPandas stage (bytes can't be assembled from JVM
-    expressions), sized like any other payload stage."""
+    expressions), sized like any other payload stage.
+
+    With `near_dup_groups=g`, ids are clustered into near-duplicate
+    groups of g: every id in a group shares its base image
+    (base = id - id % g keys the dims 2 + base % 7 x 2 + (base // 7) % 7,
+    the format base % 3, and the stream v_i = (base * 31 + i) % 256), and
+    member k = id % g perturbs its first 3k channel bytes by +128 mod 256
+    — so member 0 IS the base and later members drift pixel-wise. Still
+    fully closed-form (image_near_dup_oracle_sql recomputes the perceptual
+    hashes analytically). Dims start at 2 so no degenerate 1-wide images
+    collapse the hash to zero corpus-wide."""
     import struct as _struct
 
     md = max_dim
+    ndg = near_dup_groups
 
     def _ppm_bytes(w, h, vals):
         return b"P6\n%d %d\n255\n" % (w, h) + bytes(vals)
@@ -552,10 +566,23 @@ def synthesize_media(
             payloads = []
             for mid in pdf[id_col]:
                 mid = int(mid)
-                w = 1 + mid % md
-                h = 1 + (mid // md) % md
-                vals = [(mid * 31 + i) % 256 for i in range(w * h * 3)]
-                enc = (_ppm_bytes, _bmp_bytes, _png_bytes)[mid % 3]
+                if ndg is None:
+                    w = 1 + mid % md
+                    h = 1 + (mid // md) % md
+                    vals = [(mid * 31 + i) % 256 for i in range(w * h * 3)]
+                    fmt_key = mid
+                else:
+                    base = mid - mid % ndg
+                    w = 2 + base % 7
+                    h = 2 + (base // 7) % 7
+                    cut = 3 * (mid % ndg)
+                    vals = [
+                        ((base * 31 + i) % 256 + (128 if i < cut else 0))
+                        % 256
+                        for i in range(w * h * 3)
+                    ]
+                    fmt_key = base
+                enc = (_ppm_bytes, _bmp_bytes, _png_bytes)[fmt_key % 3]
                 payloads.append(enc(w, h, vals))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
@@ -1035,3 +1062,200 @@ def synthesize_video(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         gen, schema=f"{id_col} bigint, payload binary"
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels: decode
+    the payload (PPM/BMP/PNG, the zero-dependency codecs), grayscale each
+    pixel as (r + g + b) // 3, nearest-neighbor-sample an 8x8 grid
+    (cell (r, c) reads pixel (min(h-1, r*h//8), min(w-1, c*w//8)) — exact
+    integer arithmetic so a SQL oracle can replay it), then emit one bit
+    per horizontally-adjacent cell pair: bit r*7+c = 1 iff
+    cell[r][c+1] > cell[r][c]. 56 bits total (8 rows x 7 comparisons),
+    deliberately inside signed-BIGINT range on both engines.
+
+    dHash is the standard cheap perceptual near-dup signature (gradient
+    orientation survives brightness shifts, small crops, re-encodes);
+    Hamming distance on the 56 bits ranks similarity. mapInPandas over
+    the binary column — the same Arrow-batched decode boundary as
+    decode_features."""
+    out_schema = f"{id_col} bigint, dhash bigint"
+    _decode = _by_value_image_decoder()
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[payload_col]:
+                _fmt, w, h, data = _decode(bytes(p))
+                cells = [
+                    [
+                        sum(
+                            data[
+                                3 * (min(h - 1, r * h // 8) * w
+                                     + min(w - 1, c * w // 8)) + k
+                            ]
+                            for k in range(3)
+                        )
+                        // 3
+                        for c in range(8)
+                    ]
+                    for r in range(8)
+                ]
+                bits = 0
+                for r in range(8):
+                    for c in range(7):
+                        if cells[r][c + 1] > cells[r][c]:
+                            bits |= 1 << (r * 7 + c)
+                hashes.append(bits)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket_freq: int = 64,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash signatures blocked on 14-bit
+    chunks (the SimHash banding scheme — a pair within max_hamming of 56
+    bits usually shares at least one exact chunk), candidate pairs from
+    the chunk-bucket equi-join, verified by exact Hamming distance.
+
+    Hot-bucket cap (`max_bucket_freq`, same discipline as winnowing's
+    max_doc_freq): chunk values carried by more than max_bucket_freq
+    images are dropped before the self-join — featureless/degenerate
+    images (flat color, tiny dims) all hash near zero and would
+    otherwise drive the bucket join quadratic; they are not meaningful
+    near-dups. Deterministic and mirrored by the oracle.
+
+    Returns (media_a, media_b, hamming) with media_a < media_b,
+    hamming <= max_hamming."""
+    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        image_dhash(
+            media.repartition(parallelism), payload_col=payload_col,
+            id_col=id_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+    chunks = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("dhash").alias("_dh"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("dhash"), 14 * c).bitwiseAND(
+                        F.lit(0x3FFF)
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_chunk", "_cv"),
+    )
+    freq = chunks.groupBy("_chunk", "_cv").agg(F.count("*").alias("_n"))
+    ok = chunks.join(
+        freq.where(F.col("_n") <= max_bucket_freq).select("_chunk", "_cv"),
+        ["_chunk", "_cv"],
+    )
+    cand = (
+        ok.alias("l")
+        .join(
+            ok.alias("r"),
+            (F.col("l._chunk") == F.col("r._chunk"))
+            & (F.col("l._cv") == F.col("r._cv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("media_a"),
+            F.col("r._id").alias("media_b"),
+            F.col("l._dh").alias("_ha"),
+            F.col("r._dh").alias("_hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def image_near_dup_oracle_sql(
+    group_size: int = 4,
+    max_hamming: int = 6,
+    max_bucket_freq: int = 64,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB ground truth for image_near_dup_pairs over the
+    synthesize_media(near_dup_groups=group_size) fixture: replays the
+    closed-form pixel stream (base-keyed values, member perturbation),
+    the integer grayscale, the 8x8 nearest-neighbor grid, the 56-bit
+    dHash assembly, the 14-bit chunk blocking WITH the hot-bucket cap,
+    and the Hamming verify — the full candidate+verify contract, so the
+    blocked Spark output must equal it row-for-row."""
+    g = group_size
+    return f"""
+    WITH ids AS (
+        SELECT {id_col} AS media_id,
+               {id_col} - {id_col} % {g} AS base
+        FROM {table}),
+    dims AS (
+        SELECT media_id, base,
+               2 + base % 7 AS w, 2 + (base // 7) % 7 AS h
+        FROM ids),
+    cells AS (
+        SELECT media_id, base, w, h, r.r, c.c,
+               3 * (LEAST(h - 1, r.r * h // 8) * w
+                    + LEAST(w - 1, c.c * w // 8)) AS ci
+        FROM dims, range(0, 8) r(r), range(0, 8) c(c)),
+    gray AS (
+        SELECT media_id, r, c,
+               (CASE WHEN ci < 3 * (media_id % {g})
+                     THEN ((base * 31 + ci) % 256 + 128) % 256
+                     ELSE (base * 31 + ci) % 256 END
+                + CASE WHEN ci + 1 < 3 * (media_id % {g})
+                       THEN ((base * 31 + ci + 1) % 256 + 128) % 256
+                       ELSE (base * 31 + ci + 1) % 256 END
+                + CASE WHEN ci + 2 < 3 * (media_id % {g})
+                       THEN ((base * 31 + ci + 2) % 256 + 128) % 256
+                       ELSE (base * 31 + ci + 2) % 256 END) // 3 AS gv
+        FROM cells),
+    bits AS (
+        SELECT media_id, r, c, gv,
+               LEAD(gv) OVER (PARTITION BY media_id, r ORDER BY c) AS gn
+        FROM gray),
+    dh AS (
+        SELECT media_id,
+               SUM(CASE WHEN gn > gv
+                        THEN (1::BIGINT << (r * 7 + c)) ELSE 0 END) AS dhash
+        FROM bits WHERE c < 7 GROUP BY media_id),
+    chunks AS (
+        SELECT media_id, dhash, t.c AS chunk,
+               (dhash >> (14 * t.c)) & 16383 AS cv
+        FROM dh, range(0, 4) t(c)),
+    freq AS (SELECT chunk, cv, COUNT(*) AS n FROM chunks GROUP BY chunk, cv),
+    ok AS (
+        SELECT ch.media_id, ch.dhash, ch.chunk, ch.cv
+        FROM chunks ch JOIN freq f ON ch.chunk = f.chunk AND ch.cv = f.cv
+        WHERE f.n <= {max_bucket_freq}),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM ok a JOIN ok b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """

@@ -10280,3 +10280,37 @@ def _register_split_oracle() -> None:
 
 
 _register_split_oracle()
+
+
+@query("multimodal_image_near_dup", None)
+def multimodal_image_near_dup_q(spark, sf_dir):
+    """Image near-duplicate detection over REAL decoded pixels
+    (llm/multimodal.image_near_dup_pairs): the grouped fixture stage
+    synthesizes actual PPM/BMP/PNG byte payloads in near-dup groups of 4
+    (shared base image, members perturb their first 3k channel bytes),
+    the Arrow-batched dHash stage decodes each payload and emits the
+    56-bit difference hash, pairs come from the 14-bit-chunk blocking
+    join (hot buckets > 64 images dropped — the winnowing max_doc_freq
+    discipline) verified by exact Hamming distance. The closed-form
+    pixel stream lets the DuckDB oracle replay grayscale, grid, hash,
+    blocking AND verify analytically — full value check, no image
+    library anywhere (reference has no multimodal surface; north-star
+    extension)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = MM.synthesize_media(docs, near_dup_groups=4)
+    return MM.image_near_dup_pairs(media, max_hamming=6, max_bucket_freq=64)
+
+
+def _register_image_near_dup_oracle() -> None:
+    from orion_spark.llm.multimodal import image_near_dup_oracle_sql
+
+    ORACLES["multimodal_image_near_dup"] = image_near_dup_oracle_sql(
+        group_size=4, max_hamming=6, max_bucket_freq=64
+    )
+
+
+_register_image_near_dup_oracle()

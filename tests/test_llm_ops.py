@@ -1467,3 +1467,60 @@ def test_span_rewrite_long_heavily_duplicated_docs(spark):
     # doc 1's repeating shared block self-duplicates internally, so it
     # loses tokens too — but strictly fewer than the verbatim copy
     assert 0 < by_id[1][1] < 5000
+
+
+def test_image_dhash_flat_and_gradient(spark):
+    """dHash ground truths: a flat-color image hashes to 0 (no gradient
+    anywhere); a strict horizontal gradient hashes to all-56-ones; two
+    byte-identical payloads pair at hamming 0."""
+    from orion_spark.llm import multimodal as MM
+
+    flat = MM.encode_ppm(8, 8, [77] * (8 * 8 * 3))
+    grad = MM.encode_ppm(8, 8, [
+        v for r in range(8) for c in range(8) for v in (c * 30,) * 3
+    ])
+    media = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(grad)), (3, bytearray(flat))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r.dhash for r in MM.image_dhash(media).collect()}
+    assert out[1] == 0 and out[3] == 0
+    assert out[2] == (1 << 56) - 1 == 72057594037927935
+    pairs = MM.image_near_dup_pairs(media, max_hamming=0).collect()
+    assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [(1, 3, 0)]
+
+
+def test_image_near_dup_grouped_fixture_matches_duckdb(spark):
+    """The registered contract on a small grouped fixture: synthesized
+    near-dup groups (real PPM/BMP/PNG bytes decoded by the engine) vs
+    the closed-form analytic oracle — candidate blocking, hot-bucket
+    cap, and Hamming verify all mirrored."""
+    import duckdb
+
+    from orion_spark.llm import multimodal as MM
+    from orion_spark.llm.multimodal import image_near_dup_oracle_sql
+
+    docs = spark.range(96).select(F.col("id").alias("media_id"))
+    media = MM.synthesize_media(docs, near_dup_groups=4)
+    got = sorted(
+        (r.media_a, r.media_b, r.hamming)
+        for r in MM.image_near_dup_pairs(
+            media, max_hamming=6, max_bucket_freq=64
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT range AS doc_id FROM range(96)")
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.sql(
+            image_near_dup_oracle_sql(group_size=4, max_hamming=6,
+                                      max_bucket_freq=64)
+        ).fetchall()
+    )
+    assert got == want and got
+    # most within-group pairs of the first group are found (members 0..3
+    # share a base image; on the tiny 2x2 base a single perturbed pixel
+    # covers many grid cells, so ONE pair may legitimately exceed the
+    # hamming budget — the contract is blocking+verify, not recall=1)
+    first_group = {(a, b) for a, b, _ in got if a < 4 and b < 4}
+    assert len(first_group) >= 5 and (0, 1) in first_group
