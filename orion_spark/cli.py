@@ -381,6 +381,110 @@ def cmd_fetch(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Leakage-free train/val/test split (llm/dedup.leakage_free_split):
+    near-dup CLUSTERS are the unit of assignment so no near-dup pair
+    straddles a split boundary. --clusters reuses a prior dedup pass's
+    (doc_id, cluster_id) parquet and skips the LSH + connected-components
+    stages entirely (the amortization path); --save-clusters persists the
+    freshly computed labels so the NEXT invocation can. Output is written
+    partitioned by the split column — a training loader reads
+    <out>/split=train/ directly."""
+    from orion_spark.llm.dedup import dedup_clusters, leakage_free_split, minhash_lsh_pairs
+
+    spark = _spark(args.docs, *([args.clusters] if args.clusters else []))
+    docs = spark.read.parquet(args.docs)
+    clusters = None
+    if args.clusters:
+        clusters = spark.read.parquet(args.clusters)
+    elif args.save_clusters:
+        clusters = dedup_clusters(
+            minhash_lsh_pairs(
+                docs, threshold=args.threshold,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+        )
+        clusters.write.mode("overwrite").parquet(args.save_clusters)
+        clusters = spark.read.parquet(args.save_clusters)
+    out = leakage_free_split(
+        docs, clusters=clusters, threshold=args.threshold,
+        salt=args.salt, id_col=args.id_col, text_col=args.text_col,
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.out)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({
+        "out": args.out, "splits": counts,
+        "clusters_reused": bool(args.clusters),
+        **({"saved_clusters": args.save_clusters} if args.save_clusters else {}),
+    }))
+    return 0
+
+
+def cmd_bloom_dedup(args) -> int:
+    """Incremental Bloom-history dedup lifecycle (llm/bloom.py):
+    `build` aggregates a history corpus into the persisted sparse bitmap
+    (one shuffle, <= m/32 rows by construction); `filter` drops every
+    batch row whose key is (maybe) already in the history — a broadcast
+    map-only probe, no shuffle of either side — and with --update folds
+    the SURVIVORS' keys back into the persisted bitmap, so the next
+    batch sees them: the standing dedup gate for batches landing over
+    time. Sound (never keeps a true duplicate); over-drops at the
+    filter's FP rate, printed as fp_rate_design."""
+    import math
+
+    from orion_spark.llm import bloom as B
+
+    if args.action == "build":
+        if not args.history:
+            print("bloom-dedup build requires --history", file=sys.stderr)
+            return 2
+        spark = _spark(args.history)
+        history = spark.read.parquet(args.history)
+        bm = B.bloom_build(history, key_col=args.key_col,
+                           m_bits=args.m_bits, k=args.k)
+        B.save_bloom(bm, args.bloom, m_bits=args.m_bits, k=args.k)
+        n = history.count()
+        fp = (1.0 - math.exp(-args.k * n / args.m_bits)) ** args.k
+        print(json.dumps({
+            "bloom": args.bloom, "action": "build", "n_keys": n,
+            "m_bits": args.m_bits, "k": args.k,
+            "fp_rate_design": round(fp, 6),
+        }))
+        return 0
+    if not args.batch or not args.out:
+        print("bloom-dedup filter requires --batch and --out", file=sys.stderr)
+        return 2
+    spark = _spark(args.batch, args.bloom)
+    bm, m_bits, k = B.load_bloom(spark, args.bloom)
+    batch = spark.read.parquet(args.batch)
+    survivors = (
+        B.bloom_probe(batch, bm, key_col=args.key_col, m_bits=m_bits, k=k)
+        .where(~F.col("bloom_hit"))
+        .drop("bloom_hit")
+    )
+    survivors.write.mode("overwrite").parquet(args.out)
+    kept = spark.read.parquet(args.out).count()
+    dropped = batch.count() - kept
+    updated = False
+    if args.update and kept:
+        delta = B.bloom_build(
+            spark.read.parquet(args.out), key_col=args.key_col,
+            m_bits=m_bits, k=k,
+        )
+        merged = B.bloom_merge(bm, delta).localCheckpoint(eager=True)
+        B.save_bloom(merged, args.bloom, m_bits=m_bits, k=k)
+        updated = True
+    print(json.dumps({
+        "bloom": args.bloom, "action": "filter", "out": args.out,
+        "kept": kept, "dropped": dropped, "history_updated": updated,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -545,6 +649,43 @@ def main(argv: list[str] | None = None) -> int:
                     help="fail the gated download unless the response "
                          "Content-Type matches exactly")
     fe.set_defaults(fn=cmd_fetch)
+
+    spl = sub.add_parser("split")
+    spl.add_argument("--docs", required=True,
+                     help="parquet of documents to split")
+    spl.add_argument("--out", required=True,
+                     help="output dir; written partitioned by split=")
+    spl.add_argument("--clusters",
+                     help="(doc_id, cluster_id) parquet from a prior dedup "
+                          "pass — skips the LSH/components stages")
+    spl.add_argument("--save-clusters",
+                     help="persist freshly computed cluster labels here "
+                          "for reuse by later invocations")
+    spl.add_argument("--threshold", type=float, default=0.5,
+                     help="near-dup Jaccard threshold (inline chain only)")
+    spl.add_argument("--salt", default="split",
+                     help="hash salt; vary for independent re-splits")
+    spl.add_argument("--id-col", default="doc_id")
+    spl.add_argument("--text-col", default="text")
+    spl.set_defaults(fn=cmd_split)
+
+    bd = sub.add_parser("bloom-dedup")
+    bd.add_argument("action", choices=("build", "filter"))
+    bd.add_argument("--bloom", required=True,
+                    help="persisted bloom directory (parquet + meta)")
+    bd.add_argument("--history",
+                    help="history corpus parquet (build only)")
+    bd.add_argument("--batch", help="new batch parquet (filter only)")
+    bd.add_argument("--out", help="survivor output parquet (filter only)")
+    bd.add_argument("--key-col", default="text")
+    bd.add_argument("--m-bits", type=int, default=1 << 26,
+                    help="filter size in bits (build only; stored in meta)")
+    bd.add_argument("--k", type=int, default=4,
+                    help="hash count (build only; stored in meta)")
+    bd.add_argument("--update", action="store_true",
+                    help="after filtering, fold survivors into the "
+                         "persisted bitmap (incremental history)")
+    bd.set_defaults(fn=cmd_bloom_dedup)
 
     nv = sub.add_parser("neo4j-verify")
     nv.add_argument("--bundle", required=True)

@@ -1544,6 +1544,7 @@ def leakage_free_split(
     threshold: float = 0.5,
     salt: str = "split",
     id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Leakage-free train/val/test split: near-duplicate CLUSTERS (not
     documents) are the unit of assignment, so no near-dup pair ever
@@ -1562,7 +1563,9 @@ def leakage_free_split(
     Returns (doc_id, cluster, split) with an 8/1/1 train/val/test
     hash assignment keyed on the cluster's canonical id."""
     if clusters is None:
-        pairs = minhash_lsh_pairs(docs, threshold=threshold, id_col=id_col)
+        pairs = minhash_lsh_pairs(
+            docs, threshold=threshold, id_col=id_col, text_col=text_col
+        )
         clusters = dedup_clusters(pairs)
     cluster = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("bigint")
     bucket = (

@@ -421,3 +421,100 @@ def test_cli_every_bundle_command_passes_inputs_to_spark():
         if not calls or any(len(c.args) == 0 for c in calls):
             offenders.append(fn.name)
     assert not offenders, f"CLI commands not autoscaling from inputs: {offenders}"
+
+
+def test_cli_split_lifecycle(spark, tmp_path, capsys):
+    """split end-to-end: inline chain with --save-clusters, then a second
+    invocation reusing --clusters must produce the identical assignment
+    (the amortization contract) while skipping the LSH/components work."""
+    docs = spark.createDataFrame(
+        [(i, ("common shared text body " * 5) + (f"tail {i % 7}"))
+         for i in range(40)]
+        + [(100 + i, f"unique document number {i} " * 3) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out1 = str(tmp_path / "split1")
+    clusters = str(tmp_path / "clusters")
+    assert cli.main([
+        "split", "--docs", src, "--out", out1,
+        "--save-clusters", clusters,
+    ]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["clusters_reused"] is False
+    assert rep1["saved_clusters"] == clusters
+    assert sum(rep1["splits"].values()) == 50
+
+    out2 = str(tmp_path / "split2")
+    assert cli.main([
+        "split", "--docs", src, "--out", out2, "--clusters", clusters,
+    ]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["clusters_reused"] is True
+
+    a = sorted(map(tuple, spark.read.parquet(out1)
+                   .select("doc_id", "cluster", "split").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2)
+                   .select("doc_id", "cluster", "split").collect()))
+    assert a == b
+    # near-dup co-location: every cluster lives in exactly one split
+    from collections import defaultdict
+    by_cluster = defaultdict(set)
+    for _, c, s in a:
+        by_cluster[c].add(s)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    # partitioned layout: a trainer can point at split=train directly
+    assert os.path.isdir(os.path.join(out1, "split=train"))
+
+
+def test_cli_bloom_dedup_incremental(spark, tmp_path, capsys):
+    """bloom-dedup end-to-end: build on history, filter a batch (drops the
+    already-seen row), then --update folds survivors into the persisted
+    bitmap so a REPLAY of the same batch drops everything."""
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [(i, f"history doc {i}") for i in range(50)], ["doc_id", "text"]
+    ).write.parquet(hist)
+    bloom = str(tmp_path / "bloom")
+    assert cli.main([
+        "bloom-dedup", "build", "--bloom", bloom, "--history", hist,
+        "--m-bits", str(1 << 16),
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_keys"] == 50 and rep["fp_rate_design"] < 0.01
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1000, "history doc 7"), (1001, "genuinely new doc A"),
+         (1002, "genuinely new doc B")],
+        ["doc_id", "text"],
+    ).write.parquet(batch)
+    out = str(tmp_path / "survivors")
+    assert cli.main([
+        "bloom-dedup", "filter", "--bloom", bloom, "--batch", batch,
+        "--out", out, "--update",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["kept"] == 2 and rep["dropped"] == 1
+    assert rep["history_updated"] is True
+    kept = {r.text for r in spark.read.parquet(out).collect()}
+    assert kept == {"genuinely new doc A", "genuinely new doc B"}
+
+    # replay: the survivors are now history — everything drops
+    out2 = str(tmp_path / "survivors2")
+    assert cli.main([
+        "bloom-dedup", "filter", "--bloom", bloom, "--batch", batch,
+        "--out", out2,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["kept"] == 0 and rep["dropped"] == 3
+
+
+def test_cli_bloom_dedup_argument_validation(tmp_path):
+    assert cli.main([
+        "bloom-dedup", "build", "--bloom", str(tmp_path / "b"),
+    ]) == 2
+    assert cli.main([
+        "bloom-dedup", "filter", "--bloom", str(tmp_path / "b"),
+    ]) == 2
