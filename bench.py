@@ -92,9 +92,11 @@ HEADLINE = [
     # round-8: leakage-free cluster-granular split — composes LSH pairs +
     # components, previously the only registered query with no timing row
     "documents_leakage_free_split",
-    # round-8: image near-dup (dHash over real decoded pixels, Hamming-
-    # banded blocking) — the multimodal-curation dedup
+    # round-8: image + audio near-dup (dHash over real decoded pixels /
+    # energy-envelope fingerprint over real PCM16, shared Hamming-banded
+    # blocking core) — the multimodal-curation dedups
     "multimodal_image_near_dup",
+    "multimodal_audio_near_dup",
     # bottom-k (KMV) mergeable quantile sketch vs exact panel
     "events_kmv_quantile_accuracy",
     # deterministic two-phase global shuffle rank (training epoch order)

@@ -746,16 +746,28 @@ def audio_features(
 
 
 def synthesize_audio(
-    df: DataFrame, id_col: str = "media_id", max_frames: int = 64
+    df: DataFrame,
+    id_col: str = "media_id",
+    max_frames: int = 64,
+    near_dup_groups: int | None = None,
 ) -> DataFrame:
     """Deterministic real-audio fixture generator: per id a PCM16 WAV with
     n_channels = 1 + id % 2, sample_rate 8000/16000 by id % 2, and
     frames = 1 + id % max_frames of closed-form samples
     s_i = ((id * 7 + i * 13) % 4001) - 2000 — analytic enough for a SQL
-    oracle to recompute every decoded feature."""
+    oracle to recompute every decoded feature.
+
+    With `near_dup_groups=g`, ids cluster into near-duplicate groups of
+    g sharing a base clip (base = id - id % g keys channels/rate and
+    frames = 64 + base % 192 — always >= 64 so every envelope window is
+    nonempty — and the sample stream), and member k = id % g adds
+    37k to its first 4k samples: member 0 IS the base, later members
+    drift early-envelope-wise. Still fully closed-form for
+    audio_near_dup_oracle_sql."""
     import struct as _struct
 
     mf = max_frames
+    ndg = near_dup_groups
 
     def _wav_bytes(samples, nch, rate):
         data = _struct.pack(f"<{len(samples)}h", *samples)
@@ -773,10 +785,24 @@ def synthesize_audio(
             payloads = []
             for mid in pdf[id_col]:
                 mid = int(mid)
-                nch = 1 + mid % 2
-                rate = 8000 if mid % 2 == 0 else 16000
-                n = (1 + mid % mf) * nch
-                samples = [((mid * 7 + i * 13) % 4001) - 2000 for i in range(n)]
+                if ndg is None:
+                    nch = 1 + mid % 2
+                    rate = 8000 if mid % 2 == 0 else 16000
+                    n = (1 + mid % mf) * nch
+                    samples = [
+                        ((mid * 7 + i * 13) % 4001) - 2000 for i in range(n)
+                    ]
+                else:
+                    base = mid - mid % ndg
+                    nch = 1 + base % 2
+                    rate = 8000 if base % 2 == 0 else 16000
+                    n = (64 + base % 192) * nch
+                    k = mid % ndg
+                    samples = [
+                        ((base * 7 + i * 13) % 4001) - 2000
+                        + (37 * k if i < 4 * k else 0)
+                        for i in range(n)
+                    ]
                 payloads.append(_wav_bytes(samples, nch, rate))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
@@ -1118,45 +1144,42 @@ def image_dhash(
     )
 
 
-def image_near_dup_pairs(
-    media: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "media_id",
-    max_hamming: int = 6,
-    max_bucket_freq: int = 64,
+def _hamming_banded_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
+    chunk_bits: int,
+    n_chunks: int,
+    max_hamming: int,
+    max_bucket_freq: int,
 ) -> DataFrame:
-    """Image near-duplicate pairs: dHash signatures blocked on 14-bit
-    chunks (the SimHash banding scheme — a pair within max_hamming of 56
-    bits usually shares at least one exact chunk), candidate pairs from
-    the chunk-bucket equi-join, verified by exact Hamming distance.
+    """Shared blocking+verify core for perceptual-hash near-dup (image
+    dHash, audio envelope fingerprint): signatures blocked on
+    `chunk_bits`-bit chunks (the SimHash banding scheme — a pair within
+    max_hamming usually shares at least one exact chunk), candidate
+    pairs from the chunk-bucket equi-join, verified by exact Hamming
+    distance.
 
     Hot-bucket cap (`max_bucket_freq`, same discipline as winnowing's
     max_doc_freq): chunk values carried by more than max_bucket_freq
-    images are dropped before the self-join — featureless/degenerate
-    images (flat color, tiny dims) all hash near zero and would
-    otherwise drive the bucket join quadratic; they are not meaningful
-    near-dups. Deterministic and mirrored by the oracle.
+    signatures are dropped before the self-join — featureless payloads
+    (flat images, silence) all hash near zero and would otherwise drive
+    the bucket join quadratic; they are not meaningful near-dups.
+    Deterministic and mirrored by the oracles.
 
     Returns (media_a, media_b, hamming) with media_a < media_b,
     hamming <= max_hamming."""
-    parallelism = media.sparkSession.sparkContext.defaultParallelism
-    sigs = (
-        image_dhash(
-            media.repartition(parallelism), payload_col=payload_col,
-            id_col=id_col,
-        )
-        .localCheckpoint(eager=True)
-    )
+    mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         F.col(id_col).alias("_id"),
-        F.col("dhash").alias("_dh"),
+        F.col(sig_col).alias("_sg"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("dhash"), 14 * c).bitwiseAND(
-                        F.lit(0x3FFF)
+                    F.shiftright(F.col(sig_col), chunk_bits * c).bitwiseAND(
+                        F.lit(mask)
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("_chunk", "_cv"),
@@ -1177,8 +1200,8 @@ def image_near_dup_pairs(
         .select(
             F.col("l._id").alias("media_a"),
             F.col("r._id").alias("media_b"),
-            F.col("l._dh").alias("_ha"),
-            F.col("r._dh").alias("_hb"),
+            F.col("l._sg").alias("_ha"),
+            F.col("r._sg").alias("_hb"),
         )
         .distinct()
     )
@@ -1187,6 +1210,30 @@ def image_near_dup_pairs(
         cand.withColumn("hamming", hamming.cast("bigint"))
         .where(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket_freq: int = 64,
+) -> DataFrame:
+    """Image near-duplicate pairs: 56-bit dHash signatures through the
+    shared 14-bit-chunk blocking + Hamming verify core
+    (_hamming_banded_pairs; cap/blocking semantics documented there)."""
+    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        image_dhash(
+            media.repartition(parallelism), payload_col=payload_col,
+            id_col=id_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _hamming_banded_pairs(
+        sigs, "dhash", id_col, chunk_bits=14, n_chunks=4,
+        max_hamming=max_hamming, max_bucket_freq=max_bucket_freq,
     )
 
 
@@ -1252,6 +1299,165 @@ def image_near_dup_oracle_sql(
     cand AS (
         SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
                a.dhash AS ha, b.dhash AS hb
+        FROM ok a JOIN ok b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Energy-envelope fingerprint over REAL decoded PCM16 audio: decode
+    the WAV, fold channels into a per-frame absolute amplitude
+    a_j = sum over channels |s|, partition the frames into 64 windows by
+    w(j) = j*64 // n_frames, take each window's mean energy
+    e_w = sum(a_j) // count (integers throughout — non-negative, so
+    truncation == floor on both engines), then emit one bit per adjacent
+    window pair: bit w = 1 iff e_{w+1} > e_w. 63 bits (inside signed
+    BIGINT), the audio analogue of the image dHash: the envelope SHAPE
+    survives gain changes and small edits, and Hamming distance ranks
+    similarity. mapInPandas over the binary column."""
+    import struct as _struct
+
+    out_schema = f"{id_col} bigint, afp bigint"
+
+    def _wav(payload: bytes):
+        i = 12
+        n_channels = bits = None
+        data = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (size,) = _struct.unpack_from("<I", payload, i + 4)
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                fmt_tag, n_channels, _rate = _struct.unpack_from("<HHI", body, 0)
+                (bits,) = _struct.unpack_from("<H", body, 14)
+                if fmt_tag != 1:
+                    raise ValueError("unsupported WAVE format tag")
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if n_channels is None or data is None or bits != 16:
+            raise ValueError("unsupported or truncated WAVE")
+        return n_channels, _struct.unpack(f"<{len(data) // 2}h", data)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for p in pdf[payload_col]:
+                nch, samples = _wav(bytes(p))
+                n_frames = len(samples) // nch
+                amp = [
+                    sum(abs(samples[j * nch + c]) for c in range(nch))
+                    for j in range(n_frames)
+                ]
+                esum = [0] * 64
+                ecnt = [0] * 64
+                for j, a in enumerate(amp):
+                    w = j * 64 // n_frames
+                    esum[w] += a
+                    ecnt[w] += 1
+                env = [esum[w] // ecnt[w] if ecnt[w] else 0 for w in range(64)]
+                bits = 0
+                for w in range(63):
+                    if env[w + 1] > env[w]:
+                        bits |= 1 << w
+                fps.append(bits)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "afp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket_freq: int = 64,
+) -> DataFrame:
+    """Audio near-duplicate pairs: 63-bit envelope fingerprints through
+    the shared 15-bit-chunk blocking + Hamming verify core
+    (_hamming_banded_pairs; cap/blocking semantics documented there)."""
+    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        audio_fingerprint(
+            media.repartition(parallelism), payload_col=payload_col,
+            id_col=id_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _hamming_banded_pairs(
+        sigs, "afp", id_col, chunk_bits=15, n_chunks=4,
+        max_hamming=max_hamming, max_bucket_freq=max_bucket_freq,
+    )
+
+
+def audio_near_dup_oracle_sql(
+    group_size: int = 4,
+    max_hamming: int = 6,
+    max_bucket_freq: int = 64,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB ground truth for audio_near_dup_pairs over the
+    synthesize_audio(near_dup_groups=group_size) fixture: replays the
+    closed-form interleaved sample stream (base-keyed values, member
+    perturbation on the first 4k samples), the channel-folded absolute
+    amplitudes, the 64-window integer mean envelope, the 63-bit
+    fingerprint assembly, the 15-bit chunk blocking WITH the hot-bucket
+    cap, and the Hamming verify — the full candidate+verify contract."""
+    g = group_size
+    return f"""
+    WITH ids AS (
+        SELECT {id_col} AS media_id,
+               {id_col} - {id_col} % {g} AS base
+        FROM {table}),
+    dims AS (
+        SELECT media_id, base,
+               1 + base % 2 AS nch,
+               64 + base % 192 AS n_frames
+        FROM ids),
+    samp AS (
+        SELECT media_id, n_frames, i.i // nch AS j,
+               ABS(((base * 7 + i.i * 13) % 4001) - 2000
+                   + CASE WHEN i.i < 4 * (media_id % {g})
+                          THEN 37 * (media_id % {g}) ELSE 0 END) AS av
+        FROM dims, UNNEST(range(0, n_frames * nch)) AS i(i)),
+    amp AS (
+        SELECT media_id, n_frames, j, SUM(av) AS a
+        FROM samp GROUP BY media_id, n_frames, j),
+    env AS (
+        SELECT media_id, (j * 64 // n_frames) AS w,
+               SUM(a) // COUNT(*) AS e
+        FROM amp GROUP BY media_id, (j * 64 // n_frames)),
+    bits AS (
+        SELECT media_id, w, e,
+               LEAD(e) OVER (PARTITION BY media_id ORDER BY w) AS en
+        FROM env),
+    fp AS (
+        SELECT media_id,
+               SUM(CASE WHEN en > e THEN (1::BIGINT << w) ELSE 0 END) AS afp
+        FROM bits WHERE w < 63 GROUP BY media_id),
+    chunks AS (
+        SELECT media_id, afp, t.c AS chunk,
+               (afp >> (15 * t.c)) & 32767 AS cv
+        FROM fp, range(0, 4) t(c)),
+    freq AS (SELECT chunk, cv, COUNT(*) AS n FROM chunks GROUP BY chunk, cv),
+    ok AS (
+        SELECT ch.media_id, ch.afp, ch.chunk, ch.cv
+        FROM chunks ch JOIN freq f ON ch.chunk = f.chunk AND ch.cv = f.cv
+        WHERE f.n <= {max_bucket_freq}),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.afp AS ha, b.afp AS hb
         FROM ok a JOIN ok b
           ON a.chunk = b.chunk AND a.cv = b.cv AND a.media_id < b.media_id)
     SELECT media_a, media_b,

@@ -10314,3 +10314,36 @@ def _register_image_near_dup_oracle() -> None:
 
 
 _register_image_near_dup_oracle()
+
+
+@query("multimodal_audio_near_dup", None)
+def multimodal_audio_near_dup_q(spark, sf_dir):
+    """Audio near-duplicate detection over REAL decoded PCM16 samples
+    (llm/multimodal.audio_near_dup_pairs): the grouped fixture stage
+    synthesizes actual RIFF/WAVE byte payloads in near-dup groups of 4
+    (shared base clip, members perturb their first 4k samples), the
+    Arrow-batched fingerprint stage decodes each payload and emits the
+    63-bit energy-envelope hash (64-window integer mean envelope,
+    adjacent-window gradient bits — the audio analogue of the image
+    dHash), pairs come from the shared 15-bit-chunk blocking join with
+    the hot-bucket cap, verified by exact Hamming distance. Closed-form
+    sample stream -> fully analytic DuckDB oracle (reference has no
+    multimodal surface; north-star extension)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = MM.synthesize_audio(docs, near_dup_groups=4)
+    return MM.audio_near_dup_pairs(media, max_hamming=6, max_bucket_freq=64)
+
+
+def _register_audio_near_dup_oracle() -> None:
+    from orion_spark.llm.multimodal import audio_near_dup_oracle_sql
+
+    ORACLES["multimodal_audio_near_dup"] = audio_near_dup_oracle_sql(
+        group_size=4, max_hamming=6, max_bucket_freq=64
+    )
+
+
+_register_audio_near_dup_oracle()

@@ -1524,3 +1524,55 @@ def test_image_near_dup_grouped_fixture_matches_duckdb(spark):
     # hamming budget — the contract is blocking+verify, not recall=1)
     first_group = {(a, b) for a, b, _ in got if a < 4 and b < 4}
     assert len(first_group) >= 5 and (0, 1) in first_group
+
+
+def test_audio_fingerprint_flat_and_rising(spark):
+    """Envelope-fingerprint ground truths: silence hashes to 0 (no
+    gradient); a strictly rising |amplitude| ramp hashes to all-63-ones;
+    byte-identical clips pair at hamming 0."""
+    from orion_spark.llm import multimodal as MM
+
+    silence = MM.encode_wav([0] * 128, 1, 8000)
+    ramp = MM.encode_wav(list(range(128)), 1, 8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(silence)), (2, bytearray(ramp)),
+         (3, bytearray(silence))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r.afp for r in MM.audio_fingerprint(media).collect()}
+    assert out[1] == 0
+    assert out[2] == (1 << 63) - 1
+    pairs = MM.audio_near_dup_pairs(media, max_hamming=0).collect()
+    assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [(1, 3, 0)]
+
+
+def test_audio_near_dup_grouped_fixture_matches_duckdb(spark):
+    """The registered contract on a small grouped fixture: synthesized
+    near-dup WAV groups (real RIFF bytes decoded by the engine) vs the
+    closed-form analytic oracle."""
+    import duckdb
+
+    from orion_spark.llm import multimodal as MM
+    from orion_spark.llm.multimodal import audio_near_dup_oracle_sql
+
+    docs = spark.range(96).select(F.col("id").alias("media_id"))
+    media = MM.synthesize_audio(docs, near_dup_groups=4)
+    got = sorted(
+        (r.media_a, r.media_b, r.hamming)
+        for r in MM.audio_near_dup_pairs(
+            media, max_hamming=6, max_bucket_freq=64
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT range AS doc_id FROM range(96)")
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.sql(
+            audio_near_dup_oracle_sql(group_size=4, max_hamming=6,
+                                      max_bucket_freq=64)
+        ).fetchall()
+    )
+    assert got == want and got
+    # within-group perturbations are early-envelope-local: member 0 and 1
+    # of the first group stay within the hamming budget
+    assert any(a < 4 and b < 4 for a, b, _ in got)
