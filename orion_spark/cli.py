@@ -397,6 +397,12 @@ def cmd_split(args) -> int:
     clusters = None
     if args.clusters:
         clusters = spark.read.parquet(args.clusters)
+        if args.save_clusters:
+            # both flags: re-persist the REUSED labels at the new path
+            # (previously silently ignored --save-clusters — a user
+            # rotating cluster snapshots expects the copy to exist)
+            clusters.write.mode("overwrite").parquet(args.save_clusters)
+            clusters = spark.read.parquet(args.save_clusters)
     elif args.save_clusters:
         clusters = dedup_clusters(
             minhash_lsh_pairs(
@@ -432,7 +438,10 @@ def cmd_bloom_dedup(args) -> int:
     map-only probe, no shuffle of either side — and with --update folds
     the SURVIVORS' keys back into the persisted bitmap, so the next
     batch sees them: the standing dedup gate for batches landing over
-    time. Sound (never keeps a true duplicate); over-drops at the
+    time. The batch is key-deduplicated BEFORE the probe (otherwise
+    intra-batch duplicates — keys new to history but repeated within
+    one batch — would all survive and be folded into the bitmap
+    together). Sound (never keeps a true duplicate); over-drops at the
     filter's FP rate, printed as fp_rate_design."""
     import math
 
@@ -460,7 +469,9 @@ def cmd_bloom_dedup(args) -> int:
         return 2
     spark = _spark(args.batch, args.bloom)
     bm, m_bits, k = B.load_bloom(spark, args.bloom)
-    batch = spark.read.parquet(args.batch)
+    raw = spark.read.parquet(args.batch)
+    n_raw = raw.count()
+    batch = raw.dropDuplicates([args.key_col])
     survivors = (
         B.bloom_probe(batch, bm, key_col=args.key_col, m_bits=m_bits, k=k)
         .where(~F.col("bloom_hit"))
@@ -468,7 +479,9 @@ def cmd_bloom_dedup(args) -> int:
     )
     survivors.write.mode("overwrite").parquet(args.out)
     kept = spark.read.parquet(args.out).count()
-    dropped = batch.count() - kept
+    n_batch = batch.count()
+    dropped = n_batch - kept
+    intra_batch_dropped = n_raw - n_batch
     updated = False
     if args.update and kept:
         delta = B.bloom_build(
@@ -480,7 +493,9 @@ def cmd_bloom_dedup(args) -> int:
         updated = True
     print(json.dumps({
         "bloom": args.bloom, "action": "filter", "out": args.out,
-        "kept": kept, "dropped": dropped, "history_updated": updated,
+        "kept": kept, "dropped": dropped,
+        "intra_batch_dropped": intra_batch_dropped,
+        "history_updated": updated,
     }))
     return 0
 

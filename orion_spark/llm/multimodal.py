@@ -768,6 +768,14 @@ def synthesize_audio(
 
     mf = max_frames
     ndg = near_dup_groups
+    if ndg is not None and not 1 <= ndg <= 800:
+        # member k = id % g perturbs by +37k; base samples reach 2000, so
+        # g > 800 pushes 2000 + 37*(g-1) past int16 and struct.pack('<h')
+        # would crash mid-fixture — reject loudly up front instead
+        raise ValueError(
+            f"near_dup_groups must be in [1, 800] (got {ndg}): the +37k "
+            "member perturbation would overflow int16 samples"
+        )
 
     def _wav_bytes(samples, nch, rate):
         data = _struct.pack(f"<{len(samples)}h", *samples)

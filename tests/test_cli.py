@@ -518,3 +518,79 @@ def test_cli_bloom_dedup_argument_validation(tmp_path):
     assert cli.main([
         "bloom-dedup", "filter", "--bloom", str(tmp_path / "b"),
     ]) == 2
+
+
+def test_cli_split_clusters_and_save_clusters_copies(spark, tmp_path, capsys):
+    """Passing BOTH --clusters and --save-clusters must re-persist the
+    reused labels at the new path (round-8 advice: the elif silently
+    ignored --save-clusters) and still produce the identical split."""
+    docs = spark.createDataFrame(
+        [(i, ("common shared text body " * 5) + (f"tail {i % 7}"))
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out1 = str(tmp_path / "split1")
+    clusters1 = str(tmp_path / "clusters1")
+    assert cli.main([
+        "split", "--docs", src, "--out", out1,
+        "--save-clusters", clusters1,
+    ]) == 0
+    capsys.readouterr()
+
+    out2 = str(tmp_path / "split2")
+    clusters2 = str(tmp_path / "clusters2")
+    assert cli.main([
+        "split", "--docs", src, "--out", out2,
+        "--clusters", clusters1, "--save-clusters", clusters2,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["clusters_reused"] is True
+    assert rep["saved_clusters"] == clusters2
+    # the copy exists and carries the same labels
+    a = sorted(map(tuple, spark.read.parquet(clusters1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(clusters2).collect()))
+    assert a == b and a
+    # and the split built from the reused labels is identical
+    s1 = sorted(map(tuple, spark.read.parquet(out1)
+                    .select("doc_id", "split").collect()))
+    s2 = sorted(map(tuple, spark.read.parquet(out2)
+                    .select("doc_id", "split").collect()))
+    assert s1 == s2
+
+
+def test_cli_bloom_dedup_intra_batch_duplicates(spark, tmp_path, capsys):
+    """Duplicate keys WITHIN one batch must collapse to a single survivor
+    before the history probe (round-8 advice: they all survived and were
+    folded into the bitmap together)."""
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [(i, f"history doc {i}") for i in range(20)], ["doc_id", "text"]
+    ).write.parquet(hist)
+    bloom = str(tmp_path / "bloom")
+    assert cli.main([
+        "bloom-dedup", "build", "--bloom", bloom, "--history", hist,
+        "--m-bits", str(1 << 16),
+    ]) == 0
+    capsys.readouterr()
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, "repeated new doc"), (2, "repeated new doc"),
+         (3, "repeated new doc"), (4, "history doc 3"),
+         (5, "another new doc")],
+        ["doc_id", "text"],
+    ).write.parquet(batch)
+    out = str(tmp_path / "survivors")
+    assert cli.main([
+        "bloom-dedup", "filter", "--bloom", bloom, "--batch", batch,
+        "--out", out,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 5 raw rows -> 2 intra-batch dupes dropped -> 3 distinct keys ->
+    # history drops 1 -> 2 survivors with distinct keys
+    assert rep["intra_batch_dropped"] == 2
+    assert rep["kept"] == 2 and rep["dropped"] == 1
+    kept = [r.text for r in spark.read.parquet(out).collect()]
+    assert sorted(kept) == ["another new doc", "repeated new doc"]

@@ -1576,3 +1576,17 @@ def test_audio_near_dup_grouped_fixture_matches_duckdb(spark):
     # within-group perturbations are early-envelope-local: member 0 and 1
     # of the first group stay within the hamming budget
     assert any(a < 4 and b < 4 for a, b, _ in got)
+
+
+def test_synthesize_audio_rejects_overflowing_group_size(spark):
+    """near_dup_groups > 800 would push 2000 + 37*(g-1) past int16 and
+    crash struct.pack mid-fixture (round-8 advice) — reject up front."""
+    import pytest
+
+    from orion_spark.llm import multimodal as MM
+
+    docs = spark.range(4).select(F.col("id").alias("media_id"))
+    with pytest.raises(ValueError, match="near_dup_groups"):
+        MM.synthesize_audio(docs, near_dup_groups=801)
+    # the registered configuration stays valid
+    assert MM.synthesize_audio(docs, near_dup_groups=4).count() == 4
