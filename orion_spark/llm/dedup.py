@@ -400,29 +400,73 @@ def simhash64(text: Column) -> Column:
     )
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 8,
+def banded_chunking(sig_bits: int, max_hamming: int) -> tuple[int, int]:
+    """Guaranteed-recall chunking for banded Hamming blocking: split the
+    signature into n_chunks = max_hamming + 1 chunks — by pigeonhole, any
+    pair within max_hamming differing bits has at least one chunk with
+    ZERO differing bits, so the chunk-bucket equi-join recalls every true
+    pair (round-8 advice: 4 chunks at max_hamming=6 silently missed pairs
+    whose differing bits spread across all chunks). Returns
+    (chunk_bits, n_chunks) with chunk_bits = ceil(sig_bits / n_chunks);
+    the top chunk may cover fewer real bits, which is harmless (the high
+    zero bits compare equal on both engines)."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0 (got {max_hamming})")
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-sig_bits // n_chunks)
+    return chunk_bits, n_chunks
+
+
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str,
+    sig_bits: int,
+    max_hamming: int,
+    max_bucket_freq: int | None = None,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, LSH-bucketed on 15-bit
-    chunks (a pair within hamming<=8 of 60 bits usually shares at least one
-    exact chunk; chunking is the standard simhash blocking scheme)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(parallelism).select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
-    ).localCheckpoint(eager=True)
-    chunks = base.select(
-        "_id",
-        "_sh",
+    """Shared blocking+verify core for every Hamming near-dup family
+    (text SimHash, image dHash, audio envelope fingerprint — round-8
+    advice: one helper, not per-modality copies): signatures are blocked
+    on chunk-bucket equi-joins with the guaranteed-recall chunking
+    (banded_chunking — n_chunks = max_hamming + 1, so blocking loses NO
+    true pair), candidates verified by exact Hamming distance.
+
+    Hot-bucket cap (`max_bucket_freq`, optional — the winnowing
+    max_doc_freq discipline): chunk values carried by more than
+    max_bucket_freq signatures are dropped before the self-join, bounding
+    per-bucket fan-out at max_bucket_freq^2 — featureless payloads (flat
+    images, silence, empty text) all hash near zero and would otherwise
+    drive the bucket join quadratic. The cap is the ONLY recall loss and
+    is deterministic, so oracles mirror it exactly.
+
+    Returns (out_a, out_b, hamming) with out_a < out_b,
+    hamming <= max_hamming. Signatures must be non-negative (<= 63 bits).
+    """
+    chunk_bits, n_chunks = banded_chunking(sig_bits, max_hamming)
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sg"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("_sh"), 15 * c).bitwiseAND(F.lit(0x7FFF))
-                    for c in range(4)
+                    F.shiftright(F.col(sig_col), chunk_bits * c).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("_chunk", "_cv"),
     )
+    if max_bucket_freq is not None:
+        freq = chunks.groupBy("_chunk", "_cv").agg(F.count("*").alias("_n"))
+        chunks = chunks.join(
+            freq.where(F.col("_n") <= max_bucket_freq).select("_chunk", "_cv"),
+            ["_chunk", "_cv"],
+        )
     cand = (
         chunks.alias("l")
         .join(
@@ -432,17 +476,78 @@ def simhash_near_pairs(
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(
-            F.col("l._id").alias("doc_a"),
-            F.col("r._id").alias("doc_b"),
-            F.col("l._sh").alias("_sha"),
-            F.col("r._sh").alias("_shb"),
+            F.col("l._id").alias(out_a),
+            F.col("r._id").alias(out_b),
+            F.col("l._sg").alias("_ha"),
+            F.col("r._sg").alias("_hb"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb")))
-    return cand.withColumn("hamming", hamming).where(
-        F.col("hamming") <= max_hamming
-    ).select("doc_a", "doc_b", "hamming")
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(out_a, out_b, "hamming")
+    )
+
+
+def hamming_banded_oracle_block_sql(
+    sig_expr: str,
+    sig_bits: int,
+    max_hamming: int,
+    max_bucket_freq: int,
+    src_cte: str = "fp",
+    id_col: str = "media_id",
+) -> str:
+    """DuckDB CTE chain mirroring hamming_banded_pairs' blocking for
+    capped paths: chunk explosion with the SAME guaranteed-recall
+    chunking, the hot-bucket frequency cap, the candidate self-join, and
+    the Hamming verify. `src_cte` must provide ({id_col}, {sig_expr}).
+    Emits CTEs `chunks/freq/ok/cand` and a final SELECT of
+    (media_a, media_b, hamming)."""
+    chunk_bits, n_chunks = banded_chunking(sig_bits, max_hamming)
+    mask = (1 << chunk_bits) - 1
+    return f"""
+    chunks AS (
+        SELECT {id_col}, {sig_expr} AS sig, t.c AS chunk,
+               ({sig_expr} >> ({chunk_bits} * t.c)) & {mask} AS cv
+        FROM {src_cte}, range(0, {n_chunks}) t(c)),
+    freq AS (SELECT chunk, cv, COUNT(*) AS n FROM chunks GROUP BY chunk, cv),
+    ok AS (
+        SELECT ch.{id_col}, ch.sig, ch.chunk, ch.cv
+        FROM chunks ch JOIN freq f ON ch.chunk = f.chunk AND ch.cv = f.cv
+        WHERE f.n <= {max_bucket_freq}),
+    cand AS (
+        SELECT DISTINCT a.{id_col} AS media_a, b.{id_col} AS media_b,
+               a.sig AS ha, b.sig AS hb
+        FROM ok a JOIN ok b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.{id_col} < b.{id_col})
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance through the shared
+    guaranteed-recall banding core (hamming_banded_pairs): every pair of
+    60-bit signatures within max_hamming is recalled by construction
+    (pigeonhole over max_hamming + 1 chunks), then verified exactly. No
+    hot-bucket cap here — exact-duplicate text clusters are real near-dup
+    signal for this operator (the capped variants live in the multimodal
+    paths where featureless payloads are noise)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(parallelism).select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
+    ).localCheckpoint(eager=True)
+    return hamming_banded_pairs(
+        base, "_sh", "_id", sig_bits=SIMHASH_BITS, max_hamming=max_hamming,
+        max_bucket_freq=None, out_a="doc_a", out_b="doc_b",
+    )
 
 
 def simhash_pairs_oracle_sql(
@@ -451,13 +556,11 @@ def simhash_pairs_oracle_sql(
 ) -> str:
     """DuckDB ground truth for simhash_near_pairs: recompute the 60-bit
     signatures (bit-exact, same md5-prefix word hashes), then emit every
-    pair that shares >=1 of the four 15-bit chunks AND is within
-    max_hamming. This is exactly the operator's candidate+verify contract,
-    so the blocked Spark output must equal it row-for-row."""
-    chunk_match = " OR ".join(
-        f"((a.sh >> {15 * c}) & 32767) = ((b.sh >> {15 * c}) & 32767)"
-        for c in range(4)
-    )
+    pair within max_hamming. No chunk-share predicate is needed anymore:
+    the engine's blocking is guaranteed-recall (banded_chunking splits
+    into max_hamming + 1 chunks, so by pigeonhole every true pair shares
+    an exact chunk) and uncapped, which makes the blocked Spark output
+    EQUAL the exact all-pairs filter — the strongest possible contract."""
     return rf"""
     WITH w AS (
         SELECT {id_col} AS doc_id,
@@ -479,8 +582,7 @@ def simhash_pairs_oracle_sql(
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.sh, b.sh)) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE ({chunk_match})
-      AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
     """
 
 

@@ -1156,68 +1156,26 @@ def _hamming_banded_pairs(
     sigs: DataFrame,
     sig_col: str,
     id_col: str,
-    chunk_bits: int,
-    n_chunks: int,
+    sig_bits: int,
     max_hamming: int,
     max_bucket_freq: int,
 ) -> DataFrame:
-    """Shared blocking+verify core for perceptual-hash near-dup (image
-    dHash, audio envelope fingerprint): signatures blocked on
-    `chunk_bits`-bit chunks (the SimHash banding scheme — a pair within
-    max_hamming usually shares at least one exact chunk), candidate
-    pairs from the chunk-bucket equi-join, verified by exact Hamming
-    distance.
-
-    Hot-bucket cap (`max_bucket_freq`, same discipline as winnowing's
-    max_doc_freq): chunk values carried by more than max_bucket_freq
-    signatures are dropped before the self-join — featureless payloads
-    (flat images, silence) all hash near zero and would otherwise drive
-    the bucket join quadratic; they are not meaningful near-dups.
-    Deterministic and mirrored by the oracles.
+    """Perceptual-hash near-dup blocking (image dHash, audio envelope,
+    video sequence hash): delegates to the ONE shared banded-Hamming core
+    in llm/dedup.py (round-8 advice — the simhash and multimodal paths
+    previously carried drift-prone copies). Guaranteed recall by
+    construction (n_chunks = max_hamming + 1 pigeonhole chunking); the
+    deterministic hot-bucket cap — featureless payloads (flat images,
+    silence) all hash near zero and would otherwise drive the bucket join
+    quadratic — is the only recall loss and is mirrored by the oracles.
 
     Returns (media_a, media_b, hamming) with media_a < media_b,
     hamming <= max_hamming."""
-    mask = (1 << chunk_bits) - 1
-    chunks = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col(sig_col).alias("_sg"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col(sig_col), chunk_bits * c).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("_chunk", "_cv"),
-    )
-    freq = chunks.groupBy("_chunk", "_cv").agg(F.count("*").alias("_n"))
-    ok = chunks.join(
-        freq.where(F.col("_n") <= max_bucket_freq).select("_chunk", "_cv"),
-        ["_chunk", "_cv"],
-    )
-    cand = (
-        ok.alias("l")
-        .join(
-            ok.alias("r"),
-            (F.col("l._chunk") == F.col("r._chunk"))
-            & (F.col("l._cv") == F.col("r._cv"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("media_a"),
-            F.col("r._id").alias("media_b"),
-            F.col("l._sg").alias("_ha"),
-            F.col("r._sg").alias("_hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (
-        cand.withColumn("hamming", hamming.cast("bigint"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("media_a", "media_b", "hamming")
+    from orion_spark.llm.dedup import hamming_banded_pairs
+
+    return hamming_banded_pairs(
+        sigs, sig_col, id_col, sig_bits=sig_bits, max_hamming=max_hamming,
+        max_bucket_freq=max_bucket_freq, out_a="media_a", out_b="media_b",
     )
 
 
@@ -1229,7 +1187,7 @@ def image_near_dup_pairs(
     max_bucket_freq: int = 64,
 ) -> DataFrame:
     """Image near-duplicate pairs: 56-bit dHash signatures through the
-    shared 14-bit-chunk blocking + Hamming verify core
+    shared guaranteed-recall blocking + Hamming verify core
     (_hamming_banded_pairs; cap/blocking semantics documented there)."""
     parallelism = media.sparkSession.sparkContext.defaultParallelism
     sigs = (
@@ -1240,7 +1198,7 @@ def image_near_dup_pairs(
         .localCheckpoint(eager=True)
     )
     return _hamming_banded_pairs(
-        sigs, "dhash", id_col, chunk_bits=14, n_chunks=4,
+        sigs, "dhash", id_col, sig_bits=56,
         max_hamming=max_hamming, max_bucket_freq=max_bucket_freq,
     )
 
@@ -1256,10 +1214,18 @@ def image_near_dup_oracle_sql(
     synthesize_media(near_dup_groups=group_size) fixture: replays the
     closed-form pixel stream (base-keyed values, member perturbation),
     the integer grayscale, the 8x8 nearest-neighbor grid, the 56-bit
-    dHash assembly, the 14-bit chunk blocking WITH the hot-bucket cap,
-    and the Hamming verify — the full candidate+verify contract, so the
-    blocked Spark output must equal it row-for-row."""
+    dHash assembly, then the SHARED guaranteed-recall chunk blocking
+    WITH the hot-bucket cap and the Hamming verify
+    (dedup.hamming_banded_oracle_block_sql — same chunking arithmetic as
+    the engine) — the full candidate+verify contract, so the blocked
+    Spark output must equal it row-for-row."""
+    from orion_spark.llm.dedup import hamming_banded_oracle_block_sql
+
     g = group_size
+    block = hamming_banded_oracle_block_sql(
+        "dhash", sig_bits=56, max_hamming=max_hamming,
+        max_bucket_freq=max_bucket_freq, src_cte="dh", id_col="media_id",
+    )
     return f"""
     WITH ids AS (
         SELECT {id_col} AS media_id,
@@ -1295,24 +1261,7 @@ def image_near_dup_oracle_sql(
                SUM(CASE WHEN gn > gv
                         THEN (1::BIGINT << (r * 7 + c)) ELSE 0 END) AS dhash
         FROM bits WHERE c < 7 GROUP BY media_id),
-    chunks AS (
-        SELECT media_id, dhash, t.c AS chunk,
-               (dhash >> (14 * t.c)) & 16383 AS cv
-        FROM dh, range(0, 4) t(c)),
-    freq AS (SELECT chunk, cv, COUNT(*) AS n FROM chunks GROUP BY chunk, cv),
-    ok AS (
-        SELECT ch.media_id, ch.dhash, ch.chunk, ch.cv
-        FROM chunks ch JOIN freq f ON ch.chunk = f.chunk AND ch.cv = f.cv
-        WHERE f.n <= {max_bucket_freq}),
-    cand AS (
-        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-               a.dhash AS ha, b.dhash AS hb
-        FROM ok a JOIN ok b
-          ON a.chunk = b.chunk AND a.cv = b.cv AND a.media_id < b.media_id)
-    SELECT media_a, media_b,
-           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    {block}
     """
 
 
@@ -1392,7 +1341,7 @@ def audio_near_dup_pairs(
     max_bucket_freq: int = 64,
 ) -> DataFrame:
     """Audio near-duplicate pairs: 63-bit envelope fingerprints through
-    the shared 15-bit-chunk blocking + Hamming verify core
+    the shared guaranteed-recall blocking + Hamming verify core
     (_hamming_banded_pairs; cap/blocking semantics documented there)."""
     parallelism = media.sparkSession.sparkContext.defaultParallelism
     sigs = (
@@ -1403,7 +1352,7 @@ def audio_near_dup_pairs(
         .localCheckpoint(eager=True)
     )
     return _hamming_banded_pairs(
-        sigs, "afp", id_col, chunk_bits=15, n_chunks=4,
+        sigs, "afp", id_col, sig_bits=63,
         max_hamming=max_hamming, max_bucket_freq=max_bucket_freq,
     )
 
@@ -1420,9 +1369,17 @@ def audio_near_dup_oracle_sql(
     closed-form interleaved sample stream (base-keyed values, member
     perturbation on the first 4k samples), the channel-folded absolute
     amplitudes, the 64-window integer mean envelope, the 63-bit
-    fingerprint assembly, the 15-bit chunk blocking WITH the hot-bucket
-    cap, and the Hamming verify — the full candidate+verify contract."""
+    fingerprint assembly, then the SHARED guaranteed-recall chunk
+    blocking WITH the hot-bucket cap and the Hamming verify
+    (dedup.hamming_banded_oracle_block_sql) — the full candidate+verify
+    contract."""
+    from orion_spark.llm.dedup import hamming_banded_oracle_block_sql
+
     g = group_size
+    block = hamming_banded_oracle_block_sql(
+        "afp", sig_bits=63, max_hamming=max_hamming,
+        max_bucket_freq=max_bucket_freq, src_cte="fp", id_col="media_id",
+    )
     return f"""
     WITH ids AS (
         SELECT {id_col} AS media_id,
@@ -1454,22 +1411,5 @@ def audio_near_dup_oracle_sql(
         SELECT media_id,
                SUM(CASE WHEN en > e THEN (1::BIGINT << w) ELSE 0 END) AS afp
         FROM bits WHERE w < 63 GROUP BY media_id),
-    chunks AS (
-        SELECT media_id, afp, t.c AS chunk,
-               (afp >> (15 * t.c)) & 32767 AS cv
-        FROM fp, range(0, 4) t(c)),
-    freq AS (SELECT chunk, cv, COUNT(*) AS n FROM chunks GROUP BY chunk, cv),
-    ok AS (
-        SELECT ch.media_id, ch.afp, ch.chunk, ch.cv
-        FROM chunks ch JOIN freq f ON ch.chunk = f.chunk AND ch.cv = f.cv
-        WHERE f.n <= {max_bucket_freq}),
-    cand AS (
-        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-               a.afp AS ha, b.afp AS hb
-        FROM ok a JOIN ok b
-          ON a.chunk = b.chunk AND a.cv = b.cv AND a.media_id < b.media_id)
-    SELECT media_a, media_b,
-           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    {block}
     """
