@@ -101,6 +101,13 @@ HEADLINE = [
     "events_kmv_quantile_accuracy",
     # deterministic two-phase global shuffle rank (training epoch order)
     "documents_epoch_shuffle",
+    # round-9: the registered power-law fixture (plans/skewgraph.py) —
+    # hub 0 owns N/2 spokes, so these run the hub-cap, DOULION, and
+    # salted-aggregation defenses on REAL skew in every bench record
+    "skew_adamic_adar_capped",
+    "skew_triangle_doulion",
+    "skew_salted_counts",
+    "skew_merge_salted",
 ]
 
 

@@ -10347,3 +10347,117 @@ def _register_audio_near_dup_oracle() -> None:
 
 
 _register_audio_near_dup_oracle()
+
+
+# ===========================================================================
+# Power-law skew gate (plans/skewgraph.py): the round-8 verdict's top ask.
+# Every registered fixture so far has a scale-invariant degree distribution
+# (gen_scale clones rows under fresh keys), so the hub/skew defenses never
+# ran through the sweep. These four queries exercise them on a deterministic
+# Zipf hub graph (hub 0 owns N/2 spokes), fully value-oracled at every sf.
+# ===========================================================================
+
+@query("skew_adamic_adar_capped", None)
+def skew_adamic_adar_capped_q(spark, sf_dir):
+    """Hub-capped Adamic-Adar on the REGISTERED power-law fixture
+    (plans/skewgraph.py: 16 Zipf hubs, hub 0 degree N/2 — at sf0.1 a
+    50,000-spoke hub): max_degree=16 excludes hubs (and the ~45-degree
+    warm tier) as wedge centers BEFORE the self-join, bounding per-key
+    fan-out at 256 where the uncapped wedge would be d0^2/2 ~ 1.25e9
+    rows at sf0.1 (measured flat 9-11 s capped vs 79->142 s uncapped on
+    the round-8 hub fixture). Exact semantics on the capped wedge set
+    (true degrees keep feeding the 1/ln d term), deterministic top-10k
+    by (score desc, a, b), so fully value-oracled."""
+    from orion_spark.operators.graphalgo import adamic_adar
+    from orion_spark.plans.skewgraph import skew_edges
+
+    pairs = skew_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return adamic_adar(pairs, min_common=2, max_degree=16, topk=10000)
+
+
+@query("skew_triangle_doulion", None)
+def skew_triangle_doulion_q(spark, sf_dir):
+    """DOULION triangle estimate on the power-law fixture — the
+    registered scale sibling for exact counting under REAL skew (the
+    exact count's DuckDB oracle alone needs ~131 s at sf0.1 on this
+    graph; the p=0.1 sample verifies in ~2 s at 1.8% observed error).
+    Deterministic md5 edge sampling -> the estimate itself is exactly
+    reproduced by the oracle, estimate included."""
+    from orion_spark.operators.graphalgo import triangle_count_sampled
+    from orion_spark.plans.skewgraph import skew_edges
+
+    pairs = skew_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return triangle_count_sampled(pairs, keep=100, denom=1000)
+
+
+@query(
+    "skew_salted_counts",
+    None,
+)
+def skew_salted_counts_q(spark, sf_dir):
+    """Salted two-phase degree count on the power-law fixture
+    (operators/skew.salted_counts): hub 0's N/2 rows land on ONE reducer
+    under a plain groupBy; the salt fans each hot key across 16 partial
+    groups, then sums partials — identical result (the oracle is the
+    plain GROUP BY), bounded per-reducer group size."""
+    from orion_spark.operators.skew import salted_counts
+    from orion_spark.plans.skewgraph import skew_edges
+
+    edges = skew_edges(spark, sf_dir)
+    return salted_counts(edges, ["b"], salt_buckets=16)
+
+
+@query("skew_merge_salted", None)
+def skew_merge_salted_q(spark, sf_dir):
+    """Salted A3 property merge on a REAL hot key (operators/skew.
+    merge_properties_salted): 16 'H:<j>' keys with Zipf row counts
+    (hub 0 = N/2 rows at every sf — 50k rows on one key at sf0.1),
+    keep-first-truthy name (globally-first truthy at spoke ordinal 13
+    must survive the salt bucketing) and sorted-distinct publications
+    fold. The oracle states the merge contract directly
+    (arg_min-by-ordinal with the truthy/fallback COALESCE, same as the
+    kgx_merge_nodes oracle)."""
+    from orion_spark.operators.skew import merge_properties_salted
+    from orion_spark.plans.skewgraph import skew_hub_property_rows
+
+    rows = skew_hub_property_rows(spark, sf_dir)
+    merged = merge_properties_salted(rows, ["id"], salt_buckets=16)
+    return merged.select(
+        "id", "name", F.array_join("publications", ",").alias("publications")
+    )
+
+
+def _register_skew_oracles() -> None:
+    from orion_spark.operators.graphalgo import (
+        adamic_adar_oracle_sql,
+        triangle_count_sampled_oracle_sql,
+    )
+    from orion_spark.plans.skewgraph import (
+        skew_hub_rows_chain_sql,
+        skew_pairs_chain_sql,
+        skew_pairs_select_sql,
+    )
+
+    ORACLES["skew_adamic_adar_capped"] = adamic_adar_oracle_sql(
+        skew_pairs_select_sql(), min_common=2, max_degree=16, topk=10000
+    )
+    ORACLES["skew_triangle_doulion"] = triangle_count_sampled_oracle_sql(
+        skew_pairs_chain_sql(), keep=100, denom=1000
+    )
+    ORACLES["skew_salted_counts"] = f"""
+    WITH {skew_pairs_chain_sql()}
+    SELECT b, COUNT(*) AS n FROM pairs GROUP BY b
+    """
+    ORACLES["skew_merge_salted"] = f"""
+    WITH {skew_hub_rows_chain_sql()}
+    SELECT id,
+           COALESCE(arg_min(name, CASE WHEN name <> '' THEN ord END),
+                    arg_min(name, ord)) AS name,
+           array_to_string(
+               list_sort(list_distinct(flatten(list(publications)))),
+               ',') AS publications
+    FROM hub_rows GROUP BY id
+    """
+
+
+_register_skew_oracles()

@@ -129,3 +129,52 @@ def test_salted_merge_sources_identical(spark):
     plain = canon(merge_properties_agg(df, ["id"]))
     salted = canon(merge_properties_salted(df, ["id"], salt_buckets=8))
     assert salted == plain
+
+
+def test_skew_graph_fixture_shape(spark):
+    """The registered power-law fixture (plans/skewgraph.py): edges are
+    distinct by construction (no dedup shuffle), hub degrees follow the
+    Zipf ladder d_j = (N//2) // (j+1), and the base tier stays bounded —
+    the degree spread the sweep-gate skew queries rely on."""
+    from pyspark.sql import functions as F
+
+    from orion_spark.plans.skewgraph import N_HUBS, skew_edges, skew_n_nodes
+
+    sf = "/root/testdata/sf0.001"
+    n = skew_n_nodes(spark, sf)
+    edges = skew_edges(spark, sf).localCheckpoint(eager=True)
+    total = edges.count()
+    assert edges.distinct().count() == total  # construction guarantees
+    expected_hub = sum(max(1, (n // 2) // (j + 1)) for j in range(N_HUBS))
+    assert total == 3 * n + expected_hub
+    deg = (
+        edges.select(F.col("a").alias("u"))
+        .unionAll(edges.select(F.col("b").alias("u")))
+        .groupBy("u").count()
+    )
+    hub_deg = {
+        r.u - n: r["count"] for r in deg.where(F.col("u") >= n).collect()
+    }
+    assert hub_deg[0] == n // 2 and hub_deg[1] == n // 4
+    base_max = deg.where(F.col("u") < n).agg(F.max("count")).first()[0]
+    assert base_max < 64  # warm tier stays bounded; hubs carry the skew
+
+
+def test_skew_merge_salted_survives_hot_key(spark):
+    """merge_properties_salted on the fixture's Zipf property rows: the
+    globally-first truthy name (spoke ordinal 13) must win on the N/2-row
+    hot key despite the 16-way salt bucketing."""
+    from orion_spark.plans.skewgraph import skew_hub_property_rows
+
+    rows = skew_hub_property_rows(spark, "/root/testdata/sf0.001")
+    merged = {
+        r.id: r for r in merge_properties_salted(
+            rows, ["id"], salt_buckets=16
+        ).collect()
+    }
+    assert merged["H:0"].name == "n0_13"
+    assert merged["H:15"].name == "n15_13"
+    # publications fold: sorted distinct across all spokes of the key
+    assert merged["H:0"].publications == sorted(
+        {f"PMID:{(k * 31) % 50}" for k in range(250)}
+    )

@@ -44,6 +44,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "text_tfidf_top_terms": "corpus-size scalar (1 row) broadcast into the score expression",
         "graph_triangle_count": "1-row summary aggregates combined into the output row",
         "graph_triangle_count_sampled": "1-row summary aggregates (total-edge count x sampled-count row) combined into the output row",
+        "skew_triangle_doulion": "1-row summary aggregates (total-edge count x sampled-count row) combined into the output row",
         "text_ngram_lm_perplexity": "1-row LM constants (N, V) broadcast under every scored token",
         "text_ngram_lm_persisted": "1-row LM constants (N, V) broadcast under every scored token",
         "documents_drift_report": "1-row totals frame broadcast under the vocabulary-sized KL fold + 1-row x 1-row output combine",
