@@ -97,6 +97,9 @@ HEADLINE = [
     # blocking core) — the multimodal-curation dedups
     "multimodal_image_near_dup",
     "multimodal_audio_near_dup",
+    # round-9: video near-dup (frame-sampled dHash sequence, per-bit
+    # majority fold, same shared blocking core) — modality set complete
+    "multimodal_video_near_dup",
     # bottom-k (KMV) mergeable quantile sketch vs exact panel
     "events_kmv_quantile_accuracy",
     # deterministic two-phase global shuffle rank (training epoch order)

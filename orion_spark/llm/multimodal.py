@@ -1047,11 +1047,26 @@ def video_metadata(
     return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
 
 
-def synthesize_video(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+def synthesize_video(
+    df: DataFrame,
+    id_col: str = "media_id",
+    near_dup_groups: int | None = None,
+) -> DataFrame:
     """Deterministic MP4 fixture generator: per id an ISO-BMFF stub with
     timescale 600/1000 by parity, duration (1 + id % 100) * timescale / 2
     (i.e. always (1 + id % 100) * 500 ms), 1 + id % 2 tracks of
-    16*(1 + id % 4) x 16*(1 + (id // 4) % 4) display size."""
+    16*(1 + id % 4) x 16*(1 + (id // 4) % 4) display size.
+
+    With `near_dup_groups=g`, ids cluster into near-duplicate groups of g
+    and the payload carries REAL frames: an `mdat` box holding
+    n_frames = 8 + base % 8 concatenated binary-PPM frames of
+    2 + base % 7 x 2 + (base // 7) % 7 pixels (base = id - id % g keys
+    everything, so group members share dims and frame count). Frame f's
+    channel stream is v_i = (base * 31 + f * 17 + i) % 256 and member
+    k = id % g perturbs the first 3k bytes of EVERY frame by +128 mod 256
+    — the image fixture's drift scheme, per frame. The moov mvhd carries
+    timescale 600 and duration n_frames * 150 (4 fps). Fully closed-form
+    for video_near_dup_oracle_sql."""
     import struct as _struct
 
     def _stub(duration, timescale, tracks):
@@ -1080,17 +1095,40 @@ def synthesize_video(df: DataFrame, id_col: str = "media_id") -> DataFrame:
             traks += box(b"trak", tkhd)
         return ftyp + box(b"moov", mvhd + traks)
 
+    def box(btype, body):
+        return _struct.pack(">I", 8 + len(body)) + btype + body
+
+    ndg = near_dup_groups
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for mid in pdf[id_col]:
                 mid = int(mid)
-                timescale = 600 if mid % 2 == 0 else 1000
-                duration = (1 + mid % 100) * timescale // 2
-                w = 16 * (1 + mid % 4)
-                h = 16 * (1 + (mid // 4) % 4)
-                tracks = [(w, h)] * (1 + mid % 2)
-                payloads.append(_stub(duration, timescale, tracks))
+                if ndg is None:
+                    timescale = 600 if mid % 2 == 0 else 1000
+                    duration = (1 + mid % 100) * timescale // 2
+                    w = 16 * (1 + mid % 4)
+                    h = 16 * (1 + (mid // 4) % 4)
+                    tracks = [(w, h)] * (1 + mid % 2)
+                    payloads.append(_stub(duration, timescale, tracks))
+                    continue
+                base = mid - mid % ndg
+                w = 2 + base % 7
+                h = 2 + (base // 7) % 7
+                nf = 8 + base % 8
+                cut = 3 * (mid % ndg)
+                frames = b""
+                for f in range(nf):
+                    vals = bytes(
+                        ((base * 31 + f * 17 + i) % 256
+                         + (128 if i < cut else 0)) % 256
+                        for i in range(w * h * 3)
+                    )
+                    frames += b"P6\n%d %d\n255\n" % (w, h) + vals
+                payloads.append(
+                    _stub(nf * 150, 600, [(w, h)]) + box(b"mdat", frames)
+                )
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
     return df.select(id_col).mapInPandas(
@@ -1411,5 +1449,217 @@ def audio_near_dup_oracle_sql(
         SELECT media_id,
                SUM(CASE WHEN en > e THEN (1::BIGINT << w) ELSE 0 END) AS afp
         FROM bits WHERE w < 63 GROUP BY media_id),
+    {block}
+    """
+
+
+def video_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_step: int = 2,
+) -> DataFrame:
+    """Temporal perceptual fingerprint over REAL decoded video frames:
+    walk the ISO-BMFF boxes to the `mdat` payload, split it into frames
+    by parsing each binary-PPM header sequentially (a real byte-level
+    demux — no library), sample every `frame_step`-th frame, dHash each
+    sampled frame (the image operator's grayscale -> 8x8 grid ->
+    gradient-bit scheme, exact integer arithmetic), then fold the
+    per-frame hashes into ONE 56-bit signature by per-bit MAJORITY vote
+    (bit b set iff more than half the sampled frames set it) — the
+    standard temporal aggregation: the dominant gradient structure
+    survives re-encodes, small edits, and frame drops, and Hamming
+    distance on the folded signature ranks similarity. mapInPandas over
+    the binary column, same Arrow-batch shape as image_dhash."""
+    import struct as _struct
+
+    out_schema = f"{id_col} bigint, vhash bigint, n_frames int"
+    step = frame_step
+
+    def _boxes(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            (size,) = _struct.unpack_from(">I", buf, i)
+            btype = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = _struct.unpack_from(">Q", buf, i + 8)
+                hdr = 16
+            if size < hdr:
+                raise ValueError("malformed MP4 box size")
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    def _ppm_frames(buf, start, end):
+        """Sequentially parse concatenated P6 frames: (w, h, pixel bytes)."""
+        i = start
+        while i < end:
+            if buf[i : i + 3] != b"P6\n":
+                raise ValueError("mdat frame is not binary PPM")
+            j = buf.index(b"\n", i + 3)
+            w, h = (int(t) for t in buf[i + 3 : j].split(b" "))
+            k = buf.index(b"\n", j + 1)  # maxval line
+            body = k + 1
+            yield w, h, buf[body : body + w * h * 3]
+            i = body + w * h * 3
+
+    def _frame_dhash(w, h, data):
+        cells = [
+            [
+                sum(
+                    data[3 * (min(h - 1, r * h // 8) * w
+                              + min(w - 1, c * w // 8)) + d]
+                    for d in range(3)
+                ) // 3
+                for c in range(8)
+            ]
+            for r in range(8)
+        ]
+        bits = 0
+        for r in range(8):
+            for c in range(7):
+                if cells[r][c + 1] > cells[r][c]:
+                    bits |= 1 << (r * 7 + c)
+        return bits
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, counts = [], []
+            for p in pdf[payload_col]:
+                payload = bytes(p)
+                if len(payload) < 8 or payload[4:8] not in (
+                    b"ftyp", b"moov", b"mdat"
+                ):
+                    raise NotImplementedError(
+                        "no video container parser for %r" % (payload[4:8],)
+                    )
+                mdat = None
+                for btype, s, e in _boxes(payload, 0, len(payload)):
+                    if btype == b"mdat":
+                        mdat = (s, e)
+                if mdat is None:
+                    raise ValueError("video payload has no mdat frames")
+                frame_hashes = [
+                    _frame_dhash(w, h, data)
+                    for f, (w, h, data) in enumerate(
+                        _ppm_frames(payload, mdat[0], mdat[1])
+                    )
+                    if f % step == 0
+                ]
+                n = len(frame_hashes)
+                bits = 0
+                for b in range(56):
+                    n_set = sum((fh >> b) & 1 for fh in frame_hashes)
+                    if 2 * n_set > n:
+                        bits |= 1 << b
+                hashes.append(bits)
+                counts.append(n)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "vhash": hashes,
+                 "n_frames": counts}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=out_schema
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket_freq: int = 64,
+    frame_step: int = 2,
+) -> DataFrame:
+    """Video near-duplicate pairs: 56-bit majority-folded frame dHash
+    sequences through the shared guaranteed-recall blocking + Hamming
+    verify core (_hamming_banded_pairs) — completing the
+    image/audio/video modality set on ONE blocking core."""
+    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        video_fingerprint(
+            media.repartition(parallelism), payload_col=payload_col,
+            id_col=id_col, frame_step=frame_step,
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _hamming_banded_pairs(
+        sigs, "vhash", id_col, sig_bits=56,
+        max_hamming=max_hamming, max_bucket_freq=max_bucket_freq,
+    )
+
+
+def video_near_dup_oracle_sql(
+    group_size: int = 4,
+    max_hamming: int = 6,
+    max_bucket_freq: int = 64,
+    frame_step: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB ground truth for video_near_dup_pairs over the
+    synthesize_video(near_dup_groups=group_size) fixture: replays the
+    closed-form per-frame pixel stream (base-keyed values + f*17 frame
+    term, member perturbation of each frame's first 3k bytes), the
+    every-frame_step sampling, the per-frame grayscale/grid/gradient
+    bits, the per-bit MAJORITY fold across sampled frames, then the
+    SHARED guaranteed-recall blocking + hot-bucket cap + Hamming verify
+    (dedup.hamming_banded_oracle_block_sql) — full candidate+verify
+    contract, no video library anywhere."""
+    from orion_spark.llm.dedup import hamming_banded_oracle_block_sql
+
+    g = group_size
+    block = hamming_banded_oracle_block_sql(
+        "vhash", sig_bits=56, max_hamming=max_hamming,
+        max_bucket_freq=max_bucket_freq, src_cte="vh", id_col="media_id",
+    )
+    return f"""
+    WITH ids AS (
+        SELECT {id_col} AS media_id,
+               {id_col} - {id_col} % {g} AS base
+        FROM {table}),
+    dims AS (
+        SELECT media_id, base,
+               2 + base % 7 AS w, 2 + (base // 7) % 7 AS h,
+               8 + base % 8 AS nf
+        FROM ids),
+    frames AS (
+        SELECT media_id, base, w, h, s.s * {frame_step} AS f
+        FROM dims,
+             UNNEST(range(0, (nf + {frame_step} - 1) // {frame_step}))
+                 AS s(s)),
+    cells AS (
+        SELECT media_id, base, f, r.r, c.c,
+               3 * (LEAST(h - 1, r.r * h // 8) * w
+                    + LEAST(w - 1, c.c * w // 8)) AS ci
+        FROM frames, range(0, 8) r(r), range(0, 8) c(c)),
+    gray AS (
+        SELECT media_id, f, r, c,
+               (CASE WHEN ci < 3 * (media_id % {g})
+                     THEN ((base * 31 + f * 17 + ci) % 256 + 128) % 256
+                     ELSE (base * 31 + f * 17 + ci) % 256 END
+                + CASE WHEN ci + 1 < 3 * (media_id % {g})
+                       THEN ((base * 31 + f * 17 + ci + 1) % 256 + 128) % 256
+                       ELSE (base * 31 + f * 17 + ci + 1) % 256 END
+                + CASE WHEN ci + 2 < 3 * (media_id % {g})
+                       THEN ((base * 31 + f * 17 + ci + 2) % 256 + 128) % 256
+                       ELSE (base * 31 + f * 17 + ci + 2) % 256 END) // 3
+                   AS gv
+        FROM cells),
+    fbits AS (
+        SELECT media_id, f, r, c, gv,
+               LEAD(gv) OVER (PARTITION BY media_id, f, r ORDER BY c) AS gn
+        FROM gray),
+    vbits AS (
+        SELECT media_id, r, c,
+               COUNT(*) FILTER (WHERE gn > gv) AS n_set,
+               COUNT(*) AS n_samp
+        FROM fbits WHERE c < 7 GROUP BY media_id, r, c),
+    vh AS (
+        SELECT media_id,
+               SUM(CASE WHEN 2 * n_set > n_samp
+                        THEN (1::BIGINT << (r * 7 + c)) ELSE 0 END) AS vhash
+        FROM vbits GROUP BY media_id),
     {block}
     """

@@ -10461,3 +10461,38 @@ def _register_skew_oracles() -> None:
 
 
 _register_skew_oracles()
+
+
+@query("multimodal_video_near_dup", None)
+def multimodal_video_near_dup_q(spark, sf_dir):
+    """Video near-duplicate detection over REAL demuxed frames
+    (llm/multimodal.video_near_dup_pairs) — completes the
+    image/audio/video modality set on the ONE shared guaranteed-recall
+    blocking core: the grouped fixture synthesizes actual ISO-BMFF
+    payloads (moov metadata + an mdat of 8-15 binary-PPM frames per
+    video, near-dup groups of 4 sharing a base sequence with per-member
+    pixel drift), the Arrow-batched fingerprint stage walks the boxes,
+    splits mdat into frames by parsing each PPM header, dHashes every
+    2nd frame and folds the per-frame hashes into one 56-bit signature
+    by per-bit majority vote; pairs come from the shared blocking join
+    with the hot-bucket cap, verified by exact Hamming distance.
+    Closed-form frame streams -> fully analytic DuckDB oracle (reference
+    has no multimodal surface; north-star extension)."""
+    from orion_spark.llm import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = MM.synthesize_video(docs, near_dup_groups=4)
+    return MM.video_near_dup_pairs(media, max_hamming=6, max_bucket_freq=64)
+
+
+def _register_video_near_dup_oracle() -> None:
+    from orion_spark.llm.multimodal import video_near_dup_oracle_sql
+
+    ORACLES["multimodal_video_near_dup"] = video_near_dup_oracle_sql(
+        group_size=4, max_hamming=6, max_bucket_freq=64
+    )
+
+
+_register_video_near_dup_oracle()

@@ -1590,3 +1590,70 @@ def test_synthesize_audio_rejects_overflowing_group_size(spark):
         MM.synthesize_audio(docs, near_dup_groups=801)
     # the registered configuration stays valid
     assert MM.synthesize_audio(docs, near_dup_groups=4).count() == 4
+
+
+def test_video_fingerprint_identical_and_majority(spark):
+    """Ground truths for the temporal fold: byte-identical videos pair at
+    hamming 0, and the majority vote tracks the dominant frame (2 frames
+    of gradient vs 1 flat frame -> the gradient bits win)."""
+    from orion_spark.llm import multimodal as MM
+
+    grad = MM.encode_ppm(8, 8, [
+        v for r in range(8) for c in range(8) for v in (c * 30,) * 3
+    ])
+    flat = MM.encode_ppm(8, 8, [77] * (8 * 8 * 3))
+
+    def mp4(frames):
+        import struct
+        body = b"".join(frames)
+        mdat = struct.pack(">I", 8 + len(body)) + b"mdat" + body
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        return ftyp + mdat
+
+    media = spark.createDataFrame(
+        [(1, bytearray(mp4([grad, flat, grad]))),
+         (2, bytearray(mp4([grad, flat, grad]))),
+         (3, bytearray(mp4([flat, grad, flat])))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in
+           MM.video_fingerprint(media, frame_step=1).collect()}
+    assert out[1].n_frames == 3
+    # 2-of-3 gradient frames: every gradient bit wins the majority
+    assert out[1].vhash == (1 << 56) - 1
+    # 2-of-3 flat frames: no bit reaches a majority
+    assert out[3].vhash == 0
+    pairs = MM.video_near_dup_pairs(media, max_hamming=0).collect()
+    assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_video_near_dup_grouped_fixture_matches_duckdb(spark):
+    """The registered contract on a small grouped fixture: synthesized
+    near-dup MP4 groups (real ISO-BMFF + PPM-frame mdat demuxed by the
+    engine) vs the closed-form analytic oracle."""
+    import duckdb
+
+    from orion_spark.llm import multimodal as MM
+    from orion_spark.llm.multimodal import video_near_dup_oracle_sql
+
+    docs = spark.range(64).select(F.col("id").alias("media_id"))
+    media = MM.synthesize_video(docs, near_dup_groups=4)
+    got = sorted(
+        (r.media_a, r.media_b, r.hamming)
+        for r in MM.video_near_dup_pairs(
+            media, max_hamming=6, max_bucket_freq=64
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT range AS doc_id FROM range(64)")
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.sql(
+            video_near_dup_oracle_sql(group_size=4, max_hamming=6,
+                                      max_bucket_freq=64)
+        ).fetchall()
+    )
+    assert got == want and got
+    # within-group drift is early-cell-local: member 0 and 1 of the first
+    # group stay within the hamming budget
+    assert any(a < 4 and b < 4 for a, b, _ in got)
