@@ -10496,3 +10496,100 @@ def _register_video_near_dup_oracle() -> None:
 
 
 _register_video_near_dup_oracle()
+
+
+# ===========================================================================
+# Bounded-accuracy checks for the declared-approximate queries (round-9
+# verdict ask #4): the three entries whose estimates are engine-private
+# (MLlib-KMeans IVF, Spark HLL++/percentile_approx, DataSketches HLL) get
+# QUANTIFIED bounds against exact DuckDB ground truth instead of rows-only
+# status. tools/check_correctness.py runs these when no value oracle is
+# registered and records bound_ok — so full sweeps report 0 rows-only.
+# Each callable: (spark_result_pandas, duckdb_con) -> (ok, detail).
+# ===========================================================================
+
+BOUND_CHECKS: dict[str, Callable] = {}
+
+
+def _bound_ann_ivf_topk(sdf, con) -> tuple[bool, str]:
+    """IVF recall@10 vs the exact brute-force top-10 (the oracle of the
+    hash-checked sibling ann_cosine_topk). n_probe=3 of 8 lists scores
+    ~37% of the corpus per query; the bound is deliberately below the
+    observed recall band so boot-to-boot KMeans length-of-iteration
+    noise can't flake the sweep."""
+    from orion_spark.llm.similarity import brute_force_topk_oracle_sql
+
+    exact = con.execute(brute_force_topk_oracle_sql(k=10)).df()
+    want = exact.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    got = sdf.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    if set(got) != set(want):
+        return False, (
+            f"query-id sets differ: spark {len(got)} vs exact {len(want)}"
+        )
+    recall = sum(
+        len(got[q] & want[q]) / len(want[q]) for q in want
+    ) / len(want)
+    return recall >= 0.5, (
+        f"IVF recall@10 vs exact brute-force = {recall:.3f} over "
+        f"{len(want)} queries (bound >= 0.5 at n_probe=3/8 lists)"
+    )
+
+
+def _bound_qc_approx_sketches(sdf, con) -> tuple[bool, str]:
+    """HLL++ distinct-users within 3*rsd = 6% relative error of the exact
+    COUNT(DISTINCT); approx p95 inside the exact [p94.9, p95.1] discrete
+    quantile band (percentile_approx accuracy=10000 guarantees rank
+    error <= 0.01%; the band allows 10x that)."""
+    exact = con.execute(
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS nd,
+               quantile_disc(value, 0.949) AS lo,
+               quantile_disc(value, 0.951) AS hi
+        FROM events GROUP BY event_type
+        """
+    ).df().set_index("event_type")
+    if sorted(sdf["event_type"]) != sorted(exact.index):
+        return False, "event_type key sets differ"
+    worst_rel, p95_ok = 0.0, True
+    for _, row in sdf.iterrows():
+        e = exact.loc[row["event_type"]]
+        worst_rel = max(worst_rel, abs(row["approx_users"] - e.nd) / e.nd)
+        if not e.lo <= row["approx_p95_value"] <= e.hi:
+            p95_ok = False
+    return (worst_rel <= 0.06 and p95_ok), (
+        f"HLL++ worst relative error = {worst_rel:.4f} (bound <= 0.06 = "
+        f"3*rsd); approx p95 within exact [p94.9, p95.1] band: {p95_ok}"
+    )
+
+
+def _bound_qc_knowledge_source_hll(sdf, con) -> tuple[bool, str]:
+    """DataSketches HLL (lg_k=12, rel. std. err ~1.6%) distinct-node
+    estimate within 3 sigma = 5% of the exact distinct count over the
+    same closed-form lineitem edge set; the single (aggregator, primary)
+    group key must match the fixture exactly."""
+    exact = con.execute(
+        f"""
+        WITH {G.LINEITEM_EDGES_SQL}
+        SELECT COUNT(DISTINCT node) FROM (
+            SELECT subject AS node FROM lineitem_edges
+            UNION ALL SELECT object FROM lineitem_edges)
+        """
+    ).fetchone()[0]
+    if len(sdf) != 1:
+        return False, f"expected 1 group row, got {len(sdf)}"
+    row = sdf.iloc[0]
+    if (row["aggregator_sources"], row["primary_knowledge_source"]) != (
+        "", "infores:tpch-lineitem"
+    ):
+        return False, "unexpected group key"
+    rel = abs(row["approx_distinct_nodes"] - exact) / exact
+    return rel <= 0.05, (
+        f"DataSketches HLL distinct-node estimate "
+        f"{row['approx_distinct_nodes']:.0f} vs exact {exact} -> relative "
+        f"error {rel:.4f} (bound <= 0.05 = 3 sigma at lg_k=12)"
+    )
+
+
+BOUND_CHECKS["ann_ivf_topk"] = _bound_ann_ivf_topk
+BOUND_CHECKS["qc_approx_sketches"] = _bound_qc_approx_sketches
+BOUND_CHECKS["qc_knowledge_source_hll"] = _bound_qc_knowledge_source_hll

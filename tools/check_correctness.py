@@ -57,7 +57,7 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
-    from orion_spark.plans.queries import ORACLES, QUERIES
+    from orion_spark.plans.queries import BOUND_CHECKS, ORACLES, QUERIES
     from orion_spark.session import get_spark
 
     spark = get_spark(app_name="check-correctness")
@@ -67,7 +67,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    failures, passed, no_oracle = [], [], []
+    failures, passed, no_oracle, bounded = [], [], [], []
     records: dict[str, dict] = {}
 
     def record(name, *, rows=None, orows=None, rm=None, sm=None, hm=None, err=None):
@@ -87,6 +87,32 @@ def main() -> int:
             record(name, err=f"spark: {str(e)[:300]}")
             continue
         if name not in ORACLES:
+            if name in BOUND_CHECKS:
+                # declared-approximate query: no cross-engine value oracle
+                # exists BY NATURE (engine-private sketch/model), but a
+                # quantified accuracy bound vs exact ground truth does
+                try:
+                    ok, detail = BOUND_CHECKS[name](sdf, con)
+                except Exception as e:
+                    failures.append((name, f"BOUND CHECK ERROR: {e}"))
+                    print(f"FAIL  {name}: bound check error: {str(e)[:300]}")
+                    record(name, rows=len(sdf), err=f"bound: {str(e)[:300]}")
+                    continue
+                records[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "bound_ok": ok,
+                    "spark_rows": len(sdf), "oracle_rows": None,
+                    "err": None if ok else f"bound violated: {detail}",
+                    "bound_detail": detail,
+                }
+                if ok:
+                    bounded.append(name)
+                    print(f"PASS  {name} (bound-checked: {detail}, "
+                          f"{len(sdf)} rows, {time.time()-t0:.1f}s)")
+                else:
+                    failures.append((name, f"bound violated: {detail}"))
+                    print(f"FAIL  {name}: bound violated: {detail}")
+                continue
             no_oracle.append(name)
             print(f"SKIP  {name}: no oracle ({len(sdf)} rows, rows-only check)")
             record(name, rows=len(sdf), err="rows-only by design (no oracle)")
@@ -133,8 +159,8 @@ def main() -> int:
         record(name, rows=len(sdf), orows=len(odf), rm=True, sm=True, hm=True)
 
     print(
-        f"\n== {len(passed)} passed, {len(failures)} failed, "
-        f"{len(no_oracle)} rows-only =="
+        f"\n== {len(passed)} passed, {len(bounded)} bound-checked, "
+        f"{len(failures)} failed, {len(no_oracle)} rows-only =="
     )
     if json_out:
         with open(json_out, "w") as fh:
