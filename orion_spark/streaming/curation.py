@@ -77,6 +77,7 @@ def curated_dedup_sink(
     dsir_model_path: str | None = None,
     min_log_weight: float | None = None,
     bloom_history_path: str | None = None,
+    update_bloom_history: bool = False,
 ):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
@@ -108,7 +109,16 @@ def curated_dedup_sink(
     every batch, O(corpus) per trigger — the bloom is fixed-size however
     large the history, which is what makes "never re-ingest anything from
     the last 100 TB" affordable per micro-batch. Sound (no false
-    negatives); over-drops at the filter's FP rate."""
+    negatives); over-drops at the filter's FP rate.
+
+    `update_bloom_history=True` makes it a STANDING gate (the same
+    lifecycle the batch CLI's `bloom-dedup filter --update` exposes):
+    after each batch's survivors land, their clean-text keys are folded
+    back into the persisted bitmap (bloom_build delta + bloom_merge +
+    save_bloom), so the NEXT micro-batch — and the next stream run —
+    sees them without ever re-reading the accumulated sink. A replayed
+    batch (checkpoint recovery) finds its own keys already folded and
+    drops itself: idempotent restarts through the bitmap alone."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
@@ -142,6 +152,21 @@ def curated_dedup_sink(
         keep = b.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
         out = b.join(keep, ["content_key", "doc_id"], "left_semi")
         out.write.mode("append").parquet(out_path)
+        if bloom_history_path is not None and update_bloom_history:
+            from orion_spark.llm.bloom import (
+                bloom_build, bloom_merge, load_bloom, save_bloom,
+            )
+
+            # fold only this batch's survivor keys — one batch's worth of
+            # rows, not the accumulated sink
+            delta_keys = out.select("clean_text")
+            if delta_keys.take(1):
+                bloom, m_bits, k = load_bloom(spark, bloom_history_path)
+                delta = bloom_build(
+                    delta_keys, key_col="clean_text", m_bits=m_bits, k=k
+                )
+                merged = bloom_merge(bloom, delta).localCheckpoint(eager=True)
+                save_bloom(merged, bloom_history_path, m_bits=m_bits, k=k)
 
     return _process
 
@@ -156,6 +181,7 @@ def run_curation_stream(
     dsir_model_path: str | None = None,
     min_log_weight: float | None = None,
     bloom_history_path: str | None = None,
+    update_bloom_history: bool = False,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
@@ -170,6 +196,7 @@ def run_curation_stream(
                 dsir_model_path=dsir_model_path,
                 min_log_weight=min_log_weight,
                 bloom_history_path=bloom_history_path,
+                update_bloom_history=update_bloom_history,
             )
         )
         .option("checkpointLocation", checkpoint)

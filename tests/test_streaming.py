@@ -379,3 +379,78 @@ def test_streaming_curation_dsir_gate(spark, tmp_path):
     )
     kept = [r.doc_id for r in spark.read.parquet(out).collect()]
     assert kept == [100]
+
+
+def test_streaming_bloom_standing_gate(spark, tmp_path):
+    """The Bloom-history gate as a STANDING gate (round-8 verdict ask #8):
+    a persisted bitmap built offline drops already-ingested docs per
+    micro-batch, and with update_bloom_history=True each batch's
+    survivors are folded back — so a SECOND stream run with a fresh sink
+    and fresh checkpoint (no sink anti-join, no replay state) still drops
+    them: the dedup guarantee travels in the bitmap alone."""
+    from orion_spark.llm.bloom import bloom_build, bloom_probe, load_bloom, save_bloom
+    from orion_spark.streaming import curation as C
+
+    hist_text = (
+        "the historical document line is long clean english text right here\n"
+        "a second long clean line keeps the quality gate comfortably happy"
+    )
+    new_text = (
+        "the genuinely new document arrives with one long english sentence\n"
+        "and brings along another long and reasonably clean second line"
+    )
+    later_text = (
+        "the second wave document is different again with long english text\n"
+        "its other line is also long enough to clear every curation gate"
+    )
+    m_bits, k = 1 << 16, 4
+    bloom_path = str(tmp_path / "bloom")
+    hist = spark.createDataFrame([(hist_text,)], "clean_text string")
+    save_bloom(
+        bloom_build(hist, key_col="clean_text", m_bits=m_bits, k=k),
+        bloom_path, m_bits=m_bits, k=k,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, hist_text, "en", "s1", len(hist_text)),
+         (2, new_text, "en", "s1", len(new_text))],
+        C.DOCS_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    C.run_curation_stream(
+        spark, src, out, ck,
+        bloom_history_path=bloom_path, update_bloom_history=True,
+    )
+    landed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert landed == {2}  # doc 1 dropped by the history bitmap
+
+    # persisted-bitmap round-trip: the survivor's key is now IN the bitmap
+    bloom, m2, k2 = load_bloom(spark, bloom_path)
+    assert (m2, k2) == (m_bits, k)
+    probe = bloom_probe(
+        spark.createDataFrame([(new_text,), (later_text,)],
+                              "clean_text string"),
+        bloom, "clean_text", m2, k2,
+    ).collect()
+    hits = {r.clean_text: r.bloom_hit for r in probe}
+    assert hits[new_text] is True       # folded by the standing gate
+    assert hits[later_text] is False    # unseen text stays clean
+
+    # second run: FRESH sink + FRESH checkpoint (no anti-join history, no
+    # replay state) — only the bitmap can drop the re-ingested text
+    src2 = str(tmp_path / "src2")
+    out2 = str(tmp_path / "out2")
+    ck2 = str(tmp_path / "ck2")
+    spark.createDataFrame(
+        [(7, new_text, "en", "s9", len(new_text)),
+         (8, later_text, "en", "s9", len(later_text))],
+        C.DOCS_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src2)
+    C.run_curation_stream(
+        spark, src2, out2, ck2,
+        bloom_history_path=bloom_path, update_bloom_history=True,
+    )
+    landed2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert landed2 == {8}  # 7 dropped by the UPDATED bitmap alone
