@@ -18,8 +18,19 @@ how plans/stage_metrics.PhaseRecorder reads stage metrics; the engine's
 default sessions keep the UI off). Keep other Spark JVMs idle — wall
 times here carry the same noise caveat as bench.py.
 
+Cold/warm discipline (round-9 verdict ask #3): the whole composition runs
+TWICE in one process — pass 1 ("cold") pays the first-touch page-cache
+cost of the input parquet, pass 2 ("warm") measures steady state. Both
+per-phase walls land in the artifact, so BUILD_STAGE_METRICS_* files are
+cross-round comparable by themselves (round 8's 400 s vs 127 s
+write_edges swing at byte-identical shuffle needed side probes to
+explain; now the warm row IS the clean number). Byte metrics between
+the passes are recorded as `byte_drift`: identical at sf0.1, within
+~2% total at sf10 (AQE coalescing + shuffle compression framing shift
+slightly under memory pressure) — walls move 2-4x, bytes don't.
+
 Usage: python tools/build_stage_metrics.py [sf_dir] [workdir]
-Prints one JSON line (phases + totals) and a markdown table for SCALE.md.
+Prints two markdown tables (cold, warm) and ONE JSON line with both.
 """
 
 from __future__ import annotations
@@ -69,54 +80,73 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    rec = PhaseRecorder(spark)
 
     if os.path.exists(workdir):
         shutil.rmtree(workdir)
-    bundles = {
-        "src_a": os.path.join(workdir, "src_a"),
-        "src_b": os.path.join(workdir, "src_b"),
-        "src_qualified": os.path.join(workdir, "src_qualified"),
-    }
-    nodes = G.nodes_df(spark, sf_dir)
-    edges = G.all_edges(spark, sf_dir)
-    with rec.phase("source_prep"):
-        for src, keep in (("src_a", (0, 1)), ("src_b", (1, 2))):
-            write_bundle(
-                nodes.where(_bucket("id").isin(*keep)),
-                edges.where(_bucket("subject").isin(*keep)),
-                bundles[src],
-            )
-        write_bundle(
-            nodes.where(_bucket("id") == 2),
-            G.lineitem_edges(spark, sf_dir).drop("_source_ordinal"),
-            bundles["src_qualified"],
-        )
-
     spec = parse_graph_spec(SPEC_YAML)[0]
-    out = build_graph(
-        spark, spec, bundles, os.path.join(workdir, "storage"), recorder=rec
+    byte_keys = (
+        "input_bytes",
+        "output_bytes",
+        "shuffle_read_bytes",
+        "shuffle_write_bytes",
     )
-
-    phases = rec.report()
-    totals = {
-        k: sum(p[k] for p in phases)
-        for k in (
-            "input_bytes",
-            "output_bytes",
-            "shuffle_read_bytes",
-            "shuffle_write_bytes",
+    runs: dict[str, list[dict]] = {}
+    out = None
+    for label in ("cold", "warm"):
+        rundir = os.path.join(workdir, label)
+        rec = PhaseRecorder(spark)
+        bundles = {
+            "src_a": os.path.join(rundir, "src_a"),
+            "src_b": os.path.join(rundir, "src_b"),
+            "src_qualified": os.path.join(rundir, "src_qualified"),
+        }
+        nodes = G.nodes_df(spark, sf_dir)
+        edges = G.all_edges(spark, sf_dir)
+        with rec.phase("source_prep"):
+            for src, keep in (("src_a", (0, 1)), ("src_b", (1, 2))):
+                write_bundle(
+                    nodes.where(_bucket("id").isin(*keep)),
+                    edges.where(_bucket("subject").isin(*keep)),
+                    bundles[src],
+                )
+            write_bundle(
+                nodes.where(_bucket("id") == 2),
+                G.lineitem_edges(spark, sf_dir).drop("_source_ordinal"),
+                bundles["src_qualified"],
+            )
+        out = build_graph(
+            spark, spec, bundles, os.path.join(rundir, "storage"),
+            recorder=rec,
         )
+        runs[label] = rec.report()
+        print(f"-- {label} --")
+        print(report_markdown(runs[label]))
+
+    # caching moves walls, never bytes: the two passes must account the
+    # same shuffle/output volume phase-for-phase (input_bytes excluded —
+    # the REST surface under-reports DSv2 parquet scans nondeterministically
+    # when splits coalesce differently; shuffle/output are the honest pair)
+    byte_drift = [
+        (c["phase"], k, c[k], w[k])
+        for c, w in zip(runs["cold"], runs["warm"])
+        for k in ("shuffle_read_bytes", "shuffle_write_bytes", "output_bytes")
+        if c[k] != w[k]
+    ]
+    totals = {
+        label: {k: sum(p[k] for p in phases) for k in byte_keys}
+        for label, phases in runs.items()
     }
-    print(report_markdown(phases))
     print(
         json.dumps(
             {
                 "metric": "build_stage_metrics",
                 "sf_dir": sf_dir,
                 "bundle": out,
-                "phases": phases,
-                "totals": totals,
+                "phases_cold": runs["cold"],
+                "phases_warm": runs["warm"],
+                "totals_cold": totals["cold"],
+                "totals_warm": totals["warm"],
+                "byte_drift": byte_drift,
             }
         )
     )
