@@ -736,18 +736,23 @@ def test_build_stage_metrics_tool_measures_shuffles(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     payload = _json.loads(proc.stdout.strip().splitlines()[-1])
-    phases = {p["phase"]: p for p in payload["phases"]}
-    assert set(phases) == {
-        "source_prep",
-        "write_nodes",
-        "write_edges",
-        "metadata_sidecars",
-        "merge_report",
-    }
-    # the node/edge writes execute the merge lineage: real exchanges
-    for name in ("write_nodes", "write_edges"):
-        assert phases[name]["n_stages"] > 0
-        assert phases[name]["shuffle_write_bytes"] > 0, phases[name]
-    # shuffle-read totals roughly conserve shuffle-write totals
-    assert payload["totals"]["shuffle_read_bytes"] > 0
-    assert payload["totals"]["output_bytes"] > 0
+    # round-9 cold/warm contract: both passes fully recorded
+    for key in ("phases_cold", "phases_warm"):
+        phases = {p["phase"]: p for p in payload[key]}
+        assert set(phases) == {
+            "source_prep",
+            "write_nodes",
+            "write_edges",
+            "metadata_sidecars",
+            "merge_report",
+        }
+        # the node/edge writes execute the merge lineage: real exchanges
+        for name in ("write_nodes", "write_edges"):
+            assert phases[name]["n_stages"] > 0
+            assert phases[name]["shuffle_write_bytes"] > 0, phases[name]
+    for key in ("totals_cold", "totals_warm"):
+        assert payload[key]["shuffle_read_bytes"] > 0
+        assert payload[key]["output_bytes"] > 0
+    # caching moves walls, never shuffle volume: at sf0.001 the two
+    # passes must account identical shuffle/output bytes
+    assert payload["byte_drift"] == []
