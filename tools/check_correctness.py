@@ -93,6 +93,7 @@ def main() -> int:
                 # quantified accuracy bound vs exact ground truth does
                 try:
                     ok, detail = BOUND_CHECKS[name](sdf, con)
+                    ok = bool(ok)  # pandas comparisons yield np.bool_
                 except Exception as e:
                     failures.append((name, f"BOUND CHECK ERROR: {e}"))
                     print(f"FAIL  {name}: bound check error: {str(e)[:300]}")
