@@ -50,7 +50,13 @@ def skew_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unique per hub because gcd(7919, N) = 1 and d_j <= N/2; hub ids
     sit above every base id) — no dedup shuffle needed, and the DuckDB
     side replays the identical arithmetic."""
-    n = skew_n_nodes(spark, sf_dir)
+    return skew_edges_for_n(spark, skew_n_nodes(spark, sf_dir))
+
+
+def skew_edges_for_n(spark: SparkSession, n: int) -> DataFrame:
+    """skew_edges with an explicit base-node count (measurement tools
+    size the fixture directly; registered queries derive n from the
+    sf_dir so the sweep scales it)."""
     base = spark.range(3 * n).select(
         (F.col("id") % n).alias("u"),
         ((F.col("id") % n + 1 + F.floor(F.col("id") / n).cast("long")) % n)
