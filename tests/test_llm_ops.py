@@ -1657,3 +1657,52 @@ def test_video_near_dup_grouped_fixture_matches_duckdb(spark):
     # within-group drift is early-cell-local: member 0 and 1 of the first
     # group stay within the hamming budget
     assert any(a < 4 and b < 4 for a, b, _ in got)
+
+
+def test_hamming_banded_pairs_guaranteed_recall_property(spark):
+    """The round-9 recall guarantee as a property: UNCAPPED banded
+    blocking over arbitrary signatures must equal the brute-force
+    all-pairs Hamming filter exactly — pigeonhole over max_hamming + 1
+    chunks means no true pair can be lost to blocking. Adversarial
+    signature set: bit-spread pairs crafted to defeat the old fixed
+    4-chunk scheme (differing bits placed one per chunk), plus dense
+    random-ish values, zeros, and all-ones."""
+    from itertools import combinations
+
+    from orion_spark.llm.dedup import hamming_banded_pairs
+
+    base = 0x0123456789ABCD  # 56-bit
+    sigs = [
+        base,
+        base ^ (1 << 3) ^ (1 << 17) ^ (1 << 31) ^ (1 << 45),  # one flip
+        # per 14-bit chunk: exactly the pair a 4-chunk scheme missed
+        base ^ (1 << 0) ^ (1 << 55),
+        0,
+        (1 << 56) - 1,
+        0x00FF00FF00FF00,
+        0x00FF00FF00FF0F,
+    ]
+    for max_hamming in (0, 2, 4, 6):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sigs)], "sid long, sig long"
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_banded_pairs(
+                df, "sig", "sid", sig_bits=56, max_hamming=max_hamming
+            ).collect()
+        )
+        want = sorted(
+            (i, j, bin(sigs[i] ^ sigs[j]).count("1"))
+            for i, j in combinations(range(len(sigs)), 2)
+            if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming
+        )
+        assert got == want, (max_hamming, got, want)
+    # the adversarial spread pair IS within hamming 4 and must be found
+    df = spark.createDataFrame(
+        [(0, sigs[0]), (1, sigs[1])], "sid long, sig long"
+    )
+    found = hamming_banded_pairs(
+        df, "sig", "sid", sig_bits=56, max_hamming=4
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in found] == [(0, 1, 4)]
