@@ -111,6 +111,9 @@ HEADLINE = [
     "skew_triangle_doulion",
     "skew_salted_counts",
     "skew_merge_salted",
+    # round-9: SemDeDup — cluster-scoped semantic dedup with the
+    # farthest-from-centroid keep rule (quantizer-bounded pair join)
+    "dedup_semdedup_prune",
 ]
 
 

@@ -759,6 +759,194 @@ def embedding_near_dup_oracle_sql(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540) — coarse-quantize the embedding space, compare pairs
+# only WITHIN a cluster, and keep one representative per semantic-dup
+# group: the member with the LOWEST cosine to its cluster centroid (the
+# paper's keep-farthest-from-centroid rule, which preserves the cluster's
+# boundary examples and prunes its redundant core).
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]) / "
+    "(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, len({a}) + 1)])) * "
+    "sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, len({b}) + 1)]))), 6)"
+)
+
+
+def semdedup_prune(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """SemDeDup over an embedding column: returns one row per input vector
+    with ``(vec_id, list_id, centroid_cos, group_id, kept)`` where
+    `list_id` is the coarse cluster, `group_id` the semantic-dup component
+    (own id for singletons), and `kept` is 1 for exactly one member per
+    group — the one farthest from its centroid (min rounded cosine,
+    vec_id tie-break), 0 for every pruned duplicate.
+
+    Differs from `embedding_near_dup_pairs_banded` + `dedup_clusters` in
+    exactly the two ways the SemDeDup paper differs from LSH dedup: the
+    candidate space is scoped by a coarse quantizer rather than hash
+    bands (pairs in DIFFERENT clusters are never compared, by design —
+    the quantizer IS the recall contract), and the survivor is chosen by
+    centroid distance rather than min-id.
+
+    Determinism / oracle story: the quantizer is the same sampled
+    fixed-centroid scheme as `similarity.ivf_topk_fixed_centroids` (first
+    n_clusters vectors by id — a one-iteration k-means|| init), so the
+    whole operator is a pure function of the data and hash-checkable
+    cross-engine (`semdedup_oracle_sql`). Assignment orders on the
+    6-decimal-rounded cosine with min-list tie-breaks.
+
+    100 TB shape: centroids broadcast (n_clusters rows); assignment is a
+    narrow scan + min_by aggregate; the pair join shuffles both sides on
+    `list_id` so each cluster is a partition-local all-pairs block — the
+    paper's cost model, bounded by keeping k proportional to corpus size
+    (SemDeDup uses 50k clusters for LAION-440M, cluster size ~n/k; AQE
+    splits any skewed cluster). Components reuse the path-halving
+    `dedup_clusters`; the keeper pass is one more groupBy on group_id.
+    """
+    from orion_spark.llm.similarity import cosine
+
+    cent_frame = (
+        df.select(
+            F.col(id_col).alias("_list"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
+        .orderBy("_list")
+        .limit(n_clusters)
+    )
+    # one TakeOrderedAndProject job; tiny by construction (n_clusters rows)
+    cent_local = cent_frame.collect()
+    if len(cent_local) < n_clusters:
+        raise ValueError(
+            f"semdedup_prune needs >= {n_clusters} vectors to seed the "
+            "centroid table"
+        )
+    cent = F.broadcast(
+        df.sparkSession.createDataFrame(cent_local, cent_frame.schema)
+    )
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    scored = v.join(cent, how="cross").select(
+        "vec_id", "_v", "_list",
+        F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("_c"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("_list", "_v", "_c"),
+                F.struct((-F.col("_c")).alias("nc"), F.col("_list").alias("l")),
+            ).alias("_a")
+        )
+        .select(
+            "vec_id",
+            F.col("_a._list").alias("list_id"),
+            F.col("_a._v").alias("_v"),
+            F.col("_a._c").alias("centroid_cos"),
+        )
+        # reused three times (both pair sides + final labeling) and feeds
+        # the iterative CC — materialize once, cut lineage
+        .localCheckpoint(eager=True)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("_pc"),
+        )
+        .where(F.col("_pc") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    comp = dedup_clusters(pairs, max_iterations=max_iterations)
+    labeled = assigned.join(
+        comp, assigned["vec_id"] == comp["doc_id"], "left"
+    ).select(
+        "vec_id", "list_id", "centroid_cos",
+        F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("group_id"),
+    )
+    keeper = labeled.groupBy("group_id").agg(
+        F.min_by(
+            "vec_id",
+            F.struct(
+                F.col("centroid_cos").alias("c"), F.col("vec_id").alias("i")
+            ),
+        ).alias("_keep")
+    )
+    return labeled.join(keeper, "group_id").select(
+        "vec_id", "list_id", "centroid_cos", "group_id",
+        F.when(F.col("vec_id") == F.col("_keep"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+def semdedup_oracle_sql(
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    source_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings",
+    cc_rounds: int = 24,
+) -> str:
+    """DuckDB ground truth for `semdedup_prune`: identical centroid
+    choice, rounded-cosine assignment and tie-breaks, within-cluster
+    pairing, pointer-doubling components, and the farthest-from-centroid
+    keep rule. `source_sql` must yield (vec_id, ev DOUBLE[]) so callers
+    can mirror any injection the Spark side applies."""
+    cos_vc = _COS_SQL.format(a="v.ev", b="cent.cv")
+    cos_ab = _COS_SQL.format(a="a.ev", b="b.ev")
+    assigned = f"""
+    v AS (SELECT * FROM ({source_sql})),
+    cent AS (SELECT vec_id AS list_id, ev AS cv FROM v
+             ORDER BY vec_id LIMIT {n_clusters}),
+    assign_scored AS (
+        SELECT v.vec_id, v.ev, cent.list_id, {cos_vc} AS ac
+        FROM v, cent),
+    assigned AS (
+        SELECT vec_id, ev, list_id, ac AS centroid_cos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY ac DESC, list_id) AS arn
+            FROM assign_scored) WHERE arn = 1)"""
+    pairs_sql = f"""
+        WITH {assigned}
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM assigned a JOIN assigned b
+          ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        WHERE {cos_ab} >= {threshold}"""
+    comp_sql = dedup_clusters_oracle_sql_doubling(pairs_sql, rounds=cc_rounds)
+    return f"""
+    WITH {assigned},
+    comp AS (SELECT * FROM ({comp_sql})),
+    labeled AS (
+        SELECT a.vec_id, a.list_id, a.centroid_cos,
+               COALESCE(c.cluster_id, a.vec_id) AS group_id
+        FROM assigned a LEFT JOIN comp c ON a.vec_id = c.doc_id)
+    SELECT vec_id, list_id, centroid_cos, group_id,
+           CAST(CASE WHEN vec_id = FIRST_VALUE(vec_id) OVER (
+                    PARTITION BY group_id
+                    ORDER BY centroid_cos, vec_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM labeled
+    """
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap against an eval set)
 # ---------------------------------------------------------------------------
 

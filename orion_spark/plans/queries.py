@@ -2467,6 +2467,53 @@ def _register_semantic_clusters():
 _register_semantic_clusters()
 
 
+_SEMDEDUP_SOURCE_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> x * 2) AS ev
+    FROM embeddings WHERE vec_id < 50
+"""
+
+
+def _register_semdedup():
+    from orion_spark.llm.dedup import semdedup_oracle_sql
+
+    @query(
+        "dedup_semdedup_prune",
+        semdedup_oracle_sql(
+            n_clusters=16, threshold=0.4, source_sql=_SEMDEDUP_SOURCE_SQL
+        ),
+    )
+    def dedup_semdedup_prune_q(spark, sf_dir):
+        """SemDeDup (Abbas et al. 2023): coarse-quantize embeddings into 16
+        fixed sampled centroids, compare pairs only WITHIN a cluster, and
+        per semantic-dup component keep the one member farthest from its
+        centroid. Distinct from dedup_semantic_clusters in both the
+        candidate scoping (quantizer lists, not LSH bands) and the
+        survivor rule (centroid distance, not min-id). Threshold 0.4 so
+        organic within-cluster pairs participate (11-185 across scales),
+        plus the exact ×2-scaled copy injection (vec_id < 50 → +100000,
+        cosine exactly 1.0, identical centroid assignment) so the keep
+        rule's tie-break (copy ties original on centroid_cos → min id
+        keeps the original) is exercised at every scale."""
+        from orion_spark.llm import dedup as DD
+
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        copies = emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+        )
+        return DD.semdedup_prune(
+            emb.unionByName(copies), n_clusters=16, threshold=0.4
+        )
+
+
+_register_semdedup()
+
+
 @query(
     "text_c4_line_filter",
     """

@@ -223,6 +223,46 @@ def test_embedding_near_dup_banded_scaled_copy_recall_one(spark):
     assert all(c == 1.0 for c in got.values())
 
 
+def test_semdedup_prune_keep_rule_and_cluster_scoping(spark):
+    """SemDeDup semantics on a hand-built frame (n_clusters=2, so the
+    centroids are vectors 0 and 1): (a) within a dup group the member
+    FARTHEST from its centroid survives — vector 2 beats vector 0 even
+    though 0 has the smaller id; (b) exact centroid-cosine ties fall back
+    to min id (1 beats its exact copy 4); (c) a near-dup pair straddling
+    two clusters (5, 6 at cosine ~0.995) is never compared — the
+    quantizer IS the recall contract — so both survive as singletons."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),    # centroid A
+        Row(vec_id=1, embedding=[0.0, 1.0]),    # centroid B
+        Row(vec_id=2, embedding=[1.0, 0.01]),   # cluster A, ~0.99995 to 0
+        Row(vec_id=3, embedding=[0.9, 0.44]),   # cluster A singleton
+        Row(vec_id=4, embedding=[0.0, 1.0]),    # exact copy of 1 (cluster B)
+        Row(vec_id=5, embedding=[1.0, 0.9]),    # cluster A
+        Row(vec_id=6, embedding=[0.9, 1.0]),    # cluster B; cos(5,6)~0.995
+    ]
+    out = DD.semdedup_prune(
+        spark.createDataFrame(rows), n_clusters=2, threshold=0.99
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 7
+    # (a) farthest-from-centroid keep: group {0, 2} keeps 2, prunes 0
+    assert got[0].group_id == 0 and got[2].group_id == 0
+    assert got[2].kept == 1 and got[0].kept == 0
+    # (b) tie on centroid_cos (both exactly 1.0) -> min id: keeps 1, prunes 4
+    assert got[1].group_id == 1 and got[4].group_id == 1
+    assert got[1].kept == 1 and got[4].kept == 0
+    # (c) cross-cluster near pair never compared: both singletons, both kept
+    assert got[5].list_id != got[6].list_id
+    assert got[5].group_id == 5 and got[6].group_id == 6
+    assert got[5].kept == 1 and got[6].kept == 1
+    # singleton kept; exactly one keeper per group overall
+    assert got[3].kept == 1
+    per_group = {}
+    for r in got.values():
+        per_group[r.group_id] = per_group.get(r.group_id, 0) + r.kept
+    assert all(v == 1 for v in per_group.values())
+
+
 def test_ngram_contamination_known_overlap(spark):
     """One train doc shares a full 3-gram window with the eval doc; the
     other shares none. Zero-overlap docs must still appear (flag 0)."""
