@@ -193,6 +193,18 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence probe: labels are monotone non-increasing (only ever
+    # replaced by mins), so the label SUM is strictly decreasing until the
+    # fixpoint and constant exactly at it — one narrow aggregate over the
+    # just-checkpointed frame replaces the old join+limit+count probe
+    # (one shuffle join per round saved; decimal(38,0) so 1e9 rows of
+    # 1e18-scale ids cannot overflow the running sum).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"], "inner")
@@ -223,16 +235,11 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
