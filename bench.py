@@ -114,6 +114,9 @@ HEADLINE = [
     # round-9: SemDeDup — cluster-scoped semantic dedup with the
     # farthest-from-centroid keep rule (quantizer-bounded pair join)
     "dedup_semdedup_prune",
+    # round-9: canonical-URL dedup (crawl-side first-pass dedup; pure
+    # codegen expressions + one hash aggregate)
+    "documents_url_dedup",
 ]
 
 

@@ -1,0 +1,187 @@
+"""URL canonicalization and canonical-URL dedup for web-crawl curation.
+
+The first dedup a crawl pipeline applies is not content-based at all: the
+same page is fetched under many URL spellings (scheme/host case, default
+ports, `www.` prefixes, tracking parameters, parameter order, fragments,
+trailing slashes), and collapsing those BEFORE fetch/parse is the cheapest
+volume reduction in the stack (CommonCrawl dedups on canonical URL before
+any text processing). This module provides the canonical form as a pure
+column expression — regexp/split/array built-ins only, JVM-side, no UDFs —
+plus the oracle SQL mirror so the whole normalization is hash-checkable
+cross-engine.
+
+Canonicalization rules (deterministic, documented, mirrored in SQL):
+  1. scheme and host lowercased
+  2. fragment (#...) removed
+  3. default port stripped (:80 for http, :443 for https)
+  4. leading `www.` stripped from the host (optional, default on)
+  5. tracking query parameters removed: any key starting with `utm_`, plus
+     the exact keys in TRACKING_PARAMS
+  6. remaining query parameters sorted bytewise (order-insensitive form)
+  7. trailing slash stripped from a non-root path; empty path -> `/`
+
+Scale shape: everything is per-row expression work inside whole-stage
+codegen — no shuffle, no UDF. The dedup stats are one hash aggregate on
+the canonical string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# exact-match tracking keys removed alongside the utm_* prefix family
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def url_host(url: Column, strip_www: bool = True) -> Column:
+    """Lowercased host (no port, no userinfo assumed) of an absolute URL."""
+    after = F.regexp_replace(url, _SCHEME_RE, "")
+    auth = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(auth, r":\d+$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+    """Canonical form of an absolute http(s) URL per the module rules.
+
+    Built entirely from regexp_extract/replace + split/filter/array_sort/
+    array_join — stays in whole-stage codegen; the identical rule set is
+    emitted for DuckDB by `canonical_url_sql` so canonical forms (and any
+    dedup keyed on them) hash-match cross-engine.
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    nofrag = F.regexp_replace(F.regexp_replace(url, _SCHEME_RE, ""), r"#.*$", "")
+    auth = F.lower(F.regexp_extract(nofrag, r"^([^/?#]*)", 1))
+    # default port is scheme-relative: only the scheme's own default drops
+    host_port = F.when(
+        scheme == "http", F.regexp_replace(auth, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, r":443$", "")
+    ).otherwise(auth)
+    host = (
+        F.regexp_replace(host_port, r"^www\.", "") if strip_www else host_port
+    )
+    pathq = F.regexp_extract(nofrag, r"^[^/?#]*(.*)$", 1)
+    raw_path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    # strip ONE trailing slash from a non-root path ('(.)/' keeps the root
+    # '/' intact by construction and mirrors 1:1 in DuckDB)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(raw_path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    tracking = F.array(*[F.lit(t) for t in TRACKING_PARAMS])
+    kept = F.filter(
+        params,
+        lambda p: (~p.startswith("utm_"))
+        & (~F.array_contains(tracking, F.split(p, "=").getItem(0)))
+        & (p != ""),
+    )
+    qcanon = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Canonical-URL dedup: one row per input with the canonical form, its
+    host, the canonical-group size, and kept=1 for the group's minimum id
+    (first-seen-wins under a deterministic order). One projection + ONE
+    shuffle: group size and keeper are unbounded window aggregates over
+    the canonical string (an aggregate + join-back would exchange twice)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_url")
+    canon = df.select(
+        F.col(id_col).alias("doc_id"),
+        canonicalize_url(F.col(url_col), strip_www=strip_www).alias("canon_url"),
+        url_host(F.col(url_col), strip_www=strip_www).alias("host"),
+    )
+    return canon.select(
+        "doc_id", "canon_url", "host",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+def url_host_sql(url_expr: str, strip_www: bool = True) -> str:
+    """DuckDB expression mirroring `url_host` for `url_expr`."""
+    host = (
+        "regexp_replace(regexp_replace(lower(regexp_extract("
+        "regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),"
+        " '^([^/?#]*)', 1)), ':\\d+$', ''), '^www\\.', '')"
+        if strip_www
+        else "regexp_replace(lower(regexp_extract("
+        "regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),"
+        " '^([^/?#]*)', 1)), ':\\d+$', '')"
+    )
+    return host.format(u=url_expr)
+
+
+def canonical_url_sql(url_expr: str, strip_www: bool = True) -> str:
+    """DuckDB expression computing the same canonical form as
+    `canonicalize_url` for the URL-valued SQL expression `url_expr`.
+    Mirrors every rule including the scheme-relative default port, the
+    utm_ prefix family + TRACKING_PARAMS removal, bytewise param sort,
+    and single-trailing-slash stripping."""
+    tracking_list = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    www = r"regexp_replace(hp, '^www\.', '')" if strip_www else "hp"
+    return f"""(
+    WITH u AS (SELECT {url_expr} AS _u),
+    parts AS (
+        SELECT lower(regexp_extract(_u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+               regexp_replace(regexp_replace(_u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                              '#.*$', '') AS nofrag
+        FROM u),
+    auth AS (
+        SELECT scheme, nofrag,
+               lower(regexp_extract(nofrag, '^([^/?#]*)', 1)) AS a,
+               regexp_extract(nofrag, '^[^/?#]*(.*)$', 1) AS pathq
+        FROM parts),
+    hostp AS (
+        SELECT scheme, pathq,
+               CASE WHEN scheme = 'http' THEN regexp_replace(a, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(a, ':443$', '')
+                    ELSE a END AS hp
+        FROM auth),
+    norm AS (
+        SELECT scheme, {www} AS host,
+               regexp_extract(pathq, '^([^?]*)', 1) AS raw_path,
+               regexp_extract(pathq, '\\?(.*)$', 1) AS q
+        FROM hostp),
+    canon AS (
+        SELECT scheme, host,
+               CASE WHEN raw_path = '' THEN '/'
+                    ELSE regexp_replace(raw_path, '(.)/$', '\\1') END AS path,
+               COALESCE(array_to_string(
+                   list_sort(list_filter(
+                       CASE WHEN q = '' THEN []::VARCHAR[]
+                            ELSE string_split(q, '&') END,
+                       p -> NOT starts_with(p, 'utm_')
+                            AND NOT list_contains([{tracking_list}],
+                                                  string_split(p, '=')[1])
+                            AND p <> '')), '&'), '') AS qcanon
+        FROM norm)
+    SELECT scheme || '://' || host || path ||
+           CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END
+    FROM canon
+    )"""

@@ -2514,6 +2514,72 @@ def _register_semdedup():
 _register_semdedup()
 
 
+_URL_SYNTH_SQL = """
+    'HTTP://WWW.' || source || '.Example.COM:80/Path/' || (doc_id % 7)
+    || '/page' || (doc_id % 100)
+    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+    || '?utm_source=feed&id=' || (doc_id % 50) || '&b=2&a=1'
+    || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=x' || doc_id ELSE '' END
+    || '#s' || doc_id
+"""
+
+
+def _register_url_dedup():
+    from orion_spark.llm.urls import canonical_url_sql, url_host_sql
+
+    @query(
+        "documents_url_dedup",
+        f"""
+        WITH src AS (SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents),
+        canon AS (
+            SELECT doc_id,
+                   {canonical_url_sql('url')} AS canon_url,
+                   {url_host_sql('url')} AS host
+            FROM src),
+        groups AS (
+            SELECT canon_url, COUNT(*) AS group_size, MIN(doc_id) AS _keeper
+            FROM canon GROUP BY canon_url)
+        SELECT c.doc_id, c.canon_url, c.host, g.group_size,
+               CAST(CASE WHEN c.doc_id = g._keeper THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept
+        FROM canon c JOIN groups g USING (canon_url)
+        """,
+    )
+    def documents_url_dedup_q(spark, sf_dir):
+        """Canonical-URL dedup (the first dedup a crawl pipeline applies,
+        before any content processing): URLs are synthesized
+        deterministically from doc_id/source with every messiness the
+        canonicalizer handles — uppercase scheme/host, www., default
+        port, utm_/fbclid tracking params, unsorted param order, optional
+        trailing slash, per-doc fragment — then canonicalized with pure
+        regexp/array expressions (whole-stage codegen, no UDF, no
+        shuffle) and deduped by one hash aggregate on the canonical
+        string (first-seen-wins at min doc_id). The fragment and fbclid
+        carry the full doc_id, so rows only collapse if canonicalization
+        strips BOTH; group sizes >1 prove it does."""
+        from orion_spark.llm import urls as U
+
+        d = _t(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        url = F.concat(
+            F.lit("HTTP://WWW."), F.col("source"),
+            F.lit(".Example.COM:80/Path/"), (did % 7).cast("string"),
+            F.lit("/page"), (did % 100).cast("string"),
+            F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&id="), (did % 50).cast("string"),
+            F.lit("&b=2&a=1"),
+            F.when(
+                did % 2 == 0,
+                F.concat(F.lit("&fbclid=x"), did.cast("string")),
+            ).otherwise(F.lit("")),
+            F.lit("#s"), did.cast("string"),
+        )
+        return U.url_dedup(d.select("doc_id", url.alias("url")))
+
+
+_register_url_dedup()
+
+
 @query(
     "text_c4_line_filter",
     """
