@@ -117,6 +117,9 @@ HEADLINE = [
     # round-9: canonical-URL dedup (crawl-side first-pass dedup; pure
     # codegen expressions + one hash aggregate)
     "documents_url_dedup",
+    # round-9: per-doc n-gram novelty (first-seen fraction — the
+    # diminishing-returns selection signal; shingle-keyed window min)
+    "documents_ngram_novelty",
 ]
 
 

@@ -133,6 +133,80 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    k-word shingles whose corpus-wide first occurrence (minimum doc id)
+    is this doc. The diminishing-returns signal data selection wants:
+    a late near-copy scores ~0 even when per-doc quality filters pass it,
+    and a doc full of never-seen phrasing scores ~1 — orthogonal to both
+    quality scoring (doc-local) and near-dup detection (pairwise).
+
+    Docs with fewer than k words have no shingles and are excluded from
+    the output (the shingling convention the minhash oracle also uses).
+
+    Scale shape: explode distinct shingles per doc, ONE shuffle on the
+    shingle for the first-seen window min, one aggregate back on doc_id.
+    Same exchange profile as minhash shingling; no UDFs, no driver state.
+    Returns (doc_id, n_shingles, n_novel, novelty)."""
+    from pyspark.sql import Window
+
+    from orion_spark.llm.dedup import word_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k=k)).alias("shingle"),
+    )
+    w = Window.partitionBy("shingle")
+    marked = sh.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("_novel"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("_novel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    ).select(
+        "doc_id", "n_shingles", "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+    )
+
+
+def ngram_novelty_oracle_sql(
+    k: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB ground truth for `ngram_novelty`: identical shingling
+    (lowercase, whitespace split, distinct k-grams, <k-word docs dropped),
+    first-seen = MIN(doc_id) per shingle, same rounding."""
+    return f"""
+    WITH docs AS (
+        SELECT {id_col} AS doc_id,
+               list_distinct([array_to_string(w[i:i+{k - 1}], ' ')
+                              for i in range(1, len(w) - {k} + 2)]) AS sh
+        FROM (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+              FROM {table})
+        WHERE len(w) >= {k}),
+    s AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM s GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2580,6 +2580,24 @@ def _register_url_dedup():
 _register_url_dedup()
 
 
+def _register_ngram_novelty():
+    from orion_spark.llm.textstats import ngram_novelty_oracle_sql
+
+    @query("documents_ngram_novelty", ngram_novelty_oracle_sql(k=3))
+    def documents_ngram_novelty_q(spark, sf_dir):
+        """Per-doc 3-gram novelty: fraction of a doc's distinct shingles
+        first seen (min doc_id) in that doc — the diminishing-returns
+        selection signal quality filters can't provide (a late near-copy
+        scores ~0, never-seen phrasing ~1). One shingle-keyed window min
+        + one doc-keyed aggregate."""
+        from orion_spark.llm import textstats as TS
+
+        return TS.ngram_novelty(_t(spark, sf_dir, "documents"), k=3)
+
+
+_register_ngram_novelty()
+
+
 @query(
     "text_c4_line_filter",
     """

@@ -263,6 +263,26 @@ def test_semdedup_prune_keep_rule_and_cluster_scoping(spark):
     assert all(v == 1 for v in per_group.values())
 
 
+def test_ngram_novelty_first_seen_fractions(spark):
+    """Doc 0 introduces everything (novelty 1); doc 1 is an exact copy
+    (novelty 0); doc 2 shares one of its two shingles with doc 0
+    (novelty 0.5); a doc under k words disappears from the output."""
+    rows = [
+        (0, "a b c d"),        # shingles: "a b c", "b c d"
+        (1, "a b c d"),        # exact copy -> nothing first-seen here
+        (2, "b c d e"),        # "b c d" seen; "c d e" novel -> 0.5
+        (3, "x y"),            # < k words -> excluded
+    ]
+    out = TS.ngram_novelty(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=3
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0].n_shingles == 2 and got[0].novelty == 1.0
+    assert got[1].n_shingles == 2 and got[1].novelty == 0.0
+    assert got[2].n_novel == 1 and got[2].novelty == 0.5
+
+
 def test_ngram_contamination_known_overlap(spark):
     """One train doc shares a full 3-gram window with the eval doc; the
     other shares none. Zero-overlap docs must still appear (flag 0)."""
