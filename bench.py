@@ -120,6 +120,9 @@ HEADLINE = [
     # round-9: per-doc n-gram novelty (first-seen fraction — the
     # diminishing-returns selection signal; shingle-keyed window min)
     "documents_ngram_novelty",
+    # round-9: per-domain curation panel (host-level dup ratio + mean
+    # quality in exact integer micro-units)
+    "documents_domain_quality_panel",
 ]
 
 

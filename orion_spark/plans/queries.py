@@ -2524,6 +2524,23 @@ _URL_SYNTH_SQL = """
 """
 
 
+def _synth_url_col():
+    """Spark twin of _URL_SYNTH_SQL: deterministic messy URL per document."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP://WWW."), F.col("source"),
+        F.lit(".Example.COM:80/Path/"), (did % 7).cast("string"),
+        F.lit("/page"), (did % 100).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (did % 50).cast("string"),
+        F.lit("&b=2&a=1"),
+        F.when(
+            did % 2 == 0, F.concat(F.lit("&fbclid=x"), did.cast("string"))
+        ).otherwise(F.lit("")),
+        F.lit("#s"), did.cast("string"),
+    )
+
+
 def _register_url_dedup():
     from orion_spark.llm.urls import canonical_url_sql, url_host_sql
 
@@ -2560,24 +2577,90 @@ def _register_url_dedup():
         from orion_spark.llm import urls as U
 
         d = _t(spark, sf_dir, "documents")
-        did = F.col("doc_id")
-        url = F.concat(
-            F.lit("HTTP://WWW."), F.col("source"),
-            F.lit(".Example.COM:80/Path/"), (did % 7).cast("string"),
-            F.lit("/page"), (did % 100).cast("string"),
-            F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-            F.lit("?utm_source=feed&id="), (did % 50).cast("string"),
-            F.lit("&b=2&a=1"),
-            F.when(
-                did % 2 == 0,
-                F.concat(F.lit("&fbclid=x"), did.cast("string")),
-            ).otherwise(F.lit("")),
-            F.lit("#s"), did.cast("string"),
-        )
-        return U.url_dedup(d.select("doc_id", url.alias("url")))
+        return U.url_dedup(d.select("doc_id", _synth_url_col().alias("url")))
 
 
 _register_url_dedup()
+
+
+def _register_domain_quality_panel():
+    from orion_spark.llm.urls import canonical_url_sql, url_host_sql
+
+    @query(
+        "documents_domain_quality_panel",
+        f"""
+        WITH src AS (SELECT doc_id, text, {_URL_SYNTH_SQL} AS url
+                     FROM documents),
+        canon AS (
+            SELECT doc_id, text,
+                   {canonical_url_sql('url')} AS canon_url,
+                   {url_host_sql('url')} AS host
+            FROM src),
+        q AS (
+            SELECT host, canon_url,
+                   CAST(round(round(greatest(
+                       (least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0)
+                        + greatest(1.0 - abs(
+                            len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> t IN ('the','a','and','of','to','in')))::DOUBLE
+                            / len(string_split_regex(lower(trim(text)), '\\s+'))
+                            - 0.08) * 4.0, 0.0)
+                        + (1.0 - abs(
+                            list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                                    t -> length(t)))::DOUBLE
+                            / len(string_split_regex(trim(text), '\\s+'))
+                            - 4.5) / 10.0)) / 3.0,
+                       0.0), 6) * 1000000, 0) AS BIGINT) AS q_micro
+            -- (inner round(...,6) = the per-doc quality contract;
+            --  outer round(...,0) snaps the micro-unit scaling exactly)
+            FROM canon)
+        SELECT host,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT canon_url) AS n_canonical,
+               ROUND(1.0 - CAST(COUNT(DISTINCT canon_url) AS DOUBLE)
+                     / COUNT(*), 6) AS dup_ratio,
+               ROUND(CAST(SUM(q_micro) AS DOUBLE)
+                     / (COUNT(*) * 1000000.0), 6) AS avg_quality
+        FROM q GROUP BY host
+        """,
+    )
+    def documents_domain_quality_panel_q(spark, sf_dir):
+        """FineWeb-style per-domain curation panel: canonical-URL host ->
+        doc count, distinct canonical URLs, dup ratio, and mean quality
+        score — the aggregate a domain-level keep/drop decision reads.
+        The mean is computed over integer micro-units of the (already
+        6-rounded) per-doc quality so the cross-engine comparison is
+        exact integer arithmetic, not float summation order."""
+        from orion_spark.llm import textstats as TS
+        from orion_spark.llm import urls as U
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", _synth_url_col().alias("url")
+        )
+        per_doc = d.select(
+            U.url_host(F.col("url")).alias("host"),
+            U.canonicalize_url(F.col("url")).alias("canon_url"),
+            F.round(TS.quality_score(F.col("text")) * 1000000, 0)
+            .cast("long")
+            .alias("q_micro"),
+        )
+        return per_doc.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon_url").alias("n_canonical"),
+            F.round(
+                1.0 - F.countDistinct("canon_url").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+            F.round(
+                F.sum("q_micro").cast("double")
+                / (F.count(F.lit(1)) * 1000000.0),
+                6,
+            ).alias("avg_quality"),
+        )
+
+
+_register_domain_quality_panel()
 
 
 def _register_ngram_novelty():
