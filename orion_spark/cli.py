@@ -430,6 +430,75 @@ def cmd_split(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """SemDeDup over an embeddings parquet (llm/dedup.semdedup_prune):
+    coarse-quantize into --n-clusters fixed sampled centroids, pair only
+    within a cluster, keep one member per semantic-dup group (farthest
+    from its centroid). Writes the full label frame (vec_id, list_id,
+    centroid_cos, group_id, kept) — or only the kept rows joined back to
+    the input columns with --keep-only, i.e. the pruned corpus a trainer
+    reads directly. Size --n-clusters proportional to the corpus (the
+    paper's contract; within-cluster scoring is n^2/k)."""
+    from orion_spark.llm.dedup import semdedup_prune
+
+    spark = _spark(args.embeddings)
+    emb = spark.read.parquet(args.embeddings)
+    labels = semdedup_prune(
+        emb, n_clusters=args.n_clusters, threshold=args.threshold,
+        id_col=args.id_col, vec_col=args.vec_col,
+    )
+    if args.keep_only:
+        kept = labels.where(F.col("kept") == 1).select("vec_id")
+        out = emb.join(
+            kept, emb[args.id_col] == kept["vec_id"], "left_semi"
+        )
+        out.write.mode("overwrite").parquet(args.out)
+    else:
+        labels.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    n_in = emb.count()
+    n_kept = back.count() if args.keep_only else (
+        back.where(F.col("kept") == 1).count()
+    )
+    print(json.dumps({
+        "out": args.out, "n_in": n_in, "n_kept": n_kept,
+        "n_pruned": n_in - n_kept, "n_clusters": args.n_clusters,
+        "threshold": args.threshold, "keep_only": bool(args.keep_only),
+    }))
+    return 0
+
+
+def cmd_url_dedup(args) -> int:
+    """Canonical-URL dedup (llm/urls.url_dedup): canonicalize --url-col,
+    group on the canonical string, keep the minimum-id row per group.
+    Writes the label frame (doc_id, canon_url, host, group_size, kept) —
+    or with --keep-only just the surviving input rows, the crawl-side
+    first-pass dedup output."""
+    from orion_spark.llm.urls import url_dedup
+
+    spark = _spark(args.docs)
+    docs = spark.read.parquet(args.docs)
+    labels = url_dedup(docs, url_col=args.url_col, id_col=args.id_col)
+    if args.keep_only:
+        kept = labels.where(F.col("kept") == 1).select("doc_id")
+        out = docs.join(
+            kept, docs[args.id_col] == kept["doc_id"], "left_semi"
+        )
+        out.write.mode("overwrite").parquet(args.out)
+    else:
+        labels.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    n_in = docs.count()
+    n_kept = back.count() if args.keep_only else (
+        back.where(F.col("kept") == 1).count()
+    )
+    print(json.dumps({
+        "out": args.out, "n_in": n_in, "n_kept": n_kept,
+        "n_pruned": n_in - n_kept, "keep_only": bool(args.keep_only),
+    }))
+    return 0
+
+
 def cmd_bloom_dedup(args) -> int:
     """Incremental Bloom-history dedup lifecycle (llm/bloom.py):
     `build` aggregates a history corpus into the persisted sparse bitmap
@@ -701,6 +770,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="after filtering, fold survivors into the "
                          "persisted bitmap (incremental history)")
     bd.set_defaults(fn=cmd_bloom_dedup)
+
+    sd = sub.add_parser("semdedup")
+    sd.add_argument("--embeddings", required=True,
+                    help="parquet with an id column and a vector column")
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--n-clusters", type=int, default=16,
+                    help="coarse quantizer size; scale with the corpus "
+                         "(within-cluster scoring is n^2/k)")
+    sd.add_argument("--threshold", type=float, default=0.95,
+                    help="within-cluster cosine dup threshold")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--keep-only", action="store_true",
+                    help="write the pruned corpus (kept input rows) "
+                         "instead of the label frame")
+    sd.set_defaults(fn=cmd_semdedup)
+
+    ud = sub.add_parser("url-dedup")
+    ud.add_argument("--docs", required=True,
+                    help="parquet with an id column and a URL column")
+    ud.add_argument("--out", required=True)
+    ud.add_argument("--url-col", default="url")
+    ud.add_argument("--id-col", default="doc_id")
+    ud.add_argument("--keep-only", action="store_true",
+                    help="write surviving input rows instead of the "
+                         "label frame")
+    ud.set_defaults(fn=cmd_url_dedup)
 
     nv = sub.add_parser("neo4j-verify")
     nv.add_argument("--bundle", required=True)

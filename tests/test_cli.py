@@ -594,3 +594,64 @@ def test_cli_bloom_dedup_intra_batch_duplicates(spark, tmp_path, capsys):
     assert rep["kept"] == 2 and rep["dropped"] == 1
     kept = [r.text for r in spark.read.parquet(out).collect()]
     assert sorted(kept) == ["another new doc", "repeated new doc"]
+
+
+def test_cli_semdedup_prune_and_keep_only(spark, tmp_path, capsys):
+    """semdedup end-to-end: label frame has one keeper per group; the
+    --keep-only pass writes exactly the pruned corpus (exact ×2-scaled
+    copies collapse onto their originals, farthest-from-centroid wins)."""
+    base = [(i, [float(i % 5 + 1), float((i * 7) % 11 + 1)]) for i in range(20)]
+    copies = [(100 + i, [2.0 * v for v in vec]) for i, vec in base[:5]]
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        base + copies, ["vec_id", "embedding"]
+    ).write.parquet(emb)
+
+    labels_out = str(tmp_path / "labels")
+    assert cli.main([
+        "semdedup", "--embeddings", emb, "--out", labels_out,
+        "--n-clusters", "4", "--threshold", "0.999",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_in"] == 25
+    assert rep["n_kept"] + rep["n_pruned"] == 25
+    assert rep["n_pruned"] >= 5  # every scaled copy is cosine-1.0 to its base
+    lab = spark.read.parquet(labels_out)
+    per_group = {
+        r.group_id: r.n for r in
+        lab.groupBy("group_id").agg(F.sum("kept").alias("n")).collect()
+    }
+    assert all(n == 1 for n in per_group.values())
+
+    pruned_out = str(tmp_path / "pruned")
+    assert cli.main([
+        "semdedup", "--embeddings", emb, "--out", pruned_out,
+        "--n-clusters", "4", "--threshold", "0.999", "--keep-only",
+    ]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["n_kept"] == rep["n_kept"]
+    assert spark.read.parquet(pruned_out).count() == rep["n_kept"]
+    assert set(spark.read.parquet(pruned_out).columns) == {"vec_id", "embedding"}
+
+
+def test_cli_url_dedup_keep_only(spark, tmp_path, capsys):
+    """url-dedup end-to-end: three spellings of one page collapse to the
+    minimum-id row; --keep-only writes surviving input rows only."""
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "http://www.A.com/x?utm_s=1", "one"),
+            (2, "HTTP://a.COM:80/x#frag", "two"),
+            (3, "http://a.com/y", "three"),
+            (0, "http://A.com/x/", "zero"),
+        ],
+        ["doc_id", "url", "text"],
+    ).write.parquet(docs)
+    out = str(tmp_path / "kept")
+    assert cli.main([
+        "url-dedup", "--docs", docs, "--out", out, "--keep-only",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_in"] == 4 and rep["n_kept"] == 2 and rep["n_pruned"] == 2
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 3}
