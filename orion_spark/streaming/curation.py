@@ -25,13 +25,20 @@ from pyspark.sql import functions as F
 DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
+# crawl-shaped feed: same documents plus the fetched URL, for the
+# canonical-URL history gate (the cheapest drop in the funnel — it fires
+# before any text processing)
+DOCS_URL_SCHEMA = DOCS_SCHEMA + ", url string"
 
 
 def read_document_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+    with_url: bool = False,
 ) -> DataFrame:
     return (
-        spark.readStream.schema(DOCS_SCHEMA)
+        spark.readStream.schema(DOCS_URL_SCHEMA if with_url else DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
@@ -64,7 +71,12 @@ def curate(
             & (F.size(kept) >= min_kept_lines)
             & ~F.lower(t).contains("lorem ipsum")
         )
-        .select("doc_id", "source", "lang_pred", "quality", "clean_text")
+        .select(
+            "doc_id", "source", "lang_pred", "quality", "clean_text",
+            # crawl-shaped feeds carry the fetched URL through to the
+            # sink's canonical-URL gate
+            *(["url"] if "url" in docs.columns else []),
+        )
     )
 
 
@@ -78,6 +90,8 @@ def curated_dedup_sink(
     min_log_weight: float | None = None,
     bloom_history_path: str | None = None,
     update_bloom_history: bool = False,
+    url_bloom_path: str | None = None,
+    update_url_bloom: bool = False,
 ):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
@@ -118,10 +132,34 @@ def curated_dedup_sink(
     save_bloom), so the NEXT micro-batch — and the next stream run —
     sees them without ever re-reading the accumulated sink. A replayed
     batch (checkpoint recovery) finds its own keys already folded and
-    drops itself: idempotent restarts through the bitmap alone."""
+    drops itself: idempotent restarts through the bitmap alone.
+
+    `url_bloom_path` adds the canonical-URL history gate — the FIRST gate
+    in the funnel, because it is the cheapest: the batch's `url` column is
+    canonicalized (llm/urls.canonicalize_url — pure expressions) and
+    probed against a persisted Bloom of previously-fetched canonical
+    URLs, then intra-batch canonical duplicates collapse to the minimum
+    doc id. This is the crawl-frontier discipline: a re-spelled URL
+    (tracking params, www., fragment, param order) never reaches text
+    processing at all. `update_url_bloom=True` folds survivors' canonical
+    URLs back, making it a standing gate with the same
+    idempotent-restart property as the content bitmap."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
+        if url_bloom_path is not None and "url" in b.columns:
+            from orion_spark.llm.bloom import bloom_probe, load_bloom
+            from orion_spark.llm.urls import canonicalize_url
+
+            ubloom, um_bits, uk = load_bloom(spark, url_bloom_path)
+            b = b.withColumn("_canon_url", canonicalize_url(F.col("url")))
+            b = (
+                bloom_probe(b, ubloom, "_canon_url", um_bits, uk)
+                .where(~F.col("bloom_hit"))
+                .drop("bloom_hit")
+            )
+            ukeep = b.groupBy("_canon_url").agg(F.min("doc_id").alias("doc_id"))
+            b = b.join(ukeep, ["_canon_url", "doc_id"], "left_semi")
         if bloom_history_path is not None:
             from orion_spark.llm.bloom import bloom_probe, load_bloom
 
@@ -151,7 +189,21 @@ def curated_dedup_sink(
             b = b.join(seen, "content_key", "left_anti")
         keep = b.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
         out = b.join(keep, ["content_key", "doc_id"], "left_semi")
-        out.write.mode("append").parquet(out_path)
+        out.drop("_canon_url").write.mode("append").parquet(out_path)
+        if url_bloom_path is not None and update_url_bloom \
+                and "_canon_url" in out.columns:
+            from orion_spark.llm.bloom import (
+                bloom_build, bloom_merge, load_bloom, save_bloom,
+            )
+
+            delta_urls = out.select("_canon_url")
+            if delta_urls.take(1):
+                ubloom, um_bits, uk = load_bloom(spark, url_bloom_path)
+                delta = bloom_build(
+                    delta_urls, key_col="_canon_url", m_bits=um_bits, k=uk
+                )
+                merged = bloom_merge(ubloom, delta).localCheckpoint(eager=True)
+                save_bloom(merged, url_bloom_path, m_bits=um_bits, k=uk)
         if bloom_history_path is not None and update_bloom_history:
             from orion_spark.llm.bloom import (
                 bloom_build, bloom_merge, load_bloom, save_bloom,
@@ -182,11 +234,18 @@ def run_curation_stream(
     min_log_weight: float | None = None,
     bloom_history_path: str | None = None,
     update_bloom_history: bool = False,
+    url_bloom_path: str | None = None,
+    update_url_bloom: bool = False,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
     checkpointed so a rerun only handles new files."""
-    stream = curate(read_document_stream(spark, src_path), **curate_kwargs)
+    stream = curate(
+        read_document_stream(
+            spark, src_path, with_url=url_bloom_path is not None
+        ),
+        **curate_kwargs,
+    )
     (
         stream.writeStream.foreachBatch(
             curated_dedup_sink(
@@ -197,6 +256,8 @@ def run_curation_stream(
                 min_log_weight=min_log_weight,
                 bloom_history_path=bloom_history_path,
                 update_bloom_history=update_bloom_history,
+                url_bloom_path=url_bloom_path,
+                update_url_bloom=update_url_bloom,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -454,3 +454,72 @@ def test_streaming_bloom_standing_gate(spark, tmp_path):
     )
     landed2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert landed2 == {8}  # 7 dropped by the UPDATED bitmap alone
+
+
+def test_streaming_url_history_gate(spark, tmp_path):
+    """Canonical-URL standing gate: a persisted Bloom of previously
+    fetched canonical URLs drops re-spelled re-fetches BEFORE text
+    processing, intra-batch spelling variants collapse to one fetch, and
+    update_url_bloom=True folds survivors back so a SECOND run (fresh
+    sink, fresh checkpoint) drops yet another spelling of them."""
+    from orion_spark.llm.bloom import bloom_build, save_bloom
+    from orion_spark.llm.urls import canonicalize_url
+    from orion_spark.streaming import curation as C
+
+    def long_text(tag):
+        return (
+            f"the {tag} document line is long clean english text right here\n"
+            "a second long clean line keeps the quality gate comfortably happy"
+        )
+
+    m_bits, k = 1 << 16, 4
+    url_bloom = str(tmp_path / "url_bloom")
+    hist = spark.createDataFrame(
+        [("http://known.com/page?a=1",)], "u string"
+    ).select(canonicalize_url(F.col("u")).alias("cu"))
+    save_bloom(
+        bloom_build(hist, key_col="cu", m_bits=m_bits, k=k),
+        url_bloom, m_bits=m_bits, k=k,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows = [
+        # re-spelled re-fetch of the historical page -> dropped by bitmap
+        (1, long_text("first"), "en", "s1", 120,
+         "HTTP://WWW.Known.COM:80/page/?utm_x=9&a=1#frag"),
+        # two spellings of ONE new page -> intra-batch collapse, min id kept
+        (2, long_text("second"), "en", "s1", 120,
+         "https://new.com/story?b=2&a=1"),
+        (3, long_text("third"), "en", "s1", 120,
+         "https://WWW.new.com/story/?a=1&b=2&fbclid=zz"),
+        # distinct new page -> kept
+        (4, long_text("fourth"), "en", "s1", 120, "https://other.com/x"),
+    ]
+    spark.createDataFrame(rows, C.DOCS_URL_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    C.run_curation_stream(
+        spark, src, out, ck,
+        url_bloom_path=url_bloom, update_url_bloom=True,
+    )
+    landed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert landed == {2, 4}
+    assert "_canon_url" not in spark.read.parquet(out).columns
+
+    # second wave, FRESH sink + checkpoint: a third spelling of doc 2's
+    # page must be dropped by the bitmap alone (standing-gate property)
+    src2, out2, ck2 = (str(tmp_path / p) for p in ("src2", "out2", "ck2"))
+    rows2 = [
+        (5, long_text("fifth"), "en", "s1", 120,
+         "https://NEW.com:443/story?a=1&b=2&utm_y=7"),
+        (6, long_text("sixth"), "en", "s1", 120, "https://fresh.com/y"),
+    ]
+    spark.createDataFrame(rows2, C.DOCS_URL_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(src2)
+    C.run_curation_stream(
+        spark, src2, out2, ck2,
+        url_bloom_path=url_bloom, update_url_bloom=True,
+    )
+    landed2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert landed2 == {6}
