@@ -147,7 +147,15 @@ def curated_dedup_sink(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
-        if url_bloom_path is not None and "url" in b.columns:
+        if url_bloom_path is not None:
+            if "url" not in b.columns:
+                # a silently-skipped gate is worse than a loud failure:
+                # the caller asked for URL-history dedup but the stream
+                # was read without with_url=True
+                raise ValueError(
+                    "url_bloom_path is set but the batch has no 'url' "
+                    "column — read the stream with with_url=True"
+                )
             from orion_spark.llm.bloom import bloom_probe, load_bloom
             from orion_spark.llm.urls import canonicalize_url
 
