@@ -403,9 +403,21 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # sym-vs-labels join reuses this partitioning and only the (small)
     # labels side moves — the big edge table is shuffled once, not once
     # per round
+    undirected = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    # Self-loops fold the "least(own label, neighbor min)" step INTO the
+    # neighbor aggregate: with (v, v) present for every node, one
+    # join+min per round replaces the old join+agg THEN left-join+least —
+    # one |V|-sized shuffle join fewer per round. At sf0.1 the wall is
+    # unchanged (per-round checkpoint fixed costs dominate on a 20k-node
+    # graph); the saved exchange is the term that grows with |V| at
+    # cluster scale. min over (neighbors ∪ {self}) is identical to
+    # least(own, neighbor-min), so results and the oracle's chained-CTE
+    # formulation are unchanged.
+    nodes = undirected.select(F.col("a")).distinct()
     sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        undirected.unionAll(nodes.select("a", F.col("a").alias("b")))
         .distinct()
         .repartition("b")
         # persist (NOT localCheckpoint): the cached InMemoryRelation keeps
@@ -421,21 +433,11 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     )
     for i in range(iterations):
-        nbr = (
+        labels = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy(F.col("a").alias("id"))
-            .agg(F.min("label").alias("_nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            # per-round truncation is LOAD-BEARING here, unlike pagerank's
-            # periodic schedule: labels feeds two joins per round, so the
+            .agg(F.min("label").alias("label"))
+            # per-round truncation is LOAD-BEARING, as in pagerank: the
             # un-truncated plan grows multiplicatively and the 3-round
             # single-DAG variant OOMs at sf0.1 (measured). Eager
             # materialization caps both plan size and task memory.
