@@ -283,6 +283,26 @@ def test_ngram_novelty_first_seen_fractions(spark):
     assert got[2].n_novel == 1 and got[2].novelty == 0.5
 
 
+def test_semdedup_prune_group_invariants_on_fixture(spark):
+    """Structural invariants on the real embeddings fixture: (a) a dup
+    group never straddles clusters — group members share one list_id (the
+    quantizer IS the candidate scope); (b) exactly one kept per group;
+    (c) singletons are always kept; (d) output is one row per input."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = DD.semdedup_prune(emb, n_clusters=8, threshold=0.4).collect()
+    assert len(out) == emb.count()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r)
+    for members in by_group.values():
+        assert len({m.list_id for m in members}) == 1
+        assert sum(m.kept for m in members) == 1
+        if len(members) == 1:
+            assert members[0].kept == 1
+
+
 def test_ngram_contamination_known_overlap(spark):
     """One train doc shares a full 3-gram window with the eval doc; the
     other shares none. Zero-overlap docs must still appear (flag 0)."""

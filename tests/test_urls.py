@@ -72,3 +72,49 @@ def test_url_dedup_first_seen_wins(spark):
     assert got[3].group_size == 1 and got[3].kept == 1
     assert got[0].canon_url == got[1].canon_url == got[2].canon_url
     assert got[0].host == "a.com"
+
+
+def _messy_urls(n=60):
+    """Deterministic messy-URL generator covering every rule interaction:
+    case, www., default/non-default ports, tracking/plain params in
+    shuffled orders, fragments, trailing slashes, empty paths/queries."""
+    urls = []
+    for i in range(n):
+        scheme = ["http", "HTTP", "https", "HTTPS", "ftp"][i % 5]
+        host = ["Example.COM", "www.Example.com", "sub.EX.org"][i % 3]
+        port = ["", ":80", ":443", ":8080"][i % 4]
+        path = ["", "/", "/A/b", "/A/b/", "/x"][i % 5]
+        params = []
+        if i % 2:
+            params.append(f"b={i % 7}")
+        if i % 3:
+            params.append("utm_source=x")
+        if i % 4 == 0:
+            params.append(f"a={i % 5}")
+        if i % 5 == 0:
+            params.append(f"fbclid=f{i}")
+        q = "?" + "&".join(reversed(params)) if params else ""
+        frag = f"#s{i}" if i % 2 else ""
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    return urls
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canon(canon(u)) == canon(u): the canonical form is a fixed point,
+    so re-canonicalizing an already-clean frontier is a no-op."""
+    urls = _messy_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(U.canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(U.canonicalize_url(F.col("c")).alias("c2"))
+    assert [r.c for r in once.collect()] == [r.c2 for r in twice.collect()]
+
+
+def test_canonicalize_url_randomized_duckdb_parity(spark):
+    """Byte parity with the oracle expression across the generated
+    rule-interaction matrix, not just the hand-picked table."""
+    urls = _messy_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.c for r in df.select(U.canonicalize_url(F.col("url")).alias("c")).collect()]
+    for raw, sp in zip(urls, got):
+        duck = duckdb.sql("SELECT " + U.canonical_url_sql(f"'{raw}'")).fetchone()[0]
+        assert duck == sp, (raw, sp, duck)
