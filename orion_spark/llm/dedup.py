@@ -1372,18 +1372,28 @@ def paragraph_dedup_rewrite(
     """(doc_id, n_paras, n_kept, new_text): documents rewritten with every
     non-first paragraph occurrence removed (intra- and inter-document).
 
-    Scale shape: two key-hashed shuffles — one window over md5(paragraph)
-    to rank occurrences (ties impossible: (doc_id, idx) is a total order),
-    one groupBy doc_id to reassemble. The paragraph text itself is carried,
-    never joined back, so nothing re-shuffles the corpus a third time."""
-    from pyspark.sql import Window
-
+    Scale shape: two key-hashed shuffles — one `groupBy(md5(para))`
+    keep-first aggregate (min over struct(doc_id, idx, para): (doc_id,
+    idx) is a total order so ties are impossible, and the paragraph text
+    rides in the struct, so no join-back), one groupBy doc_id to
+    reassemble. The keep-first is a partial-aggregatable min — on a
+    boilerplate-heavy corpus the hot paragraph hash reaches its reducer
+    as one pre-combined row per map task, where the previous
+    row_number window (the one shuffle AQE cannot skew-split) shipped
+    every occurrence into a single task."""
     paras = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "para"),
     ).where(F.trim("para") != "")
-    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "idx")
-    kept = paras.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    kept = (
+        paras.groupBy(F.md5("para").alias("_h"))
+        .agg(F.min(F.struct("doc_id", "idx", "para")).alias("_first"))
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.idx").alias("idx"),
+            F.col("_first.para").alias("para"),
+        )
+    )
     totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
@@ -1427,16 +1437,21 @@ def duplicate_span_rewrite(
     contract as repeated_ngram_spans, which reports the *stats* this
     operator acts on).
 
-    Scale shape: one window-function shuffle keyed on the span hash
-    (rank occurrences — no separate count aggregate: rk >= 2 implies
-    duplicated), one doc-keyed aggregate of removed positions, one
-    doc-keyed join back to the token arrays. The n-fold position
-    explode happens only on duplicate occurrences, not the whole
-    corpus. This is the same volume class as a suffix-array pass —
-    O(n x corpus tokens) window rows — with the granularity knob n
-    trading recall for shuffle bytes. Nothing is quadratic; the rebuild
-    is a higher-order filter over the already-carried token array, so
-    document text shuffles exactly once (into the rebuild join)."""
+    Scale shape: one `groupBy(span hash)` keep-first aggregate
+    (min(struct(doc_id, start)) — partial-aggregatable, so a
+    boilerplate span repeated across millions of docs reaches its
+    reducer pre-combined, one row per map task; count > 1 restricts
+    the output to duplicated hashes only), one equi-join of the window
+    table against that firsts dim to tag non-first occurrences (an
+    AQE-skew-splittable join, where the previous row_number window
+    shipped every occurrence of a hot span into a single
+    un-splittable task), one doc-keyed aggregate of removed positions,
+    one doc-keyed join back to the token arrays. This is the same
+    volume class as a suffix-array pass — O(n x corpus tokens) hashed
+    window rows — with the granularity knob n trading recall for
+    shuffle bytes. Nothing is quadratic; the rebuild is a higher-order
+    filter over the already-carried token array, so document text
+    shuffles exactly once (into the rebuild join)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1453,10 +1468,18 @@ def duplicate_span_rewrite(
         ).alias("_pos0", "_h"),
     ).select("doc_id", (F.col("_pos0") + 1).alias("start"), "_h")
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_h").orderBy("doc_id", "start")
-    dup_occ = win.withColumn("rk", F.row_number().over(w)).where(F.col("rk") >= 2)
+    firsts = (
+        win.groupBy("_h")
+        .agg(
+            F.min(F.struct("doc_id", "start")).alias("_first"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .where(F.col("_cnt") > 1)
+        .select("_h", "_first")
+    )
+    dup_occ = win.join(firsts, "_h").where(
+        F.struct("doc_id", "start") != F.col("_first")
+    )
     # aggregate the duplicate-occurrence STARTS per doc and expand to
     # covered positions in-row AFTER the doc shuffle: on clone-heavy
     # corpora (where most windows are duplicated) this keeps the

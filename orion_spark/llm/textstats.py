@@ -149,28 +149,32 @@ def ngram_novelty(
     Docs with fewer than k words have no shingles and are excluded from
     the output (the shingling convention the minhash oracle also uses).
 
-    Scale shape: explode distinct shingles per doc, ONE shuffle on the
-    shingle for the first-seen window min, one aggregate back on doc_id.
-    Same exchange profile as minhash shingling; no UDFs, no driver state.
-    Returns (doc_id, n_shingles, n_novel, novelty)."""
-    from pyspark.sql import Window
-
+    Scale shape: explode distinct shingles per doc, then TWO chained
+    partial-aggregatable aggregates — `groupBy(shingle).agg(min(doc_id))`
+    (map-side combine caps the hot-shingle reducer input at one row per
+    map task, so a boilerplate phrase shared by millions of docs is
+    harmless) followed by `groupBy(first_doc).count()` — and a doc-keyed
+    join of the two per-doc panels. n_novel(doc) = #shingles whose
+    corpus-wide min doc is this doc, so no corpus-wide join-back on the
+    shingle key is needed at all; the previous window over the shingle
+    (the one shuffle AQE cannot skew-split) is gone. No UDFs, no driver
+    state. Returns (doc_id, n_shingles, n_novel, novelty)."""
     from orion_spark.llm.dedup import word_shingles
 
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), k=k)).alias("shingle"),
     )
-    w = Window.partitionBy("shingle")
-    marked = sh.select(
-        "doc_id",
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("_novel"),
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.when(F.col("_novel"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_novel"),
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id", "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
     ).select(
         "doc_id", "n_shingles", "n_novel",
         F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),

@@ -16,13 +16,17 @@ Canonicalization rules (deterministic, documented, mirrored in SQL):
   3. default port stripped (:80 for http, :443 for https)
   4. leading `www.` stripped from the host (optional, default on)
   5. tracking query parameters removed: any key starting with `utm_`, plus
-     the exact keys in TRACKING_PARAMS
+     the exact keys in `tracking_params` (default TRACKING_PARAMS — only
+     unambiguous click-id trackers; keys some sites use functionally,
+     like `ref`, are deliberately NOT in the default set and must be
+     opted into per-crawl)
   6. remaining query parameters sorted bytewise (order-insensitive form)
-  7. trailing slash stripped from a non-root path; empty path -> `/`
+  7. ALL trailing slashes stripped from a non-root path (fixed point even
+     for `/a//`); empty path -> `/`
 
 Scale shape: everything is per-row expression work inside whole-stage
 codegen — no shuffle, no UDF. The dedup stats are one hash aggregate on
-the canonical string.
+the canonical string plus an AQE-splittable join-back (see `url_dedup`).
 """
 
 from __future__ import annotations
@@ -30,8 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# exact-match tracking keys removed alongside the utm_* prefix family
-TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref")
+# exact-match tracking keys removed alongside the utm_* prefix family.
+# Only unambiguous click-id trackers belong here: a generic key like
+# 'ref' is functional on many sites (GitHub's ?ref=<branch> selects
+# different content) and stripping it would collapse distinct pages.
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid")
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
@@ -46,7 +53,11 @@ def url_host(url: Column, strip_www: bool = True) -> Column:
     return host
 
 
-def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+def canonicalize_url(
+    url: Column,
+    strip_www: bool = True,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
     """Canonical form of an absolute http(s) URL per the module rules.
 
     Built entirely from regexp_extract/replace + split/filter/array_sort/
@@ -68,16 +79,17 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     )
     pathq = F.regexp_extract(nofrag, r"^[^/?#]*(.*)$", 1)
     raw_path = F.regexp_extract(pathq, r"^([^?]*)", 1)
-    # strip ONE trailing slash from a non-root path ('(.)/' keeps the root
-    # '/' intact by construction and mirrors 1:1 in DuckDB)
+    # strip ALL trailing slashes from a non-root path ('(.)/+$' keeps the
+    # root '/' intact by construction, makes the form a fixed point even
+    # for '/a//', and mirrors 1:1 in DuckDB)
     path = F.when(raw_path == "", F.lit("/")).otherwise(
-        F.regexp_replace(raw_path, r"(.)/$", "$1")
+        F.regexp_replace(raw_path, r"(.)/+$", "$1")
     )
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
     params = F.when(query == "", F.array().cast("array<string>")).otherwise(
         F.split(query, "&")
     )
-    tracking = F.array(*[F.lit(t) for t in TRACKING_PARAMS])
+    tracking = F.array(*[F.lit(t) for t in tracking_params])
     kept = F.filter(
         params,
         lambda p: (~p.startswith("utm_"))
@@ -99,28 +111,49 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     strip_www: bool = True,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
 ) -> DataFrame:
     """Canonical-URL dedup: one row per input with the canonical form, its
     host, the canonical-group size, and kept=1 for the group's minimum id
-    (first-seen-wins under a deterministic order). One projection + ONE
-    shuffle: group size and keeper are unbounded window aggregates over
-    the canonical string (an aggregate + join-back would exchange twice)."""
-    from pyspark.sql import Window
+    (first-seen-wins under a deterministic order).
 
-    w = Window.partitionBy("canon_url")
+    Scale shape: `groupBy(canon_url).agg(count, min)` + join-back — NOT a
+    window over the canonical string. The aggregate partial-combines
+    map-side (on a dup-heavy crawl, the operator's own target regime,
+    the shuffle carries one row per distinct canonical per map task) and
+    the join-back is an equi-join AQE can skew-split; a window partition
+    over the canonical key would put every occurrence of a viral URL in
+    ONE task, the single construct AQE cannot split.
+
+    Null canonical forms (a null url canonicalizes to null) are passed
+    through ungated as their own singleton groups (group_size=1, kept=1):
+    null is not a page identity, and collapsing all null-url docs into
+    one group would silently drop distinct documents."""
     canon = df.select(
         F.col(id_col).alias("doc_id"),
-        canonicalize_url(F.col(url_col), strip_www=strip_www).alias("canon_url"),
+        canonicalize_url(
+            F.col(url_col), strip_www=strip_www, tracking_params=tracking_params
+        ).alias("canon_url"),
         url_host(F.col(url_col), strip_www=strip_www).alias("host"),
     )
-    return canon.select(
+    keyed = canon.where(F.col("canon_url").isNotNull())
+    nulls = canon.where(F.col("canon_url").isNull()).select(
         "doc_id", "canon_url", "host",
-        F.count(F.lit(1)).over(w).alias("group_size"),
-        F.when(F.col("doc_id") == F.min("doc_id").over(w), F.lit(1))
+        F.lit(1).cast("long").alias("group_size"),
+        F.lit(1).cast("long").alias("kept"),
+    )
+    groups = keyed.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("_keeper"),
+    )
+    deduped = keyed.join(groups, "canon_url").select(
+        "doc_id", "canon_url", "host", "group_size",
+        F.when(F.col("doc_id") == F.col("_keeper"), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("kept"),
     )
+    return deduped.unionByName(nulls)
 
 
 def url_host_sql(url_expr: str, strip_www: bool = True) -> str:
@@ -137,13 +170,17 @@ def url_host_sql(url_expr: str, strip_www: bool = True) -> str:
     return host.format(u=url_expr)
 
 
-def canonical_url_sql(url_expr: str, strip_www: bool = True) -> str:
+def canonical_url_sql(
+    url_expr: str,
+    strip_www: bool = True,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> str:
     """DuckDB expression computing the same canonical form as
     `canonicalize_url` for the URL-valued SQL expression `url_expr`.
     Mirrors every rule including the scheme-relative default port, the
-    utm_ prefix family + TRACKING_PARAMS removal, bytewise param sort,
-    and single-trailing-slash stripping."""
-    tracking_list = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    utm_ prefix family + `tracking_params` removal, bytewise param sort,
+    and all-trailing-slash stripping."""
+    tracking_list = ", ".join(f"'{t}'" for t in tracking_params)
     www = r"regexp_replace(hp, '^www\.', '')" if strip_www else "hp"
     return f"""(
     WITH u AS (SELECT {url_expr} AS _u),
@@ -171,7 +208,7 @@ def canonical_url_sql(url_expr: str, strip_www: bool = True) -> str:
     canon AS (
         SELECT scheme, host,
                CASE WHEN raw_path = '' THEN '/'
-                    ELSE regexp_replace(raw_path, '(.)/$', '\\1') END AS path,
+                    ELSE regexp_replace(raw_path, '(.)/+$', '\\1') END AS path,
                COALESCE(array_to_string(
                    list_sort(list_filter(
                        CASE WHEN q = '' THEN []::VARCHAR[]

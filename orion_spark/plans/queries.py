@@ -2681,6 +2681,85 @@ def _register_ngram_novelty():
 _register_ngram_novelty()
 
 
+def _register_skew_text():
+    """Power-law TEXT fixture queries (plans/skewtext.py): the content-key
+    dedup operators run against a corpus with a genuinely hot canonical
+    URL (N/2 occurrences), a boilerplate paragraph (N/2), and stop-phrase
+    shingles (N/2 each) in EVERY sweep and in bench — the regime the
+    round-10 de-windowing (aggregate + AQE-splittable join-back instead
+    of Window.partitionBy(<content key>)) exists for. Full value oracles:
+    the fixture is pure integer/string arithmetic replayed in DuckDB."""
+    from orion_spark.llm.dedup import paragraph_dedup_rewrite_oracle_sql
+    from orion_spark.llm.textstats import ngram_novelty_oracle_sql
+    from orion_spark.llm.urls import canonical_url_sql, url_host_sql
+    from orion_spark.plans.skewtext import (
+        skew_docs,
+        skew_docs_chain_sql,
+        skew_docs_select_sql,
+    )
+
+    @query(
+        "skew_url_dedup",
+        f"""
+        WITH {skew_docs_chain_sql()},
+        canon AS (
+            SELECT doc_id,
+                   {canonical_url_sql('url')} AS canon_url,
+                   {url_host_sql('url')} AS host
+            FROM skew_docs),
+        groups AS (
+            SELECT canon_url, COUNT(*) AS group_size, MIN(doc_id) AS _keeper
+            FROM canon GROUP BY canon_url)
+        SELECT c.doc_id, c.canon_url, c.host, g.group_size,
+               CAST(CASE WHEN c.doc_id = g._keeper THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept
+        FROM canon c JOIN groups g USING (canon_url)
+        """,
+    )
+    def skew_url_dedup_q(spark, sf_dir):
+        """Canonical-URL dedup where ONE canonical URL owns half the
+        corpus (every viral-tier doc spells it differently): the
+        group_size/keeper aggregate partial-combines map-side and the
+        join-back is AQE-skew-splittable, so the hot key costs one
+        pre-combined row per map task instead of one task owning N/2
+        rows."""
+        from orion_spark.llm import urls as U
+
+        return U.url_dedup(skew_docs(spark, sf_dir))
+
+    @query(
+        "skew_paragraph_rewrite",
+        paragraph_dedup_rewrite_oracle_sql(table=f"({skew_docs_select_sql()})"),
+    )
+    def skew_paragraph_rewrite_q(spark, sf_dir):
+        """CCNet paragraph dedup where one boilerplate paragraph occurs in
+        half the corpus: the keep-first is a partial-aggregatable
+        min(struct) on md5(para), so the hot hash reaches its reducer as
+        one row per map task; every doc still carries a unique trailing
+        paragraph, so the rewrite must reconstruct per-doc text, not just
+        count groups."""
+        from orion_spark.llm import dedup as DD
+
+        return DD.paragraph_dedup_rewrite(skew_docs(spark, sf_dir))
+
+    @query(
+        "skew_ngram_novelty",
+        ngram_novelty_oracle_sql(k=3, table=f"({skew_docs_select_sql()})"),
+    )
+    def skew_ngram_novelty_q(spark, sf_dir):
+        """N-gram novelty where 7 boilerplate shingles each occur in half
+        the corpus: first-seen is groupBy(shingle).agg(min) — map-side
+        combine caps each hot shingle's reducer input at one row per map
+        task — and novel counts come from a second tiny aggregate, never
+        a corpus-wide join-back on the shingle."""
+        from orion_spark.llm import textstats as TS
+
+        return TS.ngram_novelty(skew_docs(spark, sf_dir), k=3)
+
+
+_register_skew_text()
+
+
 @query(
     "text_c4_line_filter",
     """

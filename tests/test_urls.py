@@ -11,10 +11,14 @@ CASES = [
         "HTTP://WWW.Example.COM:80/path/One/?utm_source=x&b=2&a=1&fbclid=9#f",
         "http://example.com/path/One?a=1&b=2",
     ),
+    # 'ref' is functional on many sites (e.g. GitHub ?ref=<branch>) and is
+    # NOT in the default tracking set — it survives; utm_* still drops
     ("https://Sub.Example.com:443/a/b?z=1&utm_campaign=c&ref=h",
-     "https://sub.example.com/a/b?z=1"),
+     "https://sub.example.com/a/b?ref=h&z=1"),
     # non-default port survives; trailing slash stripped
     ("https://example.com:8080/a/", "https://example.com:8080/a"),
+    # ALL trailing slashes strip (fixed point even for '//')
+    ("https://example.com/a//", "https://example.com/a"),
     # http's default is 80, NOT 443 — a cross-scheme :443 must survive
     ("http://example.com:443/x", "http://example.com:443/x"),
     # empty path -> '/'; all-params-stripped -> no '?'
@@ -83,7 +87,7 @@ def _messy_urls(n=60):
         scheme = ["http", "HTTP", "https", "HTTPS", "ftp"][i % 5]
         host = ["Example.COM", "www.Example.com", "sub.EX.org"][i % 3]
         port = ["", ":80", ":443", ":8080"][i % 4]
-        path = ["", "/", "/A/b", "/A/b/", "/x"][i % 5]
+        path = ["", "/", "/A/b", "/A/b/", "/x", "/A/b//"][i % 6]
         params = []
         if i % 2:
             params.append(f"b={i % 7}")
@@ -118,3 +122,46 @@ def test_canonicalize_url_randomized_duckdb_parity(spark):
     for raw, sp in zip(urls, got):
         duck = duckdb.sql("SELECT " + U.canonical_url_sql(f"'{raw}'")).fetchone()[0]
         assert duck == sp, (raw, sp, duck)
+
+
+def test_tracking_params_opt_in_ref(spark):
+    """'ref' stripping is opt-in: the default keeps it (functional on many
+    sites), an extended tracking set removes it — in Spark and the SQL
+    mirror alike."""
+    raw = "https://example.com/repo?ref=main&b=1"
+    df = spark.createDataFrame([(raw,)], "url string")
+    default = df.select(U.canonicalize_url(F.col("url")).alias("c")).first().c
+    assert default == "https://example.com/repo?b=1&ref=main"
+    extended = U.TRACKING_PARAMS + ("ref",)
+    stripped = df.select(
+        U.canonicalize_url(F.col("url"), tracking_params=extended).alias("c")
+    ).first().c
+    assert stripped == "https://example.com/repo?b=1"
+    duck = duckdb.sql(
+        "SELECT " + U.canonical_url_sql(f"'{raw}'", tracking_params=extended)
+    ).fetchone()[0]
+    assert duck == stripped
+
+
+def test_url_dedup_null_urls_pass_through(spark):
+    """Null urls are not a page identity: each null-url doc is its own
+    singleton group (kept=1), never collapsed with other null-url docs."""
+    rows = [(1, "http://a.com/x"), (2, None), (3, None), (4, "http://A.com/x/")]
+    out = U.url_dedup(spark.createDataFrame(rows, "doc_id long, url string"))
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 4
+    assert got[2].kept == 1 and got[3].kept == 1
+    assert got[2].group_size == 1 and got[3].group_size == 1
+    assert got[2].canon_url is None
+    assert got[1].group_size == 2 and got[1].kept == 1 and got[4].kept == 0
+
+
+def test_url_dedup_plan_has_no_window(spark):
+    """The dedup must be the aggregate + join-back shape: a window over
+    the canonical string would put every occurrence of a viral URL in one
+    un-splittable task (VERDICT r9)."""
+    rows = [(1, "http://a.com/x"), (2, "http://a.com/x")]
+    out = U.url_dedup(spark.createDataFrame(rows, "doc_id long, url string"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
