@@ -5622,24 +5622,29 @@ def events_minute_gap_fill_q(spark, sf_dir):
 def documents_dedup_retention_q(spark, sf_dir):
     """End-to-end exact-dedup curation report: canonical keeper per
     content hash (min doc_id), retention rate per source — the number a
-    data-mixture owner actually reads after a dedup pass. One shuffle on
-    the content hash for keeper election (a window, not a groupBy+join
-    back), then a tiny per-source rollup; the document text itself never
-    shuffles (hashed in the map stage)."""
+    data-mixture owner actually reads after a dedup pass. Keeper election
+    is a partial-aggregatable min(struct(doc_id, source)) per content
+    hash (the keeper's source rides in the struct, so no join-back and no
+    window over the content key — a boilerplate document repeated across
+    half the corpus pre-combines map-side instead of owning one task),
+    then two tiny per-source panels join on the bounded source key; the
+    document text itself never shuffles (hashed in the map stage)."""
     docs = _t(spark, sf_dir, "documents").select(
         "source", "doc_id", F.md5("text").alias("h")
     )
-    w = Window.partitionBy("h").orderBy("doc_id")
-    keep = docs.withColumn("rn", F.row_number().over(w))
-    return keep.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_kept"),
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    kept = (
+        docs.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "source")).alias("_k"))
+        .groupBy(F.col("_k.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.round(
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
-            / F.count("*"),
-            6,
+            F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_docs"), 6
         ).alias("retention_rate"),
     )
 

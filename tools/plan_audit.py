@@ -8,6 +8,17 @@ flags the patterns that do not survive scale:
   - CartesianProduct                    unconstrained cross join
   - BroadcastNestedLoopJoin             O(n*m) fallback join
   - high Exchange count                 shuffle-heavy plans (reported)
+  - ContentKeyWindow                    Window.partitionBy over a
+    content-derived key (hash/shingle/url/paragraph). Window partitions
+    are the ONE shuffle AQE cannot skew-split and have no partial
+    aggregation, so a power-law-hot content key (viral URL, boilerplate
+    paragraph, stop-phrase shingle) puts every occurrence in a single
+    task at 100 TB. Bounded entity keys (user_id, doc-local, query_id,
+    NTILE buckets) pass; the fix is a partial-aggregatable aggregate +
+    AQE-splittable join-back (round-10 de-windowing).
+  - GlobalWindow                        a window with NO partition key
+    (single-task by construction) — whitelisted only where the input is
+    already bounded (e.g. rank over a TakeOrdered k-row frame).
 
 Intentional exceptions are whitelisted WITH the reason, so a new
 offender is a loud diff, not background noise. Exit code 1 on any
@@ -72,6 +83,62 @@ WHITELIST: dict[str, dict[str, str]] = {
     "CartesianProduct": {},
 }
 
+# queries allowed to keep a flagged window, WITH the reason
+WINDOW_WHITELIST: dict[str, str] = {
+    "text_bm25_topk": "GlobalWindow ranks an already-reduced frame: "
+    "TakeOrderedAndProject(k=20) runs upstream, the window sees k rows",
+}
+
+# partition-key base names that identify a content-derived window key
+_CONTENT_KEY_NAMES = {
+    "h", "_h", "hash", "_hash", "content_key", "shingle", "canon_url",
+    "url", "para", "paragraph", "fingerprint", "md5", "sig", "text",
+    "clean_text", "term", "ngram",
+}
+_CONTENT_KEY_FUNCS = ("md5(", "sha2(", "sha1(", "hash(", "xxhash64(", "crc32(")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0 (window spec items may contain
+    function calls with their own commas, e.g. md5(text#5))."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def window_flags(plan: str) -> list[str]:
+    """ContentKeyWindow / GlobalWindow findings for one physical plan."""
+    import re
+
+    flags = []
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        items = _split_top_level(m.group(1).rstrip(", "))
+        part_cols = [
+            it for it in items if " ASC " not in it and " DESC " not in it
+        ]
+        if not part_cols:
+            flags.append("GlobalWindow")
+            continue
+        for col in part_cols:
+            base = re.sub(r"#\d+L?", "", col).strip().lower()
+            if base in _CONTENT_KEY_NAMES or any(
+                f in col.lower() for f in _CONTENT_KEY_FUNCS
+            ):
+                flags.append(f"ContentKeyWindow({base})")
+    return sorted(set(flags))
+
+
 EXCHANGE_REPORT_THRESHOLD = 6
 
 
@@ -100,6 +167,14 @@ def main() -> int:
                     print(f"ok    {name}: {pattern} (whitelisted: {allowed[name]})")
                 else:
                     failures.append((name, pattern))
+        for wflag in window_flags(plan):
+            if name in WINDOW_WHITELIST:
+                print(
+                    f"ok    {name}: {wflag} "
+                    f"(whitelisted: {WINDOW_WHITELIST[name]})"
+                )
+            else:
+                failures.append((name, wflag))
         # count real shuffles only — BroadcastExchange moves dimension
         # tables, not the data plane — and dedupe by plan_id (cached
         # InMemoryTableScan subtrees re-print their lineage; the same
