@@ -781,9 +781,28 @@ _COS_SQL = (
 )
 
 
+SEMDEDUP_CLUSTER_BUDGET = 125
+
+
+def semdedup_k(n: int, budget: int = SEMDEDUP_CLUSTER_BUDGET) -> int:
+    """The paper's k ∝ n contract (SemDeDup uses 50k clusters for
+    LAION-440M — cluster size ~n/k stays constant as the corpus grows):
+    k = max(16, n // budget). A FIXED k makes within-cluster pair scoring
+    n²/k — superlinear in n (measured 22× wall at 10× data with k=16 at
+    sf1; k=160, i.e. this rule, halved it — SCALE.md). budget=125 keeps
+    the expected cluster ~125 vectors, so pair scoring is ~n·budget/2:
+    linear in n."""
+    return max(16, n // budget)
+
+
+def semdedup_k_sql(source_count_sql: str, budget: int = SEMDEDUP_CLUSTER_BUDGET) -> str:
+    """DuckDB expression mirroring `semdedup_k` for a COUNT(*) subquery."""
+    return f"GREATEST(16, ({source_count_sql}) // {budget})"
+
+
 def semdedup_prune(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -815,11 +834,16 @@ def semdedup_prune(
     `list_id` so each cluster is a partition-local all-pairs block — the
     paper's cost model, bounded by keeping k proportional to corpus size
     (SemDeDup uses 50k clusters for LAION-440M, cluster size ~n/k; AQE
-    splits any skewed cluster). Components reuse the path-halving
+    splits any skewed cluster). `n_clusters=None` applies that contract
+    automatically: k = semdedup_k(count) = max(16, n // 125), keeping
+    pair scoring ~n·125/2 (linear) instead of n²/k (a fixed k measured
+    22× wall at 10× data — SCALE.md). Components reuse the path-halving
     `dedup_clusters`; the keeper pass is one more groupBy on group_id.
     """
     from orion_spark.llm.similarity import cosine
 
+    if n_clusters is None:
+        n_clusters = semdedup_k(df.count())
     cent_frame = (
         df.select(
             F.col(id_col).alias("_list"),
@@ -838,10 +862,16 @@ def semdedup_prune(
     cent = F.broadcast(
         df.sparkSession.createDataFrame(cent_local, cent_frame.schema)
     )
+    # the assignment cross is the compute-bound stage (n x k cosines,
+    # interpreted higher-order functions): spread it across the cluster
+    # even when the input parquet arrives in one or two partitions —
+    # without this the broadcast cross inherits the scan's partitioning
+    # and k ∝ n assignment runs on a couple of cores (measured 1.4/32
+    # cores busy at sf10 before the repartition)
     v = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     scored = v.join(cent, how="cross").select(
         "vec_id", "_v", "_list",
         F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("_c"),
@@ -904,7 +934,7 @@ def semdedup_prune(
 
 
 def semdedup_oracle_sql(
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     threshold: float = 0.95,
     source_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings",
     cc_rounds: int = 24,
@@ -913,13 +943,16 @@ def semdedup_oracle_sql(
     choice, rounded-cosine assignment and tie-breaks, within-cluster
     pairing, pointer-doubling components, and the farthest-from-centroid
     keep rule. `source_sql` must yield (vec_id, ev DOUBLE[]) so callers
-    can mirror any injection the Spark side applies."""
+    can mirror any injection the Spark side applies. `n_clusters` may be
+    a SQL expression string (e.g. `semdedup_k_sql("SELECT COUNT(*) FROM
+    v")`) so the k ∝ n registration derives k from the same corpus on
+    both engines."""
     cos_vc = _COS_SQL.format(a="v.ev", b="cent.cv")
     cos_ab = _COS_SQL.format(a="a.ev", b="b.ev")
     assigned = f"""
     v AS (SELECT * FROM ({source_sql})),
     cent AS (SELECT vec_id AS list_id, ev AS cv FROM v
-             ORDER BY vec_id LIMIT {n_clusters}),
+             ORDER BY vec_id LIMIT ({n_clusters})),
     assign_scored AS (
         SELECT v.vec_id, v.ev, cent.list_id, {cos_vc} AS ac
         FROM v, cent),

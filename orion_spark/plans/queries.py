@@ -2477,26 +2477,35 @@ _SEMDEDUP_SOURCE_SQL = """
 
 
 def _register_semdedup():
-    from orion_spark.llm.dedup import semdedup_oracle_sql
+    from orion_spark.llm.dedup import semdedup_k_sql, semdedup_oracle_sql
 
     @query(
         "dedup_semdedup_prune",
         semdedup_oracle_sql(
-            n_clusters=16, threshold=0.4, source_sql=_SEMDEDUP_SOURCE_SQL
+            n_clusters=semdedup_k_sql("SELECT COUNT(*) FROM v"),
+            threshold=0.4,
+            source_sql=_SEMDEDUP_SOURCE_SQL,
         ),
     )
     def dedup_semdedup_prune_q(spark, sf_dir):
-        """SemDeDup (Abbas et al. 2023): coarse-quantize embeddings into 16
-        fixed sampled centroids, compare pairs only WITHIN a cluster, and
-        per semantic-dup component keep the one member farthest from its
-        centroid. Distinct from dedup_semantic_clusters in both the
-        candidate scoping (quantizer lists, not LSH bands) and the
-        survivor rule (centroid distance, not min-id). Threshold 0.4 so
-        organic within-cluster pairs participate (11-185 across scales),
-        plus the exact ×2-scaled copy injection (vec_id < 50 → +100000,
-        cosine exactly 1.0, identical centroid assignment) so the keep
-        rule's tie-break (copy ties original on centroid_cos → min id
-        keeps the original) is exercised at every scale."""
+        """SemDeDup (Abbas et al. 2023): coarse-quantize embeddings into
+        k = max(16, n // 125) fixed sampled centroids — the paper's k ∝ n
+        contract, derived identically on both engines, so within-cluster
+        pair scoring stays ~n·125/2 (linear) instead of n²/k (a fixed
+        k=16 measured 22× wall at 10× data; k=160 at sf1 — exactly this
+        rule — halved it, SCALE.md). At the swept scale points n ≤ 2050
+        so k = 16 and every previously-verified hash is unchanged; at
+        sf1/sf10 the benched configuration is the scaled one. Compare
+        pairs only WITHIN a cluster; per semantic-dup component keep the
+        member farthest from its centroid. Distinct from
+        dedup_semantic_clusters in both the candidate scoping (quantizer
+        lists, not LSH bands) and the survivor rule (centroid distance,
+        not min-id). Threshold 0.4 so organic within-cluster pairs
+        participate (11-185 across scales), plus the exact ×2-scaled copy
+        injection (vec_id < 50 → +100000, cosine exactly 1.0, identical
+        centroid assignment) so the keep rule's tie-break (copy ties
+        original on centroid_cos → min id keeps the original) is
+        exercised at every scale."""
         from orion_spark.llm import dedup as DD
 
         emb = _t(spark, sf_dir, "embeddings").select(
@@ -2507,7 +2516,7 @@ def _register_semdedup():
             F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
         )
         return DD.semdedup_prune(
-            emb.unionByName(copies), n_clusters=16, threshold=0.4
+            emb.unionByName(copies), n_clusters=None, threshold=0.4
         )
 
 
@@ -2758,6 +2767,54 @@ def _register_skew_text():
 
 
 _register_skew_text()
+
+
+def _register_near_dup_history():
+    from orion_spark.llm.near_dup_history import band_store_probe_sql
+
+    _STORE_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+    _PROBE_SQL = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
+        "UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, text || ' near dup suffix' AS text "
+        "FROM documents WHERE doc_id % 2 = 0 AND doc_id < 80"
+    )
+
+    @query(
+        "documents_near_dup_history_probe",
+        band_store_probe_sql(_PROBE_SQL, _STORE_SQL),
+    )
+    def documents_near_dup_history_probe_q(spark, sf_dir):
+        """Standing near-dup history store (llm/near_dup_history), batch
+        form: the even-id half of the corpus is the persisted history
+        (distinct MinHash band keys, the same 1-row-band scheme as
+        minhash_lsh_pairs), probed by the odd-id half plus injected
+        near-duplicates (even ids < 80 re-ingested with a suffix — an
+        exact-key gate would miss them). Output is each probe doc's
+        near_dup_hit verdict; the DuckDB oracle replays the identical
+        signature/banding arithmetic, so the hit set is value-checked,
+        not just counted. Scale shape: key build is a map-side explode +
+        distinct; the probe is an AQE-splittable (band, bv) semi-join —
+        no window, no driver state."""
+        from orion_spark.llm.near_dup_history import (
+            band_store_build,
+            band_store_probe,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        hist = docs.where(F.col("doc_id") % 2 == 0)
+        probe = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+            docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 80))
+            .select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" near dup suffix")).alias("text"),
+            )
+        )
+        store = band_store_build(hist)
+        return band_store_probe(probe, store).select("doc_id", "near_dup_hit")
+
+
+_register_near_dup_history()
 
 
 @query(

@@ -10,9 +10,13 @@ dedup uses the accumulated sink itself as the seen-set (anti-join per
 micro-batch), so restarts are idempotent without any driver-side state:
 the checkpoint replays a batch, the anti-join drops what already landed.
 
-Near-dup (MinHash) stays a periodic batch job over the curated sink —
-LSH banding needs corpus-global candidate generation that per-batch
-streaming state cannot bound; the reference pipeline batches it too.
+Near-dup vs the EXISTING corpus is a standing gate: each micro-batch's
+MinHash band keys probe a persisted LSH band store (llm/near_dup_history),
+the same lifecycle as the exact-key blooms. Corpus-GLOBAL near-dup
+clustering (pairing new docs with each other transitively) stays a
+periodic batch job over the curated sink — that needs global candidate
+generation per-batch streaming state cannot bound; the reference
+pipeline batches it too.
 """
 
 from __future__ import annotations
@@ -92,6 +96,9 @@ def curated_dedup_sink(
     update_bloom_history: bool = False,
     url_bloom_path: str | None = None,
     update_url_bloom: bool = False,
+    near_dup_store_path: str | None = None,
+    update_near_dup_store: bool = False,
+    metrics_path: str | None = None,
 ):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
@@ -134,19 +141,51 @@ def curated_dedup_sink(
     batch (checkpoint recovery) finds its own keys already folded and
     drops itself: idempotent restarts through the bitmap alone.
 
-    `url_bloom_path` adds the canonical-URL history gate — the FIRST gate
-    in the funnel, because it is the cheapest: the batch's `url` column is
-    canonicalized (llm/urls.canonicalize_url — pure expressions) and
-    probed against a persisted Bloom of previously-fetched canonical
-    URLs, then intra-batch canonical duplicates collapse to the minimum
-    doc id. This is the crawl-frontier discipline: a re-spelled URL
-    (tracking params, www., fragment, param order) never reaches text
-    processing at all. `update_url_bloom=True` folds survivors' canonical
-    URLs back, making it a standing gate with the same
-    idempotent-restart property as the content bitmap."""
+    `url_bloom_path` adds the canonical-URL history gate — the first gate
+    WITHIN this sink (curate()'s stateless quality/language/line gates run
+    upstream in the stream itself), and the cheapest of the sink gates:
+    the batch's `url` column is canonicalized (llm/urls.canonicalize_url —
+    pure expressions) and probed against a persisted Bloom of
+    previously-fetched canonical URLs, then intra-batch canonical
+    duplicates collapse to the minimum doc id. This is the crawl-frontier
+    discipline: a re-spelled URL (tracking params, www., fragment, param
+    order) never reaches the content gates below. Null/empty canonical
+    URLs (a null url canonicalizes to null) pass through ungated as their
+    own documents — null is not a page identity, and collapsing all
+    null-url docs to one keeper would silently drop distinct documents.
+    `update_url_bloom=True` folds survivors' canonical URLs back, making
+    it a standing gate with the same idempotent-restart property as the
+    content bitmap.
+
+    `near_dup_store_path` adds the NEAR-duplicate history gate
+    (llm/near_dup_history): the batch's clean-text MinHash band keys are
+    probed against the persisted LSH band store — a document whose
+    Jaccard similarity to ANY historical document exceeds the banding's
+    threshold collides on some band and is dropped, closing the gap the
+    exact-key gates leave (one changed word defeats both blooms).
+    `update_near_dup_store=True` appends survivors' band keys — O(batch)
+    per trigger, never a history rewrite — so the next micro-batch and
+    the next run see them; a replayed batch finds its own keys already
+    appended and drops itself (idempotent restarts, same property as the
+    bitmap gates).
+
+    `metrics_path` (observability): when set, one JSON line is appended
+    per micro-batch recording the surviving row count after every gate
+    (batch_id, input, url_gate, near_dup_gate, bloom_gate, lm_gate,
+    dsir_gate, exact_dedup) — the per-gate drop accounting the batch
+    funnel already reports, for streams. Counting is extra work per
+    trigger, so it is opt-in."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
+        counts: dict[str, int] = {}
+
+        def _mark(stage: str, frame: DataFrame) -> DataFrame:
+            if metrics_path is not None:
+                counts[stage] = frame.count()
+            return frame
+
+        b = _mark("input", b)
         if url_bloom_path is not None:
             if "url" not in b.columns:
                 # a silently-skipped gate is worse than a loud failure:
@@ -161,21 +200,46 @@ def curated_dedup_sink(
 
             ubloom, um_bits, uk = load_bloom(spark, url_bloom_path)
             b = b.withColumn("_canon_url", canonicalize_url(F.col("url")))
-            b = (
-                bloom_probe(b, ubloom, "_canon_url", um_bits, uk)
+            # null urls are not a page identity: they skip the probe AND
+            # the intra-batch collapse (otherwise all null-url docs form
+            # one group and the min-id keep drops distinct documents)
+            no_key = b.where(F.col("_canon_url").isNull())
+            keyed = b.where(F.col("_canon_url").isNotNull())
+            keyed = (
+                bloom_probe(keyed, ubloom, "_canon_url", um_bits, uk)
                 .where(~F.col("bloom_hit"))
                 .drop("bloom_hit")
             )
-            ukeep = b.groupBy("_canon_url").agg(F.min("doc_id").alias("doc_id"))
-            b = b.join(ukeep, ["_canon_url", "doc_id"], "left_semi")
+            ukeep = keyed.groupBy("_canon_url").agg(
+                F.min("doc_id").alias("doc_id")
+            )
+            keyed = keyed.join(ukeep, ["_canon_url", "doc_id"], "left_semi")
+            b = _mark("url_gate", keyed.unionByName(no_key))
+        if near_dup_store_path is not None:
+            from orion_spark.llm.near_dup_history import (
+                band_store_probe,
+                load_band_store,
+            )
+
+            nstore, nk, nh = load_band_store(spark, near_dup_store_path)
+            b = _mark(
+                "near_dup_gate",
+                band_store_probe(
+                    b, nstore, text_col="clean_text", id_col="doc_id",
+                    k=nk, num_hashes=nh,
+                )
+                .where(~F.col("near_dup_hit"))
+                .drop("near_dup_hit"),
+            )
         if bloom_history_path is not None:
             from orion_spark.llm.bloom import bloom_probe, load_bloom
 
             bloom, m_bits, k = load_bloom(spark, bloom_history_path)
-            b = (
+            b = _mark(
+                "bloom_gate",
                 bloom_probe(b, bloom, "clean_text", m_bits, k)
                 .where(~F.col("bloom_hit"))
-                .drop("bloom_hit")
+                .drop("bloom_hit"),
             )
         if lm_model_path is not None and max_bits_per_token is not None:
             from orion_spark.llm.textstats import score_with_lm_model
@@ -183,28 +247,60 @@ def curated_dedup_sink(
             scores = score_with_lm_model(
                 spark, b, lm_model_path, text_col="clean_text"
             ).where(F.col("bits_per_token") <= max_bits_per_token)
-            b = b.join(scores.select("doc_id"), "doc_id", "left_semi")
+            b = _mark(
+                "lm_gate", b.join(scores.select("doc_id"), "doc_id", "left_semi")
+            )
         if dsir_model_path is not None and min_log_weight is not None:
             from orion_spark.llm.dsir import score_with_dsir_model
 
             w = score_with_dsir_model(
                 spark, b, dsir_model_path, text_col="clean_text"
             ).where(F.col("log_weight") >= min_log_weight)
-            b = b.join(w.select("doc_id"), "doc_id", "left_semi")
+            b = _mark(
+                "dsir_gate", b.join(w.select("doc_id"), "doc_id", "left_semi")
+            )
         b = b.withColumn("content_key", F.md5("clean_text"))
         if os.path.exists(out_path):
             seen = spark.read.parquet(out_path).select("content_key").distinct()
             b = b.join(seen, "content_key", "left_anti")
         keep = b.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
         out = b.join(keep, ["content_key", "doc_id"], "left_semi")
+        out = _mark("exact_dedup", out)
         out.drop("_canon_url").write.mode("append").parquet(out_path)
+        if metrics_path is not None:
+            import json
+
+            rec = json.dumps({"batch_id": batch_id, **counts})
+            with open(metrics_path, "a") as fh:
+                fh.write(rec + "\n")
+        if near_dup_store_path is not None and update_near_dup_store:
+            from orion_spark.llm.near_dup_history import (
+                append_band_store,
+                load_band_store as _load_store,
+                minhash_band_keys,
+            )
+
+            _, nk, nh = _load_store(spark, near_dup_store_path)
+            delta_keys = (
+                minhash_band_keys(
+                    out, text_col="clean_text", id_col="doc_id",
+                    k=nk, num_hashes=nh,
+                )
+                .select("band", "bv")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if delta_keys.take(1):
+                append_band_store(delta_keys, near_dup_store_path)
         if url_bloom_path is not None and update_url_bloom \
                 and "_canon_url" in out.columns:
             from orion_spark.llm.bloom import (
                 bloom_build, bloom_merge, load_bloom, save_bloom,
             )
 
-            delta_urls = out.select("_canon_url")
+            delta_urls = out.select("_canon_url").where(
+                F.col("_canon_url").isNotNull()
+            )
             if delta_urls.take(1):
                 ubloom, um_bits, uk = load_bloom(spark, url_bloom_path)
                 delta = bloom_build(
@@ -244,15 +340,24 @@ def run_curation_stream(
     update_bloom_history: bool = False,
     url_bloom_path: str | None = None,
     update_url_bloom: bool = False,
+    near_dup_store_path: str | None = None,
+    update_near_dup_store: bool = False,
+    metrics_path: str | None = None,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
-    checkpointed so a rerun only handles new files."""
-    stream = curate(
-        read_document_stream(
-            spark, src_path, with_url=url_bloom_path is not None
-        ),
-        **curate_kwargs,
+    checkpointed so a rerun only handles new files.
+
+    Observability: the stream carries two `observe` nodes — `funnel_input`
+    (rows entering curate) and `funnel_curated` (rows surviving the
+    stateless gates) — surfaced in every StreamingQueryProgress
+    `observedMetrics` payload; `metrics_path` adds the sink's per-gate
+    survivor counts (one JSON line per micro-batch)."""
+    docs = read_document_stream(
+        spark, src_path, with_url=url_bloom_path is not None
+    ).observe("funnel_input", F.count(F.lit(1)).alias("rows"))
+    stream = curate(docs, **curate_kwargs).observe(
+        "funnel_curated", F.count(F.lit(1)).alias("rows")
     )
     (
         stream.writeStream.foreachBatch(
@@ -266,6 +371,9 @@ def run_curation_stream(
                 update_bloom_history=update_bloom_history,
                 url_bloom_path=url_bloom_path,
                 update_url_bloom=update_url_bloom,
+                near_dup_store_path=near_dup_store_path,
+                update_near_dup_store=update_near_dup_store,
+                metrics_path=metrics_path,
             )
         )
         .option("checkpointLocation", checkpoint)

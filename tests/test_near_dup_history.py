@@ -1,0 +1,184 @@
+"""Persisted near-dup band store (llm/near_dup_history): lifecycle,
+probe semantics, DuckDB mirror parity, and the streaming standing gate."""
+
+import json
+
+import duckdb
+from pyspark.sql import functions as F
+
+from orion_spark.llm import near_dup_history as NH
+
+HIST = (
+    "the quick brown fox jumps over the lazy dog near the river bank today "
+    "while the afternoon sun warms the quiet meadow beyond the old fence"
+)
+# one word changed ("warms" -> "heats"): exact-key gates miss it, the
+# band store must not
+NEAR = HIST.replace("warms", "heats")
+FRESH = (
+    "completely different content about distributed query engines and the "
+    "cost model of shuffle exchanges on very large analytical clusters"
+)
+
+
+def test_probe_hits_near_and_misses_fresh(spark, tmp_path):
+    path = str(tmp_path / "store")
+    hist = spark.createDataFrame([(1, HIST)], "doc_id long, text string")
+    NH.save_band_store(
+        NH.band_store_build(hist, k=5, num_hashes=16), path, k=5, num_hashes=16
+    )
+    store, k, nh = NH.load_band_store(spark, path)
+    assert (k, nh) == (5, 16)
+    probe = spark.createDataFrame(
+        [(10, NEAR), (11, FRESH), (12, HIST)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.near_dup_hit
+        for r in NH.band_store_probe(probe, store, k=k, num_hashes=nh).collect()
+    }
+    assert got == {10: True, 11: False, 12: True}
+
+
+def test_short_docs_emit_no_keys_and_never_hit(spark, tmp_path):
+    """< k words => no shingles => no band keys; such docs can never
+    near-dup on this scheme (matches minhash_lsh_pairs)."""
+    hist = spark.createDataFrame([(1, HIST)], "doc_id long, text string")
+    store = NH.band_store_build(hist)
+    probe = spark.createDataFrame(
+        [(20, "too few words")], "doc_id long, text string"
+    )
+    out = NH.band_store_probe(probe, store).collect()
+    assert len(out) == 1 and out[0].near_dup_hit is False
+    assert NH.minhash_band_keys(probe).count() == 0
+
+
+def test_append_then_compact_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "store")
+    d1 = spark.createDataFrame([(1, HIST)], "doc_id long, text string")
+    d2 = spark.createDataFrame([(2, FRESH)], "doc_id long, text string")
+    NH.save_band_store(NH.band_store_build(d1), path)
+    NH.append_band_store(NH.band_store_build(d2), path)
+    # duplicate append is harmless for probe semantics
+    NH.append_band_store(NH.band_store_build(d2), path)
+    store, k, nh = NH.load_band_store(spark, path)
+    raw_rows = store.count()
+    probe = spark.createDataFrame(
+        [(30, NEAR), (31, FRESH.replace("cost", "price"))],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.near_dup_hit
+        for r in NH.band_store_probe(probe, store, k=k, num_hashes=nh).collect()
+    }
+    assert hits == {30: True, 31: True}
+    NH.compact_band_store(spark, path)
+    store2, _, _ = NH.load_band_store(spark, path)
+    assert store2.count() < raw_rows  # dup append compacted away
+    hits2 = {
+        r.doc_id: r.near_dup_hit
+        for r in NH.band_store_probe(probe, store2, k=k, num_hashes=nh).collect()
+    }
+    assert hits2 == hits  # semantics unchanged by compaction
+
+
+def test_probe_duckdb_oracle_parity(spark, tmp_path):
+    """band_store_probe_sql reproduces the probe verdicts bit-for-bit on
+    a messy store/probe split."""
+    rows = [
+        (1, HIST),
+        (2, FRESH),
+        (3, "yet another history document with plenty of long words inside"),
+    ]
+    probes = [
+        (10, NEAR),
+        (11, FRESH.replace("engines", "systems")),
+        (12, "totally unrelated short novel text that shares no shingles "
+             "with anything stored before this moment in the fixture"),
+    ]
+    hist = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probes, "doc_id long, text string")
+    store = NH.band_store_build(hist)
+    got = {
+        r.doc_id: r.near_dup_hit
+        for r in NH.band_store_probe(probe, store).collect()
+    }
+    hist_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in rows
+    )
+    probe_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in probes
+    )
+    oracle = duckdb.sql(NH.band_store_probe_sql(probe_sql, hist_sql)).fetchall()
+    assert {int(d): bool(h) for d, h in oracle} == got
+
+
+def test_streaming_near_dup_standing_gate(spark, tmp_path):
+    """The round-10 funnel closure: a re-ingested NEAR-duplicate (one
+    word changed — both exact-key blooms would miss it) of the existing
+    corpus is dropped per micro-batch; update_near_dup_store=True appends
+    survivors' band keys so a SECOND run (fresh sink, fresh checkpoint —
+    the checkpoint-replay equivalent) drops near-dups of THEM via the
+    store alone; and per-gate metrics record the drop."""
+    from orion_spark.streaming import curation as C
+
+    hist_line1 = (
+        "the historical document line is long clean english text right here"
+    )
+    hist_line2 = (
+        "a second long clean line keeps the quality gate comfortably happy"
+    )
+    hist_text = hist_line1 + "\n" + hist_line2
+    near_text = hist_text.replace("comfortably", "entirely")
+    fresh_text = (
+        "the genuinely new document arrives with one long english sentence\n"
+        "and brings along another long and reasonably clean second line"
+    )
+    near_fresh = fresh_text.replace("reasonably", "surprisingly")
+
+    store_path = str(tmp_path / "bands")
+    # history store is built over the curated corpus's clean_text
+    hist = spark.createDataFrame([(1, hist_text)], "doc_id long, text string")
+    NH.save_band_store(NH.band_store_build(hist), store_path)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    metrics = str(tmp_path / "funnel_metrics.jsonl")
+    spark.createDataFrame(
+        [(2, near_text, "en", "s1", len(near_text)),
+         (3, fresh_text, "en", "s1", len(fresh_text))],
+        C.DOCS_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    C.run_curation_stream(
+        spark, src, out, ck,
+        near_dup_store_path=store_path, update_near_dup_store=True,
+        metrics_path=metrics,
+    )
+    landed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert landed == {3}  # near-dup of history dropped, fresh doc landed
+
+    # per-gate metrics: the drop is attributed to the near-dup gate
+    recs = [json.loads(l) for l in open(metrics)]
+    assert len(recs) == 1
+    assert recs[0]["input"] == 2
+    assert recs[0]["near_dup_gate"] == 1
+    assert recs[0]["exact_dedup"] == 1
+
+    # second run: fresh sink + checkpoint; near-dup of run-1's SURVIVOR
+    # must now be dropped by the appended store alone, and an exact
+    # replay of the survivor itself also drops (idempotent re-ingest)
+    src2, out2, ck2 = (str(tmp_path / p) for p in ("src2", "out2", "ck2"))
+    spark.createDataFrame(
+        [(7, near_fresh, "en", "s9", len(near_fresh)),
+         (8, fresh_text, "en", "s9", len(fresh_text))],
+        C.DOCS_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src2)
+    C.run_curation_stream(
+        spark, src2, out2, ck2,
+        near_dup_store_path=store_path, update_near_dup_store=True,
+    )
+    import os
+
+    assert (not os.path.exists(out2)) or (
+        spark.read.parquet(out2).count() == 0
+    )
