@@ -182,3 +182,43 @@ def test_streaming_near_dup_standing_gate(spark, tmp_path):
     assert (not os.path.exists(out2)) or (
         spark.read.parquet(out2).count() == 0
     )
+
+
+def test_funnel_observe_metrics_in_progress_payload(spark, tmp_path):
+    """run_curation_stream's observe nodes (funnel_input/funnel_curated)
+    must surface in the StreamingQueryProgress observedMetrics payload —
+    the stream-side half of funnel observability (the sink-side half is
+    metrics_path, asserted above)."""
+    from orion_spark.streaming import curation as C
+    from pyspark.sql import functions as F
+
+    good = (
+        "the observable document has one long clean english line right here\n"
+        "and a second long line that keeps the quality gate clearly happy"
+    )
+    bad = "short junk"
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, good, "en", "s1", len(good)), (2, bad, "en", "s1", len(bad))],
+        C.DOCS_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    docs = C.read_document_stream(spark, src).observe(
+        "funnel_input", F.count(F.lit(1)).alias("rows")
+    )
+    stream = C.curate(docs).observe(
+        "funnel_curated", F.count(F.lit(1)).alias("rows")
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    observed = {}
+    for p in q.recentProgress:
+        observed.update(p["observedMetrics"])
+    assert observed["funnel_input"]["rows"] == 2
+    assert observed["funnel_curated"]["rows"] == 1  # junk doc gated out
