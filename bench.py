@@ -118,11 +118,23 @@ HEADLINE = [
     # codegen expressions + one hash aggregate)
     "documents_url_dedup",
     # round-9: per-doc n-gram novelty (first-seen fraction — the
-    # diminishing-returns selection signal; shingle-keyed window min)
+    # diminishing-returns selection signal; de-windowed round 10 to
+    # chained partial-aggregatable aggregates)
     "documents_ngram_novelty",
     # round-9: per-domain curation panel (host-level dup ratio + mean
     # quality in exact integer micro-units)
     "documents_domain_quality_panel",
+    # round-10: the registered power-law TEXT fixture (plans/skewtext.py)
+    # — one canonical URL / boilerplate paragraph / shingle family owns
+    # half the corpus, so every bench record runs the de-windowed
+    # content-key plans against the hot-key regime they exist for
+    "skew_url_dedup",
+    "skew_paragraph_rewrite",
+    "skew_ngram_novelty",
+    "skew_span_rewrite",
+    # round-10: persisted near-dup history store (LSH band buckets;
+    # build + AQE-splittable semi-join probe with injected near-dups)
+    "documents_near_dup_history_probe",
 ]
 
 

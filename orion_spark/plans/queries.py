@@ -2751,6 +2751,24 @@ def _register_skew_text():
 
         return DD.paragraph_dedup_rewrite(skew_docs(spark, sf_dir))
 
+    from orion_spark.llm.dedup import duplicate_span_rewrite_oracle_sql
+
+    @query(
+        "skew_span_rewrite",
+        duplicate_span_rewrite_oracle_sql(
+            n=8, table=f"({skew_docs_select_sql()})"
+        ),
+    )
+    def skew_span_rewrite_q(spark, sf_dir):
+        """ExactSubstr span removal where the boilerplate's 8-token
+        windows repeat across half the corpus: the duplicated-hash firsts
+        dim partial-combines (one row per map task for the hot span hash)
+        and the occurrence-tagging join is AQE-splittable — the regime
+        the round-10 de-windowing of duplicate_span_rewrite exists for."""
+        from orion_spark.llm import dedup as DD
+
+        return DD.duplicate_span_rewrite(skew_docs(spark, sf_dir), n=8)
+
     @query(
         "skew_ngram_novelty",
         ngram_novelty_oracle_sql(k=3, table=f"({skew_docs_select_sql()})"),
