@@ -800,6 +800,17 @@ def semdedup_k_sql(source_count_sql: str, budget: int = SEMDEDUP_CLUSTER_BUDGET)
     return f"GREATEST(16, ({source_count_sql}) // {budget})"
 
 
+def _cand_schema(cent_schema):
+    """(_list, _cv, _owner) schema for the routed-centroid dim (built
+    fresh — StructType.add mutates in place)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        list(cent_schema.fields)
+        + [StructField("_owner", cent_schema["_list"].dataType)]
+    )
+
+
 def semdedup_prune(
     df: DataFrame,
     n_clusters: int | None = 16,
@@ -829,21 +840,35 @@ def semdedup_prune(
     cross-engine (`semdedup_oracle_sql`). Assignment orders on the
     6-decimal-rounded cosine with min-list tie-breaks.
 
-    100 TB shape: centroids broadcast (n_clusters rows); assignment is a
-    narrow scan + min_by aggregate; the pair join shuffles both sides on
-    `list_id` so each cluster is a partition-local all-pairs block — the
-    paper's cost model, bounded by keeping k proportional to corpus size
-    (SemDeDup uses 50k clusters for LAION-440M, cluster size ~n/k; AQE
-    splits any skewed cluster). `n_clusters=None` applies that contract
-    automatically: k = semdedup_k(count) = max(16, n // 125), keeping
-    pair scoring ~n·125/2 (linear) instead of n²/k (a fixed k measured
-    22× wall at 10× data — SCALE.md). Components reuse the path-halving
+    100 TB shape: assignment is TWO-LEVEL ROUTED (the IVF move — the
+    paper itself uses approximate k-means at LAION scale): vectors score
+    only the m = ceil(sqrt(k)) super-centroids (the first m centroids by
+    id), then only the ~k/m centroids OWNED by the routed super — every
+    super owns itself plus the non-super centroids that route to it, so
+    the candidate set is never empty. Cost is n·(m + k/m)·d ≈ n·2√k·d
+    instead of the flat cross's n·k·d, which under the k ∝ n contract
+    is n²·d/budget — quadratic (the flat assignment measured 18+ min at
+    sf10/k=1600 where routing takes seconds). Both routing levels and
+    the ownership rule are pure deterministic argmax-with-min-id-ties on
+    the 6-rounded cosine, replayed exactly by `semdedup_oracle_sql`; for
+    m = k (tiny inputs) the scheme degenerates to flat assignment. The
+    pair join shuffles both sides on `list_id` so each cluster is a
+    partition-local all-pairs block — bounded by keeping k proportional
+    to corpus size (cluster size ~n/k; AQE splits any skewed cluster).
+    `n_clusters=None` applies that contract automatically: k =
+    semdedup_k(count) = max(16, n // 125), keeping pair scoring
+    ~n·125/2 (linear) instead of n²/k (a fixed k measured 22× wall at
+    10× data — SCALE.md). Components reuse the path-halving
     `dedup_clusters`; the keeper pass is one more groupBy on group_id.
     """
+    import math
+
     from orion_spark.llm.similarity import cosine
 
+    spark = df.sparkSession
     if n_clusters is None:
         n_clusters = semdedup_k(df.count())
+    m = math.isqrt(n_clusters - 1) + 1 if n_clusters > 1 else 1
     cent_frame = (
         df.select(
             F.col(id_col).alias("_list"),
@@ -853,26 +878,81 @@ def semdedup_prune(
         .limit(n_clusters)
     )
     # one TakeOrderedAndProject job; tiny by construction (n_clusters rows)
-    cent_local = cent_frame.collect()
+    cent_local = sorted(cent_frame.collect(), key=lambda r: r["_list"])
     if len(cent_local) < n_clusters:
         raise ValueError(
             f"semdedup_prune needs >= {n_clusters} vectors to seed the "
             "centroid table"
         )
-    cent = F.broadcast(
-        df.sparkSession.createDataFrame(cent_local, cent_frame.schema)
+    sup_local = cent_local[:m]
+    sup_ids = {r["_list"] for r in sup_local}
+    sup = F.broadcast(
+        spark.createDataFrame(sup_local, cent_frame.schema).select(
+            F.col("_list").alias("_sl"), F.col("_cv").alias("_sv")
+        )
     )
-    # the assignment cross is the compute-bound stage (n x k cosines,
+    # centroid -> owner super: a k x m cross (tiny), evaluated with the
+    # SAME rounded-cosine expression as every other level so the oracle
+    # replays it; supers own themselves by rule
+    cent_df = spark.createDataFrame(cent_local, cent_frame.schema)
+    routed_rows = (
+        cent_df.crossJoin(sup)
+        .select(
+            "_list", "_cv", "_sl",
+            F.round(cosine(F.col("_cv"), F.col("_sv")), 6).alias("_rc"),
+        )
+        .groupBy("_list")
+        .agg(
+            F.min_by(
+                F.struct("_cv", "_sl"),
+                F.struct((-F.col("_rc")).alias("nc"), F.col("_sl").alias("s")),
+            ).alias("_o")
+        )
+        .select(
+            "_list", F.col("_o._cv").alias("_cv"), F.col("_o._sl").alias("_owner")
+        )
+        .collect()
+    )
+    cand = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    r["_list"],
+                    r["_cv"],
+                    r["_list"] if r["_list"] in sup_ids else r["_owner"],
+                )
+                for r in routed_rows
+            ],
+            _cand_schema(cent_frame.schema),
+        )
+    )
+    # the routing cross is the compute-bound stage (n x m cosines,
     # interpreted higher-order functions): spread it across the cluster
     # even when the input parquet arrives in one or two partitions —
     # without this the broadcast cross inherits the scan's partitioning
-    # and k ∝ n assignment runs on a couple of cores (measured 1.4/32
-    # cores busy at sf10 before the repartition)
+    # and runs on a couple of cores (measured 1.4/32 cores busy at sf10)
     v = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    scored = v.join(cent, how="cross").select(
+    ).repartition(spark.sparkContext.defaultParallelism)
+    v_routed = (
+        v.join(sup, how="cross")
+        .select(
+            "vec_id", "_v", "_sl",
+            F.round(cosine(F.col("_v"), F.col("_sv")), 6).alias("_rc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("_v", "_sl"),
+                F.struct((-F.col("_rc")).alias("nc"), F.col("_sl").alias("s")),
+            ).alias("_r")
+        )
+        .select(
+            "vec_id", F.col("_r._v").alias("_v"), F.col("_r._sl").alias("_super")
+        )
+    )
+    scored = v_routed.join(cand, v_routed["_super"] == cand["_owner"]).select(
         "vec_id", "_v", "_list",
         F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("_c"),
     )
@@ -946,21 +1026,58 @@ def semdedup_oracle_sql(
     can mirror any injection the Spark side applies. `n_clusters` may be
     a SQL expression string (e.g. `semdedup_k_sql("SELECT COUNT(*) FROM
     v")`) so the k ∝ n registration derives k from the same corpus on
-    both engines."""
-    cos_vc = _COS_SQL.format(a="v.ev", b="cent.cv")
+    both engines. Assignment replays the Spark side's TWO-LEVEL routing:
+    m = ceil(sqrt(k)) super-centroids (first m by id), supers own
+    themselves, non-super centroids route to their argmax super, every
+    vector routes to its argmax super and then argmaxes only over that
+    super's owned centroids — all on the 6-rounded cosine with min-id
+    ties, so the quantization is bit-identical cross-engine."""
+    if isinstance(n_clusters, int):
+        import math
+
+        m_expr: int | str = (
+            math.isqrt(n_clusters - 1) + 1 if n_clusters > 1 else 1
+        )
+    else:
+        m_expr = (
+            f"CAST(CASE WHEN ({n_clusters}) > 1 "
+            f"THEN FLOOR(SQRT(({n_clusters}) - 1)) + 1 "
+            f"ELSE 1 END AS BIGINT)"
+        )
+    cos_cs = _COS_SQL.format(a="c.cv", b="s.scv")
+    cos_vs = _COS_SQL.format(a="v.ev", b="s.scv")
+    cos_vc = _COS_SQL.format(a="vr.ev", b="cr.cv")
     cos_ab = _COS_SQL.format(a="a.ev", b="b.ev")
     assigned = f"""
     v AS (SELECT * FROM ({source_sql})),
     cent AS (SELECT vec_id AS list_id, ev AS cv FROM v
              ORDER BY vec_id LIMIT ({n_clusters})),
-    assign_scored AS (
-        SELECT v.vec_id, v.ev, cent.list_id, {cos_vc} AS ac
-        FROM v, cent),
+    sup AS (SELECT list_id AS slist, cv AS scv FROM cent
+            ORDER BY list_id LIMIT ({m_expr})),
+    cent_routed AS (
+        SELECT list_id, cv,
+               CASE WHEN list_id IN (SELECT slist FROM sup) THEN list_id
+                    ELSE owner END AS owner
+        FROM (SELECT c.list_id, c.cv, s.slist AS owner,
+                     ROW_NUMBER() OVER (PARTITION BY c.list_id
+                                        ORDER BY {cos_cs} DESC, s.slist)
+                         AS crn
+              FROM cent c, sup s) WHERE crn = 1),
+    v_routed AS (
+        SELECT vec_id, ev, vsuper FROM (
+            SELECT v.vec_id, v.ev, s.slist AS vsuper,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {cos_vs} DESC, s.slist)
+                       AS vrn
+            FROM v, sup s) WHERE vrn = 1),
     assigned AS (
         SELECT vec_id, ev, list_id, ac AS centroid_cos FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                         ORDER BY ac DESC, list_id) AS arn
-            FROM assign_scored) WHERE arn = 1)"""
+            SELECT vr.vec_id, vr.ev, cr.list_id, {cos_vc} AS ac,
+                   ROW_NUMBER() OVER (PARTITION BY vr.vec_id
+                                      ORDER BY {cos_vc} DESC, cr.list_id)
+                       AS arn
+            FROM v_routed vr JOIN cent_routed cr ON cr.owner = vr.vsuper)
+        WHERE arn = 1)"""
     pairs_sql = f"""
         WITH {assigned}
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
