@@ -437,8 +437,9 @@ def cmd_semdedup(args) -> int:
     from its centroid). Writes the full label frame (vec_id, list_id,
     centroid_cos, group_id, kept) — or only the kept rows joined back to
     the input columns with --keep-only, i.e. the pruned corpus a trainer
-    reads directly. Size --n-clusters proportional to the corpus (the
-    paper's contract; within-cluster scoring is n^2/k)."""
+    reads directly. --n-clusters defaults to the paper's k ∝ n contract
+    (max(16, n // 125)); within-cluster scoring is n^2/k, so a fixed k
+    goes quadratic as the corpus grows."""
     from orion_spark.llm.dedup import semdedup_prune
 
     spark = _spark(args.embeddings)
@@ -775,9 +776,11 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--embeddings", required=True,
                     help="parquet with an id column and a vector column")
     sd.add_argument("--out", required=True)
-    sd.add_argument("--n-clusters", type=int, default=16,
-                    help="coarse quantizer size; scale with the corpus "
-                         "(within-cluster scoring is n^2/k)")
+    sd.add_argument("--n-clusters", type=int, default=None,
+                    help="coarse quantizer size; default derives the "
+                         "paper's k ∝ n contract, max(16, n // 125) — "
+                         "within-cluster scoring is n^2/k, so a fixed k "
+                         "goes quadratic as the corpus grows")
     sd.add_argument("--threshold", type=float, default=0.95,
                     help="within-cluster cosine dup threshold")
     sd.add_argument("--id-col", default="vec_id")
