@@ -570,6 +570,82 @@ def cmd_bloom_dedup(args) -> int:
     return 0
 
 
+def cmd_near_dup_history(args) -> int:
+    """Standing NEAR-dup history lifecycle (llm/near_dup_history.py) —
+    the bloom-dedup twin for near-duplicates: `build` persists the
+    history corpus's MinHash-LSH band keys; `filter` drops every batch
+    doc whose band keys collide with the store (one changed word defeats
+    the exact-key bloom, still collides on a band) and with --update
+    APPENDS the survivors' keys (O(batch), never a history rewrite);
+    `compact` is the maintenance distinct-rewrite."""
+    from orion_spark.llm import near_dup_history as NH
+
+    if args.action == "build":
+        if not args.history:
+            print("near-dup-history build requires --history", file=sys.stderr)
+            return 2
+        spark = _spark(args.history)
+        history = spark.read.parquet(args.history)
+        store = NH.band_store_build(
+            history, text_col=args.text_col, id_col=args.id_col,
+            k=args.shingle_k, num_hashes=args.num_hashes,
+        )
+        NH.save_band_store(store, args.store, k=args.shingle_k,
+                           num_hashes=args.num_hashes)
+        n_keys = spark.read.parquet(args.store).count()
+        print(json.dumps({
+            "store": args.store, "action": "build", "n_band_keys": n_keys,
+            "shingle_k": args.shingle_k, "num_hashes": args.num_hashes,
+        }))
+        return 0
+    if args.action == "compact":
+        spark = _spark(args.store)
+        before = spark.read.parquet(args.store).count()
+        NH.compact_band_store(spark, args.store)
+        after = spark.read.parquet(args.store).count()
+        print(json.dumps({
+            "store": args.store, "action": "compact",
+            "keys_before": before, "keys_after": after,
+        }))
+        return 0
+    if not args.batch or not args.out:
+        print("near-dup-history filter requires --batch and --out",
+              file=sys.stderr)
+        return 2
+    spark = _spark(args.batch, args.store)
+    store, k, nh = NH.load_band_store(spark, args.store)
+    batch = spark.read.parquet(args.batch)
+    n_in = batch.count()
+    survivors = (
+        NH.band_store_probe(
+            batch, store, text_col=args.text_col, id_col=args.id_col,
+            k=k, num_hashes=nh,
+        )
+        .where(~F.col("near_dup_hit"))
+        .drop("near_dup_hit")
+    )
+    survivors.write.mode("overwrite").parquet(args.out)
+    kept = spark.read.parquet(args.out).count()
+    updated = False
+    if args.update and kept:
+        delta = (
+            NH.minhash_band_keys(
+                spark.read.parquet(args.out), text_col=args.text_col,
+                id_col=args.id_col, k=k, num_hashes=nh,
+            )
+            .select("band", "bv")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        NH.append_band_store(delta, args.store)
+        updated = True
+    print(json.dumps({
+        "store": args.store, "action": "filter", "out": args.out,
+        "kept": kept, "dropped": n_in - kept, "history_updated": updated,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -771,6 +847,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="after filtering, fold survivors into the "
                          "persisted bitmap (incremental history)")
     bd.set_defaults(fn=cmd_bloom_dedup)
+
+    nd = sub.add_parser("near-dup-history")
+    nd.add_argument("action", choices=("build", "filter", "compact"))
+    nd.add_argument("--store", required=True,
+                    help="persisted band-store directory (parquet + meta)")
+    nd.add_argument("--history",
+                    help="history corpus parquet (build only)")
+    nd.add_argument("--batch", help="new batch parquet (filter only)")
+    nd.add_argument("--out", help="survivor output parquet (filter only)")
+    nd.add_argument("--text-col", default="text")
+    nd.add_argument("--id-col", default="doc_id")
+    nd.add_argument("--shingle-k", type=int, default=5,
+                    help="shingle width (build only; stored in meta)")
+    nd.add_argument("--num-hashes", type=int, default=16,
+                    help="minhash lanes = 1-row bands (build only; "
+                         "stored in meta)")
+    nd.add_argument("--update", action="store_true",
+                    help="after filtering, append survivors' band keys "
+                         "to the store (incremental history)")
+    nd.set_defaults(fn=cmd_near_dup_history)
 
     sd = sub.add_parser("semdedup")
     sd.add_argument("--embeddings", required=True,

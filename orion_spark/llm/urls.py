@@ -117,43 +117,57 @@ def url_dedup(
     host, the canonical-group size, and kept=1 for the group's minimum id
     (first-seen-wins under a deterministic order).
 
-    Scale shape: `groupBy(canon_url).agg(count, min)` + join-back — NOT a
-    window over the canonical string. The aggregate partial-combines
-    map-side (on a dup-heavy crawl, the operator's own target regime,
-    the shuffle carries one row per distinct canonical per map task) and
-    the join-back is an equi-join AQE can skew-split; a window partition
-    over the canonical key would put every occurrence of a viral URL in
-    ONE task, the single construct AQE cannot split.
+    Scale shape: `groupBy(canon_url).agg(count, min)` (partial-combines
+    map-side: the viral URL reaches its reducer as one row per map task)
+    + a LEFT join-back against ONLY the duplicated groups (group_size >
+    1) — rows that miss are singletons by construction and take
+    (group_size=1, kept=1) from a coalesce, so the join's build side is
+    the dup-group dim, not every distinct URL. On a mostly-unique
+    frontier that dim is tiny and AQE broadcasts it (the whole operator
+    is then ONE exchange, the partial-aggregated count/min); on a
+    dup-heavy crawl it shuffles but AQE can skew-split it — unlike a
+    window partition over the canonical key, which puts every occurrence
+    of a viral URL in ONE task, the single construct AQE cannot split
+    (measured: the window plan's hot task is the whole critical path
+    once the hot key exceeds a core's fair share — tools/
+    bench_dewindow_ab.py).
 
-    Null canonical forms (a null url canonicalizes to null) are passed
-    through ungated as their own singleton groups (group_size=1, kept=1):
-    null is not a page identity, and collapsing all null-url docs into
-    one group would silently drop distinct documents."""
+    Null canonical forms (a null url canonicalizes to null) pass through
+    as their own singleton groups via the same left-join miss path: null
+    join keys never match, so null is never a page identity and distinct
+    null-url docs are never collapsed."""
+    # the canonical projection (a dozen regexes per row) feeds BOTH the
+    # group aggregate and the join probe side: materialize it once
+    # (localCheckpoint — released on GC, the minhash_lsh_pairs pattern)
+    # instead of paying the regex pass twice; the checkpointed frame is
+    # (id, canon, host) — far narrower than the input
     canon = df.select(
         F.col(id_col).alias("doc_id"),
         canonicalize_url(
             F.col(url_col), strip_www=strip_www, tracking_params=tracking_params
         ).alias("canon_url"),
         url_host(F.col(url_col), strip_www=strip_www).alias("host"),
+    ).localCheckpoint(eager=True)
+    dup_groups = (
+        canon.where(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("_gs"),
+            F.min("doc_id").alias("_keeper"),
+        )
+        .where(F.col("_gs") > 1)
     )
-    keyed = canon.where(F.col("canon_url").isNotNull())
-    nulls = canon.where(F.col("canon_url").isNull()).select(
+    return canon.join(dup_groups, "canon_url", "left").select(
         "doc_id", "canon_url", "host",
-        F.lit(1).cast("long").alias("group_size"),
-        F.lit(1).cast("long").alias("kept"),
-    )
-    groups = keyed.groupBy("canon_url").agg(
-        F.count(F.lit(1)).alias("group_size"),
-        F.min("doc_id").alias("_keeper"),
-    )
-    deduped = keyed.join(groups, "canon_url").select(
-        "doc_id", "canon_url", "host", "group_size",
-        F.when(F.col("doc_id") == F.col("_keeper"), F.lit(1))
+        F.coalesce("_gs", F.lit(1)).cast("long").alias("group_size"),
+        F.when(
+            F.col("_keeper").isNull() | (F.col("doc_id") == F.col("_keeper")),
+            F.lit(1),
+        )
         .otherwise(F.lit(0))
         .cast("long")
         .alias("kept"),
     )
-    return deduped.unionByName(nulls)
 
 
 def url_host_sql(url_expr: str, strip_www: bool = True) -> str:

@@ -655,3 +655,70 @@ def test_cli_url_dedup_keep_only(spark, tmp_path, capsys):
     assert rep["n_in"] == 4 and rep["n_kept"] == 2 and rep["n_pruned"] == 2
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {0, 3}
+
+
+def test_cli_near_dup_history_lifecycle(spark, tmp_path, capsys):
+    """near-dup-history end-to-end: build a band store from history,
+    filter a batch (the near-duplicate — one word changed, exact-key
+    dedup would miss it — drops; the fresh doc survives), --update
+    appends the survivor's keys so a second batch's near-dup of IT also
+    drops, and compact collapses the appended keys without changing
+    probe semantics."""
+    hist_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today while the afternoon sun warms the quiet meadow beyond"
+    )
+    near_text = hist_text.replace("warms", "heats")
+    fresh_text = (
+        "completely different content about distributed query engines and "
+        "the cost model of shuffle exchanges on large analytical clusters"
+    )
+    near_fresh = fresh_text.replace("cost", "price")
+
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [(1, hist_text)], "doc_id long, text string"
+    ).write.parquet(hist)
+    store = str(tmp_path / "store")
+    assert cli.main([
+        "near-dup-history", "build", "--store", store, "--history", hist,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_band_keys"] > 0 and rep["num_hashes"] == 16
+
+    batch1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(10, near_text), (11, fresh_text)], "doc_id long, text string"
+    ).write.parquet(batch1)
+    out1 = str(tmp_path / "out1")
+    assert cli.main([
+        "near-dup-history", "filter", "--store", store,
+        "--batch", batch1, "--out", out1, "--update",
+    ]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["kept"] == 1 and rep1["dropped"] == 1
+    assert rep1["history_updated"] is True
+    assert {r.doc_id for r in spark.read.parquet(out1).collect()} == {11}
+
+    batch2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(20, near_fresh)], "doc_id long, text string"
+    ).write.parquet(batch2)
+    out2 = str(tmp_path / "out2")
+    assert cli.main([
+        "near-dup-history", "filter", "--store", store,
+        "--batch", batch2, "--out", out2,
+    ]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["kept"] == 0 and rep2["dropped"] == 1
+
+    assert cli.main(["near-dup-history", "compact", "--store", store]) == 0
+    repc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert repc["keys_after"] <= repc["keys_before"]
+    out3 = str(tmp_path / "out3")
+    assert cli.main([
+        "near-dup-history", "filter", "--store", store,
+        "--batch", batch2, "--out", out3,
+    ]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["kept"] == 0  # semantics unchanged by compaction
