@@ -170,6 +170,77 @@ def url_dedup(
     )
 
 
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """UT1/FineWeb-style domain blocklist gate: drop every row whose URL
+    host (or any parent domain of it, with `include_subdomains`) appears
+    in `blocklist` (one `domain` string column). The crawl-curation step
+    that runs right after canonicalization and before any text work.
+
+    Scale shape: the row's candidate set is its dot-suffix chain
+    (`a.b.example.com` -> [a.b.example.com, b.example.com, example.com]),
+    built with pure split/transform expressions and exploded carrying
+    only (id, candidate); blocked ids come from ONE semi-join on the
+    domain — blocklists are list-shaped dims (UT1 is ~4M rows) so Spark
+    broadcasts them outright or AQE picks a skew-splittable shuffle join
+    — and survivors from one id-keyed anti-join. No text moves through
+    either join. Rows with null/unparseable hosts pass through (their
+    candidate chain matches nothing)."""
+    host = url_host(F.col(url_col), strip_www=strip_www)
+    if include_subdomains:
+        parts = F.split(host, r"\.")
+        n = F.size(parts)
+        cands = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        )
+    else:
+        cands = F.array(host)
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(cands).alias("_dom")
+    )
+    blocked_ids = (
+        exploded.join(
+            blocklist.select(F.col("domain").alias("_dom")), "_dom", "left_semi"
+        )
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(blocked_ids, id_col, "left_anti")
+
+
+def domain_blocklist_sql(
+    probe_sql: str,
+    blocklist_sql: str,
+    url_expr: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+) -> str:
+    """DuckDB mirror of `domain_blocklist_filter` (subdomain-inclusive):
+    rows of `probe_sql` whose host suffix chain misses every domain in
+    `blocklist_sql` (one `domain` column)."""
+    host = url_host_sql(url_expr, strip_www=strip_www)
+    return f"""
+    WITH probe AS ({probe_sql}),
+    bl AS ({blocklist_sql}),
+    cand AS (
+        SELECT {id_col} AS _id,
+               unnest([array_to_string(hp[i:], '.')
+                       for i in range(1, GREATEST(len(hp), 2))]) AS dom
+        FROM (SELECT {id_col}, string_split({host}, '.') AS hp FROM probe)),
+    blocked AS (
+        SELECT DISTINCT c._id FROM cand c JOIN bl ON c.dom = bl.domain)
+    SELECT p.* FROM probe p
+    WHERE p.{id_col} NOT IN (SELECT _id FROM blocked)
+    """
+
+
 def url_host_sql(url_expr: str, strip_www: bool = True) -> str:
     """DuckDB expression mirroring `url_host` for `url_expr`."""
     host = (

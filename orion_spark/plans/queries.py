@@ -2787,6 +2787,57 @@ def _register_skew_text():
 _register_skew_text()
 
 
+def _register_domain_blocklist():
+    from orion_spark.llm.urls import domain_blocklist_sql
+
+    _BL_PROBE_SQL = """
+        SELECT doc_id, source,
+               'http://' || CASE WHEN doc_id % 4 = 0
+                    THEN 'deep.sub.' || source || '.bad.org'
+                    ELSE source || '.example.com' END
+               || '/p' || doc_id AS url
+        FROM documents"""
+    _BL_LIST_SQL = (
+        "SELECT DISTINCT source || '.bad.org' AS domain FROM documents"
+    )
+
+    @query(
+        "documents_domain_blocklist",
+        domain_blocklist_sql(_BL_PROBE_SQL, _BL_LIST_SQL),
+    )
+    def documents_domain_blocklist_q(spark, sf_dir):
+        """UT1/FineWeb-style domain blocklist gate
+        (llm/urls.domain_blocklist_filter): every fourth doc links a DEEP
+        SUBDOMAIN of a blocked domain (deep.sub.<source>.bad.org vs the
+        blocklist's <source>.bad.org), so the match must walk the
+        dot-suffix chain, not string-equal the host. Survivors are the
+        non-blocked three quarters. Scale shape: suffix chain as pure
+        split/slice expressions exploded carrying (id, candidate) only,
+        one broadcastable/AQE-splittable semi-join on the domain, one
+        id-keyed anti-join — no text moves."""
+        from orion_spark.llm.urls import domain_blocklist_filter
+
+        d = _t(spark, sf_dir, "documents")
+        probe = d.select(
+            "doc_id", "source",
+            F.concat(
+                F.lit("http://"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.concat(F.lit("deep.sub."), F.col("source"), F.lit(".bad.org")),
+                ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+                F.lit("/p"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        blocklist = d.select(
+            F.concat(F.col("source"), F.lit(".bad.org")).alias("domain")
+        ).distinct()
+        return domain_blocklist_filter(probe, blocklist)
+
+
+_register_domain_blocklist()
+
+
 def _register_near_dup_history():
     from orion_spark.llm.near_dup_history import band_store_probe_sql
 

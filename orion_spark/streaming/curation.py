@@ -99,6 +99,7 @@ def curated_dedup_sink(
     near_dup_store_path: str | None = None,
     update_near_dup_store: bool = False,
     metrics_path: str | None = None,
+    domain_blocklist_path: str | None = None,
 ):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
@@ -169,10 +170,16 @@ def curated_dedup_sink(
     appended and drops itself (idempotent restarts, same property as the
     bitmap gates).
 
+    `domain_blocklist_path` adds the UT1/FineWeb-style domain gate as the
+    FIRST sink gate: a persisted one-column (`domain`) parquet blocklist,
+    matched against each url host's dot-suffix chain
+    (llm/urls.domain_blocklist_filter), so a blocked domain's subdomains
+    drop too, before any history probing.
+
     `metrics_path` (observability): when set, one JSON line is appended
     per micro-batch recording the surviving row count after every gate
-    (batch_id, input, url_gate, near_dup_gate, bloom_gate, lm_gate,
-    dsir_gate, exact_dedup) — the per-gate drop accounting the batch
+    (batch_id, input, blocklist_gate, url_gate, near_dup_gate,
+    bloom_gate, lm_gate, dsir_gate, exact_dedup) — the per-gate drop accounting the batch
     funnel already reports, for streams. Counting is extra work per
     trigger, so it is opt-in."""
 
@@ -186,6 +193,18 @@ def curated_dedup_sink(
             return frame
 
         b = _mark("input", b)
+        if domain_blocklist_path is not None:
+            if "url" not in b.columns:
+                raise ValueError(
+                    "domain_blocklist_path is set but the batch has no "
+                    "'url' column — read the stream with with_url=True"
+                )
+            from orion_spark.llm.urls import domain_blocklist_filter
+
+            bl = spark.read.parquet(domain_blocklist_path)
+            b = _mark(
+                "blocklist_gate", domain_blocklist_filter(b, bl)
+            )
         if url_bloom_path is not None:
             if "url" not in b.columns:
                 # a silently-skipped gate is worse than a loud failure:
@@ -343,6 +362,7 @@ def run_curation_stream(
     near_dup_store_path: str | None = None,
     update_near_dup_store: bool = False,
     metrics_path: str | None = None,
+    domain_blocklist_path: str | None = None,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
@@ -354,7 +374,9 @@ def run_curation_stream(
     `observedMetrics` payload; `metrics_path` adds the sink's per-gate
     survivor counts (one JSON line per micro-batch)."""
     docs = read_document_stream(
-        spark, src_path, with_url=url_bloom_path is not None
+        spark, src_path,
+        with_url=url_bloom_path is not None
+        or domain_blocklist_path is not None,
     ).observe("funnel_input", F.count(F.lit(1)).alias("rows"))
     stream = curate(docs, **curate_kwargs).observe(
         "funnel_curated", F.count(F.lit(1)).alias("rows")
@@ -374,6 +396,7 @@ def run_curation_stream(
                 near_dup_store_path=near_dup_store_path,
                 update_near_dup_store=update_near_dup_store,
                 metrics_path=metrics_path,
+                domain_blocklist_path=domain_blocklist_path,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -523,3 +523,44 @@ def test_streaming_url_history_gate(spark, tmp_path):
     )
     landed2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
     assert landed2 == {6}
+
+
+def test_streaming_domain_blocklist_gate(spark, tmp_path):
+    """UT1-style domain gate as the FIRST sink gate: a doc from a blocked
+    domain's subdomain is dropped before any history probing; the
+    per-gate metrics attribute the drop to blocklist_gate."""
+    import json as _json
+
+    from orion_spark.streaming import curation as C
+
+    good = (
+        "the allowed document has one long clean english line right here\n"
+        "and a second long line that keeps the quality gate clearly happy"
+    )
+    bad = (
+        "the blocked document also has one long clean english line here\n"
+        "with a second long line that would otherwise pass every gate"
+    )
+    bl_path = str(tmp_path / "blocklist")
+    spark.createDataFrame([("spam.bad.org",)], "domain string").write.parquet(
+        bl_path
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    metrics = str(tmp_path / "metrics.jsonl")
+    spark.createDataFrame(
+        [
+            (1, good, "en", "s1", len(good), "http://news.example.com/a"),
+            (2, bad, "en", "s1", len(bad), "http://cdn.spam.bad.org/b"),
+        ],
+        C.DOCS_URL_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    C.run_curation_stream(
+        spark, src, out, ck,
+        domain_blocklist_path=bl_path, metrics_path=metrics,
+    )
+    landed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert landed == {1}
+    rec = _json.loads(open(metrics).readline())
+    assert rec["input"] == 2 and rec["blocklist_gate"] == 1

@@ -165,3 +165,38 @@ def test_url_dedup_plan_has_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_domain_blocklist_filter_suffix_chain(spark):
+    """Subdomain-inclusive matching walks the dot-suffix chain; exact
+    mode matches only the full host; null urls pass through."""
+    rows = [
+        (1, "http://deep.sub.tracker.bad.org/x"),   # parent bad.org-family
+        (2, "http://news.example.com/y"),            # clean
+        (3, "http://tracker.bad.org/z"),             # exact blocked host
+        (4, None),                                    # null url passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("tracker.bad.org",)], "domain string")
+    kept = {r.doc_id for r in U.domain_blocklist_filter(df, bl).collect()}
+    assert kept == {2, 4}
+    exact = {
+        r.doc_id
+        for r in U.domain_blocklist_filter(
+            df, bl, include_subdomains=False
+        ).collect()
+    }
+    assert exact == {1, 2, 4}  # deep subdomain survives exact-host mode
+
+
+def test_domain_blocklist_sql_parity(spark):
+    import duckdb as _dd
+
+    probe_sql = (
+        "SELECT 1 AS doc_id, 'http://deep.sub.t.bad.org/x' AS url UNION ALL "
+        "SELECT 2, 'http://news.example.com/y' UNION ALL "
+        "SELECT 3, 'http://t.bad.org/z'"
+    )
+    bl_sql = "SELECT 't.bad.org' AS domain"
+    got = _dd.sql(U.domain_blocklist_sql(probe_sql, bl_sql)).fetchall()
+    assert {r[0] for r in got} == {2}
