@@ -589,13 +589,16 @@ def cmd_near_dup_history(args) -> int:
         store = NH.band_store_build(
             history, text_col=args.text_col, id_col=args.id_col,
             k=args.shingle_k, num_hashes=args.num_hashes,
+            rows_per_band=args.rows_per_band,
         )
         NH.save_band_store(store, args.store, k=args.shingle_k,
-                           num_hashes=args.num_hashes)
+                           num_hashes=args.num_hashes,
+                           rows_per_band=args.rows_per_band)
         n_keys = spark.read.parquet(args.store).count()
         print(json.dumps({
             "store": args.store, "action": "build", "n_band_keys": n_keys,
             "shingle_k": args.shingle_k, "num_hashes": args.num_hashes,
+            "rows_per_band": args.rows_per_band,
         }))
         return 0
     if args.action == "compact":
@@ -613,13 +616,13 @@ def cmd_near_dup_history(args) -> int:
               file=sys.stderr)
         return 2
     spark = _spark(args.batch, args.store)
-    store, k, nh = NH.load_band_store(spark, args.store)
+    store, k, nh, rpb = NH.load_band_store(spark, args.store)
     batch = spark.read.parquet(args.batch)
     n_in = batch.count()
     survivors = (
         NH.band_store_probe(
             batch, store, text_col=args.text_col, id_col=args.id_col,
-            k=k, num_hashes=nh,
+            k=k, num_hashes=nh, rows_per_band=rpb,
         )
         .where(~F.col("near_dup_hit"))
         .drop("near_dup_hit")
@@ -631,7 +634,7 @@ def cmd_near_dup_history(args) -> int:
         delta = (
             NH.minhash_band_keys(
                 spark.read.parquet(args.out), text_col=args.text_col,
-                id_col=args.id_col, k=k, num_hashes=nh,
+                id_col=args.id_col, k=k, num_hashes=nh, rows_per_band=rpb,
             )
             .select("band", "bv")
             .distinct()
@@ -861,8 +864,12 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--shingle-k", type=int, default=5,
                     help="shingle width (build only; stored in meta)")
     nd.add_argument("--num-hashes", type=int, default=16,
-                    help="minhash lanes = 1-row bands (build only; "
-                         "stored in meta)")
+                    help="minhash lanes (build only; stored in meta)")
+    nd.add_argument("--rows-per-band", type=int, default=1,
+                    help="LSH precision knob (build only; stored in "
+                         "meta): r lanes per band => P(hit) = "
+                         "1-(1-j^r)^(lanes/r); r=1 is the maximal-"
+                         "recall batch-candidate contract")
     nd.add_argument("--update", action="store_true",
                     help="after filtering, append survivors' band keys "
                          "to the store (incremental history)")

@@ -50,23 +50,39 @@ def minhash_band_keys(
     id_col: str = "doc_id",
     k: int = 5,
     num_hashes: int = 16,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """(doc_id, band, bv) — one row per (doc, band) with the band's
-    minhash value. Docs with < k words have no shingles and emit no keys
-    (they can never near-dup on this scheme, matching minhash_lsh_pairs).
-    Pure column expressions; one explode, no shuffle (the repartition is
-    a round-robin spread of the compute-bound md5-per-shingle projection
-    — small-file inputs arrive in one partition, the same fix
-    minhash_lsh_pairs carries). The hash array gets its own projection
-    boundary so the md5 transform is evaluated once per row, not once
-    per signature lane (CollapseProject keeps non-cheap multiply-
-    referenced projections separate)."""
+    """(doc_id, band, bv) — one row per (doc, band). With the default
+    1-row bands, bv is the band's minhash minimum and a probe collision
+    means "the batch minhash_lsh_pairs would have made this a candidate
+    pair" — maximal recall, P(hit) = 1 - (1-j)^num_hashes, which fires
+    often even at low Jaccard. `rows_per_band = r > 1` trades recall for
+    precision the standard LSH way (the gate has no verify stage — the
+    history text is not stored — so precision is the knob that controls
+    over-dropping): bv becomes a hash of r consecutive signature lanes
+    and P(hit) = 1 - (1 - j^r)^(num_hashes/r) — e.g. r=4 over 16 lanes
+    fires at ~3% for j=0.3 but ~99% for j=0.9. num_hashes must divide
+    by r.
+
+    Docs with < k words have no shingles and emit no keys (they can
+    never near-dup on this scheme, matching minhash_lsh_pairs). Pure
+    column expressions; one explode, no shuffle (the repartition is a
+    round-robin spread of the compute-bound md5-per-shingle projection —
+    small-file inputs arrive in one partition, the same fix
+    minhash_lsh_pairs carries). The hash array and the signature each
+    get their own projection boundary so the md5 transform is evaluated
+    once per row, not once per signature lane (CollapseProject keeps
+    non-cheap multiply-referenced projections separate)."""
     from orion_spark.llm.dedup import (
         minhash_signature,
         shingle_hashes,
         word_shingles,
     )
 
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide num_hashes={num_hashes}"
+        )
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sh = word_shingles(F.col(text_col), k=k)
     hashed = (
@@ -75,12 +91,34 @@ def minhash_band_keys(
         .where(F.size("_sh") > 0)
         .select("doc_id", shingle_hashes(F.col("_sh")).alias("_hs"))
     )
-    return hashed.select(
-        "doc_id",
-        F.posexplode(
-            minhash_signature(F.col("_hs"), num_hashes)
-        ).alias("band", "bv"),
+    sigged = hashed.select(
+        "doc_id", minhash_signature(F.col("_hs"), num_hashes).alias("_sig")
     )
+    if rows_per_band == 1:
+        return sigged.select(
+            "doc_id", F.posexplode("_sig").alias("band", "bv")
+        )
+    r = rows_per_band
+    n_bands = num_hashes // r
+    banded = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("_sig"), (b * r + 1).cast("int"), r),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint"),
+    )
+    return sigged.select("doc_id", F.posexplode(banded).alias("band", "bv"))
 
 
 def band_store_build(
@@ -89,33 +127,45 @@ def band_store_build(
     id_col: str = "doc_id",
     k: int = 5,
     num_hashes: int = 16,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Distinct (band, bv) key set of a corpus — the store relation."""
     return (
-        minhash_band_keys(df, text_col, id_col, k, num_hashes)
+        minhash_band_keys(df, text_col, id_col, k, num_hashes, rows_per_band)
         .select("band", "bv")
         .distinct()
     )
 
 
 def save_band_store(
-    store: DataFrame, path: str, k: int = 5, num_hashes: int = 16
+    store: DataFrame, path: str, k: int = 5, num_hashes: int = 16,
+    rows_per_band: int = 1,
 ) -> None:
     """Overwrite-write the store relation + its key-scheme metadata (the
-    probe must hash with the same k / num_hashes the store was built
-    with; a mismatched probe would silently never match)."""
+    probe must hash with the same k / num_hashes / rows_per_band the
+    store was built with; a mismatched probe would silently never
+    match)."""
     store.write.mode("overwrite").parquet(path)
-    meta = json.dumps({"k": k, "num_hashes": num_hashes})
+    meta = json.dumps(
+        {"k": k, "num_hashes": num_hashes, "rows_per_band": rows_per_band}
+    )
     tmp = os.path.join(path, _META + ".tmp")
     with open(tmp, "w") as fh:
         fh.write(meta)
     os.replace(tmp, os.path.join(path, _META))
 
 
-def load_band_store(spark: SparkSession, path: str) -> tuple[DataFrame, int, int]:
+def load_band_store(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int, int, int]:
     with open(os.path.join(path, _META)) as fh:
         meta = json.load(fh)
-    return spark.read.parquet(path), meta["k"], meta["num_hashes"]
+    return (
+        spark.read.parquet(path),
+        meta["k"],
+        meta["num_hashes"],
+        meta.get("rows_per_band", 1),
+    )
 
 
 def append_band_store(delta: DataFrame, path: str) -> None:
@@ -127,9 +177,11 @@ def append_band_store(delta: DataFrame, path: str) -> None:
 def compact_band_store(spark: SparkSession, path: str) -> None:
     """Maintenance rewrite: distinct the accumulated appends. Runs on its
     own cadence (like an index rebuild), never in the batch loop."""
-    store, k, num_hashes = load_band_store(spark, path)
+    store, k, num_hashes, rpb = load_band_store(spark, path)
     compacted = store.distinct().localCheckpoint(eager=True)
-    save_band_store(compacted, path, k=k, num_hashes=num_hashes)
+    save_band_store(
+        compacted, path, k=k, num_hashes=num_hashes, rows_per_band=rpb
+    )
 
 
 def band_store_probe(
@@ -139,12 +191,13 @@ def band_store_probe(
     id_col: str = "doc_id",
     k: int = 5,
     num_hashes: int = 16,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Input rows + `near_dup_hit`: true iff ANY of the doc's band keys
     exists in the store. One equi-join on (band, bv) (semi) + one
     doc-keyed join back to the input — both AQE-splittable; a hot band
     key (boilerplate-heavy history) never concentrates in one task."""
-    keys = minhash_band_keys(df, text_col, id_col, k, num_hashes)
+    keys = minhash_band_keys(df, text_col, id_col, k, num_hashes, rows_per_band)
     hits = (
         keys.join(store, ["band", "bv"], "left_semi")
         .select("doc_id")
@@ -159,12 +212,33 @@ def band_store_probe(
     )
 
 
+def _band_rows_sql(
+    src_sql: str, num_hashes: int, rows_per_band: int, with_doc: bool
+) -> str:
+    """SELECT producing (doc_id?, band, bv) from a subquery yielding
+    (doc_id?, sl) where sl is the comma-split signature string list —
+    the DuckDB twin of minhash_band_keys' banding arithmetic."""
+    doc = "doc_id, " if with_doc else ""
+    if rows_per_band == 1:
+        return f"""SELECT {doc}unnest(range(0, len(sl))) AS band,
+               unnest(list_transform(sl, s -> s::BIGINT)) AS bv
+        FROM {src_sql}"""
+    r = rows_per_band
+    n_bands = num_hashes // r
+    return f"""SELECT {doc}unnest(range(0, {n_bands})) AS band,
+               unnest([('0x' || substr(md5(array_to_string(
+                           sl[b*{r}+1 : b*{r}+{r}], ',')), 1, 15))::BIGINT
+                       for b in range(0, {n_bands})]) AS bv
+        FROM {src_sql}"""
+
+
 def band_store_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     num_hashes: int = 16,
+    rows_per_band: int = 1,
 ) -> str:
     """DuckDB CTE body yielding the store's (band, bv) rows for `table` —
     bit-identical key scheme via minhash_signature_oracle_sql."""
@@ -176,9 +250,7 @@ def band_store_sql(
     )
     return f"""
     SELECT DISTINCT band, bv FROM (
-        SELECT unnest(range(0, len(sl))) AS band,
-               unnest(list_transform(sl, s -> s::BIGINT)) AS bv
-        FROM (SELECT string_split(signature, ',') AS sl FROM ({sig})))
+        {_band_rows_sql("(SELECT string_split(signature, ',') AS sl FROM (" + sig + "))", num_hashes, rows_per_band, with_doc=False)})
     """
 
 
@@ -189,6 +261,7 @@ def band_store_probe_sql(
     text_col: str = "text",
     k: int = 5,
     num_hashes: int = 16,
+    rows_per_band: int = 1,
 ) -> str:
     """DuckDB ground truth for `band_store_probe`: every probe row with
     near_dup_hit = EXISTS(any band key in the store built from
@@ -200,13 +273,9 @@ def band_store_probe_sql(
         id_col=id_col, text_col=text_col,
     )
     return f"""
-    WITH store AS ({band_store_sql(f"({store_table_sql})", id_col, text_col, k, num_hashes)}),
+    WITH store AS ({band_store_sql(f"({store_table_sql})", id_col, text_col, k, num_hashes, rows_per_band)}),
     probe_keys AS (
-        SELECT doc_id,
-               unnest(range(0, len(sl))) AS band,
-               unnest(list_transform(sl, s -> s::BIGINT)) AS bv
-        FROM (SELECT doc_id, string_split(signature, ',') AS sl
-              FROM ({probe_sig}))),
+        {_band_rows_sql("(SELECT doc_id, string_split(signature, ',') AS sl FROM (" + probe_sig + "))", num_hashes, rows_per_band, with_doc=True)}),
     hits AS (
         SELECT DISTINCT doc_id FROM probe_keys pk
         WHERE EXISTS (SELECT 1 FROM store s

@@ -240,12 +240,12 @@ def curated_dedup_sink(
                 load_band_store,
             )
 
-            nstore, nk, nh = load_band_store(spark, near_dup_store_path)
+            nstore, nk, nh, nr = load_band_store(spark, near_dup_store_path)
             b = _mark(
                 "near_dup_gate",
                 band_store_probe(
                     b, nstore, text_col="clean_text", id_col="doc_id",
-                    k=nk, num_hashes=nh,
+                    k=nk, num_hashes=nh, rows_per_band=nr,
                 )
                 .where(~F.col("near_dup_hit"))
                 .drop("near_dup_hit"),
@@ -299,11 +299,11 @@ def curated_dedup_sink(
                 minhash_band_keys,
             )
 
-            _, nk, nh = _load_store(spark, near_dup_store_path)
+            _, nk, nh, nr = _load_store(spark, near_dup_store_path)
             delta_keys = (
                 minhash_band_keys(
                     out, text_col="clean_text", id_col="doc_id",
-                    k=nk, num_hashes=nh,
+                    k=nk, num_hashes=nh, rows_per_band=nr,
                 )
                 .select("band", "bv")
                 .distinct()

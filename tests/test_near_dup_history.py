@@ -27,8 +27,8 @@ def test_probe_hits_near_and_misses_fresh(spark, tmp_path):
     NH.save_band_store(
         NH.band_store_build(hist, k=5, num_hashes=16), path, k=5, num_hashes=16
     )
-    store, k, nh = NH.load_band_store(spark, path)
-    assert (k, nh) == (5, 16)
+    store, k, nh, rpb = NH.load_band_store(spark, path)
+    assert (k, nh, rpb) == (5, 16, 1)
     probe = spark.createDataFrame(
         [(10, NEAR), (11, FRESH), (12, HIST)], "doc_id long, text string"
     )
@@ -60,7 +60,7 @@ def test_append_then_compact_roundtrip(spark, tmp_path):
     NH.append_band_store(NH.band_store_build(d2), path)
     # duplicate append is harmless for probe semantics
     NH.append_band_store(NH.band_store_build(d2), path)
-    store, k, nh = NH.load_band_store(spark, path)
+    store, k, nh, _rpb = NH.load_band_store(spark, path)
     raw_rows = store.count()
     probe = spark.createDataFrame(
         [(30, NEAR), (31, FRESH.replace("cost", "price"))],
@@ -72,7 +72,7 @@ def test_append_then_compact_roundtrip(spark, tmp_path):
     }
     assert hits == {30: True, 31: True}
     NH.compact_band_store(spark, path)
-    store2, _, _ = NH.load_band_store(spark, path)
+    store2, _, _, _ = NH.load_band_store(spark, path)
     assert store2.count() < raw_rows  # dup append compacted away
     hits2 = {
         r.doc_id: r.near_dup_hit
@@ -222,3 +222,69 @@ def test_funnel_observe_metrics_in_progress_payload(spark, tmp_path):
         observed.update(p["observedMetrics"])
     assert observed["funnel_input"]["rows"] == 2
     assert observed["funnel_curated"]["rows"] == 1  # junk doc gated out
+
+
+LONG = (
+    "in the long history document every sentence keeps flowing with many "
+    "ordinary english words that describe a quiet valley where a small river "
+    "bends around old willow trees and the morning light settles gently over "
+    "meadows while farmers walk their fields checking fences gates and troughs "
+    "before the afternoon heat arrives and the whole village gathers near the "
+    "market square to trade bread cheese apples and stories from the road"
+)
+NEAR_LONG = LONG.replace("willow", "poplar")   # j ~ 0.88 on 5-shingles
+
+
+def test_rows_per_band_precision_knob(spark, tmp_path):
+    """r-row banding is the precision knob the gate needs (no verify
+    stage — the history text is not stored): with r=4 a true near-dup
+    (one word changed in a long doc, Jaccard ~0.88) still collides,
+    while a moderately-similar short doc passes — at r=1 its ~0.2
+    Jaccard would fire with probability ~97%; DuckDB mirror agrees
+    bit-for-bit. (The operating-point math is in the minhash_band_keys
+    docstring; the SHORT one-word-change fixture has j ~ 0.6, which is
+    exactly why the default r=1 exists for maximal recall.)"""
+    moderately = (
+        "the quick brown fox jumps over a sleepy cat near another stream "
+        "in a different season as the evening moon cools a distant field"
+    )
+    path = str(tmp_path / "store4")
+    hist = spark.createDataFrame([(1, LONG)], "doc_id long, text string")
+    NH.save_band_store(
+        NH.band_store_build(hist, rows_per_band=4), path, rows_per_band=4
+    )
+    store, k, nh, rpb = NH.load_band_store(spark, path)
+    assert rpb == 4
+    probe = spark.createDataFrame(
+        [(10, NEAR_LONG), (11, moderately), (12, LONG)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.near_dup_hit
+        for r in NH.band_store_probe(
+            probe, store, k=k, num_hashes=nh, rows_per_band=rpb
+        ).collect()
+    }
+    assert got[12] is True          # exact copy always collides
+    assert got[10] is True          # one-word change still caught at r=4
+    assert got[11] is False         # moderately-similar doc passes at r=4
+
+    import duckdb as _dd
+
+    hist_sql = f"SELECT 1 AS doc_id, '{LONG}' AS text"
+    probe_sql = (
+        f"SELECT 10 AS doc_id, '{NEAR_LONG}' AS text UNION ALL "
+        f"SELECT 11, '{moderately}' UNION ALL SELECT 12, '{LONG}'"
+    )
+    oracle = _dd.sql(
+        NH.band_store_probe_sql(probe_sql, hist_sql, rows_per_band=4)
+    ).fetchall()
+    assert {int(d): bool(h) for d, h in oracle} == got
+
+
+def test_rows_per_band_must_divide(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, HIST)], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        NH.minhash_band_keys(df, num_hashes=16, rows_per_band=3).count()
