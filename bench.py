@@ -135,6 +135,9 @@ HEADLINE = [
     # round-10: persisted near-dup history store (LSH band buckets;
     # build + AQE-splittable semi-join probe with injected near-dups)
     "documents_near_dup_history_probe",
+    # round-10: UT1-style domain blocklist gate (dot-suffix chain,
+    # id-only joins)
+    "documents_domain_blocklist",
 ]
 
 
