@@ -85,17 +85,24 @@ def shingle_hashes(shingles: Column) -> Column:
     )
 
 
-def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
-    """Array of num_hashes minima of the universal-hash family over the
-    shingle hash set."""
+def minhash_lanes(hashes: Column, num_hashes: int = 16) -> list[Column]:
+    """The num_hashes universal-hash minima as SEPARATE columns — each
+    lane references `hashes` exactly once, so callers can compose
+    band-level expressions (near_dup_history) without duplicating the
+    whole signature array per band."""
     def _h(a, b):
         return lambda x: (a * x + b) % MINHASH_P
 
-    sigs = [
+    return [
         F.array_min(F.transform(hashes, _h(a, b)))
         for a, b in _hash_params(num_hashes)
     ]
-    return F.array(*sigs)
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 16) -> Column:
+    """Array of num_hashes minima of the universal-hash family over the
+    shingle hash set."""
+    return F.array(*minhash_lanes(hashes, num_hashes))
 
 
 def minhash_lsh_pairs(

@@ -69,12 +69,20 @@ def minhash_band_keys(
     column expressions; one explode, no shuffle (the repartition is a
     round-robin spread of the compute-bound md5-per-shingle projection —
     small-file inputs arrive in one partition, the same fix
-    minhash_lsh_pairs carries). The hash array and the signature each
-    get their own projection boundary so the md5 transform is evaluated
-    once per row, not once per signature lane (CollapseProject keeps
-    non-cheap multiply-referenced projections separate)."""
+    minhash_lsh_pairs carries).
+
+    Plan-shape contract (regression-guarded in test_near_dup_history):
+    the md5-per-shingle transform appears EXACTLY ONCE in the optimized
+    plan. The hash array gets its own projection boundary under the
+    Generate node, and the generator expression is built from per-lane
+    minima (`minhash_lanes`) so no lane — and hence the `_hs` array
+    feeding it — is ever duplicated per band. A previous shape that
+    materialized the signature in its own intermediate select let
+    CollapseProject inline the shingle-md5 transform into every
+    signature lane (16× the dominant cost; the third recurrence of this
+    trap after minhash_lsh_pairs round 7 and this module's first fix)."""
     from orion_spark.llm.dedup import (
-        minhash_signature,
+        minhash_lanes,
         shingle_hashes,
         word_shingles,
     )
@@ -91,34 +99,36 @@ def minhash_band_keys(
         .where(F.size("_sh") > 0)
         .select("doc_id", shingle_hashes(F.col("_sh")).alias("_hs"))
     )
-    sigged = hashed.select(
-        "doc_id", minhash_signature(F.col("_hs"), num_hashes).alias("_sig")
-    )
+    lanes = minhash_lanes(F.col("_hs"), num_hashes)
     if rows_per_band == 1:
-        return sigged.select(
-            "doc_id", F.posexplode("_sig").alias("band", "bv")
-        )
-    r = rows_per_band
-    n_bands = num_hashes // r
-    banded = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.conv(
-            F.substring(
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("_sig"), (b * r + 1).cast("int"), r),
-                            lambda x: x.cast("string"),
+        banded = F.array(*lanes)
+    else:
+        r = rows_per_band
+        # bv = bigint of md5-prefix over the band's r lane values joined
+        # by "," — identical arithmetic to the DuckDB mirror in
+        # _band_rows_sql. Each lane column appears exactly once across
+        # all bands, so the shingle-md5 projection is never duplicated.
+        banded = F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    lane.cast("string")
+                                    for lane in lanes[b * r : (b + 1) * r]
+                                ],
+                            )
                         ),
-                        ",",
-                    )
-                ),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("bigint"),
-    )
-    return sigged.select("doc_id", F.posexplode(banded).alias("band", "bv"))
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+                for b in range(num_hashes // r)
+            ]
+        )
+    return hashed.select("doc_id", F.posexplode(banded).alias("band", "bv"))
 
 
 def band_store_build(

@@ -2882,6 +2882,37 @@ def _register_near_dup_history():
         store = band_store_build(hist)
         return band_store_probe(probe, store).select("doc_id", "near_dup_hit")
 
+    @query(
+        "documents_near_dup_history_probe_r4",
+        band_store_probe_sql(_PROBE_SQL, _STORE_SQL, rows_per_band=4),
+    )
+    def documents_near_dup_history_probe_r4_q(spark, sf_dir):
+        """Same history/probe split as documents_near_dup_history_probe
+        but with the rows_per_band=4 precision knob: bv hashes 4
+        consecutive signature lanes per band (P(hit) = 1-(1-j^4)^4 —
+        ~3% at Jaccard 0.3, ~99% at 0.9), so the injected suffix
+        near-dups still fire while merely-similar docs pass. Certifies
+        the banding arithmetic (Spark concat_ws/md5/conv vs DuckDB
+        array_to_string/md5) in the sweep gate, not just pytest."""
+        from orion_spark.llm.near_dup_history import (
+            band_store_build,
+            band_store_probe,
+        )
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        hist = docs.where(F.col("doc_id") % 2 == 0)
+        probe = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+            docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 80))
+            .select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" near dup suffix")).alias("text"),
+            )
+        )
+        store = band_store_build(hist, rows_per_band=4)
+        return band_store_probe(probe, store, rows_per_band=4).select(
+            "doc_id", "near_dup_hit"
+        )
+
 
 _register_near_dup_history()
 

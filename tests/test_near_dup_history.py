@@ -282,6 +282,28 @@ def test_rows_per_band_precision_knob(spark, tmp_path):
     assert {int(d): bool(h) for d, h in oracle} == got
 
 
+def test_plan_shingle_md5_evaluated_once(spark):
+    """Permanent guard for the CollapseProject trap (third recurrence:
+    minhash_lsh_pairs round 7, this module's first fix, the 4952bac
+    regression): the md5-per-shingle transform must appear exactly once
+    in the OPTIMIZED plan — a collapsed plan shows it once per signature
+    lane (16×) and runs ~8× slower at sf0.1. At r>1 each band adds one
+    cheap md5 over the joined lane string, so the budget is 1 + n_bands."""
+    df = spark.createDataFrame([(1, HIST)], "doc_id long, text string")
+    for r, budget in ((1, 1), (4, 1 + 4), (8, 1 + 2)):
+        plan = (
+            NH.minhash_band_keys(df, rows_per_band=r)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("md5(") == budget, (
+            f"rows_per_band={r}: expected {budget} md5 sites in the "
+            f"optimized plan, found {plan.count('md5(')} — the shingle "
+            f"hash projection has been inlined per signature lane"
+        )
+
+
 def test_rows_per_band_must_divide(spark):
     import pytest as _pt
 
