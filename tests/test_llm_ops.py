@@ -303,6 +303,38 @@ def test_semdedup_prune_group_invariants_on_fixture(spark):
             assert members[0].kept == 1
 
 
+def test_semdedup_distributed_routing_path_equal(spark):
+    """k_broadcast_max crossover: with the knob forced below k, the
+    k-row candidate dim stays a DataFrame and vector scoring joins on
+    the owner key (shuffle-hash) instead of a driver collect +
+    broadcast. Identical arithmetic — the full (vec_id, list_id,
+    centroid_cos, group_id, kept) output must match the broadcast path
+    row-for-row on the real fixture, including the injected exact-copy
+    tie-breaks the registered query exercises."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+    )
+    src = emb.unionByName(copies)
+
+    def rows(k_broadcast_max):
+        out = DD.semdedup_prune(
+            src, n_clusters=16, threshold=0.4, k_broadcast_max=k_broadcast_max
+        )
+        return sorted(
+            (r.vec_id, r.list_id, r.centroid_cos, r.group_id, r.kept)
+            for r in out.collect()
+        )
+
+    broadcast_path = rows(DD.SEMDEDUP_K_BROADCAST_MAX)
+    distributed_path = rows(0)
+    assert broadcast_path == distributed_path
+    assert len(broadcast_path) == src.count()
+
+
 def test_ngram_contamination_known_overlap(spark):
     """One train doc shares a full 3-gram window with the eval doc; the
     other shares none. Zero-overlap docs must still appear (flag 0)."""
