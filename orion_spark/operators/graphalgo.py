@@ -625,41 +625,93 @@ def ktruss_oracle_sql(pairs_cte: str, k: int = 3, rounds: int = 2) -> str:
     """
 
 
+WALK_RANK_BUCKETS = 64
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 4,
     seed: int = 42,
     starts: DataFrame | None = None,
+    rank_buckets: int = WALK_RANK_BUCKETS,
 ) -> DataFrame:
     """Deterministic random-walk corpus generation — the sampling pass of
     DeepWalk/node2vec-style graph-embedding training, made fully
     value-checkable cross-engine by replacing RNG with a keyed hash: at
     step t, walk w moves from node u to neighbor with index
-    md5(w, t, seed) mod outdeg(u), neighbors ranked by (dst) within each
-    src. Same "derandomize with a hash, unroll the rounds in SQL"
-    treatment as the deterministic IVF and the BPE trainer.
+    md5(w, t, seed) mod outdeg(u), neighbors ranked by
+    (md5-bucket(dst), dst) within each src. Same "derandomize with a
+    hash, unroll the rounds in SQL" treatment as the deterministic IVF
+    and the BPE trainer.
 
     `edges` needs src/dst (directed; symmetrize first for undirected
     walks). `starts` defaults to every distinct src; one walk per start,
     walk_id = start node. A walk reaching a node with no out-edges
     simply ends (inner join), mirroring DeepWalk's early termination.
 
-    Scale shape: the ranked adjacency (row_number within src — one
-    shuffle) and the out-degree table are built once and persisted
-    pre-partitioned on the join key; each of the `walk_length` rounds
-    then shuffles only the walk frontier (|starts| rows) against them —
-    label_propagation_min's reuse discipline. k steps = k bounded
-    frontier joins, no per-round growth.
+    Scale shape: the adjacency ranking is TWO-LEVEL so a power-law hub
+    never concentrates in one window task (round 11; previously a
+    single row_number over src put all N/2 spoke neighbors of the
+    skewgraph hub in one partition): neighbors rank within
+    (src, md5-bucket-of-dst) — `rank_buckets` splits per hub — and a
+    per-(src, bucket) count + cumulative-offset window (≤ rank_buckets
+    rows per src, bounded by construction) re-bases the local ranks to
+    the global 0..outdeg-1 index. All stages are partial-aggregatable
+    or AQE-splittable; ranking is a deterministic bijection either way,
+    and the DuckDB oracle replays the (bucket, dst) order bit-for-bit.
+    The ranked adjacency and out-degree tables are built once and
+    persisted pre-partitioned on the join key; each of the
+    `walk_length` rounds then shuffles only the walk frontier
+    (|starts| rows) against them — label_propagation_min's reuse
+    discipline. k steps = k bounded frontier joins, no per-round
+    growth.
 
     Returns (walk_id, step, node) with step 0 = the start node.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("src").orderBy("dst")
+    bkt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("dst").cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(rank_buckets),
+    )
+    base = edges.select("src", "dst").distinct().withColumn("_bkt", bkt)
+    # _lrank and the bucket size _bc share one (src, _bkt) window
+    # partitioning — a single shuffle feeds both, and the offsets branch
+    # below reuses the same exchange (ReuseExchange), so the two-level
+    # scheme costs one co-located join over the single-window plan, not
+    # extra shuffles
+    wb = Window.partitionBy("src", "_bkt").orderBy("dst")
+    wc = Window.partitionBy("src", "_bkt")
+    local = base.select(
+        "src", "dst", "_bkt",
+        F.row_number().over(wb).alias("_lrank"),
+        F.count(F.lit(1)).over(wc).alias("_bc"),
+    )
+    woff = (
+        Window.partitionBy("_osrc")
+        .orderBy("_obkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.where(F.col("_lrank") == 1)
+        .select(
+            F.col("src").alias("_osrc"), F.col("_bkt").alias("_obkt"), "_bc"
+        )
+        # <= rank_buckets rows per _osrc by construction: bounded window
+        .withColumn("_off", F.coalesce(F.sum("_bc").over(woff), F.lit(0)))
+        .select("_osrc", "_obkt", "_off")
+    )
     adj = (
-        edges.select("src", "dst")
-        .distinct()
-        .withColumn("_idx", F.row_number().over(w) - 1)
+        local.join(
+            offsets,
+            (F.col("src") == F.col("_osrc")) & (F.col("_bkt") == F.col("_obkt")),
+        )
+        .select(
+            "src", "dst",
+            (F.col("_off") + F.col("_lrank") - 1).alias("_idx"),
+        )
         .repartition("src")
         .persist()
     )
@@ -723,16 +775,23 @@ def random_walks(
 
 def random_walks_oracle_sql(
     edges_cte: str, walk_length: int = 4, seed: int = 42,
-    starts_sql: str | None = None,
+    starts_sql: str | None = None, rank_buckets: int = WALK_RANK_BUCKETS,
 ) -> str:
-    """DuckDB ground truth: identical ranked adjacency, hash pick and
-    unrolled steps. `edges_cte` must define a CTE `edges` with src/dst;
-    `starts_sql` a query yielding a `src` column (defaults to all srcs)."""
+    """DuckDB ground truth: identical ranked adjacency (the two-level
+    (md5-bucket, dst) neighbor order, expressed flat — the oracle does
+    not need the hub-splitting shape, only its exact order), hash pick
+    and unrolled steps. `edges_cte` must define a CTE `edges` with
+    src/dst; `starts_sql` a query yielding a `src` column (defaults to
+    all srcs)."""
     starts = starts_sql or "SELECT DISTINCT src FROM adj"
     ctes = [f"""{edges_cte},
     adj AS (
         SELECT src, dst,
-               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+               ROW_NUMBER() OVER (
+                   PARTITION BY src
+                   ORDER BY ('0x' || substr(md5(dst::VARCHAR), 1, 15))::BIGINT
+                            % {rank_buckets},
+                            dst) - 1 AS idx
         FROM (SELECT DISTINCT src, dst FROM edges)),
     deg AS (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src),
     f0 AS (SELECT CAST(src AS VARCHAR) AS walk_id, src AS cur

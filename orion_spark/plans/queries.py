@@ -10918,6 +10918,64 @@ def _register_skew_oracles() -> None:
 _register_skew_oracles()
 
 
+@query("skew_walk_skipgrams", None)
+def skew_walk_skipgrams_q(spark, sf_dir):
+    """DeepWalk sampling + skip-gram extraction on the REGISTERED
+    power-law fixture — the hub regime the round-10 verdict flagged for
+    the walk adjacency: hub 0 owns N/2 spoke neighbors (50,000 at
+    sf0.1), which a single row_number-over-src window ranks in ONE task.
+    Round 11's two-level ranking (rank within (src, md5-bucket-of-dst),
+    re-based by a per-(src, bucket) cumulative-count offset — every
+    stage partial-aggregatable or bounded) splits the hub across
+    rank_buckets window partitions; this query certifies that plan on
+    real skew in every sweep. Starts = every 199th base node + all 16
+    hubs, so walks both leave and pass through the hot node; full value
+    oracle replays the (bucket, dst) neighbor order and the md5 pick
+    bit-for-bit."""
+    from orion_spark.operators.graphalgo import random_walks, walk_skipgrams
+    from orion_spark.plans.skewgraph import skew_edges, skew_n_nodes
+
+    n = skew_n_nodes(spark, sf_dir)
+    pairs = skew_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    starts = (
+        spark.range(n + 16)
+        .where((F.col("id") % 199 == 0) | (F.col("id") >= n))
+        .select(F.col("id").alias("src"))
+    )
+    walks = random_walks(edges, walk_length=4, seed=42, starts=starts)
+    return walk_skipgrams(walks, window=2)
+
+
+def _register_skew_walk_oracle() -> None:
+    from orion_spark.operators.graphalgo import (
+        random_walks_oracle_sql,
+        walk_skipgrams_oracle_sql,
+    )
+    from orion_spark.plans.skewgraph import skew_pairs_chain_sql
+
+    edges_cte = (
+        f"{skew_pairs_chain_sql()},\n"
+        "    edges AS (SELECT a AS src, b AS dst FROM pairs\n"
+        "              UNION ALL SELECT b, a FROM pairs)"
+    )
+    starts_sql = (
+        "SELECT i.i AS src FROM params, UNNEST(range(0, n + 16)) AS i(i) "
+        "WHERE i.i % 199 = 0 OR i.i >= n"
+    )
+    walks_sql = random_walks_oracle_sql(
+        edges_cte, walk_length=4, seed=42, starts_sql=starts_sql
+    )
+    ORACLES["skew_walk_skipgrams"] = walk_skipgrams_oracle_sql(
+        walks_sql, window=2
+    )
+
+
+_register_skew_walk_oracle()
+
+
 @query("multimodal_video_near_dup", None)
 def multimodal_video_near_dup_q(spark, sf_dir):
     """Video near-duplicate detection over REAL demuxed frames

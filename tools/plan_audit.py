@@ -95,6 +95,19 @@ _CONTENT_KEY_NAMES = {
     "url", "para", "paragraph", "fingerprint", "md5", "sig", "text",
     "clean_text", "term", "ngram",
 }
+# substring patterns so a rename (span_hash, _sig, ckey, url2 ...) can't
+# slip a content-derived key past the exact-name list (round-10 ADVICE)
+_CONTENT_KEY_SUBSTRINGS = (
+    "hash", "url", "sig", "shingle", "para", "ngram", "fingerprint",
+    "ckey", "span", "token", "term",
+)
+# graph/entity keys with power-law degree (a hub node = one window task);
+# windows partitioned ONLY by these flag as EntityKeyWindow — a bucket
+# column alongside (two-level ranking) de-skews and passes
+_ENTITY_KEY_NAMES = {
+    "src", "dst", "node", "_dsrc", "doc_a", "doc_b", "center", "context",
+    "u", "v", "a", "b",
+}
 _CONTENT_KEY_FUNCS = ("md5(", "sha2(", "sha1(", "hash(", "xxhash64(", "crc32(")
 
 
@@ -130,12 +143,18 @@ def window_flags(plan: str) -> list[str]:
         if not part_cols:
             flags.append("GlobalWindow")
             continue
-        for col in part_cols:
-            base = re.sub(r"#\d+L?", "", col).strip().lower()
-            if base in _CONTENT_KEY_NAMES or any(
-                f in col.lower() for f in _CONTENT_KEY_FUNCS
+        bases = [
+            re.sub(r"#\d+L?", "", col).strip().lower() for col in part_cols
+        ]
+        for col, base in zip(part_cols, bases):
+            if (
+                base in _CONTENT_KEY_NAMES
+                or any(s in base for s in _CONTENT_KEY_SUBSTRINGS)
+                or any(f in col.lower() for f in _CONTENT_KEY_FUNCS)
             ):
                 flags.append(f"ContentKeyWindow({base})")
+        if all(b in _ENTITY_KEY_NAMES for b in bases):
+            flags.append(f"EntityKeyWindow({','.join(bases)})")
     return sorted(set(flags))
 
 
