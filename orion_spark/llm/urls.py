@@ -191,7 +191,10 @@ def domain_blocklist_filter(
     broadcasts them outright or AQE picks a skew-splittable shuffle join
     — and survivors from one id-keyed anti-join. No text moves through
     either join. Rows with null/unparseable hosts pass through (their
-    candidate chain matches nothing)."""
+    candidate chain matches nothing). The blocklist column gets the same
+    normalization as the probe host (lower + trim, and a leading `www.`
+    strip under `strip_www`) so hand-maintained lists with mixed case or
+    `www.`-prefixed entries still match."""
     host = url_host(F.col(url_col), strip_www=strip_www)
     if include_subdomains:
         parts = F.split(host, r"\.")
@@ -205,9 +208,12 @@ def domain_blocklist_filter(
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(cands).alias("_dom")
     )
+    bl_dom = F.lower(F.regexp_replace(F.col("domain"), r"^\s+|\s+$", ""))
+    if strip_www:
+        bl_dom = F.regexp_replace(bl_dom, r"^www\.", "")
     blocked_ids = (
         exploded.join(
-            blocklist.select(F.col("domain").alias("_dom")), "_dom", "left_semi"
+            blocklist.select(bl_dom.alias("_dom")), "_dom", "left_semi"
         )
         .select(F.col("_id").alias(id_col))
         .distinct()
@@ -224,11 +230,15 @@ def domain_blocklist_sql(
 ) -> str:
     """DuckDB mirror of `domain_blocklist_filter` (subdomain-inclusive):
     rows of `probe_sql` whose host suffix chain misses every domain in
-    `blocklist_sql` (one `domain` column)."""
+    `blocklist_sql` (one `domain` column, normalized the same way as the
+    probe host: lower + trim, leading `www.` stripped under `strip_www`)."""
     host = url_host_sql(url_expr, strip_www=strip_www)
+    bl_dom = r"lower(regexp_replace(domain, '^\s+|\s+$', '', 'g'))"
+    if strip_www:
+        bl_dom = f"regexp_replace({bl_dom}, '^www\\.', '')"
     return f"""
     WITH probe AS ({probe_sql}),
-    bl AS ({blocklist_sql}),
+    bl AS (SELECT {bl_dom} AS domain FROM ({blocklist_sql})),
     cand AS (
         SELECT {id_col} AS _id,
                unnest([array_to_string(hp[i:], '.')

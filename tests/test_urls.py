@@ -189,6 +189,40 @@ def test_domain_blocklist_filter_suffix_chain(spark):
     assert exact == {1, 2, 4}  # deep subdomain survives exact-host mode
 
 
+def test_domain_blocklist_entry_normalization(spark):
+    """Hand-maintained blocklists arrive messy: mixed case, a leading
+    www., stray whitespace. The entry column gets the same normalization
+    as the probe host, so all three forms below still block (ADVICE r10)."""
+    rows = [
+        (1, "http://tracker.bad.org/x"),
+        (2, "http://spam.evil.net/y"),
+        (3, "http://ads.junk.io/z"),
+        (4, "http://news.example.com/ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("Tracker.BAD.org",), ("www.evil.net",), ("  junk.io \t",)],
+        "domain string",
+    )
+    kept = {r.doc_id for r in U.domain_blocklist_filter(df, bl).collect()}
+    assert kept == {4}
+
+    import duckdb as _dd
+
+    probe_sql = (
+        "SELECT 1 AS doc_id, 'http://tracker.bad.org/x' AS url UNION ALL "
+        "SELECT 2, 'http://spam.evil.net/y' UNION ALL "
+        "SELECT 3, 'http://ads.junk.io/z' UNION ALL "
+        "SELECT 4, 'http://news.example.com/ok'"
+    )
+    bl_sql = (
+        "SELECT 'Tracker.BAD.org' AS domain UNION ALL "
+        "SELECT 'www.evil.net' UNION ALL SELECT '  junk.io '"
+    )
+    got = _dd.sql(U.domain_blocklist_sql(probe_sql, bl_sql)).fetchall()
+    assert {r[0] for r in got} == {4}
+
+
 def test_domain_blocklist_sql_parity(spark):
     import duckdb as _dd
 
