@@ -100,11 +100,24 @@ def curated_dedup_sink(
     update_near_dup_store: bool = False,
     metrics_path: str | None = None,
     domain_blocklist_path: str | None = None,
+    strict_exact: bool = False,
 ):
     """foreachBatch sink: drop docs whose clean-text hash already exists in
     the curated corpus (first batch wins), then drop intra-batch dups
     (min doc_id wins), then append. Replayed batches are no-ops — the
     anti-join sees their rows already landed.
+
+    When the content bloom is a STANDING gate (`bloom_history_path` +
+    `update_bloom_history=True`), the O(corpus)-per-trigger sink re-read
+    is SKIPPED by default: the bitmap has no false negatives on the same
+    clean-text identity the anti-join keys on, so every doc whose text
+    already landed is dropped by the (fixed-size, map-only) bloom probe
+    instead, and the intra-batch min-id collapse below still runs. The
+    one semantic gap is the crash window between the parquet append and
+    the bitmap fold-back — a batch replayed into that window re-appends
+    its rows (at-least-once, healed by any dedup-on-read or the next
+    compaction). `strict_exact=True` restores the sink re-read for
+    exactly-once survivors at the O(corpus) per-trigger price.
 
     `lm_model_path` + `max_bits_per_token` add the CCNet-style perplexity
     gate: score each batch against a PERSISTED bigram LM
@@ -181,14 +194,57 @@ def curated_dedup_sink(
     (batch_id, input, blocklist_gate, url_gate, near_dup_gate,
     bloom_gate, lm_gate, dsir_gate, exact_dedup) — the per-gate drop accounting the batch
     funnel already reports, for streams. Counting is extra work per
-    trigger, so it is opt-in."""
+    trigger, so it is opt-in; each marked stage is persisted for the
+    batch's lifetime so a gate's count executes only the increment since
+    the previous gate and the final write reads the last cache — one
+    pass over the funnel total, not one full re-execution per gate."""
+    if near_dup_store_path is not None:
+        import json as _json
+        import warnings
+
+        try:
+            with open(
+                os.path.join(near_dup_store_path, "_band_store_meta.json")
+            ) as fh:
+                _n_rpb = _json.load(fh).get("rows_per_band", 1)
+        except OSError:
+            _n_rpb = None
+        if _n_rpb == 1:
+            # the gate drops with NO verify stage (history text is not
+            # stored), and 1-row bands fire at ~97% for Jaccard 0.3 with
+            # the default 16 lanes — merely-similar documents silently
+            # vanish from the stream (ADVICE r10)
+            warnings.warn(
+                "near-dup band store at rows_per_band=1 wired as a DROP "
+                "gate: 1-row bands are the maximal-recall candidate-"
+                "generation setting (P(hit) ~97% at Jaccard 0.3, 16 "
+                "lanes) and this gate has no verification stage. Build "
+                "the store with rows_per_band>=4 unless aggressive "
+                "over-dropping is intended.",
+                stacklevel=2,
+            )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df
         counts: dict[str, int] = {}
+        cached: list[DataFrame] = []
+        try:
+            _run(batch_df, batch_id, counts, cached)
+        finally:
+            for f in cached:
+                f.unpersist()
+
+    def _run(
+        batch_df: DataFrame,
+        batch_id: int,
+        counts: dict[str, int],
+        cached: list[DataFrame],
+    ) -> None:
+        b = batch_df
 
         def _mark(stage: str, frame: DataFrame) -> DataFrame:
             if metrics_path is not None:
+                frame = frame.persist()
+                cached.append(frame)
                 counts[stage] = frame.count()
             return frame
 
@@ -279,11 +335,22 @@ def curated_dedup_sink(
                 "dsir_gate", b.join(w.select("doc_id"), "doc_id", "left_semi")
             )
         b = b.withColumn("content_key", F.md5("clean_text"))
-        if os.path.exists(out_path):
+        # the standing content bitmap already drops every previously-
+        # landed clean-text identity (no false negatives), so the
+        # O(corpus)-per-trigger sink re-read is pure redundancy unless
+        # the caller demands exactly-once survivors across the
+        # append→fold crash window (strict_exact)
+        standing_exact = bloom_history_path is not None and update_bloom_history
+        if os.path.exists(out_path) and (strict_exact or not standing_exact):
             seen = spark.read.parquet(out_path).select("content_key").distinct()
             b = b.join(seen, "content_key", "left_anti")
         keep = b.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
         out = b.join(keep, ["content_key", "doc_id"], "left_semi")
+        if metrics_path is None:
+            # the write plus up to three update-delta actions below each
+            # re-execute the whole funnel otherwise
+            out = out.persist()
+            cached.append(out)
         out = _mark("exact_dedup", out)
         out.drop("_canon_url").write.mode("append").parquet(out_path)
         if metrics_path is not None:
@@ -363,6 +430,7 @@ def run_curation_stream(
     update_near_dup_store: bool = False,
     metrics_path: str | None = None,
     domain_blocklist_path: str | None = None,
+    strict_exact: bool = False,
     **curate_kwargs,
 ) -> None:
     """availableNow run: process everything currently in the source,
@@ -397,6 +465,7 @@ def run_curation_stream(
                 update_near_dup_store=update_near_dup_store,
                 metrics_path=metrics_path,
                 domain_blocklist_path=domain_blocklist_path,
+                strict_exact=strict_exact,
             )
         )
         .option("checkpointLocation", checkpoint)

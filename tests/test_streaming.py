@@ -564,3 +564,100 @@ def test_streaming_domain_blocklist_gate(spark, tmp_path):
     assert landed == {1}
     rec = _json.loads(open(metrics).readline())
     assert rec["input"] == 2 and rec["blocklist_gate"] == 1
+
+
+def test_streaming_standing_bloom_skips_sink_reread(spark, tmp_path):
+    """With the content bloom as a standing gate, the O(corpus)-per-
+    trigger sink re-read is skipped by default — and the survivors are
+    IDENTICAL to strict_exact=True on the same two-wave feed, because
+    the bitmap has no false negatives on the clean-text identity the
+    anti-join keys on (VERDICT r10 item 7)."""
+    from orion_spark.llm.bloom import bloom_build, save_bloom
+    from orion_spark.streaming import curation as C
+
+    text_x = (
+        "wave one document x carries a long clean english sentence here\n"
+        "plus a second long line that keeps the quality gate quite happy"
+    )
+    text_y = (
+        "wave one document y is different but equally long english text\n"
+        "and its second line is also long enough for every funnel gate"
+    )
+    text_z = (
+        "wave two document z arrives later with its own long english line\n"
+        "followed by another long and reasonably clean second sentence"
+    )
+    m_bits, k = 1 << 16, 4
+
+    def _run_two_waves(tag, strict):
+        # fresh empty-ish bitmap per variant (one sentinel key)
+        bloom_path = str(tmp_path / f"bloom_{tag}")
+        sentinel = spark.createDataFrame(
+            [("sentinel never in corpus",)], "clean_text string"
+        )
+        save_bloom(
+            bloom_build(sentinel, key_col="clean_text", m_bits=m_bits, k=k),
+            bloom_path, m_bits=m_bits, k=k,
+        )
+        src = str(tmp_path / f"src_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        spark.createDataFrame(
+            [(1, text_x, "en", "s1", len(text_x)),
+             (2, text_y, "en", "s1", len(text_y))],
+            C.DOCS_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        C.run_curation_stream(
+            spark, src, out, ck,
+            bloom_history_path=bloom_path, update_bloom_history=True,
+            strict_exact=strict,
+        )
+        # wave two: doc 3 re-ingests text_x verbatim — only the folded
+        # bitmap (default) or the sink re-read (strict) can drop it
+        spark.createDataFrame(
+            [(3, text_x, "en", "s2", len(text_x)),
+             (4, text_z, "en", "s2", len(text_z))],
+            C.DOCS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        C.run_curation_stream(
+            spark, src, out, ck,
+            bloom_history_path=bloom_path, update_bloom_history=True,
+            strict_exact=strict,
+        )
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    fast = _run_two_waves("fast", strict=False)
+    strict = _run_two_waves("strict", strict=True)
+    assert fast == strict == {1, 2, 4}
+
+
+def test_near_dup_r1_drop_gate_warns(spark, tmp_path):
+    """Wiring a rows_per_band=1 band store as the streaming drop gate
+    emits a loud warning (the maximal-recall candidate-generation
+    setting over-drops merely-similar docs; ADVICE r10); an r=4 store
+    wires silently."""
+    import warnings as _w
+
+    import pytest
+
+    from orion_spark.llm.near_dup_history import band_store_build, save_band_store
+    from orion_spark.streaming import curation as C
+
+    hist = spark.createDataFrame(
+        [(0, "one long historical sentence with many plain english words inside")],
+        "doc_id long, text string",
+    )
+    p1 = str(tmp_path / "store_r1")
+    save_band_store(band_store_build(hist, text_col="text"), p1)
+    with pytest.warns(UserWarning, match="rows_per_band=1"):
+        C.curated_dedup_sink(spark, str(tmp_path / "o1"), str(tmp_path / "c1"),
+                             near_dup_store_path=p1)
+    p4 = str(tmp_path / "store_r4")
+    save_band_store(
+        band_store_build(hist, text_col="text", rows_per_band=4),
+        p4, rows_per_band=4,
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        C.curated_dedup_sink(spark, str(tmp_path / "o4"), str(tmp_path / "c4"),
+                             near_dup_store_path=p4)
