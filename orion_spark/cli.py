@@ -649,6 +649,41 @@ def cmd_near_dup_history(args) -> int:
     return 0
 
 
+def cmd_curate_stream(args) -> int:
+    """Run the streaming curation funnel (streaming/curation.py) over a
+    document feed directory: stateless quality/language/C4 gates in the
+    stream, then the foreachBatch sink's gate chain (domain blocklist →
+    URL bloom → near-dup band store → content bloom → LM perplexity →
+    DSIR → exact dedup), availableNow-triggered so a rerun with the same
+    checkpoint only processes new files. Every standing-gate path is the
+    same artifact the batch CLIs build (`bloom-dedup build`,
+    `near-dup-history build`), so batch and stream share one history."""
+    from orion_spark.streaming.curation import run_curation_stream
+
+    spark = _spark(args.src)
+    run_curation_stream(
+        spark, args.src, args.out, args.checkpoint,
+        lm_model_path=args.lm_model,
+        max_bits_per_token=args.max_bits_per_token,
+        dsir_model_path=args.dsir_model,
+        min_log_weight=args.min_log_weight,
+        bloom_history_path=args.bloom_history,
+        update_bloom_history=args.update_bloom_history,
+        url_bloom_path=args.url_bloom,
+        update_url_bloom=args.update_url_bloom,
+        near_dup_store_path=args.near_dup_store,
+        update_near_dup_store=args.update_near_dup_store,
+        metrics_path=args.metrics,
+        domain_blocklist_path=args.domain_blocklist,
+        strict_exact=args.strict_exact,
+        min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")),
+    )
+    n = spark.read.parquet(args.out).count() if os.path.exists(args.out) else 0
+    print(json.dumps({"out": args.out, "curated_rows": n}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="orion-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -903,6 +938,42 @@ def main(argv: list[str] | None = None) -> int:
                     help="write surviving input rows instead of the "
                          "label frame")
     ud.set_defaults(fn=cmd_url_dedup)
+
+    cs = sub.add_parser("curate-stream")
+    cs.add_argument("--src", required=True,
+                    help="document feed directory (parquet; new files "
+                         "picked up per run via the checkpoint)")
+    cs.add_argument("--out", required=True,
+                    help="curated corpus parquet (append sink)")
+    cs.add_argument("--checkpoint", required=True)
+    cs.add_argument("--min-quality", type=float, default=0.5)
+    cs.add_argument("--langs", default="en",
+                    help="comma-separated language allowlist")
+    cs.add_argument("--domain-blocklist",
+                    help="one-column (domain) parquet; UT1-style "
+                         "dot-suffix-chain gate, fired first in the sink")
+    cs.add_argument("--url-bloom",
+                    help="persisted canonical-URL bloom directory")
+    cs.add_argument("--update-url-bloom", action="store_true")
+    cs.add_argument("--near-dup-store",
+                    help="persisted LSH band-store directory")
+    cs.add_argument("--update-near-dup-store", action="store_true")
+    cs.add_argument("--bloom-history",
+                    help="persisted clean-text content bloom directory")
+    cs.add_argument("--update-bloom-history", action="store_true")
+    cs.add_argument("--lm-model", help="persisted bigram LM directory")
+    cs.add_argument("--max-bits-per-token", type=float)
+    cs.add_argument("--dsir-model", help="persisted DSIR log-ratio dim")
+    cs.add_argument("--min-log-weight", type=float)
+    cs.add_argument("--metrics",
+                    help="append one JSON line of per-gate survivor "
+                         "counts per micro-batch here")
+    cs.add_argument("--strict-exact", action="store_true",
+                    help="keep the O(corpus)-per-trigger sink re-read "
+                         "even when the content bloom is standing "
+                         "(exactly-once survivors across the "
+                         "append-to-fold crash window)")
+    cs.set_defaults(fn=cmd_curate_stream)
 
     nv = sub.add_parser("neo4j-verify")
     nv.add_argument("--bundle", required=True)

@@ -722,3 +722,64 @@ def test_cli_near_dup_history_lifecycle(spark, tmp_path, capsys):
     ]) == 0
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["kept"] == 0  # semantics unchanged by compaction
+
+
+def test_cli_curate_stream(spark, tmp_path, capsys):
+    """End-to-end streaming funnel via the CLI: domain blocklist + exact
+    dedup drop their targets, metrics land, and a second invocation with
+    the same checkpoint only processes new files."""
+    import json as _json
+
+    from orion_spark.streaming import curation as C
+
+    good = (
+        "the allowed document has one long clean english line right here\n"
+        "and a second long line that keeps the quality gate clearly happy"
+    )
+    blocked = (
+        "the blocked document also has one long clean english line here\n"
+        "with a second long line that would otherwise pass every gate"
+    )
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "curated")
+    ck = str(tmp_path / "ck")
+    bl = str(tmp_path / "bl")
+    metrics = str(tmp_path / "metrics.jsonl")
+    spark.createDataFrame([("spam.bad.org",)], "domain string").write.parquet(bl)
+    spark.createDataFrame(
+        [
+            (1, good, "en", "s1", len(good), "http://news.example.com/a"),
+            (2, blocked, "en", "s1", len(blocked), "http://cdn.spam.bad.org/b"),
+        ],
+        C.DOCS_URL_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    rc = cli.main([
+        "curate-stream", "--src", src, "--out", out, "--checkpoint", ck,
+        "--domain-blocklist", bl, "--metrics", metrics,
+    ])
+    assert rc == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["curated_rows"] == 1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+    gate = _json.loads(open(metrics).readline())
+    assert gate["input"] == 2 and gate["blocklist_gate"] == 1
+
+    # second run, same checkpoint: a new file with one dup of doc 1's
+    # text and one new doc — only the new doc lands
+    fresh = (
+        "a genuinely new document shows up with its own long english line\n"
+        "and one more long sentence so every stateless gate lets it pass"
+    )
+    spark.createDataFrame(
+        [
+            (3, good, "en", "s2", len(good), "http://other.example.com/c"),
+            (4, fresh, "en", "s2", len(fresh), "http://other.example.com/d"),
+        ],
+        C.DOCS_URL_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    rc = cli.main([
+        "curate-stream", "--src", src, "--out", out, "--checkpoint", ck,
+        "--domain-blocklist", bl, "--metrics", metrics,
+    ])
+    assert rc == 0
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 4}
