@@ -138,6 +138,12 @@ HEADLINE = [
     # round-10: UT1-style domain blocklist gate (dot-suffix chain,
     # id-only joins)
     "documents_domain_blocklist",
+    # round-11: the rows_per_band=4 precision banding of the near-dup
+    # store (the drop-gate configuration), certified by the sweep gate
+    "documents_near_dup_history_probe_r4",
+    # round-11: walk skipgrams on the power-law fixture — the two-level
+    # bucketed adjacency ranking against the hub regime it exists for
+    "skew_walk_skipgrams",
 ]
 
 
