@@ -617,6 +617,20 @@ def cmd_near_dup_history(args) -> int:
         return 2
     spark = _spark(args.batch, args.store)
     store, k, nh, rpb = NH.load_band_store(spark, args.store)
+    if rpb == 1:
+        # same loud warning the streaming sink emits: 1-row bands are the
+        # maximal-recall candidate-generation setting (~97% hit at
+        # Jaccard 0.3 with 16 lanes) and this filter has no verify stage
+        import warnings
+
+        warnings.warn(
+            "near-dup-history filter with a rows_per_band=1 store: "
+            "maximal-recall banding with no verification stage "
+            "over-drops merely-similar documents. Build the store with "
+            "--rows-per-band 4 (or higher) unless aggressive dropping "
+            "is intended.",
+            stacklevel=2,
+        )
     batch = spark.read.parquet(args.batch)
     n_in = batch.count()
     survivors = (

@@ -783,3 +783,39 @@ def test_cli_curate_stream(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 4}
+
+
+def test_cli_near_dup_filter_r1_warns(spark, tmp_path):
+    """The CLI filter is a verify-less drop gate like the streaming
+    sink: an r=1 store warns loudly, an r=4 store filters silently."""
+    import warnings as _w
+
+    import pytest
+
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [(1, "one long historical sentence with many plain english words inside")],
+        "doc_id long, text string",
+    ).write.parquet(hist)
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(2, "a completely different and unrelated document about engines")],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+
+    s1 = str(tmp_path / "s1")
+    assert cli.main(["near-dup-history", "build", "--store", s1,
+                     "--history", hist]) == 0
+    with pytest.warns(UserWarning, match="rows_per_band=1"):
+        assert cli.main(["near-dup-history", "filter", "--store", s1,
+                         "--batch", batch,
+                         "--out", str(tmp_path / "o1")]) == 0
+
+    s4 = str(tmp_path / "s4")
+    assert cli.main(["near-dup-history", "build", "--store", s4,
+                     "--history", hist, "--rows-per-band", "4"]) == 0
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert cli.main(["near-dup-history", "filter", "--store", s4,
+                         "--batch", batch,
+                         "--out", str(tmp_path / "o4")]) == 0
