@@ -59,7 +59,7 @@ def test_merge_restores_registry_order(tmp_path):
     merged = json.loads(out.read_text())
     assert list(merged["results"]) == list(QUERIES)
     assert merged["sf_dir"] == "/root/testdata/sf0.1"
-    assert "3 concurrent" in merged["note"]
+    assert "3 concurrent registry shards" in merged["note"]
 
 
 def test_merge_rejects_missing_query(tmp_path):

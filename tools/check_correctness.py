@@ -75,9 +75,21 @@ def main() -> int:
             "rows_match": rm, "schema_match": sm, "hash_match": hm,
             "spark_rows": rows, "oracle_rows": orows, "err": err,
         }
+
+    def flush_partial():
+        # Long sweeps (sf0.1: hours of single-core DuckDB oracle time) are
+        # run as killable shards; dump after every query so a killed shard
+        # keeps its finished records.  The .partial suffix marks the run as
+        # possibly incomplete — the final artifact is still written once at
+        # the end, and merge_correctness_shards.py validates completeness.
+        if json_out:
+            with open(json_out + ".partial", "w") as fh:
+                json.dump({"sf_dir": sf_dir, "results": records}, fh, indent=2)
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        flush_partial()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()

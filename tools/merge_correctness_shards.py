@@ -10,7 +10,11 @@ the union covers the full registry exactly once, and recomputes the
 summary counts so the committed artifact is equivalent to a single
 end-to-end run of tools/check_correctness.py --json.
 
-Usage: python tools/merge_correctness_shards.py OUT.json SHARD.json [SHARD.json ...]
+Usage: python tools/merge_correctness_shards.py [--note TEXT] OUT.json SHARD.json [...]
+
+--note prepends a run-topology description to the artifact note (e.g. when a
+slow shard was killed and re-fanned into sub-shards, say so — the committed
+artifact should describe the run that actually happened).
 """
 
 from __future__ import annotations
@@ -24,10 +28,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
+    argv = sys.argv[1:]
+    note_prefix = ""
+    if argv and argv[0] == "--note":
+        note_prefix = argv[1] + "; "
+        argv = argv[2:]
+    if len(argv) < 2:
         print(__doc__)
         return 2
-    out_path, shard_paths = sys.argv[1], sys.argv[2:]
+    out_path, shard_paths = argv[0], argv[1:]
 
     from orion_spark.plans.queries import QUERIES
 
@@ -60,8 +69,8 @@ def main() -> int:
         and not (v.get("err") and "rows-only" in str(v["err"]))
     ]
     note = (
-        f"fresh end-to-end sweep, run as {len(shard_paths)} concurrent "
-        f"round-robin registry shards and merged; "
+        f"{note_prefix}fresh end-to-end sweep, run as {len(shard_paths)} "
+        f"concurrent registry shards and merged; "
         f"{hm} hash-match + {bo} bound-checked, {len(fails)} failed"
     )
     Path(out_path).write_text(
