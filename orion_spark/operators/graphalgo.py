@@ -626,6 +626,11 @@ def ktruss_oracle_sql(pairs_cte: str, k: int = 3, rounds: int = 2) -> str:
 
 
 WALK_RANK_BUCKETS = 64
+# srcs above this out-degree take the two-level (bucketed) ranking path;
+# at or below it, one window partition per src is bounded and cheap.
+# 8192 < the skewgraph hub's 50k spokes at sf0.1, so the registered skew
+# query exercises the hub path in every sweep.
+WALK_HUB_DEGREE_THRESHOLD = 8192
 
 
 def random_walks(
@@ -634,6 +639,7 @@ def random_walks(
     seed: int = 42,
     starts: DataFrame | None = None,
     rank_buckets: int = WALK_RANK_BUCKETS,
+    hub_degree_threshold: int = WALK_HUB_DEGREE_THRESHOLD,
 ) -> DataFrame:
     """Deterministic random-walk corpus generation — the sampling pass of
     DeepWalk/node2vec-style graph-embedding training, made fully
@@ -649,16 +655,33 @@ def random_walks(
     walk_id = start node. A walk reaching a node with no out-edges
     simply ends (inner join), mirroring DeepWalk's early termination.
 
-    Scale shape: the adjacency ranking is TWO-LEVEL so a power-law hub
-    never concentrates in one window task (round 11; previously a
-    single row_number over src put all N/2 spoke neighbors of the
-    skewgraph hub in one partition): neighbors rank within
-    (src, md5-bucket-of-dst) — `rank_buckets` splits per hub — and a
-    per-(src, bucket) count + cumulative-offset window (≤ rank_buckets
-    rows per src, bounded by construction) re-bases the local ranks to
-    the global 0..outdeg-1 index. All stages are partial-aggregatable
-    or AQE-splittable; ranking is a deterministic bijection either way,
-    and the DuckDB oracle replays the (bucket, dst) order bit-for-bit.
+    Scale shape: the adjacency ranking is DEGREE-GATED two-level
+    (round 11, revised after measurement). The global neighbor order is
+    (md5-bucket-of-dst, dst) within each src — a deterministic
+    bijection the DuckDB oracle replays bit-for-bit — but HOW that
+    rank is computed splits on out-degree:
+
+    - srcs with outdeg ≤ `hub_degree_threshold` rank in one window
+      partitioned by src, ordered (bucket, dst). Bounded by the gate:
+      no partition exceeds the threshold, so no single-task hub sort
+      can exist on this path (this is why the EntityKeyWindow lint
+      whitelists the walk queries — the gate is the bound).
+    - srcs above the threshold (true power-law hubs — the skewgraph
+      fixture's hub 0 owns N/2 spokes) rank two-level: row_number
+      within (src, md5-bucket-of-dst) — `rank_buckets` splits per
+      hub — re-based to the global 0..outdeg-1 index by a
+      partial-aggregatable per-(src, bucket) count + cumulative-offset
+      window (≤ rank_buckets rows per src, bounded by construction).
+
+    The gate itself is a partial-aggregatable degree count and a
+    broadcast semi/anti split (hubs ≤ |edges|/threshold rows — tiny by
+    construction). Round 11's first cut ran EVERY src through the
+    two-level plan; at avg outdeg ~5 with 64 buckets the per-(src,
+    bucket) offsets table is nearly as large as the adjacency itself,
+    and the offsets join measured 2.5-3× the single-window plan at
+    sf0.1 (SCALE.md). Gating pays the two-level premium only where it
+    buys anything.
+
     The ranked adjacency and out-degree tables are built once and
     persisted pre-partitioned on the join key; each of the
     `walk_length` rounds then shuffles only the walk frontier
@@ -676,18 +699,37 @@ def random_walks(
         ).cast("bigint"),
         F.lit(rank_buckets),
     )
-    base = edges.select("src", "dst").distinct().withColumn("_bkt", bkt)
-    # _lrank and the bucket size _bc share one (src, _bkt) window
-    # partitioning — a single shuffle feeds both, and the offsets branch
-    # below reuses the same exchange (ReuseExchange), so the two-level
-    # scheme costs one co-located join over the single-window plan, not
-    # extra shuffles
+    # base feeds THREE subtrees (degree gate, regular branch, hub
+    # branch) — persist it so the edge scan + distinct shuffle runs
+    # once, not once per branch (the un-persisted round-11 first cut
+    # recomputed it per subtree and doubled the query)
+    base = (
+        edges.select("src", "dst").distinct().withColumn("_bkt", bkt).persist()
+    )
+    # one degree aggregate serves both the hub gate and the per-step
+    # out-degree table below
+    degs = base.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
+    hubs = degs.where(F.col("_deg") > hub_degree_threshold).select(
+        F.col("src").alias("_hsrc")
+    )
+    reg = base.join(
+        F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_anti"
+    )
+    hub = base.join(
+        F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_semi"
+    )
+    # fast path: one bounded window (every partition ≤ threshold rows)
+    wreg = Window.partitionBy("src").orderBy("_bkt", "dst")
+    reg_adj = reg.select(
+        "src", "dst", (F.row_number().over(wreg) - 1).alias("_idx")
+    )
+    # hub path: two-level. Offsets come from a partial-aggregatable
+    # groupBy (map-side combine), not a filtered rank — the first-cut
+    # filter-on-_lrank==1 form recomputed the big window for the
+    # offsets branch.
     wb = Window.partitionBy("src", "_bkt").orderBy("dst")
-    wc = Window.partitionBy("src", "_bkt")
-    local = base.select(
-        "src", "dst", "_bkt",
-        F.row_number().over(wb).alias("_lrank"),
-        F.count(F.lit(1)).over(wc).alias("_bc"),
+    local = hub.select(
+        "src", "dst", "_bkt", F.row_number().over(wb).alias("_lrank")
     )
     woff = (
         Window.partitionBy("_osrc")
@@ -695,7 +737,8 @@ def random_walks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        local.where(F.col("_lrank") == 1)
+        hub.groupBy("src", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_bc"))
         .select(
             F.col("src").alias("_osrc"), F.col("_bkt").alias("_obkt"), "_bc"
         )
@@ -703,7 +746,7 @@ def random_walks(
         .withColumn("_off", F.coalesce(F.sum("_bc").over(woff), F.lit(0)))
         .select("_osrc", "_obkt", "_off")
     )
-    adj = (
+    hub_adj = (
         local.join(
             offsets,
             (F.col("src") == F.col("_osrc")) & (F.col("_bkt") == F.col("_obkt")),
@@ -712,14 +755,18 @@ def random_walks(
             "src", "dst",
             (F.col("_off") + F.col("_lrank") - 1).alias("_idx"),
         )
+    )
+    adj = (
+        reg_adj.unionByName(hub_adj)
         .repartition("src")
         .persist()
     )
     deg = (
-        adj.groupBy("src").agg(F.count("*").alias("_outdeg"))
-        # rename away from adj's lineage: deg derives from adj, so an
-        # un-aliased `src` would be ambiguous in the per-step double join
-        .select(F.col("src").alias("_dsrc"), "_outdeg")
+        # outdeg(src) = |distinct (src, dst)| = degs._deg: reuse the
+        # gate's aggregate instead of re-aggregating adj. Renamed away
+        # from base's lineage: an un-aliased `src` would be ambiguous
+        # in the per-step double join.
+        degs.select(F.col("src").alias("_dsrc"), F.col("_deg").alias("_outdeg"))
         .repartition("_dsrc")
         .persist()
     )
@@ -770,6 +817,8 @@ def random_walks(
         )
     adj.unpersist()
     deg.unpersist()
+    degs.unpersist()
+    base.unpersist()
     return out
 
 
