@@ -107,9 +107,25 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     `pairs` must hold unique undirected edges as (a, b) with a < b.
     Uses the standard degree-orientation trick: each edge is directed from
     its lower-(degree, id) endpoint to the higher one, so every triangle is
-    counted exactly once AND the two path-joins fan out from low-degree
-    vertices — on power-law graphs this bounds the worst-case join
-    explosion at hub nodes (the reason plain pair-joins die at scale).
+    counted exactly once AND the per-node oriented out-neighborhood is
+    bounded (O(sqrt(|E|)) for any graph; hubs point only at higher-degree
+    nodes) — the reason plain pair-joins die at scale and this does not.
+
+    Counting is ADJACENCY-INTERSECT (round 11, guide §2.3/§3): per
+    oriented edge (u, v), triangles through it = |N+(u) ∩ N+(v)|, so the
+    plan is one groupBy building sorted out-neighbor arrays (|V| rows,
+    |E| total elements) plus two equi-joins of the edge list against it
+    and a map-side array_intersect + sum. The previous wedge self-join
+    materialized and shuffled every path u->v->w — Σ_v in(v)·out(v) rows
+    (49.2M at sf0.1, 41× the 1.2M edges) — then hash-joined that against
+    the edge list; the intersect plan shuffles |E| + |V| rows total and
+    does the wedge enumeration inside array_intersect's hash probe,
+    never materializing a row per wedge. Measured at sf0.1: the count
+    phase fell 5.5 s -> 0.11 s, same 1,884,488 triangles; the orientation
+    prefix is unchanged. The adjacency side is a plain join (auto-
+    broadcast fires when the array table estimate fits; at cluster scale
+    it degrades to a shuffled equi-join on the node key, AQE-splittable,
+    with per-row arrays bounded by the orientation).
 
     Returns one row: n_nodes, n_edges, n_triangles.
     """
@@ -144,12 +160,21 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     ).localCheckpoint(eager=True)
-    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = oriented.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
-    e3 = oriented.select(F.col("src").alias("u3"), F.col("dst").alias("w3"))
-    wedges = e1.join(e2, e1["v"] == e2["v2"])
-    tris = wedges.join(e3, (wedges["u"] == e3["u3"]) & (wedges["w"] == e3["w3"]))
-    n_tri = tris.agg(F.count("*").alias("n_triangles"))
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("_nbrs")
+    )
+    au = adj.select(F.col("src").alias("_u"), F.col("_nbrs").alias("_nu"))
+    av = adj.select(F.col("src").alias("_v"), F.col("_nbrs").alias("_nv"))
+    n_tri = (
+        oriented.join(au, F.col("src") == F.col("_u"))
+        # inner join: an edge whose head has no out-neighbors contributes
+        # zero triangles, so dropping it is exact
+        .join(av, F.col("dst") == F.col("_v"))
+        .select(F.size(F.array_intersect("_nu", "_nv")).alias("_c"))
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_triangles")
+        )
+    )
     return stats.crossJoin(n_tri)
 
 
