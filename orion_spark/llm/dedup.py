@@ -194,24 +194,26 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    _sum0 = Observation()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .observe(_sum0, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         .localCheckpoint(eager=True)
     )
     # convergence probe: labels are monotone non-increasing (only ever
     # replaced by mins), so the label SUM is strictly decreasing until the
-    # fixpoint and constant exactly at it — one narrow aggregate over the
-    # just-checkpointed frame replaces the old join+limit+count probe
-    # (one shuffle join per round saved; decimal(38,0) so 1e9 rows of
-    # 1e18-scale ids cannot overflow the running sum).
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
+    # fixpoint and constant exactly at it. Round 11: the sum rides the
+    # round's OWN checkpoint job as an Observation (observed metrics fire
+    # on the eager localCheckpoint action), so the probe costs zero extra
+    # jobs — the previous shape ran a separate narrow-aggregate collect
+    # per round, one full driver round-trip each (guide §1.2: remove
+    # passes; decimal(38,0) so 1e9 rows of 1e18-scale ids cannot overflow
+    # the running sum).
+    prev_sum = _sum0.get["s"]
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"], "inner")
@@ -232,6 +234,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
         hop = new_labels.select(
             F.col("node").alias("_n2"), F.col("label").alias("_l2")
         )
+        _sum_r = Observation()
         new_labels = (
             new_labels.join(hop, new_labels["label"] == hop["_n2"], "left")
             .select(
@@ -240,9 +243,12 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 15) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("_l2"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                _sum_r, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            )
             .localCheckpoint(eager=True)
         )
-        cur_sum = _label_sum(new_labels)
+        cur_sum = _sum_r.get["s"]
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -883,7 +889,7 @@ def semdedup_prune(
     """
     import math
 
-    from orion_spark.llm.similarity import cosine
+    from orion_spark.llm.similarity import cosine, dot, l2_norm
 
     spark = df.sparkSession
     if n_clusters is None:
@@ -909,9 +915,16 @@ def semdedup_prune(
             )
         sup_local = cent_local[:m]
         sup_ids = {r["_list"] for r in sup_local}
+        # _sn: the super's L2 norm hoisted out of the n x m routing fan-out
+        # (guide §2.3 narrow-the-work: cosine = dot/(norm*norm) re-folds
+        # both norms per PAIR; precomputing the per-row norms with the
+        # IDENTICAL l2_norm expression leaves the division operands
+        # bit-equal, so every rounded cosine is unchanged)
         sup = F.broadcast(
             spark.createDataFrame(sup_local, cent_frame.schema).select(
-                F.col("_list").alias("_sl"), F.col("_cv").alias("_sv")
+                F.col("_list").alias("_sl"),
+                F.col("_cv").alias("_sv"),
+                l2_norm(F.col("_cv")).alias("_sn"),
             )
         )
         # centroid -> owner super: a k x m cross (tiny), evaluated with the
@@ -947,7 +960,7 @@ def semdedup_prune(
                     for r in routed_rows
                 ],
                 _cand_schema(cent_frame.schema),
-            )
+            ).withColumn("_cn", l2_norm(F.col("_cv")))
         )
     else:
         # distributed regime (k > k_broadcast_max): under the k ∝ n
@@ -980,7 +993,9 @@ def semdedup_prune(
             )
         sup = F.broadcast(
             spark.createDataFrame(sup_local, cent_frame.schema).select(
-                F.col("_list").alias("_sl"), F.col("_cv").alias("_sv")
+                F.col("_list").alias("_sl"),
+                F.col("_cv").alias("_sv"),
+                l2_norm(F.col("_cv")).alias("_sn"),
             )
         )
         sup_flag = F.broadcast(
@@ -1010,42 +1025,61 @@ def semdedup_prune(
                 .otherwise(F.col("_o._sl"))
                 .alias("_owner"),
             )
+            .withColumn("_cn", l2_norm(F.col("_cv")))
         )
     # the routing cross is the compute-bound stage (n x m cosines,
     # interpreted higher-order functions): spread it across the cluster
     # even when the input parquet arrives in one or two partitions —
     # without this the broadcast cross inherits the scan's partitioning
     # and runs on a couple of cores (measured 1.4/32 cores busy at sf10)
-    v = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # _n: each vector's L2 norm folded ONCE per row instead of once per
+    # (row, centroid) / (row, row) comparison below. cosine(a, b) is
+    # defined as dot(a,b) / (l2_norm(a) * l2_norm(b)); feeding the SAME
+    # l2_norm doubles into the same division keeps every rounded score
+    # bit-identical while cutting the interpreted array folds per
+    # comparison from three to one (guide §2.3 / brute_force_topk's
+    # hoisted-norm discipline).
+    v = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_n", l2_norm(F.col("_v")))
+    )
     v_routed = (
         v.join(sup, how="cross")
         .select(
-            "vec_id", "_v", "_sl",
-            F.round(cosine(F.col("_v"), F.col("_sv")), 6).alias("_rc"),
+            "vec_id", "_v", "_n", "_sl",
+            F.round(
+                dot(F.col("_v"), F.col("_sv")) / (F.col("_n") * F.col("_sn")), 6
+            ).alias("_rc"),
         )
         .groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("_v", "_sl"),
+                F.struct("_v", "_n", "_sl"),
                 F.struct((-F.col("_rc")).alias("nc"), F.col("_sl").alias("s")),
             ).alias("_r")
         )
         .select(
-            "vec_id", F.col("_r._v").alias("_v"), F.col("_r._sl").alias("_super")
+            "vec_id",
+            F.col("_r._v").alias("_v"),
+            F.col("_r._n").alias("_n"),
+            F.col("_r._sl").alias("_super"),
         )
     )
     scored = v_routed.join(cand, v_routed["_super"] == cand["_owner"]).select(
-        "vec_id", "_v", "_list",
-        F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("_c"),
+        "vec_id", "_v", "_n", "_list",
+        F.round(
+            dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 6
+        ).alias("_c"),
     )
     assigned = (
         scored.groupBy("vec_id")
         .agg(
             F.min_by(
-                F.struct("_list", "_v", "_c"),
+                F.struct("_list", "_v", "_n", "_c"),
                 F.struct((-F.col("_c")).alias("nc"), F.col("_list").alias("l")),
             ).alias("_a")
         )
@@ -1053,13 +1087,27 @@ def semdedup_prune(
             "vec_id",
             F.col("_a._list").alias("list_id"),
             F.col("_a._v").alias("_v"),
+            F.col("_a._n").alias("_n"),
             F.col("_a._c").alias("centroid_cos"),
         )
         # reused three times (both pair sides + final labeling) and feeds
         # the iterative CC — materialize once, cut lineage
         .localCheckpoint(eager=True)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # the within-cluster all-pairs block is COMPUTE-bound (one interpreted
+    # dot fold per pair) on tiny shuffle bytes, so AQE's byte-based
+    # coalescing collapses the join exchange to 1-2 tasks (measured: a
+    # 6.4 s two-task stage at sf0.1 out of an 11 s query). An explicit
+    # hash repartition on the cluster key at the input-size-scaled
+    # shuffle-partition count pins the pair stage's parallelism to the
+    # data scale instead of its byte count. Skew note: this exchange is
+    # no longer AQE-splittable, but a cluster hot enough to matter is
+    # quadratic in the PAIR COUNT first — the k ∝ n contract (E[cluster]
+    # = budget) is the skew defense, not partition placement.
+    pair_side = assigned.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "list_id"
+    )
+    a, b = pair_side.alias("a"), pair_side.alias("b")
     pairs = (
         a.join(
             b,
@@ -1069,7 +1117,11 @@ def semdedup_prune(
         .select(
             F.col("a.vec_id").alias("doc_a"),
             F.col("b.vec_id").alias("doc_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("_pc"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            ).alias("_pc"),
         )
         .where(F.col("_pc") >= threshold)
         .select("doc_a", "doc_b")

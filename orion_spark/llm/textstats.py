@@ -161,11 +161,33 @@ def ngram_novelty(
     state. Returns (doc_id, n_shingles, n_novel, novelty)."""
     from orion_spark.llm.dedup import word_shingles
 
-    sh = df.select(
+    # Round 11 (guide §2.3/§2.4): evaluate the interpreted word_shingles
+    # higher-order chain ONCE per document and materialize the arrays
+    # (localCheckpoint — blocks release on GC). Both panels then read the
+    # materialized arrays: n_shingles is just size() of the
+    # already-distinct array — the previous shape exploded the corpus a
+    # second time and ran a whole groupBy+exchange to recount what size()
+    # knows — and the novelty branch explodes without re-shingling. (A
+    # first cut computed size(word_shingles(text)) as a narrow projection
+    # instead: the optimizer evaluates the HOF chain in BOTH the filter
+    # and the project, tripling the dominant per-row cost — measured
+    # 3.9 s -> 14.6 s at sf0.1. Materialize-once is the stable shape.)
+    # spread the compute-bound shingling only when the input actually
+    # arrives narrow (small parquet files -> 1-2 scan partitions); an
+    # unconditional repartition re-shuffles already-parallel inputs'
+    # full text for nothing (measured +0.5 s on the generated skew
+    # fixture, which is range-parallel from birth)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        df = df.repartition(parallelism)
+    arr = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k=k)).alias("shingle"),
-    )
-    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        word_shingles(F.col(text_col), k=k).alias("_sh"),
+    ).localCheckpoint(eager=True)
+    per_doc = arr.select(
+        "doc_id", F.size("_sh").cast("long").alias("n_shingles")
+    ).where(F.col("n_shingles") > 0)
+    sh = arr.select("doc_id", F.explode("_sh").alias("shingle"))
     novel = (
         sh.groupBy("shingle")
         .agg(F.min("doc_id").alias("doc_id"))
