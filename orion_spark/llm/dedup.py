@@ -37,6 +37,31 @@ def content_hash(*cols: str) -> Column:
     return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
 
 
+def spread_narrow_input(df: DataFrame, *cols: str) -> DataFrame:
+    """Round-robin-spread a NARROW input (small parquet files arrive in
+    1-2 scan partitions) so a compute-bound projection that follows runs
+    on every core — and MATERIALIZE the spread rows (localCheckpoint,
+    blocks released on GC) so the optimizer cannot push the projection
+    back below the exchange onto the narrow scan. Round 11, measured on
+    minhash_lsh_pairs: with a bare `repartition(n)` the md5-per-shingle
+    projection collapses into the exchange's MAP side and runs in the 2
+    scan tasks (3.1 s of a 5 s query); the checkpoint barrier pins it
+    after the spread. Inputs that already arrive parallel (generated
+    fixtures, many-file tables at scale) pass through untouched — no
+    shuffle, no materialization — so this costs nothing at cluster scale
+    where scans are wide by construction.
+
+    `cols` optionally projects the frame down first (only materialize
+    what downstream needs — guide §4/§6 column-pruning discipline).
+    """
+    if cols:
+        df = df.select(*cols)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, parallelism // 2):
+        return df
+    return df.repartition(parallelism).localCheckpoint(eager=True)
+
+
 def exact_duplicate_groups(
     df: DataFrame, content_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -126,9 +151,8 @@ def minhash_lsh_pairs(
     # pinned in the cache manager): they feed four branches (both sides of
     # the band self-join, both sides of the verify join) that would
     # otherwise each recompute the md5-per-shingle + 16-hash projection.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
     base = (
-        df.repartition(parallelism)
+        spread_narrow_input(df, id_col, text_col)
         .select(
             F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh")
         )
@@ -560,8 +584,7 @@ def simhash_near_pairs(
     hot-bucket cap here — exact-duplicate text clusters are real near-dup
     signal for this operator (the capped variants live in the multimodal
     paths where featureless payloads are noise)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(parallelism).select(
+    base = spread_narrow_input(df, id_col, text_col).select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
     ).localCheckpoint(eager=True)
     return hamming_banded_pairs(

@@ -91,10 +91,11 @@ def minhash_band_keys(
         raise ValueError(
             f"rows_per_band={rows_per_band} must divide num_hashes={num_hashes}"
         )
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    from orion_spark.llm.dedup import spread_narrow_input
+
     sh = word_shingles(F.col(text_col), k=k)
     hashed = (
-        df.repartition(parallelism)
+        spread_narrow_input(df, id_col, text_col)
         .select(F.col(id_col).alias("doc_id"), sh.alias("_sh"))
         .where(F.size("_sh") > 0)
         .select("doc_id", shingle_hashes(F.col("_sh")).alias("_hs"))

@@ -172,15 +172,15 @@ def ngram_novelty(
     # instead: the optimizer evaluates the HOF chain in BOTH the filter
     # and the project, tripling the dominant per-row cost — measured
     # 3.9 s -> 14.6 s at sf0.1. Materialize-once is the stable shape.)
-    # spread the compute-bound shingling only when the input actually
-    # arrives narrow (small parquet files -> 1-2 scan partitions); an
-    # unconditional repartition re-shuffles already-parallel inputs'
-    # full text for nothing (measured +0.5 s on the generated skew
-    # fixture, which is range-parallel from birth)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
-        df = df.repartition(parallelism)
-    arr = df.select(
+    # spread_narrow_input: spread + materialization barrier only when the
+    # input actually arrives narrow (small parquet files -> 1-2 scan
+    # partitions), so the shingling below runs on every core; generated
+    # fixtures that are range-parallel from birth pass through untouched
+    # (an unconditional repartition re-shuffled their full text for
+    # +0.5 s at sf0.1)
+    from orion_spark.llm.dedup import spread_narrow_input
+
+    arr = spread_narrow_input(df, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), k=k).alias("_sh"),
     ).localCheckpoint(eager=True)

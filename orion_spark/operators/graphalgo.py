@@ -428,6 +428,13 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # sym-vs-labels join reuses this partitioning and only the (small)
     # labels side moves — the big edge table is shuffled once, not once
     # per round
+    # materialize the caller's edge derivation ONCE: the symmetrize-and-
+    # self-loop union below references it FOUR times (2x per undirected
+    # branch), and Spark does not share common subtrees across union
+    # branches — for the KGX graph each reference re-ran the whole
+    # all_edges derivation including its lineitem dropDuplicates exchange
+    # (round 11, measured: ~4 s of the 10 s query was derivation re-runs)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     undirected = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -440,11 +447,22 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # cluster scale. min over (neighbors ∪ {self}) is identical to
     # least(own, neighbor-min), so results and the oracle's chained-CTE
     # formulation are unchanged.
-    nodes = undirected.select(F.col("a")).distinct()
+    # Round 11 (guide §2.4): ONE exchange builds sym where three ran
+    # before. Self-loops come straight from the edge list (every (a, b)
+    # contributes (a, a); duplicates are collapsed by the same dedup that
+    # uniquifies the symmetrized edges), so the separate nodes-distinct
+    # exchange is gone; and dropDuplicates AFTER repartition("b") runs
+    # WITHOUT its own exchange because HashPartitioning(b) satisfies the
+    # dedup aggregate's ClusteredDistribution([a, b]) — rows with equal
+    # (a, b) are already co-located. Post-dedup content is identical
+    # (distinct symmetrized edges + one self-loop per node) and stays
+    # hash-partitioned on the join key for every round.
     sym = (
-        undirected.unionAll(nodes.select("a", F.col("a").alias("b")))
-        .distinct()
+        undirected.unionAll(
+            undirected.select(F.col("a"), F.col("a").alias("b"))
+        )
         .repartition("b")
+        .dropDuplicates()
         # persist (NOT localCheckpoint): the cached InMemoryRelation keeps
         # the hashpartitioning(b) metadata so each round's join shuffles
         # only the small labels side; a localCheckpoint's LogicalRDD drops
@@ -804,6 +822,18 @@ def random_walks(
     out = frontier.select(
         "walk_id", F.lit(0).alias("step"), F.col("_cur").alias("node")
     )
+    # Round 11 (guide §1.2 remove passes): each step's frontier is
+    # consumed exactly twice — by the next step's joins and by the output
+    # union — so a LAZY persist per step with ONE eager materialization of
+    # the final union computes every step exactly once inside a single
+    # job. The previous per-step localCheckpoint(eager=True) ran
+    # walk_length separate jobs with a driver barrier + AQE replan each
+    # (measured: 12.1 s wall vs 8.3 s summed job wall — ~4 s of driver
+    # gaps across 31 jobs at sf0.1). Block-manager get-or-compute
+    # guarantees a cached step partition is computed once even when both
+    # consumers race to it. All persists are released after the final
+    # materialization below, so nothing pins the cache past the call.
+    step_caches = []
     for t in range(1, walk_length + 1):
         pick = F.pmod(
             F.conv(
@@ -833,13 +863,17 @@ def random_walks(
                 & (F.col("_pick") == F.col("a._idx")),
             )
             .select("f.walk_id", F.col("a.dst").alias("_cur"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        step_caches.append(frontier)
         out = out.unionByName(
             frontier.select(
                 "walk_id", F.lit(t).alias("step"), F.col("_cur").alias("node")
             )
         )
+    out = out.localCheckpoint(eager=True)
+    for f in step_caches:
+        f.unpersist()
     adj.unpersist()
     deg.unpersist()
     degs.unpersist()

@@ -142,6 +142,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Don't let tiny local runs produce thousands of output files.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-split floor (round 11, guide §6): Spark sizes file splits
+        # as min(maxPartitionBytes, max(openCostInBytes, bytes/cores)),
+        # so with the 4 MiB default openCost a compact parquet table
+        # (11 MiB lineitem at sf0.1) scans in 3 tasks and every
+        # scan-fused map stage starves the other 29 cores (measured:
+        # a 1.1 s 3-task dedup map stage in each KGX graph derivation).
+        # 512 KiB keeps the per-file open charge honest for local SSDs
+        # while letting bytes/cores set the split size; at cluster scale
+        # bytes/cores >> openCost, so the setting is inert there.
+        .config("spark.sql.files.openCostInBytes", "524288")
         # the events table stores TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long (ns) and convert explicitly where needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
