@@ -1285,7 +1285,10 @@ def ngram_contamination(
     left join (not semi) keeps zero-overlap docs so the output is a
     complete per-doc panel: (id, n_shingles, n_contaminated, flag 0/1).
     """
-    tr = train.select(
+    # the per-doc shingling + explode of the (100 TB-scale) train side is
+    # the compute-bound stage; spread it when the input arrives narrow
+    # (round 11 — measured 3.35 s on 2 scan tasks at sf0.1 without this)
+    tr = spread_narrow_input(train, id_col, text_col).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
     )
@@ -1567,7 +1570,9 @@ def repeated_ngram_spans(
     Docs shorter than n tokens have no windows and are excluded (same
     contract as the shingle ops)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(
+    # spread narrow inputs: the md5-per-window projection below is the
+    # compute-bound stage and feeds two consumers (round 11)
+    base = spread_narrow_input(df, id_col, text_col).select(
         F.col(id_col).alias("_id"),
         toks.alias("_toks"),
         F.size(toks).alias("n_tokens"),
@@ -1763,7 +1768,9 @@ def duplicate_span_rewrite(
     filter over the already-carried token array, so document text
     shuffles exactly once (into the rebuild join)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(
+    # spread narrow inputs: base feeds the window projection AND the
+    # rebuild join, both compute-bound on the token arrays (round 11)
+    base = spread_narrow_input(df, id_col, text_col).select(
         F.col(id_col).alias("doc_id"),
         toks.alias("_toks"),
         F.size(toks).alias("n_tokens"),
@@ -1961,7 +1968,10 @@ def winnowing_fingerprints(
     collapses selected repeats. One corpus-keyed shuffle end to end."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     m = F.size(toks) - k + 1
-    base = df.select(
+    # the md5-per-k-gram projection below is the compute-bound stage;
+    # spread narrow inputs so it runs on every core (round 11 — measured
+    # two 2-task ~1.2 s stages at sf0.1 without this)
+    base = spread_narrow_input(df, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), toks.alias("_toks"), m.alias("m")
     ).where(F.col("m") >= 1)
     grams = base.select(
@@ -2054,10 +2064,14 @@ def winnowing_matches(
     aggregate, broadcast back as a semi structure via join on fp) ->
     self-equi-join on fp (bucketed, bounded fan-out <= max_doc_freq per
     key) -> pair count aggregate."""
+    # fps feeds the doc-frequency aggregate AND both self-join sides;
+    # materialize once (localCheckpoint, GC-released) instead of
+    # re-running the fingerprint computation per consumer
     fps = (
         winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
     rare = fps.join(

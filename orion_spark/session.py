@@ -152,6 +152,20 @@ def get_spark(
         # while letting bytes/cores set the split size; at cluster scale
         # bytes/cores >> openCost, so the setting is inert there.
         .config("spark.sql.files.openCostInBytes", "524288")
+        # Keep collect_list/collect_set aggregations HASH-based (round 11,
+        # guide §5 hash-vs-sort operator choice): ObjectHashAggregate
+        # falls back to SORT-based aggregation after only 128 distinct
+        # keys per task by default, so every property-merge aggregate
+        # (A3 node/edge merge, adjacency build, qualifier panels) was
+        # sorting its 6-string-column grouping keys per task — measured
+        # 4.3 s single-stage kgx_merge_edges at sf0.1 dominated by that
+        # sort. 128Ki in-memory groups per task ≈ tens of MB of aggregate
+        # state for these payloads — well inside executor memory at any
+        # scale; the sort fallback still exists beyond it.
+        .config(
+            "spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold",
+            "131072",
+        )
         # the events table stores TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long (ns) and convert explicitly where needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
