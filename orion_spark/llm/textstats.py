@@ -119,7 +119,15 @@ def doc_fingerprint(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass per-document stat panel."""
+    """One-pass per-document stat panel. The panel is a pure narrow map
+    with NO exchange of its own, so a narrow parquet input would run the
+    whole interpreted stat/fingerprint chain on 1-2 scan tasks (round 11,
+    measured 1.48 s of a 1.9 s query on 2 tasks at sf0.1):
+    spread_narrow_input parallelizes exactly that case and is a no-op on
+    wide inputs."""
+    from orion_spark.llm.dedup import spread_narrow_input
+
+    df = spread_narrow_input(df, id_col, text_col)
     t = F.col(text_col)
     return df.select(
         id_col,

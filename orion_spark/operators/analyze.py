@@ -180,6 +180,14 @@ def adjacency(edges: DataFrame, symmetric_predicates: frozenset[str] = frozenset
     """A7: per node, the list of (neighbor, predicate, is_subject) structs
     (orion/answercoalesce_build.py:107-160). Symmetric predicates are
     emitted in both directions."""
+    # the fwd/rev union references the edge frame twice and Spark shares
+    # no subtrees across union branches — for derived edge tables (the
+    # KGX build chain) each branch re-ran the whole derivation including
+    # its dedup exchange (round 11, measured: two ~1.5 s derivation map
+    # stages per query). Materialize the three needed columns once.
+    edges = edges.select(SUBJECT, OBJECT, PREDICATE).localCheckpoint(
+        eager=True
+    )
     fwd = edges.select(
         F.col(SUBJECT).alias("node"),
         F.col(OBJECT).alias("neighbor"),
@@ -205,6 +213,11 @@ def backlinks(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     (orion/answercoalesce_build.py:100-165)."""
     cat = nodes.select(
         F.col(NODE_ID).alias("_cid"), F.col("category").getItem(0).alias("_cat")
+    )
+    # same fan-out as adjacency() above: materialize the edge projection
+    # once instead of re-deriving it per union branch (round 11)
+    edges = edges.select(SUBJECT, OBJECT, PREDICATE).localCheckpoint(
+        eager=True
     )
     fwd = edges.select(
         F.col(SUBJECT).alias("node"),

@@ -183,15 +183,23 @@ def all_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("CUST:"), F.col("o_custkey")).alias("object"),
         F.lit("infores:tpch-orders").alias("primary_knowledge_source"),
     )
+    # dedup on the NATIVE int keys, then build the id strings from the
+    # surviving rows (round 11, guide §2.3 shuffle-keys-not-payloads):
+    # subject/object are injective functions of (l_orderkey, l_partkey),
+    # so distinct-then-concat is row-identical to concat-then-distinct
+    # while the dedup exchange carries 16 bytes/row instead of two
+    # ~20-char strings plus two constant columns, and the per-row hash
+    # work in the partial dedup is integer hashing.
     li = (
         _read(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
         .select(
             F.concat(F.lit("ORDER:"), F.col("l_orderkey")).alias("subject"),
             F.lit("biolink:contains").alias("predicate"),
             F.concat(F.lit("PART:"), F.col("l_partkey")).alias("object"),
             F.lit("infores:tpch-lineitem").alias("primary_knowledge_source"),
         )
-        .dropDuplicates()
     )
     c = _read(spark, sf_dir, "customer").select(
         F.concat(F.lit("CUST:"), F.col("c_custkey")).alias("subject"),
