@@ -32,6 +32,29 @@ MEDIA_SCHEMA = (
 )
 
 
+def _spread_narrow(ids: DataFrame) -> DataFrame:
+    """Round-robin-spread a NARROW frame before a mapInPandas stage
+    (round 11, guide §2.2/§4): compact parquet scans arrive in 1-2
+    partitions, and a MapInPandas node is never pushed below an
+    exchange, so without this a payload GENERATOR stage runs every
+    payload on one core (measured at sf1: 7.6 s of a 12 s video query
+    in ONE task) while the old unconditional repartition in the
+    near-dup operators only spread the DECODE. Spreading the id-only
+    frame before generation means the payload bytes themselves never
+    cross a shuffle at all (guide §8: move heavy bytes zero times,
+    decide with small rows); the decode-side spread in the near-dup
+    operators goes through the same probe so already-spread synthesized
+    payloads are NOT reshuffled. Already-wide inputs pass through
+    untouched, so at cluster scale (many-file tables) this is inert.
+    No materialization barrier is needed: unlike a codegen'd
+    projection, a Python eval stage cannot collapse below the
+    exchange."""
+    parallelism = ids.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() >= max(2, parallelism // 2):
+        return ids
+    return ids.repartition(parallelism)
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap metadata derivable without decode: byte size + an md5 content
     key (dedup-ready, same operator family as exact text dedup)."""
@@ -586,7 +609,7 @@ def synthesize_media(
                 payloads.append(enc(w, h, vals))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _spread_narrow(df.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} bigint, payload binary"
     )
 
@@ -814,7 +837,7 @@ def synthesize_audio(
                 payloads.append(_wav_bytes(samples, nch, rate))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _spread_narrow(df.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} bigint, payload binary"
     )
 
@@ -1131,7 +1154,7 @@ def synthesize_video(
                 )
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _spread_narrow(df.select(id_col)).mapInPandas(
         gen, schema=f"{id_col} bigint, payload binary"
     )
 
@@ -1226,12 +1249,17 @@ def image_near_dup_pairs(
 ) -> DataFrame:
     """Image near-duplicate pairs: 56-bit dHash signatures through the
     shared guaranteed-recall blocking + Hamming verify core
-    (_hamming_banded_pairs; cap/blocking semantics documented there)."""
-    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    (_hamming_banded_pairs; cap/blocking semantics documented there).
+
+    The decode spread is CONDITIONAL (round 11): synthesized media
+    already arrives round-robin-spread by _spread_narrow, and an
+    unconditional repartition here would shuffle every payload byte a
+    second time for nothing; only a genuinely narrow media frame (e.g.
+    a single-file real-media table) still pays the spread."""
     sigs = (
         image_dhash(
-            media.repartition(parallelism), payload_col=payload_col,
-            id_col=id_col,
+            _spread_narrow(media.select(id_col, payload_col)),
+            payload_col=payload_col, id_col=id_col,
         )
         .localCheckpoint(eager=True)
     )
@@ -1380,12 +1408,12 @@ def audio_near_dup_pairs(
 ) -> DataFrame:
     """Audio near-duplicate pairs: 63-bit envelope fingerprints through
     the shared guaranteed-recall blocking + Hamming verify core
-    (_hamming_banded_pairs; cap/blocking semantics documented there)."""
-    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    (_hamming_banded_pairs; cap/blocking semantics documented there).
+    Conditional decode spread: see image_near_dup_pairs."""
     sigs = (
         audio_fingerprint(
-            media.repartition(parallelism), payload_col=payload_col,
-            id_col=id_col,
+            _spread_narrow(media.select(id_col, payload_col)),
+            payload_col=payload_col, id_col=id_col,
         )
         .localCheckpoint(eager=True)
     )
@@ -1575,12 +1603,12 @@ def video_near_dup_pairs(
     """Video near-duplicate pairs: 56-bit majority-folded frame dHash
     sequences through the shared guaranteed-recall blocking + Hamming
     verify core (_hamming_banded_pairs) — completing the
-    image/audio/video modality set on ONE blocking core."""
-    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    image/audio/video modality set on ONE blocking core.
+    Conditional decode spread: see image_near_dup_pairs."""
     sigs = (
         video_fingerprint(
-            media.repartition(parallelism), payload_col=payload_col,
-            id_col=id_col, frame_step=frame_step,
+            _spread_narrow(media.select(id_col, payload_col)),
+            payload_col=payload_col, id_col=id_col, frame_step=frame_step,
         )
         .localCheckpoint(eager=True)
     )
