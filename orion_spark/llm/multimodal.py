@@ -331,13 +331,25 @@ def encode_png(w: int, h: int, vals: list[int]) -> bytes:
 
 
 def _by_value_image_decoder():
-    """Factory returning the pure-Python image decoder as a CLOSURE:
-    functions defined in function scope are pickled by value, so the
-    mapInPandas stages that capture the returned callable ship it to
-    executors without requiring orion_spark to be importable there
-    (the external driver's session makes no such guarantee). Module-level
-    twins (decode_ppm/decode_bmp/decode_png) exist for unit tests."""
+    """Factory returning the image decoder as a CLOSURE: functions
+    defined in function scope are pickled by value, so the mapInPandas
+    stages that capture the returned callable ship it to executors
+    without requiring orion_spark to be importable there (the external
+    driver's session makes no such guarantee). Module-level twins
+    (decode_ppm/decode_bmp/decode_png) exist for unit tests and stay
+    pure-Python — the readable reference the vectorized paths here are
+    checked against byte-for-byte (test_llm_ops vectorized-decoder
+    equivalence test).
+
+    Round 11 (guide §4.2): the per-pixel Python loops (BMP BGR swap,
+    PNG Sub/Up unfiltering) are NumPy whole-row operations; byte
+    semantics are unchanged (uint8 wraparound == mod-256, per-lane
+    cumsum == the Sub filter's running sum). The rare sequential
+    filters (Average/Paeth — never emitted by the closed-form
+    fixtures) keep the scalar path."""
     import struct as _struct
+
+    import numpy as _np
 
     def _ppm(payload: bytes):
         toks, i = [], 2
@@ -374,17 +386,14 @@ def _by_value_image_decoder():
         top_down = h < 0
         h = abs(h)
         row_bytes = (w * 3 + 3) & ~3
-        out = bytearray()
-        rows = range(h) if top_down else range(h - 1, -1, -1)
-        for r in rows:
-            base = data_off + r * row_bytes
-            row = payload[base : base + w * 3]
-            if len(row) != w * 3:
-                raise ValueError("truncated BMP pixel data")
-            for px in range(w):
-                b, g, rr = row[px * 3 : px * 3 + 3]
-                out += bytes((rr, g, b))
-        return w, h, bytes(out)
+        if data_off + (h - 1) * row_bytes + w * 3 > len(payload):
+            raise ValueError("truncated BMP pixel data")
+        buf = _np.frombuffer(payload, _np.uint8)
+        rows = _np.arange(h) if top_down else _np.arange(h - 1, -1, -1)
+        idx = (data_off + rows * row_bytes)[:, None] + _np.arange(w * 3)
+        # (h, w, 3) gather, BGR -> RGB channel flip
+        out = buf[idx].reshape(h, w, 3)[:, :, ::-1]
+        return w, h, out.tobytes()
 
     def _png(payload: bytes):
         import zlib as _zlib
@@ -414,36 +423,47 @@ def _by_value_image_decoder():
         stride = w * nch
         if len(raw) != (stride + 1) * h:
             raise ValueError("truncated PNG pixel data")
-        out = bytearray()
-        prev = bytearray(stride)
+        rm = _np.frombuffer(raw, _np.uint8).reshape(h, stride + 1)
+        out = _np.empty((h, stride), _np.uint8)
+        prev = _np.zeros(stride, _np.uint8)
         for r in range(h):
-            ft = raw[r * (stride + 1)]
-            row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-            if ft == 1:
-                for x in range(nch, stride):
-                    row[x] = (row[x] + row[x - nch]) & 0xFF
+            ft = int(rm[r, 0])
+            row = rm[r, 1:]
+            if ft == 0:
+                cur = row.copy()
+            elif ft == 1:
+                # Sub: o[x] = (f[x] + o[x-nch]) mod 256 — i.e. the
+                # per-channel-lane running sum of the filtered bytes
+                cur = (
+                    row.reshape(-1, nch)
+                    .cumsum(axis=0, dtype=_np.int64) % 256
+                ).astype(_np.uint8).reshape(stride)
             elif ft == 2:
-                for x in range(stride):
-                    row[x] = (row[x] + prev[x]) & 0xFF
-            elif ft == 3:
-                for x in range(stride):
-                    left = row[x - nch] if x >= nch else 0
-                    row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
-            elif ft == 4:
-                for x in range(stride):
-                    a = row[x - nch] if x >= nch else 0
-                    b = prev[x]
-                    c = prev[x - nch] if x >= nch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c)
-                    row[x] = (row[x] + pred) & 0xFF
-            elif ft != 0:
+                cur = row + prev  # uint8 wraparound == mod 256
+            elif ft in (3, 4):
+                # Average/Paeth reconstruct sequentially in x; scalar
+                # path kept (never emitted by the closed-form fixtures)
+                rb = bytearray(row.tobytes())
+                if ft == 3:
+                    for x in range(stride):
+                        left = rb[x - nch] if x >= nch else 0
+                        rb[x] = (rb[x] + (left + int(prev[x])) // 2) & 0xFF
+                else:
+                    for x in range(stride):
+                        a = rb[x - nch] if x >= nch else 0
+                        b = int(prev[x])
+                        c = int(prev[x - nch]) if x >= nch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                        rb[x] = (rb[x] + pred) & 0xFF
+                cur = _np.frombuffer(bytes(rb), _np.uint8)
+            else:
                 raise ValueError("unknown PNG filter type")
-            out += row
-            prev = row
-        return w, h, bytes(out)
+            out[r] = cur
+            prev = out[r]
+        return w, h, out.tobytes()
 
     def _decode(payload: bytes):
         if payload is None or len(payload) < 2:
@@ -481,6 +501,8 @@ def decode_features(
     _decode = _by_value_image_decoder()
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
         for pdf in batches:
             out = {
                 id_col: pdf[id_col].values,
@@ -496,7 +518,9 @@ def decode_features(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_channel_bytes"].append(len(data))
-                out["pixel_sum"].append(sum(data))
+                out["pixel_sum"].append(
+                    int(_np.frombuffer(data, _np.uint8).sum(dtype=_np.int64))
+                )
             yield pd.DataFrame(out)
 
     narrow = df.select(id_col, payload_col)
@@ -516,7 +540,10 @@ def synthesize_media(
     channel value stream v_i = (id * 31 + i) % 256 — closed-form enough
     for a SQL oracle to recompute every decoded feature analytically.
     Generation is a mapInPandas stage (bytes can't be assembled from JVM
-    expressions), sized like any other payload stage.
+    expressions), sized like any other payload stage. Round 11 (guide
+    §4.2): the per-byte Python loops (value stream, BMP row flip, PNG
+    row filters) are NumPy whole-image operations; byte output is
+    unchanged (uint8 wraparound == the mod-256/& 0xFF arithmetic).
 
     With `near_dup_groups=g`, ids are clustered into near-duplicate
     groups of g: every id in a group shares its base image
@@ -529,28 +556,27 @@ def synthesize_media(
     collapse the hash to zero corpus-wide."""
     import struct as _struct
 
+    import numpy as _np
+
     md = max_dim
     ndg = near_dup_groups
 
     def _ppm_bytes(w, h, vals):
-        return b"P6\n%d %d\n255\n" % (w, h) + bytes(vals)
+        return b"P6\n%d %d\n255\n" % (w, h) + vals.tobytes()
 
     def _bmp_bytes(w, h, vals):
         row_bytes = (w * 3 + 3) & ~3
-        pad = b"\x00" * (row_bytes - w * 3)
         header = _struct.pack(
             "<2sIHHI", b"BM", 14 + 40 + row_bytes * h, 0, 0, 14 + 40
         ) + _struct.pack(
             "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0
         )
-        body = b""
-        for r in range(h - 1, -1, -1):
-            row = bytearray()
-            for px in range(w):
-                i = (r * w + px) * 3
-                row += bytes((vals[i + 2], vals[i + 1], vals[i]))  # BGR
-            body += bytes(row) + pad
-        return header + body
+        # bottom-up row order, RGB -> BGR, rows padded to 4 bytes
+        rows = _np.zeros((h, row_bytes), _np.uint8)
+        rows[:, : w * 3] = (
+            vals.reshape(h, w, 3)[::-1, :, ::-1].reshape(h, w * 3)
+        )
+        return header + rows.tobytes()
 
     def _png_bytes(w, h, vals):
         import zlib as _zlib
@@ -562,26 +588,27 @@ def synthesize_media(
             )
 
         stride = w * 3
-        raw = bytearray()
-        prev = bytes(stride)
-        for r in range(h):
-            row = bytes(vals[r * stride : (r + 1) * stride])
-            ft = r % 3
-            raw.append(ft)
-            if ft == 0:
-                raw += row
-            elif ft == 1:
-                raw += bytes(
-                    (row[x] - (row[x - 3] if x >= 3 else 0)) & 0xFF
-                    for x in range(stride)
-                )
-            else:
-                raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
-            prev = row
+        rows = vals.reshape(h, stride)
+        # filter types cycle None/Sub/Up by row; uint8 subtraction
+        # wraps, which IS the spec's mod-256 filter arithmetic
+        left = _np.zeros_like(rows)
+        left[:, 3:] = rows[:, :-3]
+        up = _np.zeros_like(rows)
+        up[1:] = rows[:-1]
+        fts = (_np.arange(h) % 3).astype(_np.uint8)
+        filtered = _np.select(
+            [fts[:, None] == 0, fts[:, None] == 1],
+            [rows, rows - left],
+            rows - up,
+        ).astype(_np.uint8)
+        raw = _np.empty((h, stride + 1), _np.uint8)
+        raw[:, 0] = fts
+        raw[:, 1:] = filtered
         ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
         return (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+            + chunk(b"IDAT", _zlib.compress(raw.tobytes()))
+            + chunk(b"IEND", b"")
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -592,18 +619,18 @@ def synthesize_media(
                 if ndg is None:
                     w = 1 + mid % md
                     h = 1 + (mid // md) % md
-                    vals = [(mid * 31 + i) % 256 for i in range(w * h * 3)]
+                    idx = _np.arange(w * h * 3, dtype=_np.int64)
+                    vals = ((mid * 31 + idx) % 256).astype(_np.uint8)
                     fmt_key = mid
                 else:
                     base = mid - mid % ndg
                     w = 2 + base % 7
                     h = 2 + (base // 7) % 7
                     cut = 3 * (mid % ndg)
-                    vals = [
-                        ((base * 31 + i) % 256 + (128 if i < cut else 0))
-                        % 256
-                        for i in range(w * h * 3)
-                    ]
+                    idx = _np.arange(w * h * 3, dtype=_np.int64)
+                    v = (base * 31 + idx) % 256
+                    v[:cut] = (v[:cut] + 128) % 256
+                    vals = v.astype(_np.uint8)
                     fmt_key = base
                 enc = (_ppm_bytes, _bmp_bytes, _png_bytes)[fmt_key % 3]
                 payloads.append(enc(w, h, vals))
@@ -736,9 +763,13 @@ def audio_features(
             i += 8 + size + (size & 1)
         if n_channels is None or data is None or bits != 16:
             raise ValueError("unsupported or truncated WAVE")
-        return n_channels, sample_rate, _struct.unpack(
-            f"<{len(data) // 2}h", data
+        # odd-length data raises, matching the strict struct.unpack the
+        # scalar path used
+        return n_channels, sample_rate, _np.frombuffer(
+            data, _np.dtype("<i2")
         )
+
+    import numpy as _np
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -761,8 +792,11 @@ def audio_features(
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(samples))
                 out["duration_ms"].append(frames * 1000 // rate)
-                out["sample_sum"].append(int(sum(samples)))
-                out["peak"].append(max(abs(s) for s in samples) if samples else 0)
+                s64 = samples.astype(_np.int64)
+                out["sample_sum"].append(int(s64.sum()))
+                out["peak"].append(
+                    int(_np.abs(s64).max()) if len(s64) else 0
+                )
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(process, schema=out_schema)
@@ -800,8 +834,13 @@ def synthesize_audio(
             "member perturbation would overflow int16 samples"
         )
 
+    import numpy as _np
+
     def _wav_bytes(samples, nch, rate):
-        data = _struct.pack(f"<{len(samples)}h", *samples)
+        # samples: int64 ndarray, range-checked by the ndg gate above
+        # (astype('<i2') wraps where struct.pack('<h') raised — the gate
+        # keeps every value inside int16, so the paths are identical)
+        data = samples.astype(_np.dtype("<i2")).tobytes()
         byte_rate = rate * nch * 2
         fmt = _struct.pack("<HHIIHH", 1, nch, rate, byte_rate, nch * 2, 16)
         body = (
@@ -820,20 +859,17 @@ def synthesize_audio(
                     nch = 1 + mid % 2
                     rate = 8000 if mid % 2 == 0 else 16000
                     n = (1 + mid % mf) * nch
-                    samples = [
-                        ((mid * 7 + i * 13) % 4001) - 2000 for i in range(n)
-                    ]
+                    i = _np.arange(n, dtype=_np.int64)
+                    samples = ((mid * 7 + i * 13) % 4001) - 2000
                 else:
                     base = mid - mid % ndg
                     nch = 1 + base % 2
                     rate = 8000 if base % 2 == 0 else 16000
                     n = (64 + base % 192) * nch
                     k = mid % ndg
-                    samples = [
-                        ((base * 7 + i * 13) % 4001) - 2000
-                        + (37 * k if i < 4 * k else 0)
-                        for i in range(n)
-                    ]
+                    i = _np.arange(n, dtype=_np.int64)
+                    samples = ((base * 7 + i * 13) % 4001) - 2000
+                    samples[: 4 * k] += 37 * k
                 payloads.append(_wav_bytes(samples, nch, rate))
             yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
 
@@ -864,20 +900,29 @@ def resize_images(
     ow, oh = out_w, out_h
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        # source byte index of output pixel (y, x) channel k:
+        # (sy*w + sx)*nch + k with sy = y*h//oh, sx = x*w//ow — one
+        # whole-thumbnail gather per image (guide §4.2), exact integer
+        # sampling as the scalar loop it replaces
+        yo = _np.arange(oh, dtype=_np.int64)
+        xo = _np.arange(ow, dtype=_np.int64)
+        k3 = _np.arange(3, dtype=_np.int64)
+        hdr = b"P6\n%d %d\n255\n" % (ow, oh)
+
         for pdf in batches:
             payloads, sums = [], []
             for p in pdf[payload_col]:
                 _, w, h, data = _decode(bytes(p))
                 nch = len(data) // (w * h)
-                resized = bytearray()
-                for y in range(oh):
-                    sy = y * h // oh
-                    for x in range(ow):
-                        sx = x * w // ow
-                        base = (sy * w + sx) * nch
-                        resized += data[base : base + 3]
-                payloads.append(b"P6\n%d %d\n255\n" % (ow, oh) + bytes(resized))
-                sums.append(sum(resized))
+                arr = _np.frombuffer(data, _np.uint8)
+                base = (
+                    (yo * h // oh)[:, None] * w + (xo * w // ow)[None, :]
+                ) * nch
+                resized = arr[base[:, :, None] + k3]
+                payloads.append(hdr + resized.tobytes())
+                sums.append(int(resized.sum(dtype=_np.int64)))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -1124,6 +1169,8 @@ def synthesize_video(
     ndg = near_dup_groups
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
         for pdf in batches:
             payloads = []
             for mid in pdf[id_col]:
@@ -1141,14 +1188,18 @@ def synthesize_video(
                 h = 2 + (base // 7) % 7
                 nf = 8 + base % 8
                 cut = 3 * (mid % ndg)
-                frames = b""
-                for f in range(nf):
-                    vals = bytes(
-                        ((base * 31 + f * 17 + i) % 256
-                         + (128 if i < cut else 0)) % 256
-                        for i in range(w * h * 3)
-                    )
-                    frames += b"P6\n%d %d\n255\n" % (w, h) + vals
+                # all nf frame value streams at once (guide §4.2):
+                # frame f, byte i -> (base*31 + f*17 + i) % 256, first
+                # `cut` bytes of EVERY frame perturbed +128 mod 256
+                fi = _np.arange(nf, dtype=_np.int64)[:, None]
+                bi = _np.arange(w * h * 3, dtype=_np.int64)[None, :]
+                v = (base * 31 + fi * 17 + bi) % 256
+                v[:, :cut] = (v[:, :cut] + 128) % 256
+                v8 = v.astype(_np.uint8)
+                hdr = b"P6\n%d %d\n255\n" % (w, h)
+                frames = b"".join(
+                    hdr + v8[f].tobytes() for f in range(nf)
+                )
                 payloads.append(
                     _stub(nf * 150, 600, [(w, h)]) + box(b"mdat", frames)
                 )
@@ -1182,30 +1233,27 @@ def image_dhash(
     _decode = _by_value_image_decoder()
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        r8 = _np.arange(8, dtype=_np.int64)
+        bitw = _np.int64(1) << (r8[:, None] * 7 + r8[None, :7])
         for pdf in batches:
             hashes = []
             for p in pdf[payload_col]:
                 _fmt, w, h, data = _decode(bytes(p))
-                cells = [
-                    [
-                        sum(
-                            data[
-                                3 * (min(h - 1, r * h // 8) * w
-                                     + min(w - 1, c * w // 8)) + k
-                            ]
-                            for k in range(3)
-                        )
-                        // 3
-                        for c in range(8)
-                    ]
-                    for r in range(8)
-                ]
-                bits = 0
-                for r in range(8):
-                    for c in range(7):
-                        if cells[r][c + 1] > cells[r][c]:
-                            bits |= 1 << (r * 7 + c)
-                hashes.append(bits)
+                arr = _np.frombuffer(data, _np.uint8)
+                # flat byte index of the R channel of grid cell (r, c) —
+                # same exact integer arithmetic as the scalar loop this
+                # replaces (guide §4.2: whole-grid gather, not 64 Python
+                # index expressions per image)
+                rr = _np.minimum(h - 1, r8 * h // 8)
+                cc = _np.minimum(w - 1, r8 * w // 8)
+                g = (rr[:, None] * w + cc[None, :]) * 3
+                cells = (
+                    arr[g].astype(_np.int64) + arr[g + 1] + arr[g + 2]
+                ) // 3
+                bits = (bitw * (cells[:, 1:] > cells[:, :-1])).sum()
+                hashes.append(int(bits))
             yield pd.DataFrame({id_col: pdf[id_col].values, "dhash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -1345,8 +1393,15 @@ def audio_fingerprint(
     window pair: bit w = 1 iff e_{w+1} > e_w. 63 bits (inside signed
     BIGINT), the audio analogue of the image dHash: the envelope SHAPE
     survives gain changes and small edits, and Hamming distance ranks
-    similarity. mapInPandas over the binary column."""
+    similarity. mapInPandas over the binary column.
+
+    Round 11 (guide §4.2): the per-sample Python loops (channel fold,
+    window binning) are NumPy whole-clip operations — int16 samples
+    decode via frombuffer, the window sums via bincount on the exact
+    w(j) = j*64 // n_frames bin index — integer semantics unchanged."""
     import struct as _struct
+
+    import numpy as _np
 
     out_schema = f"{id_col} bigint, afp bigint"
 
@@ -1368,30 +1423,36 @@ def audio_fingerprint(
             i += 8 + size + (size & 1)
         if n_channels is None or data is None or bits != 16:
             raise ValueError("unsupported or truncated WAVE")
-        return n_channels, _struct.unpack(f"<{len(data) // 2}h", data)
+        # odd-length data raises, matching the strict struct.unpack the
+        # scalar path used
+        return n_channels, _np.frombuffer(data, _np.dtype("<i2"))
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w63 = _np.int64(1) << _np.arange(63, dtype=_np.int64)
         for pdf in batches:
             fps = []
             for p in pdf[payload_col]:
                 nch, samples = _wav(bytes(p))
                 n_frames = len(samples) // nch
-                amp = [
-                    sum(abs(samples[j * nch + c]) for c in range(nch))
-                    for j in range(n_frames)
-                ]
-                esum = [0] * 64
-                ecnt = [0] * 64
-                for j, a in enumerate(amp):
-                    w = j * 64 // n_frames
-                    esum[w] += a
-                    ecnt[w] += 1
-                env = [esum[w] // ecnt[w] if ecnt[w] else 0 for w in range(64)]
-                bits = 0
-                for w in range(63):
-                    if env[w + 1] > env[w]:
-                        bits |= 1 << w
-                fps.append(bits)
+                # per-frame absolute amplitude a_j = sum over channels |s|
+                amp = _np.abs(
+                    samples[: n_frames * nch]
+                    .astype(_np.int64)
+                    .reshape(n_frames, nch)
+                ).sum(axis=1)
+                # window w(j) = j*64 // n_frames; integer mean per window
+                widx = _np.arange(n_frames, dtype=_np.int64) * 64 // n_frames
+                esum = _np.bincount(widx, weights=amp, minlength=64)
+                ecnt = _np.bincount(widx, minlength=64)
+                # exact: esum values < 2^53, so the float64 bincount sums
+                # are integral; floor-divide where a window has frames
+                env = _np.where(
+                    ecnt > 0,
+                    esum.astype(_np.int64) // _np.maximum(ecnt, 1),
+                    0,
+                )
+                bits = (w63 * (env[1:] > env[:-1])).sum()
+                fps.append(int(bits))
             yield pd.DataFrame({id_col: pdf[id_col].values, "afp": fps})
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -1518,8 +1579,13 @@ def video_fingerprint(
             yield btype, i + hdr, min(i + size, end)
             i += size
 
-    def _ppm_frames(buf, start, end):
-        """Sequentially parse concatenated P6 frames: (w, h, pixel bytes)."""
+    def _ppm_frame_meta(buf, start, end):
+        """Sequentially parse concatenated P6 frame HEADERS only:
+        (w, h, body_offset) per frame. The pixel bytes stay in place —
+        the vectorized dHash below gathers the 64 sampled pixels per
+        frame straight out of the payload buffer, so the demux never
+        copies frame bodies (guide §4.2: the header walk is cheap
+        Python, the per-pixel work is NumPy)."""
         i = start
         while i < end:
             if buf[i : i + 3] != b"P6\n":
@@ -1528,29 +1594,25 @@ def video_fingerprint(
             w, h = (int(t) for t in buf[i + 3 : j].split(b" "))
             k = buf.index(b"\n", j + 1)  # maxval line
             body = k + 1
-            yield w, h, buf[body : body + w * h * 3]
+            if body + w * h * 3 > end:
+                raise ValueError("truncated PPM frame in mdat")
+            yield w, h, body
             i = body + w * h * 3
 
-    def _frame_dhash(w, h, data):
-        cells = [
-            [
-                sum(
-                    data[3 * (min(h - 1, r * h // 8) * w
-                              + min(w - 1, c * w // 8)) + d]
-                    for d in range(3)
-                ) // 3
-                for c in range(8)
-            ]
-            for r in range(8)
-        ]
-        bits = 0
-        for r in range(8):
-            for c in range(7):
-                if cells[r][c + 1] > cells[r][c]:
-                    bits |= 1 << (r * 7 + c)
-        return bits
-
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        r8 = _np.arange(8, dtype=_np.int64)
+        # bit r*7+c of the dHash weighs 2^(r*7+c)
+        bitw = _np.int64(1) << (r8[:, None] * 7 + r8[None, :7])
+
+        def _grid(w, h):
+            # flat byte index of the R channel of grid cell (r, c):
+            # pixel (min(h-1, r*h//8), min(w-1, c*w//8)), 3 bytes/pixel
+            rr = _np.minimum(h - 1, r8 * h // 8)
+            cc = _np.minimum(w - 1, r8 * w // 8)
+            return (rr[:, None] * w + cc[None, :]) * 3
+
         for pdf in batches:
             hashes, counts = [], []
             for p in pdf[payload_col]:
@@ -1567,20 +1629,45 @@ def video_fingerprint(
                         mdat = (s, e)
                 if mdat is None:
                     raise ValueError("video payload has no mdat frames")
-                frame_hashes = [
-                    _frame_dhash(w, h, data)
-                    for f, (w, h, data) in enumerate(
-                        _ppm_frames(payload, mdat[0], mdat[1])
+                metas = list(_ppm_frame_meta(payload, mdat[0], mdat[1]))
+                sampled = metas[::step]
+                n = len(sampled)
+                buf = _np.frombuffer(payload, _np.uint8)
+                if n == 0:
+                    hashes.append(0)
+                    counts.append(0)
+                    continue
+                # gather the 8x8 grayscale grid of every sampled frame in
+                # one fancy-index: (n, 8, 8) int cells, exact
+                # (r + g + b) // 3 integer arithmetic as before
+                if all(
+                    m[0] == sampled[0][0] and m[1] == sampled[0][1]
+                    for m in sampled
+                ):
+                    g = _grid(sampled[0][0], sampled[0][1])
+                    offs = _np.array([m[2] for m in sampled], _np.int64)
+                    idx = offs[:, None, None] + g[None]
+                    cells = (
+                        buf[idx].astype(_np.int64) + buf[idx + 1]
+                        + buf[idx + 2]
+                    ) // 3
+                else:  # mixed frame dims: per-frame gather, same math
+                    cells = _np.stack(
+                        [
+                            (
+                                buf[o + _grid(w, h)].astype(_np.int64)
+                                + buf[o + _grid(w, h) + 1]
+                                + buf[o + _grid(w, h) + 2]
+                            ) // 3
+                            for (w, h, o) in sampled
+                        ]
                     )
-                    if f % step == 0
-                ]
-                n = len(frame_hashes)
-                bits = 0
-                for b in range(56):
-                    n_set = sum((fh >> b) & 1 for fh in frame_hashes)
-                    if 2 * n_set > n:
-                        bits |= 1 << b
-                hashes.append(bits)
+                # per-frame gradient bits, then per-bit majority fold:
+                # bit set iff strictly more than half the sampled frames
+                # set it — identical to the scalar loop it replaces
+                gt = cells[:, :, 1:] > cells[:, :, :-1]  # (n, 8, 7)
+                maj = 2 * gt.sum(axis=0, dtype=_np.int64) > n
+                hashes.append(int((bitw * maj).sum()))
                 counts.append(n)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, "vhash": hashes,

@@ -1818,3 +1818,97 @@ def test_hamming_banded_pairs_guaranteed_recall_property(spark):
         df, "sig", "sid", sig_bits=56, max_hamming=4
     ).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in found] == [(0, 1, 4)]
+
+
+def test_vectorized_decoder_matches_pure_python_reference():
+    """Round 11 (guide §4.2): the by-value closure decoder's NumPy paths
+    (BMP gather/flip, PNG Sub-cumsum/Up-wraparound) must stay
+    byte-identical to the module-level pure-Python reference decoders
+    across every format, dim, and the fixture's exact value streams —
+    including the perturbed near-dup streams that wrap mod 256."""
+    from orion_spark.llm import multimodal as MM
+
+    dec = MM._by_value_image_decoder()
+    for mid in range(0, 48):
+        w = 1 + mid % 8
+        h = 1 + (mid // 8) % 8
+        base = mid - mid % 4
+        cut = 3 * (mid % 4)
+        vals = [
+            ((base * 31 + i) % 256 + (128 if i < cut else 0)) % 256
+            for i in range(w * h * 3)
+        ]
+        for enc, ref in (
+            (MM.encode_ppm, MM.decode_ppm),
+            (MM.encode_bmp, MM.decode_bmp),
+            (MM.encode_png, MM.decode_png),
+        ):
+            payload = enc(w, h, vals)
+            rw, rh, rvals = ref(payload)
+            _fmt, cw, ch, cdata = dec(payload)
+            assert (cw, ch) == (rw, rh) == (w, h)
+            assert list(cdata) == rvals == vals
+
+
+def test_vectorized_decoder_average_paeth_scalar_fallback():
+    """The closure decoder's Average/Paeth PNG rows (never emitted by the
+    fixtures) run the scalar fallback; a hand-filtered PNG using ALL five
+    filter types must decode identically in closure and reference."""
+    import struct
+    import zlib
+
+    from orion_spark.llm import multimodal as MM
+
+    w, h, nch = 5, 5, 3
+    stride = w * nch
+    vals = [(i * 37 + 11) % 256 for i in range(w * h * 3)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = bytes(vals[r * stride : (r + 1) * stride])
+        ft = r % 5  # None, Sub, Up, Average, Paeth
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:
+            raw += bytes(
+                (row[x] - (row[x - nch] if x >= nch else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ft == 3:
+            raw += bytes(
+                (row[x] - ((row[x - nch] if x >= nch else 0) + prev[x]) // 2)
+                & 0xFF
+                for x in range(stride)
+            )
+        else:
+            enc = bytearray()
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((row[x] - pred) & 0xFF)
+            raw += enc
+        prev = row
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        MM.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    rw, rh, rvals = MM.decode_png(payload)
+    _fmt, cw, ch, cdata = MM._by_value_image_decoder()(payload)
+    assert (cw, ch) == (rw, rh) == (w, h)
+    assert list(cdata) == rvals == vals
