@@ -108,28 +108,40 @@ def bloom_probe(
 ) -> DataFrame:
     """Flag each row with whether its key is (maybe) in the filter.
 
-    The bitmap is packed into a single-row map and broadcast — the probe
-    side is then a map-only projection: no shuffle, no per-row join. The
-    pack is a driver-safe collect by construction (≤ m/32 entries, fixed
-    at filter-design time, independent of either corpus's size). For
+    The bitmap is packed into a single-row DENSE word array and
+    broadcast — the probe side is then a map-only projection: no
+    shuffle, no per-row join. Round 11 (guide §1/§2.3): the previous
+    pack was a Spark MAP, and `element_at` on a map is a LINEAR scan of
+    its entries (Catalyst's GetMapValue has no hash table), so probe
+    cost grew with filter occupancy — measured 15.4 s in ONE task at
+    sf1 (8k occupied words x 4 lookups x 50k docs) where the dense
+    array's O(1) indexed loads run the same probe in well under a
+    second. Densifying is one fixed-size left join of the m/32 word
+    index space against the sparse bitmap — the array size is set at
+    filter-design time (m/32 longs; 8 KiB per 2^16 bits), independent
+    of either corpus's size, so the broadcast stays driver-safe. For
     bitmaps beyond comfortable broadcast size (m ≳ 2^33), probe via the
-    explode + equi-join on word_idx instead; at the sizes a Bloom filter
-    is chosen FOR, broadcast is the point."""
-    packed = bloom.agg(
-        F.map_from_entries(
-            F.coalesce(
-                F.collect_list(F.struct("word_idx", "bits")),
-                F.array().cast("array<struct<word_idx:int,bits:bigint>>"),
-            )
+    explode + equi-join on word_idx instead; at the sizes a Bloom
+    filter is chosen FOR, broadcast is the point."""
+    n_words = m_bits // _WORD
+    dense = (
+        df.sparkSession.range(n_words)
+        .select(F.col("id").cast("int").alias("word_idx"))
+        .join(bloom, "word_idx", "left")
+        .select("word_idx", F.coalesce("bits", F.lit(0)).alias("bits"))
+    )
+    packed = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word_idx", "bits"))),
+            lambda s: s["bits"],
         ).alias("_bloom")
     )
     probed = df.crossJoin(F.broadcast(packed))
     hit = F.forall(
         bloom_positions(F.col(key_col), m_bits, k),
         lambda p: (
-            F.coalesce(
-                F.element_at(F.col("_bloom"), (p / _WORD).cast("int")), F.lit(0)
-            ).bitwiseAND(_bit_mask(p))
+            F.element_at(F.col("_bloom"), (p / _WORD).cast("int") + 1)
+            .bitwiseAND(_bit_mask(p))
             != 0
         ),
     )

@@ -10173,10 +10173,18 @@ def documents_bloom_history_filter_q(spark, sf_dir):
     """Probe every document against a Bloom filter built on the 'historical'
     subset (doc_id % 7 == 0): the incremental-dedup primitive. The filter is
     one hash-aggregate over the history (bounded at m/32 rows) broadcast as
-    a map; the probe is a map-only pass — neither corpus shuffles."""
+    a dense word array; the probe is a map-only pass — the OPERATOR never
+    shuffles either corpus (the streaming gates rely on that), so the
+    narrow-scan spread lives here at the query boundary (round 11, guide
+    §2.2): the md5-per-doc probe projection would otherwise run on the
+    1-2 scan partitions of the compact parquet (measured 1.9 s single-task
+    at sf1)."""
     from orion_spark.llm import bloom as BL
+    from orion_spark.llm.dedup import spread_narrow_input
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_narrow_input(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
     hist = docs.where(F.expr(_BLOOM_HIST_PRED))
     bloom = BL.bloom_build(hist, "text", _BLOOM_M, _BLOOM_K)
     return BL.bloom_probe(docs, bloom, "text", _BLOOM_M, _BLOOM_K).select(
@@ -10191,10 +10199,15 @@ def documents_bloom_history_filter_q(spark, sf_dir):
 def documents_bloom_fp_accounting_q(spark, sf_dir):
     """Soundness + precision accounting for the Bloom history filter in one
     row: n_missed MUST be 0 (a Bloom filter cannot produce false negatives)
-    and n_false_pos quantifies over-dropping at this (m, k, n)."""
+    and n_false_pos quantifies over-dropping at this (m, k, n).
+    Narrow-scan spread at the query boundary: see
+    documents_bloom_history_filter_q."""
     from orion_spark.llm import bloom as BL
+    from orion_spark.llm.dedup import spread_narrow_input
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_narrow_input(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
     hist = docs.where(F.expr(_BLOOM_HIST_PRED))
     bloom = BL.bloom_build(hist, "text", _BLOOM_M, _BLOOM_K)
     probed = BL.bloom_probe(docs, bloom, "text", _BLOOM_M, _BLOOM_K)
