@@ -670,7 +670,16 @@ def embedding_decontamination(
     the train id, which under the broadcast join is already co-located:
     no corpus shuffle at all. Exact, not approximate — at benchmark
     sizes the brute-force scan per train row is cheaper than any index.
+
+    Round 11 (guide §2.2): the train side goes through the
+    spread_narrow_input probe first — a compact single-file train
+    parquet otherwise pins the |bench| x dim fold per train row to its
+    1-2 scan partitions (measured 11.4 s in ONE task at sf1, the whole
+    query); already-wide train inputs (any real corpus) pass through
+    untouched, keeping the no-corpus-shuffle contract at scale.
     """
+    from orion_spark.llm.dedup import spread_narrow_input
+
     # norms are computed ONCE per row before the pair fan-out (the
     # per-pair cosine then costs a single zip_with fold instead of
     # three) — bit-identical to the per-pair formulation because the
@@ -679,9 +688,11 @@ def embedding_decontamination(
         F.col(id_col).alias("bench_id"),
         F.col(vec_col).cast("array<double>").alias("_bv"),
     ).withColumn("_bn", l2_norm(F.col("_bv")))
-    t = train.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_tv"),
+    t = spread_narrow_input(
+        train.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_tv"),
+        )
     ).withColumn("_tn", l2_norm(F.col("_tv")))
     pairs = t.join(F.broadcast(b), how="cross").select(
         "vec_id",

@@ -8379,9 +8379,12 @@ def _register_text_chunking():
         the chunk-count rule ceil((n-overlap)/stride) min 1, so every
         chunk carries at least one new token. Chunk text hashes via md5
         in both engines."""
+        from orion_spark.llm.dedup import spread_narrow_input
         from orion_spark.llm.textstats import chunk_documents
 
-        docs = _t(spark, sf_dir, "documents")
+        docs = spread_narrow_input(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        )
         ch = chunk_documents(docs, chunk_tokens=32, overlap=8)
         return ch.select(
             "doc_id", "chunk_id",
@@ -8548,10 +8551,14 @@ def text_chunk_pack_plan_q(spark, sf_dir):
     two-phase scalable cumsum as documents_sequence_packing (per-bucket
     subtotals window over the tiny bucket dim + within-bucket parallel
     window) — no single-partition pass over the chunk stream."""
+    from orion_spark.llm.dedup import spread_narrow_input
     from orion_spark.llm.textstats import chunk_documents
 
     chunks = chunk_documents(
-        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+        spread_narrow_input(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+        chunk_tokens=32, overlap=8,
     ).select("doc_id", "chunk_id", "n_chunk_tokens")
     bucketed = chunks.withColumn("_bkt", F.floor(F.col("doc_id") / 64))
     per_bucket = bucketed.groupBy("_bkt").agg(
