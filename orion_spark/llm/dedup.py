@@ -37,7 +37,9 @@ def content_hash(*cols: str) -> Column:
     return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
 
 
-def spread_narrow_input(df: DataFrame, *cols: str) -> DataFrame:
+def spread_narrow_input(
+    df: DataFrame, *cols: str, barrier: bool = True
+) -> DataFrame:
     """Round-robin-spread a NARROW input (small parquet files arrive in
     1-2 scan partitions) so a compute-bound projection that follows runs
     on every core — and MATERIALIZE the spread rows (localCheckpoint,
@@ -53,13 +55,23 @@ def spread_narrow_input(df: DataFrame, *cols: str) -> DataFrame:
 
     `cols` optionally projects the frame down first (only materialize
     what downstream needs — guide §4/§6 column-pruning discipline).
+
+    `barrier=False` (round 11) skips the localCheckpoint: right when
+    the compute that must run spread sits above a Generate (explode) or
+    a Python eval node — operators Catalyst never pushes below an
+    exchange — so the bare conditional repartition is enough and the
+    materialization job is pure overhead (measured +0.4-0.9 s per query
+    at sf0.1 on the dsir/bm25/perplexity family). Keep the default
+    barrier for codegen'd PROJECTIONS (hash/fold chains), which
+    CollapseProject happily evaluates on the exchange's map side.
     """
     if cols:
         df = df.select(*cols)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, parallelism // 2):
         return df
-    return df.repartition(parallelism).localCheckpoint(eager=True)
+    spread = df.repartition(parallelism)
+    return spread.localCheckpoint(eager=True) if barrier else spread
 
 
 def exact_duplicate_groups(

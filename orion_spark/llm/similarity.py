@@ -52,7 +52,15 @@ def brute_force_topk(
     no shuffle except the final per-query top-k aggregation. Ranking is on
     the 6-decimal-rounded cosine with id tie-break, so results are stable
     across engines and summation orders.
+
+    Round 11 (guide §2.2): the candidate side goes through the
+    spread_narrow_input probe — a compact single-row-group local parquet
+    otherwise pins the |Q| x dim scoring folds to ONE scan task
+    (measured 10.1 s single-task of an 11 s query at sf1); wide corpora
+    pass through untouched, preserving the single-scan shape at scale.
     """
+    from orion_spark.llm.dedup import spread_narrow_input
+
     # norms are hoisted out of the pair fan-out: one fold per ROW here,
     # one fold per PAIR below (instead of three) — bit-identical doubles,
     # the division just reads the precomputed factors
@@ -60,9 +68,11 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).withColumn("_qn", l2_norm(F.col("_qv")))
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
+    c = spread_narrow_input(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
     ).withColumn("_cn", l2_norm(F.col("_cv")))
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(

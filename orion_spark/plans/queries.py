@@ -2642,9 +2642,12 @@ def _register_domain_quality_panel():
         exact integer arithmetic, not float summation order."""
         from orion_spark.llm import textstats as TS
         from orion_spark.llm import urls as U
+        from orion_spark.llm.dedup import spread_narrow_input
 
-        d = _t(spark, sf_dir, "documents").select(
-            "doc_id", "text", _synth_url_col().alias("url")
+        d = spread_narrow_input(
+            _t(spark, sf_dir, "documents").select(
+                "doc_id", "text", _synth_url_col().alias("url")
+            )
         )
         per_doc = d.select(
             U.url_host(F.col("url")).alias("host"),
@@ -10243,10 +10246,14 @@ def documents_bloom_fp_accounting_q(spark, sf_dir):
 def documents_gopher_rules_q(spark, sf_dir):
     """The complete Gopher quality rule set (Rae et al. 2021 §A1.1) as a
     per-document boolean panel + conjunction — pure column expressions, so
-    at 100 TB the whole panel runs inside the scan's codegen stage."""
+    at 100 TB the whole panel runs inside the scan's codegen stage. The
+    spread probe below only fires on narrow LOCAL scans (single-row-group
+    parquet pinned the panel to one 4.3 s task at sf1); at cluster scale
+    the panel stays scan-fused."""
     from orion_spark.llm import textstats as TS
+    from orion_spark.llm.dedup import spread_narrow_input
 
-    return TS.gopher_panel(_t(spark, sf_dir, "documents"))
+    return TS.gopher_panel(spread_narrow_input(_t(spark, sf_dir, "documents")))
 
 
 @query(
