@@ -397,9 +397,17 @@ def ivf_topk_fixed_centroids(
     cent = F.broadcast(
         candidates.sparkSession.createDataFrame(cent_local, cent_frame.schema)
     )
-    cand = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
+    # Round 11 (guide §2.2): spread the candidate side off a narrow
+    # local scan — the n_clusters cosine folds per candidate otherwise
+    # run in ONE scan task (measured 5.3 s of an 8 s query at sf1);
+    # wide corpora pass through untouched.
+    from orion_spark.llm.dedup import spread_narrow_input
+
+    cand = spread_narrow_input(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        )
     )
     # nearest list per candidate: min_by over (neg rounded cosine, list id)
     scored_assign = cand.join(cent, how="cross").select(

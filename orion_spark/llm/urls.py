@@ -140,8 +140,19 @@ def url_dedup(
     # group aggregate and the join probe side: materialize it once
     # (localCheckpoint — released on GC, the minhash_lsh_pairs pattern)
     # instead of paying the regex pass twice; the checkpointed frame is
-    # (id, canon, host) — far narrower than the input
-    canon = df.select(
+    # (id, canon, host) — far narrower than the input. Round 11 (guide
+    # §2.2): the (id, url) input is spread off a narrow local scan first
+    # — the regex pass otherwise runs in the 1-2 scan tasks (measured
+    # 2.3 s single-task of a 3.3 s query at sf1); wide inputs (the skew
+    # fixture, any real crawl frontier) pass through untouched. Barrier
+    # form: the canonicalization is a deterministic codegen'd projection,
+    # exactly the node the optimizer pushes below a bare round-robin
+    # exchange onto its narrow map side.
+    from orion_spark.llm.dedup import spread_narrow_input
+
+    canon = spread_narrow_input(
+        df.select(F.col(id_col), F.col(url_col))
+    ).select(
         F.col(id_col).alias("doc_id"),
         canonicalize_url(
             F.col(url_col), strip_www=strip_www, tracking_params=tracking_params
