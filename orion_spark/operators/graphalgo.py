@@ -11,8 +11,27 @@ iterative-Spark trap, same treatment as llm/dedup.py:dedup_clusters).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cached_join_parts(df: DataFrame, approx_rows: int,
+                       rows_per_part: int = 1_000_000) -> int:
+    """Partition count for a persisted join-side table consumed by the
+    per-round joins of an iterative algorithm: one partition per core
+    (full occupancy floor), growing with row count (~1M narrow rows ≈
+    tens of MB per partition). The session's input-bytes shuffle
+    autoscale is the wrong layout for these — it is sized so UNAGGREGATED
+    shuffles of the whole input stay spill-safe, which over-partitions a
+    compact cached relation: measured at sf0.1, the walk tables cached at
+    128 partitions made every per-step job run 128 near-empty tasks
+    (~1 s of pure task scheduling per step, task-time ≈ 0). Scale-
+    adaptive on both axes: more cores → more partitions, more rows →
+    more partitions; never a local constant."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(par, math.ceil(approx_rows / rows_per_part))
 
 
 def pagerank(
@@ -435,6 +454,13 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # all_edges derivation including its lineitem dropDuplicates exchange
     # (round 11, measured: ~4 s of the 10 s query was derivation re-runs)
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # layout the cached join table at one partition per core growing with
+    # rows (sym ≤ 3|E|: both directions + one self-loop per node) — the
+    # input-bytes shuffle autoscale over-partitions this compact cached
+    # relation and every round then pays its partition count in
+    # near-empty task launches (see _cached_join_parts); the count is a
+    # near-free scan of the just-checkpointed edges
+    n_parts = _cached_join_parts(edges, 3 * edges.count())
     undirected = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -461,7 +487,7 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
         undirected.unionAll(
             undirected.select(F.col("a"), F.col("a").alias("b"))
         )
-        .repartition("b")
+        .repartition(n_parts, "b")
         .dropDuplicates()
         # persist (NOT localCheckpoint): the cached InMemoryRelation keeps
         # the hashpartitioning(b) metadata so each round's join shuffles
@@ -472,8 +498,14 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
         # explicitly unpersisted — no session-lifetime storage pin.
         .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    # Label init rides the self-loops: sym is distinct and carries exactly
+    # one (v, v) row per node (every node appears as `a` in `undirected`
+    # because both directions are unioned), so a narrow FILTER of the
+    # cached sym replaces the old nodes-distinct exchange + aggregate
+    # (round 11, guide §2.4: a `distinct` on data that is already unique
+    # is an accidental exchange). Row content is identical.
+    labels = sym.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), F.col("a").alias("label")
     )
     for i in range(iterations):
         labels = (
@@ -683,6 +715,7 @@ def random_walks(
     starts: DataFrame | None = None,
     rank_buckets: int = WALK_RANK_BUCKETS,
     hub_degree_threshold: int = WALK_HUB_DEGREE_THRESHOLD,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Deterministic random-walk corpus generation — the sampling pass of
     DeepWalk/node2vec-style graph-embedding training, made fully
@@ -745,72 +778,107 @@ def random_walks(
     # base feeds THREE subtrees (degree gate, regular branch, hub
     # branch) — persist it so the edge scan + distinct shuffle runs
     # once, not once per branch (the un-persisted round-11 first cut
-    # recomputed it per subtree and doubled the query)
-    base = (
-        edges.select("src", "dst").distinct().withColumn("_bkt", bkt).persist()
-    )
+    # recomputed it per subtree and doubled the query).
+    # `assume_distinct=True` (round 11, guide §2.4: a `distinct` on data
+    # that is already unique is an accidental exchange) lets callers
+    # whose edge list is distinct BY CONSTRUCTION skip the dedup — a
+    # full exchange + hash aggregate over the largest table in the walk
+    # build. Ranks, and therefore walks, are identical on distinct
+    # input either way.
+    base = edges.select("src", "dst")
+    if not assume_distinct:
+        base = base.distinct()
+    base = base.withColumn("_bkt", bkt).persist()
     # one degree aggregate serves both the hub gate and the per-step
     # out-degree table below
     degs = base.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     hubs = degs.where(F.col("_deg") > hub_degree_threshold).select(
         F.col("src").alias("_hsrc")
     )
-    reg = base.join(
-        F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_anti"
-    )
-    hub = base.join(
-        F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_semi"
-    )
-    # fast path: one bounded window (every partition ≤ threshold rows)
+    # degree-gate short circuit (round 11): when NO src exceeds the hub
+    # threshold — every KGX-derived graph at every measured sf point —
+    # the hub branch, its anti/semi splits, the union, and the union's
+    # full-adjacency repartition exchange are all dead weight that AQE
+    # still materializes as query stages. Probe the gate once (degs is
+    # persisted and needed regardless; the probe materializes it) and
+    # rank the whole adjacency in the one bounded window, whose
+    # hashpartitioning(src) the cache preserves for the per-step joins —
+    # the repartition("src") below exists only because a union erases
+    # partitioning. Ranks are identical: with hubs empty, reg == base
+    # and the union is reg_adj itself.
     wreg = Window.partitionBy("src").orderBy("_bkt", "dst")
-    reg_adj = reg.select(
-        "src", "dst", (F.row_number().over(wreg) - 1).alias("_idx")
-    )
-    # hub path: two-level. Offsets come from a partial-aggregatable
-    # groupBy (map-side combine), not a filtered rank — the first-cut
-    # filter-on-_lrank==1 form recomputed the big window for the
-    # offsets branch.
-    wb = Window.partitionBy("src", "_bkt").orderBy("dst")
-    local = hub.select(
-        "src", "dst", "_bkt", F.row_number().over(wb).alias("_lrank")
-    )
-    woff = (
-        Window.partitionBy("_osrc")
-        .orderBy("_obkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        hub.groupBy("src", "_bkt")
-        .agg(F.count(F.lit(1)).alias("_bc"))
-        .select(
-            F.col("src").alias("_osrc"), F.col("_bkt").alias("_obkt"), "_bc"
+    # the gate probe above materialized base's cache, so this count is a
+    # near-free cached scan; it sizes the adjacency layout (one partition
+    # per core, growing with rows — see _cached_join_parts)
+    if hubs.isEmpty():
+        n_edges = base.count()
+        n_parts = _cached_join_parts(base, n_edges)
+        adj = (
+            base.repartition(n_parts, "src")
+            .select("src", "dst", (F.row_number().over(wreg) - 1).alias("_idx"))
+            .persist()
         )
-        # <= rank_buckets rows per _osrc by construction: bounded window
-        .withColumn("_off", F.coalesce(F.sum("_bc").over(woff), F.lit(0)))
-        .select("_osrc", "_obkt", "_off")
-    )
-    hub_adj = (
-        local.join(
-            offsets,
-            (F.col("src") == F.col("_osrc")) & (F.col("_bkt") == F.col("_obkt")),
+    else:
+        reg = base.join(
+            F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_anti"
         )
-        .select(
-            "src", "dst",
-            (F.col("_off") + F.col("_lrank") - 1).alias("_idx"),
+        hub = base.join(
+            F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_semi"
         )
-    )
-    adj = (
-        reg_adj.unionByName(hub_adj)
-        .repartition("src")
-        .persist()
-    )
+        # fast path: one bounded window (every partition ≤ threshold rows)
+        reg_adj = reg.select(
+            "src", "dst", (F.row_number().over(wreg) - 1).alias("_idx")
+        )
+        # hub path: two-level. Offsets come from a partial-aggregatable
+        # groupBy (map-side combine), not a filtered rank — the first-cut
+        # filter-on-_lrank==1 form recomputed the big window for the
+        # offsets branch.
+        wb = Window.partitionBy("src", "_bkt").orderBy("dst")
+        local = hub.select(
+            "src", "dst", "_bkt", F.row_number().over(wb).alias("_lrank")
+        )
+        woff = (
+            Window.partitionBy("_osrc")
+            .orderBy("_obkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            hub.groupBy("src", "_bkt")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .select(
+                F.col("src").alias("_osrc"), F.col("_bkt").alias("_obkt"), "_bc"
+            )
+            # <= rank_buckets rows per _osrc by construction: bounded window
+            .withColumn("_off", F.coalesce(F.sum("_bc").over(woff), F.lit(0)))
+            .select("_osrc", "_obkt", "_off")
+        )
+        hub_adj = (
+            local.join(
+                offsets,
+                (F.col("src") == F.col("_osrc"))
+                & (F.col("_bkt") == F.col("_obkt")),
+            )
+            .select(
+                "src", "dst",
+                (F.col("_off") + F.col("_lrank") - 1).alias("_idx"),
+            )
+        )
+        n_edges = base.count()
+        n_parts = _cached_join_parts(base, n_edges)
+        adj = (
+            reg_adj.unionByName(hub_adj)
+            .repartition(n_parts, "src")
+            .persist()
+        )
     deg = (
         # outdeg(src) = |distinct (src, dst)| = degs._deg: reuse the
         # gate's aggregate instead of re-aggregating adj. Renamed away
         # from base's lineage: an un-aliased `src` would be ambiguous
-        # in the per-step double join.
+        # in the per-step double join. No repartition: the groupBy's
+        # hashpartitioning(src) survives the alias (ProjectExec is
+        # alias-aware) into the cache, so the old repartition("_dsrc")
+        # was a redundant exchange (round 11, guide §2.4).
         degs.select(F.col("src").alias("_dsrc"), F.col("_deg").alias("_outdeg"))
-        .repartition("_dsrc")
         .persist()
     )
     if starts is None:
@@ -871,7 +939,11 @@ def random_walks(
                 "walk_id", F.lit(t).alias("step"), F.col("_cur").alias("node")
             )
         )
-    out = out.localCheckpoint(eager=True)
+    # the 5-frame union inherits the SUM of its children's partition
+    # counts (measured: a 160-near-empty-task materialization job);
+    # narrow-coalesce it to the adjacency layout before the checkpoint —
+    # no shuffle, and every downstream consumer reads n_parts partitions
+    out = out.coalesce(n_parts).localCheckpoint(eager=True)
     for f in step_caches:
         f.unpersist()
     adj.unpersist()

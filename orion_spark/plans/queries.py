@@ -4326,7 +4326,11 @@ def _register_random_walks():
             )
             .distinct()
         )
-        return random_walks(edges, walk_length=4, seed=42, starts=starts)
+        # distinct by construction (e0 distinct, direction-disjoint
+        # union branches) — skip the operator's dedup exchange
+        return random_walks(
+            edges, walk_length=4, seed=42, starts=starts, assume_distinct=True
+        )
 
 
 _register_random_walks()
@@ -4373,7 +4377,13 @@ def _register_walk_skipgrams():
             )
             .distinct()
         )
-        walks = random_walks(edges, walk_length=4, seed=42, starts=starts)
+        # edges is distinct by construction: e0 is distinct and the two
+        # union branches are direction-disjoint (every "O:"->"P:" row is
+        # distinct from every "P:"->"O:" row by prefix), so the operator's
+        # internal dedup exchange is skipped (round 11, guide §2.4)
+        walks = random_walks(
+            edges, walk_length=4, seed=42, starts=starts, assume_distinct=True
+        )
         return walk_skipgrams(walks, window=2)
 
 
@@ -10972,7 +10982,14 @@ def skew_walk_skipgrams_q(spark, sf_dir):
         .where((F.col("id") % 199 == 0) | (F.col("id") >= n))
         .select(F.col("id").alias("src"))
     )
-    walks = random_walks(edges, walk_length=4, seed=42, starts=starts)
+    # edges is distinct by construction: pairs has a < b strictly
+    # (circulant offsets never map u to itself; hub ids sit above every
+    # base id), so the forward branch (src < dst) and reversed branch
+    # (src > dst) can never collide and each branch is itself distinct —
+    # the operator's internal dedup exchange is skipped (round 11)
+    walks = random_walks(
+        edges, walk_length=4, seed=42, starts=starts, assume_distinct=True
+    )
     return walk_skipgrams(walks, window=2)
 
 
