@@ -153,6 +153,15 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     # localCheckpoint (GC-releasable once the frame is dropped, unlike a
     # never-unpersisted cache pinned in the cache manager for the whole
     # session) so the multi-referenced subtrees compute once.
+    # Round-11 blind alley, kept for the record: a checkpoint-then-
+    # re-spread of pairs (the narrow AQE-coalesced layout starves the
+    # orientation/intersect stages — 5 tasks holding 5.6 s of CPU at
+    # sf0.1) measured WORSE on the same boot (triangle family
+    # 4.09/2.91/2.89 s control vs 5.71/4.30/3.85 s spread): the second
+    # materialization, its sort-before-repartition exchange, and the
+    # extra task waves across the many small downstream stages cost more
+    # than the one starved stage saves. AQE's byte-coalescing is the
+    # better trade here.
     pairs = pairs.localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("a").alias("node"))

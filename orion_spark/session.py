@@ -135,6 +135,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor (round 11, guide §2.5-adjacent): with
+        # parallelismFirst (default) AQE coalesces each shuffle read to
+        # max(bytes/defaultParallelism, minPartitionSize). The 1 MiB
+        # default floor collapses every sub-32 MiB exchange on a 32-core
+        # executor below core count, starving compute-bound stages whose
+        # per-row work is heavy relative to their bytes — the adjacency
+        # intersect (5 tasks holding 5.6 s of CPU measured on
+        # graph_triangle_count at sf0.1), string-heavy property merges,
+        # per-pair cosine folds. 256 KiB keeps those stages at core-count
+        # parallelism down to ~8 MiB of shuffle; interleaved same-session
+        # A/B: 8 heavy queries 40.2 -> 36.4 s, 12 small queries 6.9 ->
+        # 6.4 s (nothing regressed past jitter). At cluster scale
+        # bytes/cores >> 1 MiB on any real shuffle, so — like the
+        # openCostInBytes floor below — the setting is inert there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "262144")
         # Arrow for every pandas_udf / mapInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

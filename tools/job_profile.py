@@ -87,12 +87,14 @@ def main() -> None:
                     jobs[jid]["end"] = ev["Completion Time"]
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"].split("\n")[0],
-                    "tasks": si["Number of Tasks"],
-                    "wall": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
-                    / 1000.0,
-                }
+                # merge, don't replace: TaskEnd events for this stage have
+                # already accumulated task_ms/shuffle counters into the dict
+                st = stages.setdefault(si["Stage ID"], {})
+                st["name"] = si["Stage Name"].split("\n")[0]
+                st["tasks"] = si["Number of Tasks"]
+                st["wall"] = (
+                    si.get("Completion Time", 0) - si.get("Submission Time", 0)
+                ) / 1000.0
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
