@@ -470,9 +470,6 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # near-empty task launches (see _cached_join_parts); the count is a
     # near-free scan of the just-checkpointed edges
     n_parts = _cached_join_parts(edges, 3 * edges.count())
-    undirected = edges.select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
     # Self-loops fold the "least(own label, neighbor min)" step INTO the
     # neighbor aggregate: with (v, v) present for every node, one
     # join+min per round replaces the old join+agg THEN left-join+least —
@@ -492,10 +489,25 @@ def label_propagation_min(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # (a, b) are already co-located. Post-dedup content is identical
     # (distinct symmetrized edges + one self-loop per node) and stays
     # hash-partitioned on the join key for every round.
+    # Round 12 (guide §1.2, profiled): the 4-branch union scanned the
+    # cached edge table FOUR times (100 map tasks, 30.4 s of task time
+    # at sf0.1 — Spark does not share common subtrees across union
+    # branches even when cached); a single explode of the 4 per-edge
+    # structs emits the identical rows in ONE scan. Same rows into the
+    # same repartition+dedup, so sym's content and partitioning are
+    # unchanged.
     sym = (
-        undirected.unionAll(
-            undirected.select(F.col("a"), F.col("a").alias("b"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
+                    F.struct(F.col("src").alias("a"), F.col("src").alias("b")),
+                    F.struct(F.col("dst").alias("a"), F.col("dst").alias("b")),
+                )
+            ).alias("_e")
         )
+        .select("_e.a", "_e.b")
         .repartition(n_parts, "b")
         .dropDuplicates()
         # persist (NOT localCheckpoint): the cached InMemoryRelation keeps
@@ -740,38 +752,44 @@ def random_walks(
     walk_id = start node. A walk reaching a node with no out-edges
     simply ends (inner join), mirroring DeepWalk's early termination.
 
-    Scale shape: the adjacency ranking is DEGREE-GATED two-level
-    (round 11, revised after measurement). The global neighbor order is
-    (md5-bucket-of-dst, dst) within each src — a deterministic
-    bijection the DuckDB oracle replays bit-for-bit — but HOW that
-    rank is computed splits on out-degree:
+    Scale shape (round 12, guide §1.2/§2.4 — revised after profiling):
+    the adjacency is held as per-src neighbor ARRAYS sorted by
+    (md5-bucket-of-dst, dst) — the identical deterministic order the
+    DuckDB oracle replays bit-for-bit — with the rank implicit in array
+    POSITION instead of a row_number window. Each adjacency row is
+    (src, _dsts, _off, _outdeg):
 
-    - srcs with outdeg ≤ `hub_degree_threshold` rank in one window
-      partitioned by src, ordered (bucket, dst). Bounded by the gate:
-      no partition exceeds the threshold, so no single-task hub sort
-      can exist on this path (this is why the EntityKeyWindow lint
-      whitelists the walk queries — the gate is the bound).
+    - srcs with outdeg ≤ `hub_degree_threshold` hold their WHOLE sorted
+      neighbor list in one row (_off = 0, _outdeg = size): the
+      collect_list buffer is bounded by the gate, and no window runs at
+      all on this path.
     - srcs above the threshold (true power-law hubs — the skewgraph
-      fixture's hub 0 owns N/2 spokes) rank two-level: row_number
-      within (src, md5-bucket-of-dst) — `rank_buckets` splits per
-      hub — re-based to the global 0..outdeg-1 index by a
-      partial-aggregatable per-(src, bucket) count + cumulative-offset
-      window (≤ rank_buckets rows per src, bounded by construction).
+      fixture's hub 0 owns N/2 spokes) split into one row per md5
+      bucket (≤ `rank_buckets` rows per hub, each array bounded at the
+      bucket size), re-based to the global 0..outdeg-1 index by a
+      cumulative bucket-size offset window (≤ rank_buckets rows per
+      src, bounded by construction).
 
     The gate itself is a partial-aggregatable degree count and a
     broadcast semi/anti split (hubs ≤ |edges|/threshold rows — tiny by
-    construction). Round 11's first cut ran EVERY src through the
-    two-level plan; at avg outdeg ~5 with 64 buckets the per-(src,
-    bucket) offsets table is nearly as large as the adjacency itself,
-    and the offsets join measured 2.5-3× the single-window plan at
-    sf0.1 (SCALE.md). Gating pays the two-level premium only where it
-    buys anything.
+    construction).
 
-    The ranked adjacency and out-degree tables are built once and
-    persisted pre-partitioned on the join key; each of the
-    `walk_length` rounds then shuffles only the walk frontier
-    (|starts| rows) against them — label_propagation_min's reuse
-    discipline. k steps = k bounded frontier joins, no per-round
+    Why arrays beat the round-11 ranked row-per-edge table (profiled at
+    sf0.1): every step joined the frontier against TWO persisted tables
+    — the degree table (for the pick modulus) and the |E|-row ranked
+    adjacency — so each of the walk_length steps re-scanned |E| + |V|
+    cached rows; the array layout carries _outdeg in the adjacency row
+    itself, so each step is ONE join against a ~|V|-row table (same
+    total elements, |E|-|V| fewer row headers to deserialize per scan),
+    the (pick == _idx) equality probe becomes an O(1) element_at, and
+    the row_number window machinery disappears from the build. Walks
+    are identical: position in the (bucket, dst)-sorted array IS the
+    round-11 rank.
+
+    The adjacency is built once and persisted pre-partitioned on the
+    join key; each of the `walk_length` rounds then shuffles only the
+    walk frontier (|starts| rows) against it — label_propagation_min's
+    reuse discipline. k steps = k bounded frontier joins, no per-round
     growth.
 
     Returns (walk_id, step, node) with step 0 = the start node.
@@ -784,112 +802,110 @@ def random_walks(
         ).cast("bigint"),
         F.lit(rank_buckets),
     )
-    # base feeds THREE subtrees (degree gate, regular branch, hub
-    # branch) — persist it so the edge scan + distinct shuffle runs
-    # once, not once per branch (the un-persisted round-11 first cut
-    # recomputed it per subtree and doubled the query).
-    # `assume_distinct=True` (round 11, guide §2.4: a `distinct` on data
-    # that is already unique is an accidental exchange) lets callers
-    # whose edge list is distinct BY CONSTRUCTION skip the dedup — a
-    # full exchange + hash aggregate over the largest table in the walk
-    # build. Ranks, and therefore walks, are identical on distinct
-    # input either way.
+    # base feeds the degree gate plus the adjacency branch(es) — persist
+    # it so the edge scan + distinct shuffle runs once, not once per
+    # branch. `assume_distinct=True` (round 11, guide §2.4: a `distinct`
+    # on data that is already unique is an accidental exchange) lets
+    # callers whose edge list is distinct BY CONSTRUCTION skip the
+    # dedup — a full exchange + hash aggregate over the largest table in
+    # the walk build. Ranks, and therefore walks, are identical on
+    # distinct input either way.
     base = edges.select("src", "dst")
     if not assume_distinct:
         base = base.distinct()
     base = base.withColumn("_bkt", bkt).persist()
-    # one degree aggregate serves both the hub gate and the per-step
-    # out-degree table below
+    # the degree aggregate exists only for the hub gate now: the
+    # per-step pick modulus reads _outdeg from the adjacency row itself
     degs = base.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     hubs = degs.where(F.col("_deg") > hub_degree_threshold).select(
         F.col("src").alias("_hsrc")
     )
+
+    def _whole_src_rows(df: DataFrame) -> DataFrame:
+        # one row per src: neighbors sorted by (bucket, dst) — struct
+        # array_sort compares field by field, exactly the old window's
+        # ORDER BY _bkt, dst — with the global rank as array position
+        return (
+            df.groupBy("src")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_bkt", "dst"))).alias(
+                    "_sd"
+                )
+            )
+            .select(
+                "src",
+                F.transform("_sd", lambda s: s["dst"]).alias("_dsts"),
+                F.lit(0).cast("bigint").alias("_off"),
+                F.size("_sd").cast("bigint").alias("_outdeg"),
+            )
+        )
+
     # degree-gate short circuit (round 11): when NO src exceeds the hub
     # threshold — every KGX-derived graph at every measured sf point —
     # the hub branch, its anti/semi splits, the union, and the union's
-    # full-adjacency repartition exchange are all dead weight that AQE
-    # still materializes as query stages. Probe the gate once (degs is
-    # persisted and needed regardless; the probe materializes it) and
-    # rank the whole adjacency in the one bounded window, whose
-    # hashpartitioning(src) the cache preserves for the per-step joins —
-    # the repartition("src") below exists only because a union erases
-    # partitioning. Ranks are identical: with hubs empty, reg == base
-    # and the union is reg_adj itself.
-    wreg = Window.partitionBy("src").orderBy("_bkt", "dst")
-    # the gate probe above materialized base's cache, so this count is a
-    # near-free cached scan; it sizes the adjacency layout (one partition
-    # per core, growing with rows — see _cached_join_parts)
+    # repartition exchange are all dead weight that AQE still
+    # materializes as query stages. Probe the gate once (degs is
+    # persisted and the probe materializes base). n_parts sizes the
+    # cached layouts on the edge count (array payload bytes track
+    # elements, not rows — see _cached_join_parts); the count is a
+    # near-free cached scan after the probe.
+    #
+    # Round 12 (measured A/B, same session interleaved): the adjacency
+    # groupBy is REPARTITIONED on src FIRST so the exchange carries raw
+    # (src, dst, _bkt) rows and the collect_list runs as one
+    # exchange-free aggregate above hashpartitioning(src) — the default
+    # two-phase plan serializes every partially-collected object-agg
+    # array buffer through the shuffle for zero reduction (collect_list
+    # partials ship every element anyway): adjacency build 1.82 s ->
+    # 1.56 s warm on the string graph, 1.28 -> 1.11 s on the int-keyed
+    # dedup variant. Same exchange count (one), cached partitioning
+    # identical (hashpartitioning(src, n_parts)).
+    n_edges = base.count()
+    n_parts = _cached_join_parts(base, n_edges)
+    rep = base.repartition(n_parts, "src")
     if hubs.isEmpty():
-        n_edges = base.count()
-        n_parts = _cached_join_parts(base, n_edges)
-        adj = (
-            base.repartition(n_parts, "src")
-            .select("src", "dst", (F.row_number().over(wreg) - 1).alias("_idx"))
-            .persist()
-        )
+        adj = _whole_src_rows(rep).persist()
     else:
-        reg = base.join(
+        # broadcast semi/anti splits preserve the streamed side's
+        # hashpartitioning(src), so both branch aggregates and the hub
+        # offset window stay exchange-free too
+        reg = rep.join(
             F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_anti"
         )
-        hub = base.join(
+        hub = rep.join(
             F.broadcast(hubs), F.col("src") == F.col("_hsrc"), "left_semi"
         )
-        # fast path: one bounded window (every partition ≤ threshold rows)
-        reg_adj = reg.select(
-            "src", "dst", (F.row_number().over(wreg) - 1).alias("_idx")
+        # hub path: one row per (src, md5 bucket), each array bounded at
+        # the bucket size; the cumulative bucket-size offsets re-base
+        # positions to the global rank. Both window frames share one
+        # (partitionBy src, orderBy _bkt) spec — ≤ rank_buckets rows per
+        # partition by construction — so one sort computes offset AND
+        # out-degree total.
+        wb = Window.partitionBy("src").orderBy("_bkt")
+        hb = hub.groupBy("src", "_bkt").agg(
+            F.array_sort(F.collect_list("dst")).alias("_dsts")
         )
-        # hub path: two-level. Offsets come from a partial-aggregatable
-        # groupBy (map-side combine), not a filtered rank — the first-cut
-        # filter-on-_lrank==1 form recomputed the big window for the
-        # offsets branch.
-        wb = Window.partitionBy("src", "_bkt").orderBy("dst")
-        local = hub.select(
-            "src", "dst", "_bkt", F.row_number().over(wb).alias("_lrank")
+        hub_adj = hb.select(
+            "src",
+            "_dsts",
+            F.coalesce(
+                F.sum(F.size("_dsts")).over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("_off"),
+            F.sum(F.size("_dsts")).over(
+                wb.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("bigint").alias("_outdeg"),
         )
-        woff = (
-            Window.partitionBy("_osrc")
-            .orderBy("_obkt")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = (
-            hub.groupBy("src", "_bkt")
-            .agg(F.count(F.lit(1)).alias("_bc"))
-            .select(
-                F.col("src").alias("_osrc"), F.col("_bkt").alias("_obkt"), "_bc"
-            )
-            # <= rank_buckets rows per _osrc by construction: bounded window
-            .withColumn("_off", F.coalesce(F.sum("_bc").over(woff), F.lit(0)))
-            .select("_osrc", "_obkt", "_off")
-        )
-        hub_adj = (
-            local.join(
-                offsets,
-                (F.col("src") == F.col("_osrc"))
-                & (F.col("_bkt") == F.col("_obkt")),
-            )
-            .select(
-                "src", "dst",
-                (F.col("_off") + F.col("_lrank") - 1).alias("_idx"),
-            )
-        )
-        n_edges = base.count()
-        n_parts = _cached_join_parts(base, n_edges)
         adj = (
-            reg_adj.unionByName(hub_adj)
+            _whole_src_rows(reg)
+            .unionByName(hub_adj)
             .repartition(n_parts, "src")
             .persist()
         )
-    deg = (
-        # outdeg(src) = |distinct (src, dst)| = degs._deg: reuse the
-        # gate's aggregate instead of re-aggregating adj. Renamed away
-        # from base's lineage: an un-aliased `src` would be ambiguous
-        # in the per-step double join. No repartition: the groupBy's
-        # hashpartitioning(src) survives the alias (ProjectExec is
-        # alias-aware) into the cache, so the old repartition("_dsrc")
-        # was a redundant exchange (round 11, guide §2.4).
-        degs.select(F.col("src").alias("_dsrc"), F.col("_deg").alias("_outdeg"))
-        .persist()
-    )
     if starts is None:
         starts = adj.select("src").distinct()
     frontier = starts.select(
@@ -925,21 +941,31 @@ def random_walks(
                 ),
                 16, 10,
             ).cast("bigint"),
-            F.col("_outdeg"),
+            F.col("a._outdeg"),
         )
-        # alias-qualified joins: frontier's _cur carries adj.dst's
-        # attribute id from the previous round, so unqualified refs are
-        # ambiguous against adj's own columns
+        # alias-qualified join: frontier's _cur carries adj-derived
+        # attribute ids from the previous round, so unqualified refs are
+        # ambiguous against adj's own columns. ONE join per step: the
+        # pick modulus reads _outdeg from the matched adjacency row, the
+        # offset filter selects exactly one row per (frontier, hub) pair
+        # (trivially true for whole-src rows, where _off = 0 and
+        # pick < outdeg = size), and element_at reads the picked
+        # neighbor at O(1).
         frontier = (
             frontier.alias("f")
-            .join(deg.alias("d"), F.col("f._cur") == F.col("d._dsrc"))
+            .join(adj.alias("a"), F.col("f._cur") == F.col("a.src"))
             .withColumn("_pick", pick)
-            .join(
-                adj.alias("a"),
-                (F.col("f._cur") == F.col("a.src"))
-                & (F.col("_pick") == F.col("a._idx")),
+            .where(
+                (F.col("_pick") >= F.col("a._off"))
+                & (F.col("_pick") < F.col("a._off") + F.size("a._dsts"))
             )
-            .select("f.walk_id", F.col("a.dst").alias("_cur"))
+            .select(
+                "f.walk_id",
+                F.element_at(
+                    "a._dsts",
+                    (F.col("_pick") - F.col("a._off") + 1).cast("int"),
+                ).alias("_cur"),
+            )
             .persist()
         )
         step_caches.append(frontier)
@@ -956,7 +982,6 @@ def random_walks(
     for f in step_caches:
         f.unpersist()
     adj.unpersist()
-    deg.unpersist()
     degs.unpersist()
     base.unpersist()
     return out
@@ -1005,26 +1030,42 @@ def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
     """Skip-gram (center, context) pair extraction over walk sequences —
     the step between random_walks and an embedding trainer: every
     ordered pair of nodes within `window` steps of each other on the
-    same walk, weighted by occurrence count. A self-join on walk_id
-    bounded by the step distance; walks are short (walk_length+1 rows),
-    so the join is equi on walk_id with a tiny bounded fan-out per key —
-    at corpus scale this shuffles on walk_id once per side and nothing
-    else. Returns (center, context, pair_count)."""
-    a = walks.select(
-        F.col("walk_id").alias("_w"), F.col("step").alias("_s"),
-        F.col("node").alias("center"),
+    same walk, weighted by occurrence count.
+
+    Round 12 (guide §2.4, the cooccurrence_pairs discipline): one
+    groupBy(walk_id) collects each walk's (step, node) rows — bounded at
+    walk_length+1 elements per group by construction — and the pair
+    enumeration runs IN-ROW as a higher-order transform/filter/flatten
+    before the count aggregate. The previous self-join on walk_id
+    shuffled the walk table twice (both join sides) plus once for the
+    count; this shuffles it once plus the count — same pairs, same
+    counts (the join enumerated exactly the row pairs the in-row filter
+    enumerates over the collected array). Returns
+    (center, context, pair_count)."""
+    grouped = walks.groupBy("walk_id").agg(
+        F.collect_list(F.struct("step", "node")).alias("_sn")
     )
-    b = walks.select(
-        F.col("walk_id").alias("_w2"), F.col("step").alias("_s2"),
-        F.col("node").alias("context"),
+    pairs = F.flatten(
+        F.transform(
+            "_sn",
+            lambda x: F.transform(
+                F.filter(
+                    "_sn",
+                    lambda y: (y["step"] != x["step"])
+                    & (F.abs(x["step"] - y["step"]) <= window),
+                ),
+                lambda y: F.struct(
+                    x["node"].alias("center"), y["node"].alias("context")
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, (F.col("_w") == F.col("_w2")))
-        .where(
-            (F.abs(F.col("_s") - F.col("_s2")) <= window)
-            & (F.col("_s") != F.col("_s2"))
+        grouped.select(F.explode(pairs).alias("_p"))
+        .groupBy(
+            F.col("_p.center").alias("center"),
+            F.col("_p.context").alias("context"),
         )
-        .groupBy("center", "context")
         .agg(F.count("*").cast("bigint").alias("pair_count"))
     )
 

@@ -4310,13 +4310,36 @@ def _register_random_walks():
         steps shuffles only the walk frontier (reference has no graph-ML
         surface; north-star extension)."""
         li = _t(spark, sf_dir, "lineitem")
-        e0 = li.select(
-            F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("a"),
-            F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("b"),
-        ).distinct()
-        edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-            e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        # symmetrize via a single explode instead of a 2-branch union:
+        # Spark does not share common subtrees across union branches, so
+        # the union form ran e0's 600k-row string dedup TWICE (round 12,
+        # profiled: two full scan+shuffle+dedup passes inside the walk
+        # base materialization). Identical rows either way.
+        # dedup on the NATIVE int keys, then build the id strings from
+        # the surviving rows (the all_edges discipline, guide §2.3): the
+        # concat is injective, so distinct-then-concat is row-identical
+        # to concat-then-distinct while the dedup exchange carries 16
+        # bytes/row and hashes ints, not two ~12-char strings
+        e0 = (
+            li.select("l_orderkey", "l_partkey")
+            .dropDuplicates()
+            .select(
+                F.concat(
+                    F.lit("O:"), F.col("l_orderkey").cast("string")
+                ).alias("a"),
+                F.concat(
+                    F.lit("P:"), F.col("l_partkey").cast("string")
+                ).alias("b"),
+            )
         )
+        edges = e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
         starts = (
             li.where(F.col("l_orderkey") % 199 == 0)
             .select(
@@ -4327,7 +4350,7 @@ def _register_random_walks():
             .distinct()
         )
         # distinct by construction (e0 distinct, direction-disjoint
-        # union branches) — skip the operator's dedup exchange
+        # explode branches) — skip the operator's dedup exchange
         return random_walks(
             edges, walk_length=4, seed=42, starts=starts, assume_distinct=True
         )
@@ -4361,13 +4384,35 @@ def _register_walk_skipgrams():
         fan-out (walks are walk_length+1 rows), then one count
         aggregate."""
         li = _t(spark, sf_dir, "lineitem")
-        e0 = li.select(
-            F.concat(F.lit("O:"), F.col("l_orderkey").cast("string")).alias("a"),
-            F.concat(F.lit("P:"), F.col("l_partkey").cast("string")).alias("b"),
-        ).distinct()
-        edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-            e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        # single-explode symmetrization (round 12): the 2-branch union
+        # evaluated e0's 600k-row string dedup once PER BRANCH — Spark
+        # does not share common subtrees across union branches. Rows are
+        # identical either way.
+        # dedup on the NATIVE int keys, then build the id strings from
+        # the surviving rows (the all_edges discipline, guide §2.3): the
+        # concat is injective, so distinct-then-concat is row-identical
+        # to concat-then-distinct while the dedup exchange carries 16
+        # bytes/row and hashes ints, not two ~12-char strings
+        e0 = (
+            li.select("l_orderkey", "l_partkey")
+            .dropDuplicates()
+            .select(
+                F.concat(
+                    F.lit("O:"), F.col("l_orderkey").cast("string")
+                ).alias("a"),
+                F.concat(
+                    F.lit("P:"), F.col("l_partkey").cast("string")
+                ).alias("b"),
+            )
         )
+        edges = e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
         starts = (
             li.where(F.col("l_orderkey") % 199 == 0)
             .select(
@@ -4378,7 +4423,7 @@ def _register_walk_skipgrams():
             .distinct()
         )
         # edges is distinct by construction: e0 is distinct and the two
-        # union branches are direction-disjoint (every "O:"->"P:" row is
+        # explode branches are direction-disjoint (every "O:"->"P:" row is
         # distinct from every "P:"->"O:" row by prefix), so the operator's
         # internal dedup exchange is skipped (round 11, guide §2.4)
         walks = random_walks(
@@ -10974,9 +11019,16 @@ def skew_walk_skipgrams_q(spark, sf_dir):
 
     n = skew_n_nodes(spark, sf_dir)
     pairs = skew_edges(spark, sf_dir).localCheckpoint(eager=True)
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # single-explode symmetrization (round 12): one scan of the
+    # checkpointed pairs instead of one per union branch; identical rows
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     starts = (
         spark.range(n + 16)
         .where((F.col("id") % 199 == 0) | (F.col("id") >= n))
